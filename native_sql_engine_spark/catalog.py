@@ -1,0 +1,61 @@
+"""Table registry over the driver-generated parquet test data.
+
+The reference reads Parquet/CSV through its Arrow Dataset DSv2 source with
+filter pushdown + column pruning (arrow-data-source/.../ArrowDataSourceV2.scala,
+ArrowFilters.scala:27-60 — SURVEY §2.1).  Spark's built-in vectorized parquet
+reader provides the identical capability (PushedFilters / ReadSchema in the
+scan node), so the engine's "source" layer is a thin registry that creates
+temp views and returns DataFrames.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: All driver-generated tables (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table; column pruning + predicate pushdown come free.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark reads as a long
+    (nanos since epoch, via spark.sql.legacy.parquet.nanosAsLong) — convert
+    to a microsecond timestamp so the engine sees a real TimestampType, the
+    same µs truncation DuckDB applies.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each parquet table as a temp view; returns name → DataFrame.
+
+    Views are lazy — a query that touches 2 of 10 tables scans only those 2,
+    and only the columns it references (ReadSchema pruning).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,80 @@
+"""DuckDB-oracle comparison harness (mirrors the driver's t2 check).
+
+Runs a Spark DataFrame and a DuckDB SQL side-by-side on the same parquet
+tables and compares row count, column names, and order-insensitive values.
+Modeled on the reference's checkAnswer-style golden testing
+(NativeSQLConvertedSuite.scala:26-50) with DuckDB as the external oracle.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from .catalog import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def _normalize_cell(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse fp noise below oracle-visible precision
+        return round(v, 6)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_normalize_cell(x) for x in v)
+    try:
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return tuple(_normalize_cell(x) for x in v.tolist())
+        if isinstance(v, np.generic):
+            return _normalize_cell(v.item())
+    except ImportError:
+        pass
+    return v
+
+
+def normalize(df: pd.DataFrame) -> list[tuple]:
+    """Sort columns by name, normalize cells, return sorted row tuples."""
+    df = df[sorted(df.columns)]
+    rows = [tuple(_normalize_cell(v) for v in row) for row in df.itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def assert_matches_oracle(
+    spark_df, duck_sql: str, sf_dir: str, name: str = "query"
+) -> None:
+    """Raise AssertionError unless Spark result ≡ DuckDB result."""
+    got = spark_df.toPandas()
+    con = duck_connection(sf_dir)
+    try:
+        want = con.execute(duck_sql).fetchdf()
+    finally:
+        con.close()
+
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: column mismatch spark={sorted(got.columns)} duck={sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count spark={len(got)} duck={len(want)}"
+    g, w = normalize(got), normalize(want)
+    for i, (a, b) in enumerate(zip(g, w)):
+        assert a == b, f"{name}: row {i} differs\n  spark={a}\n  duck ={b}"

@@ -1,0 +1,61 @@
+"""SparkSession factory with engine defaults.
+
+Mirrors the reference's recommended submit conf
+(/root/reference/docs/index.md:88-110: AQE-era tuning, explicit shuffle
+partition count, arrow batch size via
+spark.sql.execution.arrow.maxRecordsPerBatch — ColumnarPluginConfig.scala:125)
+translated to vanilla-Spark knobs that matter at 100 TB:
+
+- AQE on (runtime partition coalescing, skew-join splitting) — replaces the
+  reference's ColumnarCustomShuffleReaderExec (SURVEY §2.9).
+- UTC session timezone (the reference is local-TZ sensitive; we pin UTC).
+- ANSI off: non-ANSI overflow→null matches the reference's
+  castDECIMALNullOnOverflow semantics (ColumnarUnaryOperator.scala).
+- Arrow-enabled pandas interop = the reference's columnar Python UDF path
+  (ColumnarArrowEvalPythonExec.scala:51).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Engine session defaults.  Keys are plain Spark confs; at cluster scale the
+#: same dict is handed to spark-submit.  Values chosen for the local[32]
+#: harness but shaped for 1000-executor runs (AQE does the runtime sizing).
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",  # reference batch size
+    "spark.sql.parquet.filterPushdown": "true",
+    # driver data ships events.ts as TIMESTAMP(NANOS); Spark's reader rejects
+    # it natively — read as long, catalog.load_table converts to µs timestamp
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "24g",
+}
+
+
+def get_spark(app_name: str = "native_sql_engine_spark", **overrides: str) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    defaults to all cores.  ``overrides`` are extra conf pairs.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    conf = {**ENGINE_CONF, **{str(k): str(v) for k, v in overrides.items()}}
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
