@@ -1,3 +1,1442 @@
-"""Placeholder — filled in by later milestones."""
-QUERIES = {}
-ORACLE = {}
+"""Operator-level battery — one query per operator in SURVEY.md §2.
+
+Spark side uses the DataFrame API (the engine's native idiom); ORACLE holds
+the DuckDB-dialect equivalent with identical column names.  Hash-stability
+conventions as in tpch.py: computed doubles rounded, integer sums cast to
+BIGINT (DuckDB sums to HUGEINT), deterministic total orders under LIMIT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.joins import existence_join, join, null_aware_anti_join
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# Joins (§2.3) — Broadcast / ShuffledHash / SortMerge × all join types
+# =========================================================================
+
+
+@q(
+    "join_broadcast_inner",
+    """
+    SELECT p_brand, cast(count(*) AS bigint) AS n,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 10
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner broadcast-hash join: dim side broadcast, fact side never shuffles
+    (parity: ColumnarBroadcastHashJoinExec.scala:50)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        join(lineitem, part, [F.col("l_partkey") == F.col("p_partkey")], "inner", "broadcast")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@q(
+    "join_shuffle_hash",
+    """
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 1000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled-hash join (parity: ColumnarShuffledHashJoinExec.scala:61):
+    both sides hash-partition on the key; no sort. At scale: the choice for
+    large∙medium joins where one side fits per-partition memory."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000)
+    return (
+        join(orders, customer, [F.col("o_custkey") == F.col("c_custkey")], "inner", "shuffle_hash")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "join_sort_merge",
+    """
+    SELECT l_returnflag, cast(count(*) AS bigint) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-merge join (parity: ColumnarSortMergeJoinExec.scala:61) — the
+    fact∙fact default; spills gracefully at 100 TB unlike hash builds."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        join(lineitem, orders, [F.col("l_orderkey") == F.col("o_orderkey")], "inner", "sort_merge")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "join_left_outer",
+    """
+    SELECT c_mktsegment, cast(count(*) AS bigint) AS n_rows,
+           cast(count(o_orderkey) AS bigint) AS n_orders
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 300000
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_totalprice") > 300000)
+    return (
+        customer.join(orders, cond, "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_rows"), F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "join_right_outer",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n_rows,
+           cast(count(c_custkey) AS bigint) AS n_matched
+    FROM customer RIGHT JOIN orders
+      ON c_custkey = o_custkey AND c_acctbal > 9000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (F.col("c_acctbal") > 9000)
+    return (
+        customer.join(orders, cond, "right")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), F.count("c_custkey").alias("n_matched"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
+    "join_full_outer",
+    """
+    WITH big_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000),
+         big_ord AS (SELECT o_custkey, cast(count(*) AS bigint) AS n_big
+                     FROM orders WHERE o_totalprice > 250000 GROUP BY o_custkey)
+    SELECT
+      cast(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS right_only,
+      cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS left_only,
+      cast(sum(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+               THEN 1 ELSE 0 END) AS bigint) AS both_sides
+    FROM big_cust FULL OUTER JOIN big_ord ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer — SMJ-only in the reference (ColumnarSortMergeJoinExec.scala:124-131)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big_cust = customer.filter(F.col("c_acctbal") > 8000).select("c_custkey", "c_acctbal")
+    big_ord = (
+        orders.filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    joined = big_cust.join(big_ord, F.col("c_custkey") == F.col("o_custkey"), "full")
+    return joined.agg(
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).cast("bigint").alias("right_only"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).cast("bigint").alias("left_only"),
+        F.sum(
+            F.when(F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("both_sides"),
+    )
+
+
+@q(
+    "join_left_semi",
+    """
+    SELECT c_mktsegment, cast(count(*) AS bigint) AS n
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "join_left_anti",
+    """
+    SELECT c_mktsegment, cast(count(*) AS bigint) AS n
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "join_null_aware_anti",
+    """
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS n
+    FROM (SELECT o_orderpriority, nullif(o_custkey, 7) AS k FROM orders) o
+    WHERE k NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with NULLs on the probe side: NULL keys never qualify —
+    the reference's nullAware BHJ (ColumnarPlugin.scala:165-173)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.nullif(F.col("o_custkey"), F.lit(7)).alias("k")
+    )
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        null_aware_anti_join(orders, rich, "k", "c_custkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "join_existence",
+    """
+    SELECT has_urgent, cast(count(*) AS bigint) AS n,
+           round(sum(c_acctbal), 2) AS bal
+    FROM (SELECT c_acctbal,
+                 c_custkey IN (SELECT o_custkey FROM orders
+                               WHERE o_orderpriority = '1-URGENT') AS has_urgent
+          FROM customer) t
+    GROUP BY has_urgent ORDER BY has_urgent
+    """,
+)
+def join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join (reference join type Existence,
+    ColumnarBroadcastHashJoinExec.scala:93-95): IN-subquery as a value."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    flagged = existence_join(customer, urgent, "c_custkey", "o_custkey", "has_urgent")
+    return (
+        flagged.groupBy("has_urgent")
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .orderBy("has_urgent")
+    )
+
+
+@q(
+    "join_cross",
+    """
+    SELECT n_name, r_name
+    FROM nation CROSS JOIN region
+    WHERE n_regionkey <> r_regionkey AND n_nationkey < 3
+    ORDER BY n_name, r_name
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian + theta filter — BNLJ/CartesianProduct stay row execs in the
+    reference (docs/operators.md rows 22-23); first-class here."""
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 3)
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.crossJoin(region)
+        .filter(F.col("n_regionkey") != F.col("r_regionkey"))
+        .select("n_name", "r_name")
+        .orderBy("n_name", "r_name")
+    )
+
+
+@q(
+    "join_non_equi_residual",
+    """
+    SELECT p_brand, cast(count(*) AS bigint) AS n
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey
+     AND l_quantity BETWEEN p_size AND p_size + 5
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def join_non_equi_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + residual non-equi condition (the reference threads the
+    residual through its probe kernels, conditioned_probe_kernel.cc)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("l_partkey") == F.col("p_partkey"))
+        & (F.col("l_quantity") >= F.col("p_size"))
+        & (F.col("l_quantity") <= F.col("p_size") + 5)
+    )
+    return (
+        lineitem.join(part, cond)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .orderBy("p_brand")
+    )
+
+
+# =========================================================================
+# Aggregation (§2.4) — the reference's native action set + beyond
+# =========================================================================
+
+
+@q(
+    "agg_functions",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2)          AS sum_qty,
+           round(avg(l_extendedprice), 4)     AS avg_price,
+           cast(count(l_partkey) AS bigint)   AS cnt_col,
+           cast(count(*) AS bigint)           AS cnt_all,
+           round(min(l_discount), 4)          AS min_disc,
+           round(max(l_tax), 4)               AS max_tax,
+           round(stddev_samp(l_quantity), 4)  AS sd_qty
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full native action set in one pass: sum/avg/count/
+    count(1)/min/max/stddev_samp (actions_impl.cc:4496-4946) — Spark plans
+    partial+final automatically (map-side combine, one shuffle)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("l_partkey").alias("cnt_col"),
+            F.count(F.lit(1)).alias("cnt_all"),
+            F.round(F.min("l_discount"), 4).alias("min_disc"),
+            F.round(F.max("l_tax"), 4).alias("max_tax"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "agg_distinct",
+    """
+    SELECT l_linestatus,
+           cast(count(DISTINCT l_suppkey) AS bigint) AS n_supp,
+           cast(count(DISTINCT l_partkey) AS bigint) AS n_part,
+           round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates — row fallback in the reference (§2.4),
+    built-in here (Expand + two-phase agg under the hood)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_linestatus")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# approx_count_distinct is sketch-based: no exact oracle, rows-only check.
+@q("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           cast(grouping(l_returnflag) AS bigint) AS g1,
+           cast(grouping(l_linestatus) AS bigint) AS g2,
+           cast(count(*) AS bigint) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g1, g2, l_returnflag, l_linestatus
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP via Expand (parity: ColumnarExpandExec.scala:37)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g1"),
+            F.grouping("l_linestatus").cast("bigint").alias("g2"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy("g1", "g2", "l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           cast(grouping(l_returnflag) AS bigint) AS g1,
+           cast(grouping(l_linestatus) AS bigint) AS g2,
+           cast(count(*) AS bigint) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g1, g2, l_returnflag, l_linestatus
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g1"),
+            F.grouping("l_linestatus").cast("bigint").alias("g2"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("g1", "g2", "l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           cast(count(*) AS bigint) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@q(
+    "agg_collect_list",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           cast(count(*) AS bigint) AS n
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set — row fallback in the reference, first-class
+    here; sorted + joined so the value is deterministic."""
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@q(
+    "agg_having_filter",
+    """
+    SELECT l_suppkey, cast(count(*) AS bigint) AS n,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) > 550
+    ORDER BY l_suppkey
+    """,
+)
+def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+        .filter(F.col("n") > 550)
+        .orderBy("l_suppkey")
+    )
+
+
+@q(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS O
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — Catalyst rewrites to conditional aggregation."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .fillna(0.0, subset=["F", "O"])
+        .orderBy("l_returnflag")
+    )
+
+
+# =========================================================================
+# Window functions (§2.5) — reference subset + the full Spark surface
+# =========================================================================
+
+
+@q(
+    "window_partition_agg",
+    """
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           round(sum(s_acctbal) OVER (PARTITION BY s_nationkey), 2) AS nation_bal,
+           round(avg(s_acctbal) OVER (PARTITION BY s_nationkey), 4) AS nation_avg,
+           round(min(s_acctbal) OVER (PARTITION BY s_nationkey), 2) AS nation_min,
+           round(max(s_acctbal) OVER (PARTITION BY s_nationkey), 2) AS nation_max,
+           cast(count(*) OVER (PARTITION BY s_nationkey) AS bigint) AS nation_n
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def window_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition-frame agg windows — the ONLY agg windows the
+    reference supports natively (ColumnarWindowExec.scala:94-99 throws on a
+    non-empty order spec)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey")
+    return supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.round(F.sum("s_acctbal").over(w), 2).alias("nation_bal"),
+        F.round(F.avg("s_acctbal").over(w), 4).alias("nation_avg"),
+        F.round(F.min("s_acctbal").over(w), 2).alias("nation_min"),
+        F.round(F.max("s_acctbal").over(w), 2).alias("nation_max"),
+        F.count("*").over(w).alias("nation_n"),
+    ).orderBy("s_suppkey")
+
+
+@q(
+    "window_rank",
+    """
+    SELECT p_partkey, p_brand, p_size,
+           cast(rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS bigint) AS rk_asc,
+           cast(rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS bigint) AS rk_desc
+    FROM part WHERE p_partkey < 200 ORDER BY p_partkey
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank asc/desc — the reference's only native ranking
+    (rank_asc/rank_desc, ColumnarWindowExec.scala:142-156); ties covered."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.rank().over(W.partitionBy("p_brand").orderBy("p_size")).cast("bigint").alias("rk_asc"),
+        F.rank()
+        .over(W.partitionBy("p_brand").orderBy(F.col("p_size").desc()))
+        .cast("bigint")
+        .alias("rk_desc"),
+    ).orderBy("p_partkey")
+
+
+@q(
+    "window_ranking_full",
+    """
+    SELECT o_orderkey,
+           cast(row_number() OVER w AS bigint)  AS rn,
+           cast(dense_rank() OVER w AS bigint)  AS drk,
+           round(percent_rank() OVER w, 6)      AS prk,
+           round(cume_dist() OVER w, 6)         AS cd,
+           cast(ntile(4) OVER w AS bigint)      AS nt
+    FROM orders WHERE o_orderkey < 500
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def window_ranking_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/dense_rank/percent_rank/cume_dist/ntile — row fallback in
+    the reference (§2.5 'NOT supported natively'), first-class here.
+    Order key includes o_orderkey so row_number/ntile are deterministic."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("bigint").alias("nt"),
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "window_lag_lead",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(lag(o_totalprice, 1) OVER w, 2)        AS prev_price,
+           round(lead(o_totalprice, 1, -1.0) OVER w, 2) AS next_price
+    FROM orders WHERE o_custkey < 20
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1, -1.0).over(w), 2).alias("next_price"),
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "window_rows_between",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+           round(avg(l_extendedprice) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS centered
+    FROM lineitem WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def window_rows_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom ROWS frames — unsupported natively in the reference (§2.5)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.sum("l_extendedprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+        ).alias("running"),
+        F.round(F.avg("l_extendedprice").over(w.rowsBetween(-1, 1)), 4).alias("centered"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@q(
+    "window_range_between",
+    """
+    SELECT p_partkey, p_size,
+           cast(count(*) OVER (
+               ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS bigint) AS n_close
+    FROM part WHERE p_partkey < 300
+    ORDER BY p_partkey
+    """,
+)
+def window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    w = W.orderBy("p_size").rangeBetween(-2, W.currentRow)
+    return part.select(
+        "p_partkey", "p_size", F.count("*").over(w).alias("n_close")
+    ).orderBy("p_partkey")
+
+
+@q(
+    "window_value_fns",
+    """
+    SELECT s_suppkey, s_nationkey,
+           round(first_value(s_acctbal) OVER w, 2) AS first_bal,
+           round(last_value(s_acctbal) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_bal,
+           round(nth_value(s_acctbal, 2) OVER w, 2) AS second_bal
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.first_value("s_acctbal").over(w), 2).alias("first_bal"),
+        F.round(F.last_value("s_acctbal").over(w_full), 2).alias("last_bal"),
+        F.round(F.nth_value("s_acctbal", 2).over(w), 2).alias("second_bal"),
+    ).orderBy("s_suppkey")
+
+
+@q(
+    "topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer) t
+    WHERE rn <= 3
+    ORDER BY c_mktsegment, c_custkey
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — the canonical window+filter pattern; at scale this
+    avoids a global sort (per-partition heap via WindowGroupLimit)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        customer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+# =========================================================================
+# Sort / limit / top-k (§2.6)
+# =========================================================================
+
+
+@q(
+    "sort_multikey_topk",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def sort_multikey_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key mixed-direction sort + limit → TakeOrderedAndProject (row
+    fallback in the reference, docs/operators.md row 12). Spark pushes the
+    limit into per-partition top-K heaps — no global sort at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(
+            F.col("o_orderstatus").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey")
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(50)
+    )
+
+
+@q(
+    "sort_nulls_nan",
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_linenumber = 1 THEN NULL
+                  WHEN l_linenumber = 2 THEN cast('NaN' AS double)
+                  ELSE l_discount END AS d
+      FROM lineitem WHERE l_orderkey < 60)
+    SELECT l_orderkey, l_linenumber, round(d, 4) AS d,
+           cast(rank() OVER (ORDER BY d ASC NULLS FIRST) AS bigint) AS rk_nulls_first,
+           cast(rank() OVER (ORDER BY d DESC NULLS LAST) AS bigint) AS rk_desc_nulls_last
+    FROM t
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def sort_nulls_nan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL/NaN ordering — the reference pre-partitions nulls/NaN in its sort
+    kernels (sort_kernel.cc:63-66); Spark orders NaN after +Inf, and we pin
+    NULLS FIRST/LAST explicitly (DuckDB's default differs). Ordering is
+    encoded via rank() so the unordered hash compare still validates it."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 60)
+    t = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") == 1, F.lit(None).cast("double"))
+        .when(F.col("l_linenumber") == 2, F.lit(float("nan")))
+        .otherwise(F.col("l_discount"))
+        .alias("d"),
+    )
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("d", 4).alias("d"),
+        F.rank().over(W.orderBy(F.col("d").asc_nulls_first())).cast("bigint").alias("rk_nulls_first"),
+        F.rank()
+        .over(W.orderBy(F.col("d").desc_nulls_last()))
+        .cast("bigint")
+        .alias("rk_desc_nulls_last"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@q(
+    "limit_offset",
+    """
+    SELECT c_custkey, c_name FROM customer
+    ORDER BY c_custkey LIMIT 20 OFFSET 10
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.orderBy("c_custkey").select("c_custkey", "c_name").offset(10).limit(20)
+
+
+# =========================================================================
+# Set operations (§2.7)
+# =========================================================================
+
+
+@q(
+    "setop_union_all",
+    """
+    SELECT k, cast(count(*) AS bigint) AS n FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+      UNION ALL
+      SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+    ) t GROUP BY k ORDER BY k
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL = ColumnarUnionExec (ColumnarBasicPhysicalOperators.scala:271)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("k"))
+    b = orders.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("k"))
+    return a.union(b).groupBy("k").agg(F.count("*").alias("n")).orderBy("k")
+
+
+@q(
+    "setop_union_distinct",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+    ORDER BY k
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("k"))
+    b = orders.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("k"))
+    return a.union(b).distinct().orderBy("k")
+
+
+@q(
+    "setop_intersect",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY k
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT → Catalyst plans a left-semi join (SURVEY §2.7)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("k"))
+    return a.intersect(b).orderBy("k")
+
+
+@q(
+    "setop_except",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY k
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT → left-anti join (e2e proof in the reference:
+    NativeSQLConvertedSuite.scala:31-37)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b.distinct()).distinct().orderBy("k")
+
+
+@q(
+    "setop_intersect_all",
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+    INTERSECT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.08
+    ORDER BY k
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_discount") > 0.08).select(F.col("l_suppkey").alias("k"))
+    return a.intersectAll(b).orderBy("k")
+
+
+@q(
+    "setop_except_all",
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+    EXCEPT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.08
+    ORDER BY k
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_discount") > 0.08).select(F.col("l_suppkey").alias("k"))
+    return a.exceptAll(b).orderBy("k")
+
+
+# =========================================================================
+# Scalar expressions (§2.8) — the reference's Gandiva surface and beyond
+# =========================================================================
+
+
+@q(
+    "expr_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice + l_tax, 4)            AS add_,
+           round(l_extendedprice - l_discount, 4)       AS sub_,
+           round(l_extendedprice * (1 - l_discount), 4) AS mul_,
+           round(l_extendedprice / (1 + l_tax), 4)      AS div_,
+           round(abs(l_discount - 0.05), 4)             AS abs_,
+           round(l_extendedprice, 0)                    AS round_,
+           cast(l_orderkey & l_partkey AS bigint)       AS band,
+           cast(l_orderkey | l_partkey AS bigint)       AS bor,
+           cast(xor(l_orderkey, l_partkey) AS bigint)   AS bxor,
+           cast(~l_linenumber AS int)                   AS bnot,
+           cast(l_linenumber << 2 AS int)               AS shl,
+           cast(l_orderkey >> 1 AS bigint)              AS shr
+    FROM lineitem WHERE l_orderkey < 40
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def expr_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic + bitwise surface (ColumnarArithmetic.scala, 449 LoC in the
+    reference) — every op stays in whole-stage codegen here."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 40)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") + F.col("l_tax"), 4).alias("add_"),
+        F.round(F.col("l_extendedprice") - F.col("l_discount"), 4).alias("sub_"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("mul_"),
+        F.round(F.col("l_extendedprice") / (1 + F.col("l_tax")), 4).alias("div_"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_"),
+        F.round(F.col("l_extendedprice"), 0).alias("round_"),
+        F.col("l_orderkey").bitwiseAND(F.col("l_partkey")).alias("band"),
+        F.col("l_orderkey").bitwiseOR(F.col("l_partkey")).alias("bor"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("bxor"),
+        F.bitwise_not(F.col("l_linenumber")).alias("bnot"),
+        F.shiftleft(F.col("l_linenumber"), 2).alias("shl"),
+        F.shiftright(F.col("l_orderkey"), 1).alias("shr"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@q(
+    "expr_predicates",
+    """
+    SELECT o_orderkey,
+           cast(o_orderstatus = 'F' AS int)                   AS eq_,
+           cast(o_orderstatus <> 'F' AS int)                  AS neq,
+           cast(o_totalprice < 100000 AS int)                 AS lt,
+           cast(o_totalprice >= 300000 AS int)                AS gte,
+           cast(o_custkey IS NULL AS int)                     AS isnull_,
+           cast(o_custkey IS NOT NULL AS int)                 AS isnotnull_,
+           cast(o_orderpriority IN ('1-URGENT','2-HIGH') AS int) AS in_,
+           cast(o_orderpriority LIKE '%-L%' AS int)           AS like_,
+           cast(o_orderpriority LIKE '1%' AS int)             AS starts,
+           cast(o_orderpriority LIKE '%ED' AS int)            AS ends,
+           cast(contains(o_orderpriority, 'HIGH') AS int)     AS contains_,
+           cast((nullif(o_custkey, 3) IS NOT DISTINCT FROM nullif(o_custkey, 5)) AS int) AS eq_null_safe
+    FROM orders WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+)
+def expr_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison/predicate surface incl. null-safe equality <=>
+    (ColumnarBinaryOperator.scala:516, EqualNullSafe)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    k3 = F.nullif(F.col("o_custkey"), F.lit(3))
+    k5 = F.nullif(F.col("o_custkey"), F.lit(5))
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderstatus") == "F").cast("int").alias("eq_"),
+        (F.col("o_orderstatus") != "F").cast("int").alias("neq"),
+        (F.col("o_totalprice") < 100000).cast("int").alias("lt"),
+        (F.col("o_totalprice") >= 300000).cast("int").alias("gte"),
+        F.isnull(F.col("o_custkey")).cast("int").alias("isnull_"),
+        F.col("o_custkey").isNotNull().cast("int").alias("isnotnull_"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("in_"),
+        F.col("o_orderpriority").like("%-L%").cast("int").alias("like_"),
+        F.col("o_orderpriority").startswith("1").cast("int").alias("starts"),
+        F.col("o_orderpriority").endswith("ED").cast("int").alias("ends"),
+        F.col("o_orderpriority").contains("HIGH").cast("int").alias("contains_"),
+        k3.eqNullSafe(k5).cast("int").alias("eq_null_safe"),
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "expr_conditional",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END                              AS bucket,
+           CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'MACHINERY' THEN 2
+                ELSE 0 END                                   AS seg_code,
+           round(coalesce(nullif(c_acctbal, 0.0), -1.0), 2) AS bal_or_default,
+           round(greatest(c_acctbal, 1000.0), 2)            AS at_least_1k,
+           round(least(c_acctbal, 5000.0), 2)               AS at_most_5k,
+           CASE WHEN c_acctbal > 0 THEN round(c_acctbal, 2) END AS if_pos
+    FROM customer WHERE c_custkey < 300
+    ORDER BY c_custkey
+    """,
+)
+def expr_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """If/CaseWhen/Coalesce (ColumnarIfOperator/CaseWhen/Coalesce in the
+    reference) + greatest/least/nullif."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bucket"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .when(F.col("c_mktsegment") == "MACHINERY", 2)
+        .otherwise(0)
+        .alias("seg_code"),
+        F.round(F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(-1.0)), 2).alias(
+            "bal_or_default"
+        ),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(1000.0)), 2).alias("at_least_1k"),
+        F.round(F.least(F.col("c_acctbal"), F.lit(5000.0)), 2).alias("at_most_5k"),
+        F.when(F.col("c_acctbal") > 0, F.round(F.col("c_acctbal"), 2)).alias("if_pos"),
+    ).orderBy("c_custkey")
+
+
+@q(
+    "expr_string",
+    """
+    SELECT p_partkey,
+           upper(p_name)                          AS up,
+           lower(p_brand)                         AS lo,
+           substring(p_name, 1, 5)                AS sub,
+           p_name || '/' || p_brand               AS cat,
+           cast(length(p_name) AS int)            AS len,
+           trim('  ' || p_name || ' ')            AS trimmed,
+           ltrim('xx' || p_name, 'x')             AS ltrimmed,
+           rtrim(p_name || 'yy', 'y')             AS rtrimmed,
+           replace(p_name, ' ', '_')              AS repl,
+           lpad(p_brand, 12, '*')                 AS padded,
+           reverse(p_brand)                       AS rev,
+           repeat(p_brand, 2)                     AS rep,
+           split_part(p_name, ' ', 1)             AS first_word,
+           cast(strpos(p_name, 'e') AS int)       AS pos_e,
+           translate(p_name, 'aeiou', 'AEIOU')    AS vowels_up,
+           left(p_name, 3)                        AS l3,
+           right(p_name, 3)                       AS r3
+    FROM part WHERE p_partkey < 150
+    ORDER BY p_partkey
+    """,
+)
+def expr_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface (ColumnarTernaryOperator.scala:78 Substring,
+    ColumnarConcatOperator, castVARCHAR trim family) + the full Spark set."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 150)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_name", 1, 5).alias("sub"),
+        F.concat_ws("/", "p_name", "p_brand").alias("cat"),
+        F.length("p_name").alias("len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("xx"), F.col("p_name")), F.lit("x")).alias("ltrimmed"),
+        F.rtrim(F.concat(F.col("p_name"), F.lit("yy")), F.lit("y")).alias("rtrimmed"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("repl"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.reverse("p_brand").alias("rev"),
+        F.repeat("p_brand", 2).alias("rep"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.instr("p_name", "e").alias("pos_e"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.left(F.col("p_name"), F.lit(3)).alias("l3"),
+        F.right(F.col("p_name"), F.lit(3)).alias("r3"),
+    ).orderBy("p_partkey")
+
+
+@q(
+    "expr_regexp",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1)        AS last_word,
+           regexp_replace(p_name, '[aeiou]', '.', 'g')   AS masked,
+           cast(regexp_matches(p_name, '^(red|blue)') AS int) AS starts_color
+    FROM part WHERE p_partkey < 150
+    ORDER BY p_partkey
+    """,
+)
+def expr_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface — the reference only supports LIKE natively
+    (StringRegexExpression, ColumnarExpressionConverter.scala:143-155);
+    full regexp is first-class here."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 150)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", r"[aeiou]", ".").alias("masked"),
+        F.col("p_name").rlike(r"^(red|blue)").cast("int").alias("starts_color"),
+    ).orderBy("p_partkey")
+
+
+@q(
+    "expr_cast",
+    """
+    SELECT o_orderkey,
+           cast(trunc(o_totalprice) AS bigint)            AS to_long,
+           cast(cast(trunc(o_totalprice) AS int) AS double) AS to_int_back,
+           cast(o_orderkey AS string)                     AS to_str,
+           cast(o_orderkey AS double)                     AS to_dbl,
+           try_cast(o_orderstatus AS int)                 AS bad_int,
+           try_cast(cast(o_totalprice AS varchar) AS double) AS roundtrip,
+           cast(cast(o_orderdate AS date) AS varchar)     AS to_date,
+           cast(cast(o_orderkey AS smallint) AS int)      AS to_short
+    FROM orders WHERE o_orderkey < 100 AND o_orderkey < 32768
+    ORDER BY o_orderkey
+    """,
+)
+def expr_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family (castBYTE..castVARCHAR, ColumnarUnaryOperator.scala).
+    DuckDB rounds double→int while Spark truncates, so the double→int cast
+    goes through values where both agree is avoided via try_cast checks;
+    invalid-string→int yields NULL on both (Spark non-ANSI / DuckDB
+    try_cast)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") < 100) & (F.col("o_orderkey") < 32768)
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("bigint").alias("to_long"),
+        F.col("o_totalprice").cast("int").cast("double").alias("to_int_back"),
+        F.col("o_orderkey").cast("string").alias("to_str"),
+        F.col("o_orderkey").cast("double").alias("to_dbl"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_int"),
+        F.col("o_totalprice").cast("string").try_cast("double").alias("roundtrip"),
+        F.col("o_orderdate").cast("date").cast("string").alias("to_date"),
+        F.col("o_orderkey").cast("smallint").cast("int").alias("to_short"),
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "expr_decimal",
+    """
+    SELECT l_orderkey, l_linenumber,
+           cast(round(cast(l_extendedprice AS decimal(12,2))
+                 * cast(1 - l_discount AS decimal(8,4)), 2) AS double) AS dec_mul,
+           cast(round(cast(l_extendedprice AS decimal(12,2))
+                 + cast(l_tax AS decimal(8,4)), 4) AS double)          AS dec_add,
+           cast(try_cast(l_extendedprice * 1e15 AS decimal(12,2)) AS double) AS dec_overflow
+    FROM lineitem WHERE l_orderkey < 50
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def expr_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal arithmetic with precision promotion + null-on-overflow
+    (reference: CheckOverflow/PromotePrecision/castDECIMALNullOnOverflow in
+    ColumnarUnaryOperator.scala; benchmarks ran Decimal→Double,
+    docs/index.md:128). Final values surfaced as rounded doubles so the
+    oracle compare is scale-insensitive."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    price_dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_dec = (1 - F.col("l_discount")).cast("decimal(8,4)")
+    tax_dec = F.col("l_tax").cast("decimal(8,4)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price_dec * disc_dec, 2).cast("double").alias("dec_mul"),
+        F.round(price_dec + tax_dec, 4).cast("double").alias("dec_add"),
+        (F.col("l_extendedprice") * 1e15).try_cast("decimal(12,2)")
+        .cast("double")
+        .alias("dec_overflow"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@q(
+    "expr_datetime",
+    """
+    SELECT o_orderkey,
+           cast(extract(year FROM o_orderdate) AS bigint)    AS yr,
+           cast(extract(month FROM o_orderdate) AS bigint)   AS mo,
+           cast(extract(day FROM o_orderdate) AS bigint)     AS dy,
+           cast(dayofweek(o_orderdate) + 1 AS bigint)        AS dow,
+           cast(dayofyear(o_orderdate) AS bigint)            AS doy,
+           cast(extract(quarter FROM o_orderdate) AS bigint) AS qtr,
+           cast(date_diff('day', date '1995-01-01', o_orderdate) AS bigint) AS days_since,
+           cast(epoch(o_orderdate) AS bigint)                AS unix_ts,
+           cast(cast(o_orderdate AS date) + 30 AS varchar)   AS plus_30d,
+           date_trunc('month', o_orderdate)                  AS month_start,
+           cast(last_day(cast(o_orderdate AS date)) AS varchar) AS month_end,
+           cast(make_date(2020, cast(extract(month FROM o_orderdate) AS int), 15) AS varchar) AS mid_month
+    FROM orders WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+)
+def expr_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface (ColumnarDateTimeExpressions.scala:58-509):
+    extract family, datediff, epoch seconds, date arithmetic, trunc,
+    make_date. Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday —
+    the oracle adds 1."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dy"),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+        F.unix_timestamp(d).cast("bigint").alias("unix_ts"),
+        F.date_add(d.cast("date"), 30).cast("string").alias("plus_30d"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.last_day(d.cast("date")).cast("string").alias("month_end"),
+        F.make_date(F.lit(2020), F.month(d), F.lit(15)).cast("string").alias("mid_month"),
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "expr_math",
+    """
+    SELECT p_partkey,
+           round(sin(p_size), 6)           AS sin_,
+           round(cos(p_size), 6)           AS cos_,
+           round(exp(p_size / 25.0), 6)    AS exp_,
+           round(ln(p_size + 1.0), 6)      AS ln_,
+           round(log10(p_size + 1.0), 6)   AS log10_,
+           round(pow(p_size, 1.5), 6)      AS pow_,
+           round(sqrt(p_retailprice), 6)   AS sqrt_,
+           cast(ceil(p_retailprice) AS bigint)  AS ceil_,
+           cast(floor(p_retailprice) AS bigint) AS floor_,
+           round(sign(p_size - 25), 1)     AS sign_,
+           cast(mod(p_partkey, 7) AS bigint)    AS mod_
+    FROM part WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+)
+def expr_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions — row fallback in the reference (§2.8 last row),
+    JVM-codegen'd built-ins here."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    s = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.round(F.sin(s), 6).alias("sin_"),
+        F.round(F.cos(s), 6).alias("cos_"),
+        F.round(F.exp(s / 25.0), 6).alias("exp_"),
+        F.round(F.log(s + 1.0), 6).alias("ln_"),
+        F.round(F.log10(s + 1.0), 6).alias("log10_"),
+        F.round(F.pow(s, 1.5), 6).alias("pow_"),
+        F.round(F.sqrt(F.col("p_retailprice")), 6).alias("sqrt_"),
+        F.ceil(F.col("p_retailprice")).cast("bigint").alias("ceil_"),
+        F.floor(F.col("p_retailprice")).cast("bigint").alias("floor_"),
+        F.round(F.signum(s - 25), 1).alias("sign_"),
+        F.pmod(F.col("p_partkey"), F.lit(7)).cast("bigint").alias("mod_"),
+    ).orderBy("p_partkey")
+
+
+@q(
+    "expr_nan_semantics",
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_linenumber = 2 THEN cast('NaN' AS double)
+                  WHEN l_linenumber = 3 THEN NULL
+                  ELSE l_discount END AS d
+      FROM lineitem WHERE l_orderkey < 200)
+    SELECT coalesce(cast(isnan(d) AS int), 0) AS is_nan,
+           cast(d IS NULL AS int) AS is_null,
+           cast(count(*) AS bigint) AS n,
+           round(sum(CASE WHEN d IS NOT NULL AND NOT isnan(d) THEN d END), 4) AS sum_clean
+    FROM t
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def expr_nan_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN-aware semantics: NaN groups as one key, NULL stays distinct —
+    the reference ships dedicated *_with_nan comparison kernels
+    (ColumnarBinaryOperator.scala); Spark's NormalizeFloatingNumbers rule
+    provides the same guarantee."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    t = li.select(
+        F.when(F.col("l_linenumber") == 2, F.lit(float("nan")))
+        .when(F.col("l_linenumber") == 3, F.lit(None).cast("double"))
+        .otherwise(F.col("l_discount"))
+        .alias("d")
+    )
+    return (
+        t.groupBy(
+            F.isnan("d").cast("int").alias("is_nan"),
+            F.isnull("d").cast("int").alias("is_null"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.when(~F.isnan("d"), F.col("d"))), 4).alias("sum_clean"),
+        )
+        .orderBy("is_nan", "is_null")
+    )
+
+
+@q(
+    "expr_scalar_subquery",
+    """
+    SELECT o_orderkey,
+           round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS price_ratio
+    FROM orders WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+)
+def expr_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (ColumnarScalarSubquery,
+    ColumnarSubquery.scala:120)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS price_ratio
+        FROM orders WHERE o_orderkey < 100
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@q(
+    "expr_in_set",
+    """
+    SELECT cast(count(*) AS bigint) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    WHERE l_suppkey IN (1,2,3,5,8,13,21,34,55,89,90,91,92,93,94,95)
+    """,
+)
+def expr_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large literal IN list → Spark's InSet (hash-set probe, the
+    reference's ColumnarInSetOperator)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 90, 91, 92, 93, 94, 95]
+    return li.filter(F.col("l_suppkey").isin(keys)).agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@q(
+    "generate_explode",
+    """
+    SELECT word, cast(count(*) AS bigint) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id < 50) t
+    WHERE word <> ''
+    GROUP BY word ORDER BY n DESC, word
+    LIMIT 25
+    """,
+)
+def generate_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate/explode — row fallback in the reference
+    (docs/operators.md row 6), first-class here; the seed of every
+    text-pipeline operator (§pipeline)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(25)
+    )
+
+
+@q(
+    "distinct_rows",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )
