@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface: brute-force cosine top-k as the exact baseline,
+sign-LSH (random-hyperplane) bucketed search as the scale path.
+
+Scale design (100 TB):
+- the dot product is a single codegen'd ``aggregate(zip_with(...))`` fold —
+  no Python, no UDF serialization;
+- norms are precomputed once per row (cacheable);
+- brute-force top-k is a TakeOrderedAndProject (per-partition heaps, no
+  global sort);
+- the LSH path prunes candidates to one bucket (+multiprobe neighbors) so
+  the per-query work is O(n / 2^planes · probes), a broadcast of the query
+  vector either way — at billion-vector scale the bucket id becomes the
+  partition key so a query touches one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches the oracle's summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector (brute force).
+
+    The query vector is folded into the plan as literals — the moral
+    equivalent of broadcasting it; every partition scans once, keeps a
+    k-heap, done."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = _to_double(F.col(vec_col))
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(v, qlit), 4).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def signature_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = (vec · plane_i) >= 0.
+
+    Planes are deterministic literals (see ``lsh_planes``) — the signature
+    is pure column math, usable as a partition/cluster key at scale."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        plit = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(vec, plit) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (splitmix64 → uniform [-1,1])."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            z = (seed + p * 65537 + d + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
+            z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+            z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+            row.append(((z >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k: sign-LSH bucket + multiprobe, exact rerank.
+
+    Candidates = rows whose bucket is within hamming ``multiprobe`` of the
+    query's bucket (bit_count(xor) filter on a small int — effectively a
+    bucket-pruned scan; with a bucket-partitioned table this is partition
+    pruning), then exact cosine on the survivors only.
+    """
+    dim = len(query_vec)
+    planes = lsh_planes(dim, n_planes)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(q * w for q, w in zip(query_vec, plane)) >= 0:
+            qbucket |= 1 << i
+    v = _to_double(F.col(vec_col))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col), v.alias("_v"), signature_bucket(v, planes).alias("_bkt"))
+        .filter(F.bit_count(F.col("_bkt").bitwiseXOR(F.lit(qbucket))) <= multiprobe)
+        .select(F.col(id_col), F.round(cosine(F.col("_v"), qlit), 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_exact(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN join (every left row → its k nearest right rows).
+
+    Blocked brute force: fine for dim-table-sized ``right``; for large
+    ``right`` swap in the LSH bucket as the join key first."""
+    lv = left.select(
+        F.col(left_id).alias("_lid"), _to_double(F.col(vec_col)).alias("_lv")
+    )
+    rv = right.select(
+        F.col(right_id).alias("_rid"), _to_double(F.col(vec_col)).alias("_rv")
+    )
+    scored = lv.crossJoin(rv).select(
+        "_lid", "_rid", F.round(cosine(F.col("_lv"), F.col("_rv")), 4).alias("cos")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("_lid").orderBy(F.col("cos").desc(), F.col("_rid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            "cos",
+            F.col("_rn").cast("int").alias("rank"),
+        )
+    )

@@ -1,0 +1,116 @@
+"""Text-analysis operators for LLM-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID, quality
+scoring, token counting, document fingerprinting.  All pure DataFrame
+column expressions — JVM-side, codegen'd, no Python in the hot path — so
+they scale linearly with input splits at 100 TB (no shuffle at all: these
+are per-row transforms the scanner pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: marker stopwords per language for the n-gram/stopword-ratio heuristic.
+#: Tiny on purpose — broadcast as literals into the plan, no side table.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "la", "los", "y", "es", "un"),
+    "zh": ("的", "是", "了", "在", "和", "有"),
+}
+
+#: BPE-ish token pattern: word pieces or single non-space symbols.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it", "that", "for")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (empty tokens removed)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via the BPE-like regex."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
+
+
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (order-sensitive).
+
+    Built from sequence+transform+slice — stays inside codegen; the
+    foundation for jaccard/MinHash dedup (operators/dedup.py).
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - n, F.lit(-1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tokens_col, i + 1, n), " "))
+    return F.array_distinct(grams)
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach length/token/punctuation/stopword quality signals + a score.
+
+    The score mirrors common pretraining-data filters (C4/Gopher-style
+    length + symbol-ratio + stopword tests) as a single double in [0,1].
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
+    avg_word = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((avg_word >= 2.0) & (avg_word <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct.cast("double") / F.greatest(n_chars, F.lit(1)) < 0.2, F.lit(0.2)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(stop_hits > 0, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "*",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(avg_word, 4).alias("avg_word_len"),
+        punct.cast("bigint").alias("n_punct"),
+        stop_hits.cast("bigint").alias("n_stopwords"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_guess") -> DataFrame:
+    """Heuristic language ID: marker-stopword hit counts per language,
+    argmax with deterministic (alphabetical) tie-break, 'und' when no
+    marker hits at all."""
+    toks = tokens(F.lower(F.col(text_col)))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(scores):  # alphabetical order = deterministic tie-break
+        guess = guess.when(scores[lang] == best, F.lit(lang))
+    return df.withColumn(out, guess)
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (A content-defined rolling hash reduces to the same shuffle key shape;
+    md5 keeps the oracle exactly reproducible.)"""
+    return F.md5(normalize_text(col))

@@ -39,7 +39,7 @@ def q(name: str, oracle: str | None = None):
     "join_broadcast_inner",
     """
     SELECT p_brand, cast(count(*) AS bigint) AS n,
-           round(sum(l_extendedprice), 2) AS total_price
+           cast(round(sum(cast(l_extendedprice AS decimal(38,9))), 2) AS double) AS total_price
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size <= 10
     GROUP BY p_brand ORDER BY p_brand
@@ -55,7 +55,7 @@ def join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,9)")), 2).cast("double").alias("total_price"),
         )
         .orderBy("p_brand")
     )
@@ -65,7 +65,7 @@ def join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_shuffle_hash",
     """
     SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
-           round(sum(o_totalprice), 2) AS total
+           cast(round(sum(cast(o_totalprice AS decimal(38,9))), 2) AS double) AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE c_acctbal > 1000
     GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -80,7 +80,7 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         join(orders, customer, [F.col("o_custkey") == F.col("c_custkey")], "inner", "shuffle_hash")
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("o_totalprice").cast("decimal(38,9)")), 2).cast("double").alias("total"))
         .orderBy("o_orderpriority")
     )
 
@@ -89,7 +89,7 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_sort_merge",
     """
     SELECT l_returnflag, cast(count(*) AS bigint) AS n,
-           round(sum(l_quantity), 2) AS qty
+           cast(round(sum(cast(l_quantity AS decimal(38,9))), 2) AS double) AS qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'F'
     GROUP BY l_returnflag ORDER BY l_returnflag
@@ -103,7 +103,7 @@ def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         join(lineitem, orders, [F.col("l_orderkey") == F.col("o_orderkey")], "inner", "sort_merge")
         .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("l_quantity").cast("decimal(38,9)")), 2).cast("double").alias("qty"))
         .orderBy("l_returnflag")
     )
 
@@ -256,7 +256,7 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_existence",
     """
     SELECT has_urgent, cast(count(*) AS bigint) AS n,
-           round(sum(c_acctbal), 2) AS bal
+           cast(round(sum(cast(c_acctbal AS decimal(38,9))), 2) AS double) AS bal
     FROM (SELECT c_acctbal,
                  c_custkey IN (SELECT o_custkey FROM orders
                                WHERE o_orderpriority = '1-URGENT') AS has_urgent
@@ -274,7 +274,7 @@ def join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = existence_join(customer, urgent, "c_custkey", "o_custkey", "has_urgent")
     return (
         flagged.groupBy("has_urgent")
-        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("c_acctbal").cast("decimal(38,9)")), 2).cast("double").alias("bal"))
         .orderBy("has_urgent")
     )
 
@@ -338,7 +338,7 @@ def join_non_equi_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_functions",
     """
     SELECT l_returnflag,
-           round(sum(l_quantity), 2)          AS sum_qty,
+           cast(round(sum(cast(l_quantity AS decimal(38,9))), 2) AS double)          AS sum_qty,
            round(avg(l_extendedprice), 4)     AS avg_price,
            cast(count(l_partkey) AS bigint)   AS cnt_col,
            cast(count(*) AS bigint)           AS cnt_all,
@@ -357,7 +357,7 @@ def agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.groupBy("l_returnflag")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(38,9)")), 2).cast("double").alias("sum_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.count("l_partkey").alias("cnt_col"),
             F.count(F.lit(1)).alias("cnt_all"),
@@ -375,7 +375,7 @@ def agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_linestatus,
            cast(count(DISTINCT l_suppkey) AS bigint) AS n_supp,
            cast(count(DISTINCT l_partkey) AS bigint) AS n_part,
-           round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty
+           cast(round(sum(DISTINCT cast(l_quantity AS decimal(38,9))), 2) AS double) AS sum_distinct_qty
     FROM lineitem
     GROUP BY l_linestatus ORDER BY l_linestatus
     """,
@@ -389,7 +389,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("l_suppkey").alias("n_supp"),
             F.countDistinct("l_partkey").alias("n_part"),
-            F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+            F.round(F.sum_distinct(F.col("l_quantity").cast("decimal(38,9)")), 2).cast("double").alias("sum_distinct_qty"),
         )
         .orderBy("l_linestatus")
     )
@@ -416,7 +416,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(grouping(l_returnflag) AS bigint) AS g1,
            cast(grouping(l_linestatus) AS bigint) AS g2,
            cast(count(*) AS bigint) AS n,
-           round(sum(l_quantity), 2) AS qty
+           cast(round(sum(cast(l_quantity AS decimal(38,9))), 2) AS double) AS qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY g1, g2, l_returnflag, l_linestatus
@@ -431,7 +431,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("bigint").alias("g1"),
             F.grouping("l_linestatus").cast("bigint").alias("g2"),
             F.count("*").alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(38,9)")), 2).cast("double").alias("qty"),
         )
         .orderBy("g1", "g2", "l_returnflag", "l_linestatus")
     )
@@ -467,7 +467,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            cast(count(*) AS bigint) AS n,
-           round(sum(o_totalprice), 2) AS total
+           cast(round(sum(cast(o_totalprice AS decimal(38,9))), 2) AS double) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -480,7 +480,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               cast(round(sum(cast(o_totalprice AS decimal(38,9))), 2) AS double) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -515,7 +515,7 @@ def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having_filter",
     """
     SELECT l_suppkey, cast(count(*) AS bigint) AS n,
-           round(sum(l_extendedprice), 2) AS total
+           cast(round(sum(cast(l_extendedprice AS decimal(38,9))), 2) AS double) AS total
     FROM lineitem
     GROUP BY l_suppkey
     HAVING count(*) > 550
@@ -526,7 +526,7 @@ def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.groupBy("l_suppkey")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,9)")), 2).cast("double").alias("total"))
         .filter(F.col("n") > 550)
         .orderBy("l_suppkey")
     )
@@ -536,8 +536,8 @@ def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     """
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS F,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS O
+           cast(round(sum(cast(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END AS decimal(38,9))), 2) AS double) AS F,
+           cast(round(sum(cast(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END AS decimal(38,9))), 2) AS double) AS O
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -547,7 +547,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(38,9)")), 2).cast("double"))
         .fillna(0.0, subset=["F", "O"])
         .orderBy("l_returnflag")
     )
@@ -1330,7 +1330,7 @@ def expr_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(cast(isnan(d) AS int), 0) AS is_nan,
            cast(d IS NULL AS int) AS is_null,
            cast(count(*) AS bigint) AS n,
-           round(sum(CASE WHEN d IS NOT NULL AND NOT isnan(d) THEN d END), 4) AS sum_clean
+           cast(round(sum(cast(CASE WHEN d IS NOT NULL AND NOT isnan(d) THEN d END AS decimal(38,9))), 4) AS double) AS sum_clean
     FROM t
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -1354,7 +1354,7 @@ def expr_nan_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.when(~F.isnan("d"), F.col("d"))), 4).alias("sum_clean"),
+            F.round(F.sum(F.when(~F.isnan("d"), F.col("d")).cast("decimal(38,9)")), 4).cast("double").alias("sum_clean"),
         )
         .orderBy("is_nan", "is_null")
     )
@@ -1387,7 +1387,7 @@ def expr_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "expr_in_set",
     """
-    SELECT cast(count(*) AS bigint) AS n, round(sum(l_quantity), 2) AS qty
+    SELECT cast(count(*) AS bigint) AS n, cast(round(sum(cast(l_quantity AS decimal(38,9))), 2) AS double) AS qty
     FROM lineitem
     WHERE l_suppkey IN (1,2,3,5,8,13,21,34,55,89,90,91,92,93,94,95)
     """,
@@ -1398,7 +1398,7 @@ def expr_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     keys = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 90, 91, 92, 93, 94, 95]
     return li.filter(F.col("l_suppkey").isin(keys)).agg(
-        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+        F.count("*").alias("n"), F.round(F.sum(F.col("l_quantity").cast("decimal(38,9)")), 2).cast("double").alias("qty")
     )
 
 

@@ -1,3 +1,498 @@
-"""Placeholder — filled in by later milestones."""
-QUERIES = {}
-ORACLE = {}
+"""LLM-data-pipeline battery: dedup / similarity / text / multimodal / events.
+
+The beyond-reference operator surface (BASELINE.json north star) wired into
+driver queries.  Exact operators carry a DuckDB oracle; sketch/approximate
+operators (MinHash-LSH, SimHash, LSH-ANN, fake-decode) are rows-only here
+and are verified against exact ground truth in tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+
+@q(
+    "text_tokens",
+    f"""
+    SELECT doc_id,
+           cast(len({_TOKS}) AS bigint) AS n_tokens,
+           cast(len(list_distinct({_TOKS})) AS bigint) AS n_unique,
+           cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bigint)
+             AS n_bpe
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+        X.bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe"),
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = "['the','a','and','of','to','is','in','it','that','for']"
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             cast(len(toks) AS bigint) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN round(length(text) * 1.0 / len(toks), 4) ELSE 0.0 END AS avg_word_len,
+             cast(punct AS bigint) AS n_punct,
+             cast(len(list_intersect(toks, {_STOP_SQL})) AS bigint) AS n_stopwords,
+             length(text) AS n_chars_
+      FROM t)
+    SELECT doc_id, n_tokens, avg_word_len, n_punct, n_stopwords,
+           round(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+               + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+               + CASE WHEN n_punct * 1.0 / greatest(n_chars_, 1) < 0.2 THEN 0.2 ELSE 0.0 END
+               + CASE WHEN n_stopwords > 0 THEN 0.1 ELSE 0.0 END, 2) AS quality_score
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality metrics + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = X.quality_metrics(docs, "text")
+    return out.select(
+        "doc_id", "n_tokens", "avg_word_len", "n_punct", "n_stopwords", "quality_score"
+    ).orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: f"len(list_intersect(list_filter(string_split_regex(lower(text),'\\s+'), t -> t <> ''), "
+        f"[{','.join(repr(m) for m in markers)}]))"
+        for lang, markers in sorted(X.LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for lang in sorted(score):
+        case += f"WHEN {score[lang]} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+    SELECT lang_guess, cast(count(*) AS bigint) AS n,
+           cast(sum(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END) AS bigint) AS n_correct
+    FROM (SELECT lang, {case} AS lang_guess FROM documents) t
+    GROUP BY lang_guess ORDER BY lang_guess
+    """
+
+
+@q("text_langid", _langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID, evaluated against the labeled lang col."""
+    docs = load_table(spark, sf_dir, "documents")
+    guessed = X.language_id(docs, "text")
+    return (
+        guessed.groupBy("lang_guess")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("lang_guess") == F.col("lang"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .orderBy("lang_guess")
+    )
+
+
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprints (document identity at scale:
+    shuffle the 128-bit digest, not the body)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# =========================================================================
+# Deduplication
+# =========================================================================
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY lang, source) w
+      USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.dedup_exact(docs, ["lang", "source"], "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id, cast(floor(length(text) / 64) AS bigint) AS bkt,
+             list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                            for i in range(len(toks) - 2)]) AS sh
+      FROM (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+"""
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH s AS ({_SHINGLE_SQL})
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id AND abs(a.bkt - b.bkt) <= 1
+      AND len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ORDER BY a_id, b_id
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.8, length-blocked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+@q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH s AS ({_SHINGLE_SQL})
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ORDER BY a_id, b_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    Oracle = ALL exact pairs ≥ 0.8 (unblocked): with 16 bands × 4 rows the
+    per-pair miss probability at j≈0.97 is < 1e-17, so the verified LSH
+    output equals the exact pair set (checked at every SF in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+@q("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 7, band-blocked) — rows-only:
+    bit-vote ties make a closed-form oracle impractical; validated against
+    shingle-jaccard ground truth in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=7)
+
+
+@q(
+    "dedup_embedding",
+    """
+    WITH n AS (SELECT vec_id, embedding,
+                      sqrt(list_dot_product(embedding, embedding)) AS nrm
+               FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 4) AS cos
+    FROM n a, n b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.45
+    ORDER BY a_id, b_id
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact form; LSH-blocked at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+# =========================================================================
+# Similarity search
+# =========================================================================
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The search query vector (embedding of vec_id=0) — driver-side input
+    acquisition, not part of the distributed plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+
+
+@q(
+    "sim_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         n AS (SELECT vec_id, embedding,
+                      sqrt(list_dot_product(embedding, embedding)) AS nrm
+               FROM embeddings)
+    SELECT vec_id,
+           round(list_dot_product(embedding, qv)
+                 / (nrm * sqrt(list_dot_product(qv, qv))), 4) AS cos
+    FROM n, q
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@q("sim_cosine_topk_lsh")
+def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN with multiprobe + exact rerank — rows-only
+    (approximate by construction); recall vs brute force checked in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(emb, _query_vec(spark, sf_dir), k=10, n_planes=6, multiprobe=2)
+
+
+@q(
+    "sim_knn_join",
+    """
+    WITH n AS (SELECT vec_id, embedding,
+                      sqrt(list_dot_product(embedding, embedding)) AS nrm
+               FROM embeddings),
+         l AS (SELECT * FROM n WHERE vec_id < 20),
+         scored AS (
+           SELECT l.vec_id AS left_id, n.vec_id AS right_id,
+                  round(list_dot_product(l.embedding, n.embedding)
+                        / (l.nrm * n.nrm), 4) AS cos
+           FROM l, n),
+         ranked AS (
+           SELECT left_id, right_id, cos,
+                  cast(row_number() OVER (PARTITION BY left_id
+                                          ORDER BY cos DESC, right_id) AS int) AS rank
+           FROM scored)
+    SELECT left_id, right_id, cos, rank FROM ranked WHERE rank <= 3
+    ORDER BY left_id, rank
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join: 20 query vectors × corpus, top-3 each."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("left_id"), "embedding"
+    )
+    right = emb.select(F.col("vec_id").alias("right_id"), "embedding")
+    return S.knn_join_exact(left, right, 3, "left_id", "right_id").orderBy(
+        "left_id", "rank"
+    )
+
+
+@q(
+    "embed_norm_stats",
+    """
+    SELECT label,
+           cast(count(*) AS bigint) AS n,
+           round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm,
+           round(min(sqrt(list_dot_product(embedding, embedding))), 4) AS min_norm,
+           round(max(sqrt(list_dot_product(embedding, embedding))), 4) AS max_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm stats per label — array math inside a hash aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(S.dot(v, v))
+    return (
+        emb.select("label", nrm.alias("_n"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("_n"), 4).alias("avg_norm"),
+            F.round(F.min("_n"), 4).alias("min_norm"),
+            F.round(F.max("_n"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# =========================================================================
+# Multimodal columns
+# =========================================================================
+
+
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           cast(octet_length(encode(text)) AS bigint) AS byte_len,
+           sha256(text) AS payload_sha,
+           'application/octet-stream' AS mime
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata struct (types the reference lacks —
+    SURVEY §1.3 BINARY/STRUCT are row-fallback there)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    with_payload = M.attach_payload(docs)
+    return with_payload.select(
+        "doc_id",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.sha256").alias("payload_sha"),
+        F.col("meta.mime").alias("mime"),
+    ).orderBy("doc_id")
+
+
+@q("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake decode → fixed-dim features via mapInPandas —
+    rows-only (numpy inner kernel; determinism asserted in tests)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    feats = M.fake_decode_features(M.attach_payload(docs), "payload", "doc_id")
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("fsum"),
+    ).orderBy("doc_id")
+
+
+# =========================================================================
+# Events: time-series shapes (tumbling windows, sessionization)
+# =========================================================================
+
+
+@q(
+    "events_tumbling",
+    """
+    SELECT cast(cast(to_timestamp(floor(epoch(cast(ts AS timestamp)) / 300) * 300)
+                AS timestamp) AS varchar) AS win_start,
+           event_type,
+           cast(count(*) AS bigint) AS n,
+           cast(round(sum(cast(value AS decimal(38,9))), 2) AS double) AS total
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    LIMIT 200
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window aggregation via F.window — the batch twin of
+    the streaming query in streaming/windows.py."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("value").cast("decimal(38,9)")), 2).cast("double").alias("total"))
+        .select(
+            F.col("w.start").cast("string").alias("win_start"), "event_type", "n", "total"
+        )
+        .orderBy("win_start", "event_type")
+        .limit(200)
+    )
+
+
+@q(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, epoch(cast(ts AS timestamp)) AS es,
+             CASE WHEN epoch(cast(ts AS timestamp))
+                       - lag(epoch(cast(ts AS timestamp)), 1)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 OR lag(ts, 1) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY es
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g)
+    SELECT user_id,
+           cast(count(DISTINCT sess_id) AS bigint) AS n_sessions,
+           cast(max(cnt) AS bigint) AS max_session_events
+    FROM (SELECT user_id, sess_id, count(*) AS cnt
+          FROM s GROUP BY user_id, sess_id) t
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum — the
+    batch equivalent of streaming session windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp("ts")
+    g = ev.select(
+        "user_id",
+        es.alias("es"),
+        F.when(
+            (es - F.lag(es, 1).over(w) > 1800) | F.lag("ts", 1).over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    s = g.select(
+        "user_id",
+        F.sum("new_sess")
+        .over(W.partitionBy("user_id").orderBy("es").rowsBetween(W.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    per_sess = s.groupBy("user_id", "sess_id").agg(F.count("*").alias("cnt"))
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.countDistinct("sess_id").alias("n_sessions"),
+            F.max("cnt").cast("bigint").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -55,10 +55,10 @@ _register(
     """
     SELECT l_returnflag,
            l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           cast(round(sum(cast(l_quantity AS decimal(38,9))), 2) AS double)                                        AS sum_qty,
+           cast(round(sum(cast(l_extendedprice AS decimal(38,9))), 2) AS double)                                   AS sum_base_price,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2) AS double)                AS sum_disc_price,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS decimal(38,9))), 2) AS double)  AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
            round(avg(l_extendedprice), 4)                                   AS avg_price,
            round(avg(l_discount), 4)                                        AS avg_disc,
@@ -102,7 +102,7 @@ _register(
     "tpch_q3",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2) AS double) AS revenue,
            o_orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -138,7 +138,7 @@ _register(
     "tpch_q5",
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2) AS double) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -158,7 +158,7 @@ _register(
 _register(
     "tpch_q6",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT cast(round(sum(cast(l_extendedprice * l_discount AS decimal(38,9))), 2) AS double) AS revenue
     FROM lineitem
     WHERE l_shipdate >= date '1996-01-01'
       AND l_shipdate < date '1997-01-01'
@@ -172,7 +172,7 @@ _register(
     "tpch_q7",
     """
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           cast(round(sum(cast(volume AS decimal(38,9))), 2) AS double) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
@@ -226,7 +226,7 @@ _register(
 _register(
     "tpch_q9",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year, cast(round(sum(cast(amount AS decimal(38,9))), 2) AS double) AS sum_profit
     FROM (
         SELECT n_name AS nation,
                cast(extract(year FROM o_orderdate) AS bigint) AS o_year,
@@ -249,7 +249,7 @@ _register(
     "tpch_q10",
     """
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2) AS double) AS revenue,
            c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey
@@ -269,7 +269,7 @@ _register(
     "tpch_q11",
     """
     SELECT l_partkey AS ps_partkey,
-           round(sum(l_extendedprice * l_quantity), 2) AS part_value
+           cast(round(sum(cast(l_extendedprice * l_quantity AS decimal(38,9))), 2) AS double) AS part_value
     FROM lineitem, supplier, nation
     WHERE l_suppkey = s_suppkey
       AND s_nationkey = n_nationkey
@@ -344,7 +344,7 @@ _register(
     """
     WITH revenue0 AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2) AS double) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= date '1997-01-01'
           AND l_shipdate < date '1997-04-01'
@@ -396,7 +396,7 @@ _register(
     "tpch_q18",
     """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           round(sum(l_quantity), 2) AS sum_qty
+           cast(round(sum(cast(l_quantity AS decimal(38,9))), 2) AS double) AS sum_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (
           SELECT l_orderkey FROM lineitem
@@ -414,7 +414,7 @@ _register(
 _register(
     "tpch_q19",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2) AS double) AS revenue
     FROM lineitem, part
     WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
            AND l_quantity >= 1 AND l_quantity <= 11
@@ -482,7 +482,7 @@ _register(
     "tpch_q22",
     """
     SELECT cntrycode, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           cast(round(sum(cast(c_acctbal AS decimal(38,9))), 2) AS double) AS totacctbal
     FROM (
         SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal
         FROM customer
