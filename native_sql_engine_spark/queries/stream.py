@@ -1,0 +1,126 @@
+"""Streaming battery: Structured Streaming queries drained to a batch result.
+
+Each entry replays the finite events file-stream (Trigger.AvailableNow) into
+a memory sink and returns the drained table — so the driver can hash-compare
+streaming output against the DuckDB oracle like any batch query.  The
+reference has no streaming at all (SURVEY §1.4); these are beyond-parity.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import windows as SW
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_SINK_SEQ = itertools.count()
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _drain(stream_df: DataFrame, base: str, mode: str) -> DataFrame:
+    return SW.run_to_memory(stream_df, f"{base}_{next(_SINK_SEQ)}", output_mode=mode)
+
+
+@q(
+    "stream_tumbling",
+    """
+    SELECT cast(cast(to_timestamp(floor(epoch(cast(ts AS timestamp)) / 300) * 300)
+                AS timestamp) AS varchar) AS win_start,
+           event_type,
+           cast(count(*) AS bigint) AS n,
+           cast(round(sum(cast(value AS decimal(38,9))), 2) AS double) AS total
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 5-min tumbling windows over the event stream; the drained
+    complete-mode result hash-matches the batch/DuckDB answer (replay
+    equivalence)."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    out = _drain(SW.tumbling_counts(ev), "q_stream_tumbling", "complete")
+    return out.orderBy("win_start", "event_type")
+
+
+@q(
+    "stream_session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts, epoch_us(cast(ts AS timestamp)) AS es,
+             CASE WHEN epoch_us(cast(ts AS timestamp))
+                       - lag(epoch_us(cast(ts AS timestamp)), 1)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 OR lag(ts, 1) OVER (PARTITION BY user_id
+                                                        ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY es
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g)
+    SELECT user_id,
+           cast(cast(min(ts) AS timestamp) AS varchar) AS sess_start,
+           cast(count(*) AS bigint) AS n_events
+    FROM s GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_start
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) per user on the stream; oracle is
+    the window-function sessionization of the same data in DuckDB."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    out = _drain(SW.session_windows(ev), "q_stream_sessions", "complete")
+    return out.orderBy("user_id", "sess_start")
+
+
+@q(
+    "stream_dedup",
+    """
+    SELECT cast(count(*) AS bigint) AS n_unique,
+           cast(count(DISTINCT event_id) AS bigint) AS n_distinct_ids
+    FROM (SELECT DISTINCT ON (event_id) * FROM events ORDER BY event_id)
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    out = _drain(SW.stream_dedup(ev), "q_stream_dedup", "append")
+    return out.agg(
+        F.count("*").alias("n_unique"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+    )
+
+
+@q("stream_stateful_sessionize")
+def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState — rows-only
+    (update-mode emissions aren't SQL-expressible; final-state equivalence to
+    the batch twin is asserted in tests/test_streaming.py)."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    out = _drain(SW.stateful_sessionize(ev), "q_stream_state", "update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("max_session_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,127 @@
+"""Pandas-UDF battery — the reference's columnar Python UDF path (§2.10).
+
+Each query routes through an Arrow-batched Python UDF (scalar pandas_udf,
+grouped-agg pandas_udf, applyInPandas, mapInPandas) and still hash-matches
+the DuckDB oracle — demonstrating the UDF transport is lossless, the same
+claim the reference makes for ColumnarArrowEvalPythonExec.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.pandas_udfs import (
+    discounted_revenue,
+    geo_mean,
+    weighted_avg_apply,
+    zscore_map,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "udf_scalar_pandas",
+    """
+    SELECT l_returnflag,
+           cast(count(*) AS bigint) AS n,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                               AS decimal(38,9))), 0) AS double) AS revenue
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF inside an aggregate pipeline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = discounted_revenue(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        li.select("l_returnflag", rev.cast("decimal(38,9)").alias("_rev"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("_rev"), 0).cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "udf_grouped_agg",
+    """
+    SELECT l_linestatus,
+           round(exp(avg(ln(l_quantity))), 4) AS geo_mean_qty
+    FROM lineitem WHERE l_quantity > 0
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (UDAF — row-fallback-only in the reference)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return (
+        li.groupBy("l_linestatus")
+        .agg(F.round(geo_mean(F.col("l_quantity")), 4).alias("geo_mean_qty"))
+        .orderBy("l_linestatus")
+    )
+
+
+@q(
+    "udf_apply_in_pandas",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
+             AS weighted_avg
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: quantity-weighted mean price per flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = weighted_avg_apply(li, "l_returnflag", "l_extendedprice", "l_quantity")
+    return out.select(
+        "l_returnflag", F.round("weighted_avg", 2).alias("weighted_avg")
+    ).orderBy("l_returnflag")
+
+
+@q(
+    "udf_map_in_pandas",
+    """
+    WITH stats AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM events)
+    SELECT event_type,
+           cast(sum(CASE WHEN abs((value - mu) / sd) > 2 THEN 1 ELSE 0 END)
+                AS bigint) AS n_outliers,
+           cast(count(*) AS bigint) AS n
+    FROM events, stats
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas z-score pass (global moments as literals), then outlier
+    counts per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    mu, sd = ev.agg(F.avg("value"), F.stddev_samp("value")).first()
+    scored = zscore_map(ev, "value", float(mu), float(sd))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.abs(F.col("zscore")) > 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,17 @@
+from .io import (
+    read_csv,
+    read_parquet,
+    write_csv,
+    write_parquet,
+    cached,
+    normalize_object_store_uri,
+)
+
+__all__ = [
+    "read_csv",
+    "read_parquet",
+    "write_csv",
+    "write_parquet",
+    "cached",
+    "normalize_object_store_uri",
+]

@@ -1,0 +1,198 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has NO streaming surface (SURVEY §1.4 — its plugin explicitly
+excludes streaming plans, ColumnarPlugin.scala:349-352); this module is the
+beyond-reference streaming layer built on Spark Structured Streaming:
+
+- watermarked tumbling / sliding / session windows (``F.window`` /
+  ``F.session_window`` + ``withWatermark``),
+- streaming dedup (``dropDuplicatesWithinWatermark``),
+- custom stateful sessionization via ``applyInPandasWithState``.
+
+Every query here has a *batch twin* in queries/pipeline.py; the test
+strategy (tests/test_streaming.py) replays the events table through a
+file-source stream with ``Trigger.AvailableNow`` and asserts the streaming
+result equals the batch result — exactly-once replay equivalence.
+
+Scale design: event-time state is bounded by the watermark (late data past
+the delay is dropped, state is evicted); the shuffle key is (window, key) so
+state partitions by the same hash shuffle a batch agg would use; at 100 TB/
+day the same plan runs against Kafka partitions with no code change.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Parquet-side schema of events.parquet (ts read as nanos-long, see
+#: catalog.load_table — streaming file sources need an explicit schema).
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) via nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (µs-timestamp normalized).
+
+    ``maxFilesPerTrigger`` keeps micro-batches bounded; in production the
+    same downstream plan attaches to ``spark.readStream.format("kafka")``.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    # integer DIV: double division loses µs precision at 1.7e18 nanos
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """5-minute tumbling-window counts/sums per event_type, watermarked.
+
+    Batch twin: queries/pipeline.py::events_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,9)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in 2 windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").cast("string").alias("win_start"), "n", "avg_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (30-min inactivity gap) per user.
+
+    Batch twin: queries/pipeline.py::events_sessionize (lag + running sum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").cast("string").alias("sess_start"), "n_events")
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon.
+
+    State holds only ids inside the horizon — bounded memory at any rate."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+#: output schema of the stateful sessionizer
+SESSION_STATE_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("max_session_events", T.LongType()),
+    ]
+)
+#: persisted state: (n closed+open sessions, events in current, max events, last ts µs)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("cur_events", T.LongType()),
+        T.StructField("max_events", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_user(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user session fold — the custom stateful operator the reference
+    could never express (applyInPandasWithState; Arrow-batched like its
+    columnar Python UDF path, ColumnarArrowEvalPythonExec.scala:51)."""
+    if state.exists:
+        n_sessions, cur, mx, last = state.get
+    else:
+        n_sessions, cur, mx, last = 0, 0, 0, None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for us in (pdf["ts"].astype("int64") // 1000).tolist():
+            if last is None or us - last > _GAP_US:
+                n_sessions += 1
+                cur = 0
+            cur += 1
+            mx = max(mx, cur)
+            last = us
+    state.update((n_sessions, cur, mx, last if last is not None else 0))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_sessions": [n_sessions], "max_session_events": [mx]}
+    )
+
+
+def stateful_sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful sessionization: per-user session counts via
+    applyInPandasWithState (update mode; processing-time timeout off — the
+    harness replays a finite file stream)."""
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_user,
+            outputStructType=SESSION_STATE_OUTPUT,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a finite stream into an in-memory table (test/dev sink) with
+    Trigger.AvailableNow — processes all available input then stops.
+
+    Production sinks swap this for ``.format("parquet")`` / ``foreachBatch``;
+    the query plan is identical."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,135 @@
+"""Streaming battery: replay-equivalence vs the batch twins.
+
+Each streaming query drains the finite events file-stream with
+Trigger.AvailableNow into a memory sink and must equal the batch DataFrame
+result on the same data — exactly-once replay equivalence.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from native_sql_engine_spark.catalog import load_table
+from native_sql_engine_spark.streaming import windows as SW
+
+
+def _pdf(df, sort_cols):
+    return (
+        df.toPandas()
+        .sort_values(sort_cols)
+        .reset_index(drop=True)
+        .astype(str)
+    )
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_small):
+    return SW.read_events_stream(spark, sf_small)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_small):
+    return load_table(spark, sf_small, "events")
+
+
+def test_tumbling_stream_equals_batch(spark, events_stream, events_batch):
+    got = SW.run_to_memory(
+        SW.tumbling_counts(events_stream), "t_tumbling", output_mode="complete"
+    )
+    want = (
+        events_batch.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,9)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("win_start"), "event_type", "n", "total"
+        )
+    )
+    pd.testing.assert_frame_equal(
+        _pdf(got, ["win_start", "event_type"]), _pdf(want, ["win_start", "event_type"])
+    )
+
+
+def test_sliding_stream_equals_batch(spark, events_stream, events_batch):
+    got = SW.run_to_memory(
+        SW.sliding_avg(events_stream), "t_sliding", output_mode="complete"
+    )
+    want = (
+        events_batch.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").cast("string").alias("win_start"), "n", "avg_value")
+    )
+    pd.testing.assert_frame_equal(_pdf(got, ["win_start"]), _pdf(want, ["win_start"]))
+
+
+def test_session_window_stream_equals_batch(spark, events_stream, events_batch):
+    got = SW.run_to_memory(
+        SW.session_windows(events_stream), "t_sessions", output_mode="complete"
+    )
+    want = (
+        events_batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").cast("string").alias("sess_start"), "n_events")
+    )
+    pd.testing.assert_frame_equal(
+        _pdf(got, ["user_id", "sess_start"]), _pdf(want, ["user_id", "sess_start"])
+    )
+
+
+def test_stream_dedup(spark, events_stream, events_batch):
+    got = SW.run_to_memory(SW.stream_dedup(events_stream), "t_dedup")
+    assert got.count() == events_batch.dropDuplicates(["event_id"]).count()
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_stateful_sessionize_equals_batch_twin(spark, events_stream, sf_small):
+    from native_sql_engine_spark.queries.pipeline import events_sessionize
+
+    updates = SW.run_to_memory(
+        SW.stateful_sessionize(events_stream), "t_state_sess", output_mode="update"
+    )
+    # last update per user is the final state
+    final = (
+        updates.withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.col("n_sessions").desc(), F.col("max_session_events").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_sessions", "max_session_events")
+    )
+    want = events_sessionize(spark, sf_small).select(
+        "user_id",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        "max_session_events",
+    )
+    pd.testing.assert_frame_equal(_pdf(final, ["user_id"]), _pdf(want, ["user_id"]))
+
+
+import pytest as _pytest
+
+from native_sql_engine_spark.compare import assert_matches_oracle
+from native_sql_engine_spark.queries import stream as _stream
+
+
+@_pytest.mark.parametrize("name", sorted(_stream.ORACLE))
+def test_stream_matches_duckdb(spark, sf_small, name):
+    df = _stream.QUERIES[name](spark, sf_small)
+    assert_matches_oracle(df, _stream.ORACLE[name], sf_small, name)
+
+
+@_pytest.mark.slow
+@_pytest.mark.parametrize("name", sorted(_stream.ORACLE))
+def test_stream_matches_duckdb_sf001(spark, sf_oracle, name):
+    df = _stream.QUERIES[name](spark, sf_oracle)
+    assert_matches_oracle(df, _stream.ORACLE[name], sf_oracle, name)
