@@ -4,19 +4,30 @@ SimHash, embedding-cosine — the LLM-pipeline surface beyond the reference.
 Scale design (100 TB):
 - exact/fingerprint dedup shuffle on a 128-bit digest, never on the document
   body (tiny shuffle keys, body stays columnar until the final join).
-- pairwise operators NEVER do an unblocked cross join: n-gram Jaccard blocks
-  on a length bucket; MinHash blocks on LSH band buckets; SimHash blocks on
-  16-bit signature bands (pigeonhole: hamming ≤3 ⇒ ≥1 identical band).
-- every primitive is a built-in column expression (xxhash64, pmod,
-  array_*, bit ops) — zero Python in the distributed path.
+- pairwise operators NEVER do an unblocked cross join:
+  * n-gram Jaccard uses **prefix filtering** (AllPairs/PPJoin): shingles are
+    ranked rarest-first by global document frequency and only each doc's
+    prefix is indexed — a pair with J ≥ t provably shares a prefix shingle,
+    so candidates come from an equi-join on rare shingles;
+  * MinHash blocks on LSH band buckets; SimHash on 8-bit signature bands
+    (pigeonhole: hamming ≤ 7 ⇒ ≥ 1 identical band);
+  * embedding pairs use a broadcast block matrix-product (numpy under
+    mapInPandas) — at billion-row scale the same kernel runs per LSH bucket.
+- signatures (MinHash mins, SimHash bit votes) are computed by exploding
+  tokens and running plain codegen'd aggregates (min/sum with map-side
+  partial aggregation) — NOT higher-order array lambdas, which Spark
+  interprets row-at-a-time and which dominated runtime at sf0.1 (~20-400s
+  per query before this layout; ~1-4s after).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .text import fingerprint, shingles, tokens
+from .text import shingles, tokens
 
 # Mersenne prime + deterministic affine constants for MinHash permutations.
 _MERSENNE = (1 << 61) - 1
@@ -53,10 +64,18 @@ def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Set Jaccard of two arrays (exact, JVM-side)."""
+    """Set Jaccard of two arrays (exact, JVM-side): |∩| / (|a|+|b|-|∩|)
+    — one hash-set build per pair instead of two (no array_union)."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def _hashed_shingles(text_col: Column, ngram: int) -> Column:
+    """Distinct word-n-gram shingles hashed to int64 — set semantics are
+    preserved (collision odds ~|set|²/2⁶⁴) while set ops run on fixed-width
+    longs instead of strings."""
+    return F.transform(shingles(tokens(text_col), ngram), lambda s: F.xxhash64(s))
 
 
 def ngram_jaccard_pairs(
@@ -65,63 +84,70 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.8,
     ngram: int = 3,
-    length_block: int = 64,
 ) -> DataFrame:
-    """Exact near-dup pairs by word-``ngram`` shingle Jaccard ≥ threshold.
+    """Exact near-dup pairs by word-``ngram`` shingle Jaccard ≥ threshold,
+    via **prefix filtering** (AllPairs/PPJoin family).
 
-    Blocking: only pairs whose lengths fall in the same or adjacent
-    ``length_block``-char bucket are compared (each doc is exploded into its
-    own bucket and its successor, then equi-joined on bucket — turning the
-    O(n²) cross join into a shuffle join; near-dups at threshold ≥0.5 cannot
-    differ by more than a bucket at sane block sizes).
+    Plan: hash shingles to longs → global shingle document-frequency →
+    rank each doc's shingles rarest-first → index only the prefix
+    (|A| - ⌈t·|A|⌉ + 1 shingles): any pair with J ≥ t must share a prefix
+    shingle under the same global order, so candidates are an equi-join on
+    the prefix index, then a size-ratio filter (t·|A| ≤ |B| ≤ |A|/t) and an
+    exact Jaccard verification.  Every stage is a shuffle join / codegen'd
+    aggregate — no O(n²) step at any data size.
     """
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(tokens(F.col(text_col)), ngram).alias("_sh"),
-        (F.length(text_col) / length_block).cast("long").alias("_bkt"),
-    ).filter(F.size("_sh") > 0)
-    # explode each doc into (own bucket, next bucket) so adjacent buckets meet
-    blocked = base.select(
-        "_id", "_sh", "_bkt", F.explode(F.array(F.col("_bkt"), F.col("_bkt") + 1)).alias("_blk")
+    t4 = int(round(threshold * 10000))  # exact integer arithmetic for ⌈t·sz⌉
+    # persist: the shingle table feeds 4 downstream consumers (df-freq, rank,
+    # 2 verify joins); without it Spark re-evaluates the (interpreted)
+    # shingling lambda per consumer — 4× the dominant per-row cost
+    base = (
+        df.select(F.col(id_col).alias("_id"), _hashed_shingles(F.col(text_col), ngram).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select("_id", "_sh", F.size("_sh").alias("_sz"))
+        .persist()
     )
-    left = blocked.select(
-        F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh"),
-        F.col("_bkt").alias("a_bkt"), F.col("_blk").alias("_blk"),
+    ex = base.select("_id", "_sz", F.explode("_sh").alias("_s"))
+    dfreq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
+    ranked = ex.join(dfreq, "_s").withColumn(
+        "_rn", F.row_number().over(W.partitionBy("_id").orderBy("_df", "_s"))
     )
-    right = blocked.select(
-        F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh"),
-        F.col("_bkt").alias("b_bkt"), F.col("_blk").alias("_blk"),
+    # prefix length = sz - ceil(t*sz) + 1, computed in exact integer math
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("_sz") - ((F.lit(t4) * F.col("_sz") + 9999) / 10000).cast("long") + 1
     )
-    pairs = (
-        left.join(right, "_blk")
+    a = prefix.select(F.col("_id").alias("a_id"), F.col("_sz").alias("a_sz"), "_s")
+    b = prefix.select(F.col("_id").alias("b_id"), F.col("_sz").alias("b_sz"), "_s")
+    cand = (
+        a.join(b, "_s")
         .filter(F.col("a_id") < F.col("b_id"))
-        # dedupe the two bucket copies: a (k,k) pair meets at blocks k and
-        # k+1, a (k,k+1) pair only at k+1 — keeping _blk == max(buckets)
-        # keeps exactly one copy of each
-        .filter(F.col("_blk") == F.greatest(F.col("a_bkt"), F.col("b_bkt")))
-        .filter(F.abs(F.col("a_bkt") - F.col("b_bkt")) <= 1)
+        .filter(
+            (F.col("b_sz") * 10000 >= F.col("a_sz") * t4)
+            & (F.col("a_sz") * 10000 >= F.col("b_sz") * t4)
+        )
+        .select("a_id", "b_id")
+        .dropDuplicates()
     )
+    pairs = cand.join(
+        base.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh")), "a_id"
+    ).join(base.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh")), "b_id")
     return (
         pairs.select(
-            "a_id",
-            "b_id",
-            F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 4).alias("jaccard"),
+            "a_id", "b_id", F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 4).alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("a_id", "b_id")
     )
 
 
-def minhash_signature(
-    tokens_or_shingles: Column, num_hashes: int = 64
-) -> Column:
-    """MinHash signature (array<long>) of a token/shingle array.
+def minhash_signature(tokens_or_shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature (array<long>) of a token/shingle array, as a column
+    expression: h_i(x) = (a_i · xxhash64(x) + b_i) mod M, min per row.
 
-    h_i(x) = (a_i * xxhash64(x) + b_i) mod M  over a Mersenne prime, min per
-    row — all built-ins, fully codegen'd, deterministic across runs."""
+    NOTE: higher-order ``transform``/``array_min`` are interpreted, not
+    codegen'd — fine for ad-hoc use on small arrays; the bulk path in
+    ``minhash_lsh_pairs`` uses the explode+aggregate layout instead (same
+    values, map-side combined)."""
     def perm_hash(a: int, b: int):
-        # closure factory: transform() inspects lambda arity, so the lambda
-        # must take exactly one parameter
         return lambda s: F.pmod(
             F.pmod(F.xxhash64(s), F.lit(_MERSENNE)) * F.lit(a) + F.lit(b), F.lit(_MERSENNE)
         )
@@ -143,43 +169,55 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash + banded LSH, verified exactly.
 
-    Pipeline: shingle → signature → split into ``bands`` bands of
-    ``num_hashes/bands`` rows → hash each band → candidates share ≥1 band
-    bucket (equi-join on (band_idx, band_hash) — a plain shuffle join, no
-    cross product) → exact shingle-Jaccard verification ≥ threshold.
+    Pipeline: shingle(hash to long) → explode → ``num_hashes`` codegen'd
+    ``min`` aggregates (map-side partial agg; same values as
+    ``minhash_signature``) → ``bands`` band hashes → candidates share ≥1
+    band bucket (equi-join on (band, band_hash) — no cross product) → exact
+    shingle-Jaccard verification ≥ threshold.
     """
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(tokens(F.col(text_col)), ngram).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-    sig = base.select("_id", "_sh", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
-    band_cols = F.array(
+    perms = _perm_constants(num_hashes)
+    base = (
+        df.select(F.col(id_col).alias("_id"), _hashed_shingles(F.col(text_col), ngram).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .persist()  # feeds signature build + 2 verify joins
+    )
+    ex = base.select("_id", F.explode("_sh").alias("_s")).select(
+        "_id", F.pmod(F.col("_s"), F.lit(_MERSENNE)).alias("_h")
+    )
+    sig = ex.groupBy("_id").agg(
+        *[
+            F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"_m{i}")
+            for i, (a, b) in enumerate(perms)
+        ]
+    )
+    band_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[F.element_at("_sig", i * rows + j + 1) for j in range(rows)])).alias("bh"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.col(f"_m{i * rows + j}") for j in range(rows)])
+                ).alias("bh"),
             )
             for i in range(bands)
         ]
     )
-    buckets = sig.select("_id", "_sh", F.explode(band_cols).alias("_b")).select(
-        "_id", "_sh", F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh")
+    buckets = sig.select("_id", F.explode(band_structs).alias("_b")).select(
+        "_id", F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh")
     )
-    left = buckets.select(
-        F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh"), "_band", "_bh"
-    )
-    right = buckets.select(
-        F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh"), "_band", "_bh"
-    )
+    left = buckets.select(F.col("_id").alias("a_id"), "_band", "_bh")
+    right = buckets.select(F.col("_id").alias("b_id"), "_band", "_bh")
     cand = (
         left.join(right, ["_band", "_bh"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh")
-        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id")
+        .dropDuplicates()
     )
+    pairs = cand.join(
+        base.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh")), "a_id"
+    ).join(base.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh")), "b_id")
     return (
-        cand.select(
+        pairs.select(
             "a_id", "b_id", F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 4).alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
@@ -188,17 +226,13 @@ def minhash_lsh_pairs(
 
 
 def simhash64(tokens_col: Column) -> Column:
-    """64-bit SimHash of a token array as a signed long.
+    """64-bit SimHash of a token array as a signed long (column expression).
 
-    For each bit b: sum over tokens of ±1 by the token hash's bit b; bit set
-    iff the sum is positive.  Expressed as 64 aggregate folds over the token
-    array — heavy but branch-free and fully JVM-side; for very wide docs a
-    Pandas-UDF variant would batch better, at the cost of leaving codegen.
-    """
+    Interpreted higher-order folds — ad-hoc/small-array use only; the bulk
+    path in ``simhash_pairs`` uses explode + 64 codegen'd sums."""
     hashed = F.transform(tokens_col, lambda t: F.xxhash64(t))
 
     def vote(b: int):
-        # closure factory: aggregate() merge lambda must take exactly two params
         return lambda acc, h: acc + F.when(
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
@@ -212,6 +246,36 @@ def simhash64(tokens_col: Column) -> Column:
     return out
 
 
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) for every row — explode tokens, 64 codegen'd bit-vote
+    sums with map-side combine, then reassemble the signature.  Token-less
+    docs keep signature 0 (left join back)."""
+    ids = df.select(F.col(id_col).alias("_id"))
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")).select(
+        "_id", F.xxhash64("_t").alias("_h")
+    )
+    votes = ex.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
+    sim = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return ids.join(votes.select("_id", sim.alias("_sim")), "_id", "left").select(
+        "_id", F.coalesce("_sim", F.lit(0).cast("long")).alias("_sim")
+    )
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 7
 ) -> DataFrame:
@@ -223,9 +287,7 @@ def simhash_pairs(
     Short documents have thin bit-vote margins, so the hamming budget is
     wider than the classic 3.
     """
-    base = df.select(
-        F.col(id_col).alias("_id"), simhash64(tokens(F.col(text_col))).alias("_sim")
-    )
+    base = simhash_table(df, id_col, text_col)
     bands = base.select(
         "_id",
         "_sim",
@@ -262,22 +324,58 @@ def simhash_pairs(
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold (exact, norm-blocked).
+    """Near-dup pairs by embedding cosine ≥ threshold (exact).
 
-    Scale path: pairs are blocked by sign-LSH bucket (similarity.py) before
-    the exact cosine; here the exact all-pairs form is kept for oracle
-    verification at test scale.
+    Block matrix-product: the corpus matrix is L2-normalized once and
+    broadcast (same contract as a broadcast join's build side); each
+    partition multiplies its row block against it with one BLAS matmul and
+    emits only pairs above threshold — no per-pair interpreted expressions,
+    no shuffled cross join.  At billion-vector scale the identical kernel
+    runs per sign-LSH bucket (similarity.py) instead of corpus-wide.
     """
-    from .similarity import cosine
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
-    left = base.select(F.col("_id").alias("a_id"), F.col("_v").alias("a_v"))
-    right = base.select(F.col("_id").alias("b_id"), F.col("_v").alias("b_v"))
+    pdf = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).toPandas()
+    ids = pdf["_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["_v"]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    normed = mat / norms[:, None]
+    bc = df.sparkSession.sparkContext.broadcast((ids, normed))
+
+    schema = T.StructType(
+        [
+            T.StructField("a_id", T.LongType()),
+            T.StructField("b_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def block(it):
+        r_ids, r_mat = bc.value
+        for batch in it:
+            if len(batch) == 0:
+                continue
+            l_ids = batch["_id"].to_numpy()
+            l_mat = np.stack([np.asarray(v, dtype="float64") for v in batch["_v"]])
+            l_norms = np.linalg.norm(l_mat, axis=1)
+            l_norms[l_norms == 0] = 1.0
+            g = (l_mat / l_norms[:, None]) @ r_mat.T
+            li, ri = np.where((g >= threshold) & (l_ids[:, None] < r_ids[None, :]))
+            if len(li):
+                yield pd.DataFrame(
+                    {
+                        "a_id": l_ids[li],
+                        "b_id": r_ids[ri],
+                        "cos": np.round(g[li, ri], 4),
+                    }
+                )
+
     return (
-        left.crossJoin(right)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.round(cosine(F.col("a_v"), F.col("b_v")), 4).alias("cos"))
-        .filter(F.col("cos") >= threshold)
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(block, schema)
+        .select(F.col("a_id"), F.col("b_id"), "cos")
         .orderBy("a_id", "b_id")
     )

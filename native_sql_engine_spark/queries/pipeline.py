@@ -194,14 +194,15 @@ _SHINGLE_SQL = """
            round(len(list_intersect(a.sh, b.sh)) * 1.0
                  / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
     FROM s a, s b
-    WHERE a.doc_id < b.doc_id AND abs(a.bkt - b.bkt) <= 1
+    WHERE a.doc_id < b.doc_id
       AND len(list_intersect(a.sh, b.sh)) * 1.0
           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
     ORDER BY a_id, b_id
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.8, length-blocked."""
+    """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.8 via prefix-filtered
+    similarity join (complete — the oracle is the unblocked all-pairs set)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
 
