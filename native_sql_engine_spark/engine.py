@@ -5,7 +5,7 @@ enabled via ``spark.sql.extensions=com.intel.oap.ColumnarPlugin``
 (ColumnarPlugin.scala:387-394) and then transparently accelerates
 ``spark.sql(...)``, this engine wraps a SparkSession with table registration,
 ``sql()``, and the extended operator library (dedup / similarity / text /
-multimodal) as first-class methods.
+multimodal / streaming) as first-class methods.
 """
 
 from __future__ import annotations
@@ -20,12 +20,15 @@ class Engine:
 
     >>> eng = Engine(spark, sf_dir="/root/testdata/sf0.01")
     >>> eng.sql("select count(*) from lineitem")
+    >>> eng.dedup_minhash(eng.table("documents"), "doc_id", "text")
     """
 
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
         self.spark = spark
         self.sf_dir = sf_dir
         self.tables = register_tables(spark, sf_dir)
+
+    # -- core relational surface (reference parity) -----------------------
 
     def table(self, name: str) -> DataFrame:
         return self.tables[name]
@@ -40,3 +43,88 @@ class Engine:
                 "formatted"
             )
         )
+
+    def join(self, left: DataFrame, right: DataFrame, on, how: str = "inner",
+             strategy: str | None = None) -> DataFrame:
+        """Join with an explicit physical strategy (reference's three execs)."""
+        from .operators.joins import join as _join
+
+        return _join(left, right, on, how, strategy)
+
+    # -- sources / sinks ---------------------------------------------------
+
+    def read_parquet(self, path: str, columns: list[str] | None = None) -> DataFrame:
+        from .sources import read_parquet
+
+        return read_parquet(self.spark, path, columns)
+
+    def read_csv(self, path: str, schema=None, **options) -> DataFrame:
+        from .sources import read_csv
+
+        return read_csv(self.spark, path, schema, **options)
+
+    def write_parquet(self, df: DataFrame, path: str, **kwargs) -> None:
+        from .sources import write_parquet
+
+        write_parquet(df, path, **kwargs)
+
+    # -- LLM-pipeline operators (beyond-reference) -------------------------
+
+    def dedup_exact(self, df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+        from .operators.dedup import dedup_exact
+
+        return dedup_exact(df, cols, id_col)
+
+    def dedup_jaccard(self, df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.8) -> DataFrame:
+        from .operators.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(df, id_col, text_col, threshold)
+
+    def dedup_minhash(self, df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.8) -> DataFrame:
+        from .operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(df, id_col, text_col, threshold)
+
+    def dedup_simhash(self, df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 7) -> DataFrame:
+        from .operators.dedup import simhash_pairs
+
+        return simhash_pairs(df, id_col, text_col, max_hamming)
+
+    def dedup_embedding(self, df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.95) -> DataFrame:
+        from .operators.dedup import embedding_neardup_pairs
+
+        return embedding_neardup_pairs(df, id_col, vec_col, threshold)
+
+    def similar_topk(self, df: DataFrame, query_vec: list[float], k: int = 10,
+                     approximate: bool = False, **kwargs) -> DataFrame:
+        from .operators.similarity import cosine_topk, cosine_topk_lsh
+
+        fn = cosine_topk_lsh if approximate else cosine_topk
+        return fn(df, query_vec, k, **kwargs)
+
+    def knn_join(self, left: DataFrame, right: DataFrame, k: int,
+                 left_id: str, right_id: str) -> DataFrame:
+        from .operators.similarity import knn_join_exact
+
+        return knn_join_exact(left, right, k, left_id, right_id)
+
+    def text_quality(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        from .operators.text import quality_metrics
+
+        return quality_metrics(df, text_col)
+
+    def language_id(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        from .operators.text import language_id
+
+        return language_id(df, text_col)
+
+    # -- streaming ---------------------------------------------------------
+
+    def events_stream(self, sf_dir: str | None = None) -> DataFrame:
+        from .streaming.windows import read_events_stream
+
+        return read_events_stream(self.spark, sf_dir or self.sf_dir)

@@ -74,8 +74,41 @@ def jaccard(a: Column, b: Column) -> Column:
 def _hashed_shingles(text_col: Column, ngram: int) -> Column:
     """Distinct word-n-gram shingles hashed to int64 — set semantics are
     preserved (collision odds ~|set|²/2⁶⁴) while set ops run on fixed-width
-    longs instead of strings."""
+    longs instead of strings.  Column-expression form (interpreted
+    higher-order lambdas) — bulk paths use ``_shingle_base`` instead."""
     return F.transform(shingles(tokens(text_col), ngram), lambda s: F.xxhash64(s))
+
+
+def _shingle_base(df: DataFrame, id_col: str, text_col: str, ngram: int) -> DataFrame:
+    """(_id, _sh array<long>, _sz) — distinct hashed word-n-gram shingles.
+
+    Codegen'd layout: posexplode tokens → window ``lead``s reassemble each
+    n-gram → xxhash64 → collect_set.  Same shingle strings (and hashes) as
+    the column-expression form, but no interpreted array lambdas; the only
+    shuffle is by doc id (window + groupBy share the partitioning).
+    Persisted: callers fan out to several consumers."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("_p", "_t"),
+    ).filter(F.col("_t") != "")
+    w = W.partitionBy("_id").orderBy("_p")
+    leads = [F.lead("_t", i).over(w).alias(f"_t{i}") for i in range(1, ngram)]
+    grams = (
+        tok.select("_id", F.col("_t").alias("_t0"), *leads)
+        .filter(F.col(f"_t{ngram - 1}").isNotNull())
+        .select(
+            "_id",
+            F.xxhash64(
+                F.concat_ws(" ", *[F.col(f"_t{i}") for i in range(ngram)])
+            ).alias("_h"),
+        )
+    )
+    return (
+        grams.groupBy("_id")
+        .agg(F.collect_set("_h").alias("_sh"))
+        .select("_id", "_sh", F.size("_sh").alias("_sz"))
+        .persist()
+    )
 
 
 def ngram_jaccard_pairs(
@@ -97,15 +130,8 @@ def ngram_jaccard_pairs(
     aggregate — no O(n²) step at any data size.
     """
     t4 = int(round(threshold * 10000))  # exact integer arithmetic for ⌈t·sz⌉
-    # persist: the shingle table feeds 4 downstream consumers (df-freq, rank,
-    # 2 verify joins); without it Spark re-evaluates the (interpreted)
-    # shingling lambda per consumer — 4× the dominant per-row cost
-    base = (
-        df.select(F.col(id_col).alias("_id"), _hashed_shingles(F.col(text_col), ngram).alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .select("_id", "_sh", F.size("_sh").alias("_sz"))
-        .persist()
-    )
+    # persisted: the shingle table feeds 4 consumers (df-freq, rank, 2 verify joins)
+    base = _shingle_base(df, id_col, text_col, ngram)
     ex = base.select("_id", "_sz", F.explode("_sh").alias("_s"))
     dfreq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
     ranked = ex.join(dfreq, "_s").withColumn(
@@ -177,11 +203,7 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     perms = _perm_constants(num_hashes)
-    base = (
-        df.select(F.col(id_col).alias("_id"), _hashed_shingles(F.col(text_col), ngram).alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .persist()  # feeds signature build + 2 verify joins
-    )
+    base = _shingle_base(df, id_col, text_col, ngram)  # feeds sig build + 2 verify joins
     ex = base.select("_id", F.explode("_sh").alias("_s")).select(
         "_id", F.pmod(F.col("_s"), F.lit(_MERSENNE)).alias("_h")
     )
@@ -251,8 +273,12 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sums with map-side combine, then reassemble the signature.  Token-less
     docs keep signature 0 (left join back)."""
     ids = df.select(F.col(id_col).alias("_id"))
-    ex = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")).select(
-        "_id", F.xxhash64("_t").alias("_h")
+    # explode-then-filter stays codegen'd (a higher-order filter lambda
+    # would be interpreted per element)
+    ex = (
+        df.select(F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), r"\s+")).alias("_t"))
+        .filter(F.col("_t") != "")
+        .select("_id", F.xxhash64("_t").alias("_h"))
     )
     votes = ex.groupBy("_id").agg(
         *[
@@ -310,13 +336,15 @@ def simhash_pairs(
     return (
         left.join(right, ["_band", "_bh"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
         .select(
             "a_id",
             "b_id",
             F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim"))).cast("int").alias("hamming"),
         )
+        # verify BEFORE dedup: bit_count on a long is ~free, and it shrinks
+        # the dropDuplicates shuffle from every band collision to true pairs
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
         .orderBy("a_id", "b_id")
     )
 

@@ -1,0 +1,61 @@
+"""Engine facade surface: every public method works end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from native_sql_engine_spark import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_small):
+    return Engine(spark, sf_small)
+
+
+def test_sql_and_table(eng):
+    assert eng.sql("select count(*) as n from lineitem").first().n == eng.table(
+        "lineitem"
+    ).count()
+
+
+def test_explain_formatted(eng):
+    plan = eng.explain("select l_orderkey from lineitem where l_quantity < 5")
+    assert "Scan parquet" in plan or "Photon" in plan
+    assert "PushedFilters" in plan
+
+
+def test_join_strategy(eng):
+    out = eng.join(
+        eng.table("orders"),
+        eng.table("customer"),
+        [F.col("o_custkey") == F.col("c_custkey")],
+        "inner",
+        "broadcast",
+    )
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    assert out.count() > 0
+
+
+def test_pipeline_methods(eng):
+    docs = eng.table("documents")
+    assert eng.dedup_exact(docs, ["lang", "source"], "doc_id").count() > 0
+    assert eng.dedup_minhash(docs, "doc_id", "text").count() >= 0
+    assert eng.text_quality(docs).columns.__contains__("quality_score")
+    assert eng.language_id(docs).select("lang_guess").distinct().count() >= 1
+
+
+def test_similarity_methods(eng):
+    emb = eng.table("embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    exact = eng.similar_topk(emb, qv, k=5)
+    assert exact.count() == 5
+    approx = eng.similar_topk(emb, qv, k=5, approximate=True, n_planes=6, multiprobe=2)
+    assert approx.count() <= 5 or approx.count() > 0
+
+
+def test_io_roundtrip(eng, tmp_path):
+    out = str(tmp_path / "t.parquet")
+    eng.write_parquet(eng.table("nation"), out)
+    assert eng.read_parquet(out).count() == eng.table("nation").count()
