@@ -1,0 +1,39 @@
+"""Skew-aware join: salting for hot keys.
+
+AQE's skew-join splitting (on in session.py) handles most skew at runtime
+by splitting oversized shuffle partitions; salting is the plan-level tool
+for the pathological case — one join key carrying a disproportionate share
+of rows (power-law user ids, null-bucket keys) where even a split partition
+re-concentrates on the same reducer.
+
+``salted_join`` replicates the build side R times and scatters the probe
+side across the R salt values: the hot key's rows spread over R reducers.
+Output is identical to the plain join (oracle-checked in the battery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with ``salt``-way key salting (probe scattered, build
+    replicated).  Build-side replication costs |build|×salt rows — use for
+    large-probe ∙ modest-build joins where one probe key is hot; result is
+    row-identical to the unsalted join."""
+    p = probe.withColumn("_salt_p", (F.rand(seed=42) * salt).cast("int"))
+    b = build.withColumn("_salt_b", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = p.join(
+        b,
+        (F.col(probe_key) == F.col(build_key)) & (F.col("_salt_p") == F.col("_salt_b")),
+        how,
+    )
+    return out.drop("_salt_p", "_salt_b")

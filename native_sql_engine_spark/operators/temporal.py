@@ -1,0 +1,114 @@
+"""Temporal joins the reference lacks: as-of join and bucketed range join.
+
+SURVEY §2.3: "No range/as-of/interval join operators exist in the
+reference" — these are beyond-parity additions, built as compositions of
+existing DataFrame ops (no UDFs).
+
+Scale design (100 TB):
+- ``asof_join`` is the union-merge formulation: tag both sides, one shuffle
+  by key, one ordered window pass carrying the latest right-side values
+  forward (``last(..., ignorenulls)`` over rows-unbounded-preceding).  No
+  join product is ever materialized — state per key is O(1), vs the naive
+  join+filter+rank which explodes on hot keys.
+- ``range_join_buckets`` turns an interval/inequality join into an
+  equi-join by bucketing the point side and exploding each interval into
+  the buckets it overlaps; the residual BETWEEN filter runs post-join.
+  Candidate volume is |points| + Σ interval_width/bucket instead of
+  |points| × |intervals|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` for the same ``key`` (an ASOF JOIN).
+
+    Union-merge: both sides are tagged and merged into one stream, shuffled
+    once by ``key`` and sorted by time; the latest right-side values are
+    carried forward with ``last(ignorenulls)``.  At equal timestamps the
+    right row sorts first (≤ semantics).  ``tie_break`` (a right column
+    name) makes multiple right rows at the same timestamp deterministic:
+    the greatest value wins.
+    """
+    lt = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("double").alias("_tb"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*left.columns).alias("_row"),
+    )
+    rt = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        (F.col(tie_break) if tie_break else F.lit(0)).cast("double").alias("_tb"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(lt.schema["_row"].dataType).alias("_row"),
+    )
+    merged = lt.unionByName(rt)
+    # right rows first at equal ts (asof is <=); among tied right rows the
+    # greatest tie_break lands last, so last(ignorenulls) picks it
+    w = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side").desc(), F.col("_tb").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "_side",
+        "_row",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in value_cols],
+    ).filter(F.col("_side") == 0)
+    return carried.select(
+        *[F.col(f"_row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r_{c}").alias(f"right_{c}") for c in value_cols],
+    )
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    extra_key: str | None = None,
+) -> DataFrame:
+    """Join each point row to every interval row with
+    start ≤ point < end (optionally also matching ``extra_key``).
+
+    Bucketed equi-join: points get bucket = floor(p/width); intervals
+    explode into every bucket they overlap (sequence of bucket ids); the
+    equi-join on (bucket[, key]) prunes candidates, the exact BETWEEN
+    filter finishes.  Interval columns survive with their names, point
+    columns with theirs (caller guarantees disjointness).
+    """
+    p_bkt = F.floor(F.col(point_col) / bucket_width).cast("long")
+    pts = points.withColumn("_bkt", p_bkt)
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width).cast("long"),
+                F.floor((F.col(end_col) - 1e-9) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    on = ["_bkt"] + ([extra_key] if extra_key else [])
+    return (
+        pts.join(iv, on)
+        .filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col)))
+        .drop("_bkt")
+    )

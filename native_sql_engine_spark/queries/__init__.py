@@ -13,18 +13,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import ops, pipeline, ssb, stream, tpch, udf
+    from . import extra, ops, pipeline, ssb, stream, tpch, udf
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (tpch, ssb, ops, pipeline, stream, udf):
+    for mod in (tpch, ssb, ops, pipeline, stream, udf, extra):
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles() -> dict[str, str]:
-    from . import ops, pipeline, ssb, stream, tpch, udf
+    from . import extra, ops, pipeline, ssb, stream, tpch, udf
 
     merged: dict[str, str] = {}
-    for mod in (tpch, ssb, ops, pipeline, stream, udf):
+    for mod in (tpch, ssb, ops, pipeline, stream, udf, extra):
         merged.update(mod.ORACLE)
     return merged

@@ -1,0 +1,142 @@
+"""Beyond-reference join operators: as-of, bucketed range, salted skew join.
+
+The reference has no range/as-of/interval joins (SURVEY §2.3) and relies on
+AQE alone for skew.  Each query here hash-matches a DuckDB oracle written
+with plain correlated/inequality SQL — proving the scalable formulation
+(union-merge window, bucketed equi-join, salted scatter) is semantically
+identical to the naive one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.skew import salted_join
+from ..operators.temporal import asof_join, range_join_buckets
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "join_asof_events_orders",
+    """
+    SELECT e.event_id,
+           e.user_id,
+           cast((SELECT max(o.o_orderdate) FROM orders o
+                 WHERE o.o_custkey = e.user_id
+                   AND o.o_orderdate <= cast(e.ts AS date)) AS varchar) AS last_order_date,
+           (SELECT round(max(o.o_totalprice), 2) FROM orders o
+            WHERE o.o_custkey = e.user_id
+              AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+                                   WHERE o2.o_custkey = e.user_id
+                                     AND o2.o_orderdate <= cast(e.ts AS date)))
+             AS last_order_price
+    FROM events e
+    ORDER BY e.event_id
+    """,
+)
+def join_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the user's most recent order on or
+    before the event date (ties at the date resolved to max price) —
+    one shuffle + one window pass, no join product."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("ts_date")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey"), F.col("o_orderdate"), F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    out = asof_join(
+        ev,
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id",
+        left_ts="ts_date",
+        right_ts="o_orderdate",
+        value_cols=["o_orderdate", "o_totalprice"],
+        tie_break="o_totalprice",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("right_o_orderdate").cast("string").alias("last_order_date"),
+        F.col("right_o_totalprice").alias("last_order_price"),
+    ).orderBy("event_id")
+
+
+@q(
+    "join_range_price_bands",
+    """
+    WITH bands AS (
+      SELECT o_orderpriority AS band,
+             min(o_totalprice) AS lo,
+             avg(o_totalprice) AS hi
+      FROM orders GROUP BY o_orderpriority)
+    SELECT band,
+           cast(count(*) AS bigint) AS n,
+           cast(round(sum(cast(o_totalprice AS decimal(38,9))), 2) AS double) AS total
+    FROM orders, bands
+    WHERE o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band ORDER BY band
+    """,
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via bucketed equi-join: orders priced inside
+    each priority's [min, avg) band; candidates pruned by bucket id instead
+    of a cross product."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = orders.groupBy(F.col("o_orderpriority").alias("band")).agg(
+        F.min("o_totalprice").alias("lo"), F.avg("o_totalprice").alias("hi")
+    )
+    pts = orders.select("o_orderkey", "o_totalprice")
+    joined = range_join_buckets(pts, bands, "o_totalprice", "lo", "hi", bucket_width=25000.0)
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,9)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("band")
+    )
+
+
+@q(
+    "join_salted_skew",
+    """
+    SELECT p_brand, cast(count(*) AS bigint) AS n,
+           cast(round(sum(cast(l_quantity AS decimal(38,9))), 2) AS double) AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-way salted join (probe scattered, build replicated) — row-identical
+    to the plain join, verified by the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    out = salted_join(li, part, "l_partkey", "p_partkey", salt=8)
+    return (
+        out.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(38,9)")), 2)
+            .cast("double")
+            .alias("qty"),
+        )
+        .orderBy("p_brand")
+    )
