@@ -13,18 +13,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import extra, ops, pipeline, ssb, stream, tpch, udf
+    from . import extra, ops, pipeline, ssb, stream, tpcds, tpch, udf
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (tpch, ssb, ops, pipeline, stream, udf, extra):
+    for mod in (tpch, tpcds, ssb, ops, pipeline, stream, udf, extra):
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles() -> dict[str, str]:
-    from . import extra, ops, pipeline, ssb, stream, tpch, udf
+    from . import extra, ops, pipeline, ssb, stream, tpcds, tpch, udf
 
     merged: dict[str, str] = {}
-    for mod in (tpch, ssb, ops, pipeline, stream, udf, extra):
+    for mod in (tpch, tpcds, ssb, ops, pipeline, stream, udf, extra):
         merged.update(mod.ORACLE)
     return merged

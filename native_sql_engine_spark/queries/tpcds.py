@@ -1,0 +1,182 @@
+"""TPC-DS-derived battery ("Decision Support Benchmark2" shapes).
+
+The reference's second benchmark suite is TPC-DS: it ships the full query
+set plus modified q3/q10/q19/q27/q34/q42/q43/q46/q52/q53/q55/q59/q63/q65/
+q68/q73/q79/q89/q98 (resources/tpcds-modifiedQueries/) and CI-gates on the
+modified subset (SURVEY §5.4).  The driver schema has no store_sales star,
+so each query here reproduces the *operator shape* of its TPC-DS original
+on the TPC-H-ish tables — the shapes are what SURVEY §2 inventories:
+
+- q53/q63/q89: aggregate → window-over-aggregate (avg of group sums per
+  super-group) → relative-deviation filter → ordered limit;
+- q46/q68: multi-dimension star join → per-ticket two-level aggregation →
+  join back to the customer dimension;
+- q73/q34: per-order counts with HAVING band → customer join;
+- q42/q52/q55: date-dim star aggregate, top-k;
+- q19: brand revenue with a cross-dimension (customer vs supplier nation)
+  mismatch predicate;
+- q43: day-of-week pivot-style conditional aggregation.
+
+Every query is one ANSI-SQL string executed verbatim by BOTH Spark and the
+DuckDB oracle (day-of-week is day(date) % 7 to avoid engine-specific DOW
+numbering).  House stability rules apply: decimal-summed doubles, round(),
+total ORDER BY under LIMIT, bigint casts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_tables
+
+SQL: dict[str, str] = {}
+
+
+def _register(name: str, sql: str) -> None:
+    SQL[name] = sql
+
+
+def _runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+# --- q53/q63-shape: window over aggregate + deviation filter ---------------
+_register(
+    "tpcds_q53",
+    """
+    SELECT p_brand, order_month, sum_sales, avg_monthly_sales
+    FROM (
+      SELECT p_brand,
+             month(o_orderdate) AS order_month,
+             cast(round(sum(cast(l_extendedprice AS decimal(38,9))), 2) AS double) AS sum_sales,
+             cast(round(avg(sum(cast(l_extendedprice AS decimal(38,9))))
+                        OVER (PARTITION BY p_brand), 2) AS double) AS avg_monthly_sales
+      FROM lineitem, orders, part
+      WHERE l_orderkey = o_orderkey
+        AND l_partkey = p_partkey
+        AND p_type IN ('STANDARD', 'SMALL', 'MEDIUM')
+      GROUP BY p_brand, month(o_orderdate)
+    ) tmp
+    WHERE CASE WHEN avg_monthly_sales > 0
+               THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+               ELSE NULL END > 0.1
+    ORDER BY avg_monthly_sales, sum_sales, p_brand, order_month
+    LIMIT 100
+    """,
+)
+
+# --- q46/q68-shape: star join → per-ticket agg → customer join -------------
+_register(
+    "tpcds_q46",
+    """
+    SELECT c_name, n_name, o_orderkey, amt, profit
+    FROM (
+      SELECT o_orderkey,
+             o_custkey,
+             cast(round(sum(cast(l_extendedprice * l_discount AS decimal(38,9))), 2) AS double) AS amt,
+             cast(round(sum(cast(l_extendedprice * (1 - l_discount) - l_quantity * 100
+                                 AS decimal(38,9))), 2) AS double) AS profit
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey
+        AND day(o_orderdate) % 7 IN (0, 6)
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderkey, o_custkey
+    ) ticket, customer, nation
+    WHERE ticket.o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+      AND n_name IN ('FRANCE', 'GERMANY', 'EGYPT', 'JAPAN', 'BRAZIL')
+    ORDER BY c_name, profit, o_orderkey
+    LIMIT 100
+    """,
+)
+
+# --- q73/q34-shape: order-size band via HAVING → customer join -------------
+_register(
+    "tpcds_q73",
+    """
+    SELECT c_name, c_mktsegment, o_orderkey, cnt
+    FROM (
+      SELECT l_orderkey, cast(count(*) AS bigint) AS cnt
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING count(*) BETWEEN 5 AND 7
+    ) big, orders, customer
+    WHERE big.l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    ORDER BY cnt DESC, c_name, o_orderkey
+    LIMIT 100
+    """,
+)
+
+# --- q42/q52/q55-shape: date-dim star aggregate, top-k ---------------------
+_register(
+    "tpcds_q52",
+    """
+    SELECT year(o_orderdate) AS d_year,
+           p_brand,
+           cast(round(sum(cast(l_extendedprice AS decimal(38,9))), 2) AS double) AS brand_revenue
+    FROM lineitem, orders, part
+    WHERE l_orderkey = o_orderkey
+      AND l_partkey = p_partkey
+      AND month(o_orderdate) = 11
+    GROUP BY year(o_orderdate), p_brand
+    ORDER BY d_year, brand_revenue DESC, p_brand
+    LIMIT 100
+    """,
+)
+
+# --- q19-shape: brand revenue with cross-dimension mismatch predicate ------
+_register(
+    "tpcds_q19",
+    """
+    SELECT p_type,
+           p_brand,
+           cast(count(*) AS bigint) AS n,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                AS double) AS ext_revenue
+    FROM lineitem, orders, customer, supplier, part
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey
+      AND l_partkey = p_partkey
+      AND c_nationkey <> s_nationkey
+      AND p_size BETWEEN 1 AND 15
+    GROUP BY p_type, p_brand
+    ORDER BY ext_revenue DESC, p_type, p_brand
+    LIMIT 100
+    """,
+)
+
+# --- q43-shape: day-of-week conditional aggregation (pivot) ----------------
+_register(
+    "tpcds_q43",
+    """
+    SELECT n_name,
+           cast(round(sum(CASE WHEN day(o_orderdate) % 7 = 0
+                               THEN cast(o_totalprice AS decimal(38,9)) ELSE 0 END), 2)
+                AS double) AS sun_sales,
+           cast(round(sum(CASE WHEN day(o_orderdate) % 7 = 3
+                               THEN cast(o_totalprice AS decimal(38,9)) ELSE 0 END), 2)
+                AS double) AS wed_sales,
+           cast(round(sum(CASE WHEN day(o_orderdate) % 7 = 6
+                               THEN cast(o_totalprice AS decimal(38,9)) ELSE 0 END), 2)
+                AS double) AS sat_sales
+    FROM orders, customer, nation
+    WHERE o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: _runner(sql) for name, sql in SQL.items()
+}
+ORACLE: dict[str, str] = dict(SQL)
