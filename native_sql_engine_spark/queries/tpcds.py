@@ -71,6 +71,135 @@ _register(
     """,
 )
 
+# --- q63-shape: window-over-aggregate deviation, compound OR dimension -----
+# (tpcds-modifiedQueries/q63.sql: manager-level monthly sales vs the
+#  manager's average month, with an OR of two (category,class,brand)
+#  conjunctions; supplier nation plays the manager dimension here.)
+_register(
+    "tpcds_q63",
+    """
+    SELECT manager_id, d_moy, sum_sales, avg_monthly_sales
+    FROM (
+      SELECT s_nationkey AS manager_id,
+             month(o_orderdate) AS d_moy,
+             cast(round(sum(cast(l_extendedprice AS decimal(38,9))), 2) AS double) AS sum_sales,
+             cast(round(avg(sum(cast(l_extendedprice AS decimal(38,9))))
+                        OVER (PARTITION BY s_nationkey), 2) AS double) AS avg_monthly_sales
+      FROM lineitem, orders, supplier, part
+      WHERE l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey
+        AND l_partkey = p_partkey
+        AND ((p_type IN ('STANDARD', 'SMALL')
+              AND p_brand IN ('Brand#11', 'Brand#12', 'Brand#13', 'Brand#21', 'Brand#22')
+              AND p_size BETWEEN 1 AND 25)
+          OR (p_type IN ('MEDIUM', 'LARGE')
+              AND p_brand IN ('Brand#31', 'Brand#32', 'Brand#33', 'Brand#41', 'Brand#42')
+              AND p_size BETWEEN 26 AND 50))
+      GROUP BY s_nationkey, month(o_orderdate)
+    ) tmp1
+    WHERE CASE WHEN avg_monthly_sales > 0
+               THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+               ELSE NULL END > 0.1
+    ORDER BY manager_id, avg_monthly_sales, sum_sales, d_moy
+    LIMIT 100
+    """,
+)
+
+# --- q65-shape: per-group agg joined against avg-of-aggs (no window) -------
+# (tpcds-modifiedQueries/q65.sql: items whose store revenue is below a
+#  fraction of that store's average item revenue — two aggregate subqueries
+#  joined on the store key, then dimension joins for names.)
+_register(
+    "tpcds_q65",
+    """
+    WITH sb AS (
+      SELECT s_nationkey,
+             p_brand,
+             cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                  AS double) AS revenue
+      FROM lineitem, supplier, part
+      WHERE l_suppkey = s_suppkey
+        AND l_partkey = p_partkey
+      GROUP BY s_nationkey, p_brand
+    ),
+    sa AS (
+      SELECT s_nationkey, avg(revenue) AS ave
+      FROM sb
+      GROUP BY s_nationkey
+    )
+    SELECT n_name, p_brand, revenue,
+           cast(round(ave, 2) AS double) AS avg_brand_revenue
+    FROM sb, sa, nation
+    WHERE sb.s_nationkey = sa.s_nationkey
+      AND sb.s_nationkey = n_nationkey
+      AND sb.revenue <= 0.5 * sa.ave
+    ORDER BY n_name, p_brand
+    LIMIT 100
+    """,
+)
+
+# --- q79-shape: filtered ticket aggregation → customer join, substr --------
+# (tpcds-modifiedQueries/q79.sql: per-ticket amt/profit under a demographic
+#  OR-predicate and day-of-week filter, joined back to customer with a
+#  substr'd city column; supplier nation stands in for the store city.)
+_register(
+    "tpcds_q79",
+    """
+    SELECT c_name,
+           city_prefix,
+           o_orderkey,
+           amt,
+           profit
+    FROM (
+      SELECT l_orderkey AS o_orderkey,
+             o_custkey,
+             substr(n_name, 1, 15) AS city_prefix,
+             cast(round(sum(cast(l_extendedprice * l_discount AS decimal(38,9))), 2)
+                  AS double) AS amt,
+             cast(round(sum(cast(l_extendedprice * (1 - l_discount) - l_quantity * 100
+                                 AS decimal(38,9))), 2) AS double) AS profit
+      FROM lineitem, orders, supplier, nation
+      WHERE l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey
+        AND day(o_orderdate) % 7 = 1
+        AND (o_orderpriority = '1-URGENT' OR o_totalprice > 50000)
+      GROUP BY l_orderkey, o_custkey, substr(n_name, 1, 15)
+    ) ms, customer
+    WHERE o_custkey = c_custkey
+    ORDER BY c_name, city_prefix, profit, o_orderkey
+    LIMIT 100
+    """,
+)
+
+# --- q98-shape: revenue share of class via windowed total ------------------
+# (tpcds-modifiedQueries/q98.sql: item revenue with revenueratio =
+#  revenue * 100 / sum(revenue) over the item class.)
+_register(
+    "tpcds_q98",
+    """
+    SELECT p_brand, p_type, revenue, revenueratio
+    FROM (
+      SELECT p_brand,
+             p_type,
+             cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                  AS double) AS revenue,
+             cast(round(cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)))
+                             AS double) * 100
+                        / cast(sum(sum(cast(l_extendedprice * (1 - l_discount)
+                                            AS decimal(38,9))))
+                               OVER (PARTITION BY p_type) AS double), 5) AS double)
+                  AS revenueratio
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      GROUP BY p_brand, p_type
+    ) t
+    ORDER BY p_type, revenueratio, p_brand
+    LIMIT 100
+    """,
+)
+
 # --- q46/q68-shape: star join → per-ticket agg → customer join -------------
 _register(
     "tpcds_q46",
