@@ -22,8 +22,6 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -86,11 +84,21 @@ def _shingle_base(df: DataFrame, id_col: str, text_col: str, ngram: int) -> Data
     n-gram → xxhash64 → collect_set.  Same shingle strings (and hashes) as
     the column-expression form, but no interpreted array lambdas; the only
     shuffle is by doc id (window + groupBy share the partitioning).
-    Persisted: callers fan out to several consumers."""
-    tok = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("_p", "_t"),
-    ).filter(F.col("_t") != "")
+    Persisted: callers fan out to several consumers.
+
+    The repartition happens on whole *documents*, before the explode: the
+    shuffle moves |docs| rows instead of |tokens| rows, tokenization runs on
+    every core even when the input is a single parquet file, and the window
+    + groupBy reuse that one exchange (plan has exactly one Exchange)."""
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = (
+        df.repartition(nparts, F.col(id_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("_p", "_t"),
+        )
+        .filter(F.col("_t") != "")
+    )
     w = W.partitionBy("_id").orderBy("_p")
     leads = [F.lead("_t", i).over(w).alias(f"_t{i}") for i in range(1, ngram)]
     grams = (
@@ -207,25 +215,24 @@ def minhash_lsh_pairs(
     ex = base.select("_id", F.explode("_sh").alias("_s")).select(
         "_id", F.pmod(F.col("_s"), F.lit(_MERSENNE)).alias("_h")
     )
+    # F.expr strings, not nested Column objects: building 64 aggregate trees
+    # via the Column API costs hundreds of py4j round trips (~3 s of pure
+    # driver-side overhead per call); one parsed SQL string per aggregate is
+    # the identical plan for ~1/10th the construction cost.
     sig = ex.groupBy("_id").agg(
         *[
-            F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"_m{i}")
+            F.expr(f"min(pmod(_h * {a}L + {b}L, {_MERSENNE}L)) AS _m{i}")
             for i, (a, b) in enumerate(perms)
         ]
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[F.col(f"_m{i * rows + j}") for j in range(rows)])
-                ).alias("bh"),
-            )
-            for i in range(bands)
-        ]
+    band_structs = ",".join(
+        "struct({i} AS band, xxhash64(concat_ws(',', {cols})) AS bh)".format(
+            i=i, cols=",".join(f"_m{i * rows + j}" for j in range(rows))
+        )
+        for i in range(bands)
     )
-    buckets = sig.select("_id", F.explode(band_structs).alias("_b")).select(
-        "_id", F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh")
+    buckets = sig.selectExpr("_id", f"explode(array({band_structs})) AS _b").selectExpr(
+        "_id", "_b.band AS _band", "_b.bh AS _bh"
     )
     left = buckets.select(F.col("_id").alias("a_id"), "_band", "_bh")
     right = buckets.select(F.col("_id").alias("b_id"), "_band", "_bh")
@@ -271,33 +278,36 @@ def simhash64(tokens_col: Column) -> Column:
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash) for every row — explode tokens, 64 codegen'd bit-vote
     sums with map-side combine, then reassemble the signature.  Token-less
-    docs keep signature 0 (left join back)."""
-    ids = df.select(F.col(id_col).alias("_id"))
+    docs keep signature 0 (left join back).
+
+    Documents are repartitioned by id before the explode: the shuffle moves
+    |docs| rows rather than |tokens| rows, tokenization parallelizes across
+    cores even off a single-file scan, and the vote groupBy reuses the same
+    exchange."""
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    docs = df.repartition(nparts, F.col(id_col))
+    ids = docs.select(F.col(id_col).alias("_id"))
     # explode-then-filter stays codegen'd (a higher-order filter lambda
     # would be interpreted per element)
     ex = (
-        df.select(F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), r"\s+")).alias("_t"))
+        docs.select(F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), r"\s+")).alias("_t"))
         .filter(F.col("_t") != "")
         .select("_id", F.xxhash64("_t").alias("_h"))
     )
+    # F.expr strings for the 64 bit-vote aggregates and the 64-term OR
+    # reassembly — same plan as the Column-API form, ~1/10th the py4j
+    # construction overhead (see minhash_lsh_pairs).
     votes = ex.groupBy("_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_v{b}")
+            F.expr(f"sum(IF((shiftright(_h, {b}) & 1) = 1, 1, -1)) AS _v{b}")
             for b in range(64)
         ]
     )
-    sim = reduce(
-        lambda acc, b: acc.bitwiseOR(
-            F.when(F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
-        ),
-        range(64),
-        F.lit(0).cast("long"),
+    sim = " | ".join(
+        f"IF(_v{b} > 0, shiftleft(CAST(1 AS BIGINT), {b}), CAST(0 AS BIGINT))"
+        for b in range(64)
     )
-    return ids.join(votes.select("_id", sim.alias("_sim")), "_id", "left").select(
+    return ids.join(votes.selectExpr("_id", f"({sim}) AS _sim"), "_id", "left").select(
         "_id", F.coalesce("_sim", F.lit(0).cast("long")).alias("_sim")
     )
 
@@ -314,23 +324,13 @@ def simhash_pairs(
     wider than the classic 3.
     """
     base = simhash_table(df, id_col, text_col)
-    bands = base.select(
-        "_id",
-        "_sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned("_sim", 8 * i)
-                        .bitwiseAND(F.lit(0xFF))
-                        .alias("bh"),
-                    )
-                    for i in range(8)
-                ]
-            )
-        ).alias("_b"),
-    ).select("_id", "_sim", F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
+    band_structs = ",".join(
+        f"struct({i} AS band, (shiftrightunsigned(_sim, {8 * i}) & 255) AS bh)"
+        for i in range(8)
+    )
+    bands = base.selectExpr(
+        "_id", "_sim", f"explode(array({band_structs})) AS _b"
+    ).selectExpr("_id", "_sim", "_b.band AS _band", "_b.bh AS _bh")
     left = bands.select(F.col("_id").alias("a_id"), F.col("_sim").alias("a_sim"), "_band", "_bh")
     right = bands.select(F.col("_id").alias("b_id"), F.col("_sim").alias("b_sim"), "_band", "_bh")
     return (
