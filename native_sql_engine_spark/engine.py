@@ -99,6 +99,15 @@ class Engine:
 
         return embedding_neardup_pairs(df, id_col, vec_col, threshold)
 
+    def dedup_clusters(self, df: DataFrame, id_col: str, pairs: DataFrame,
+                       a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+        """Cluster id + canonical flag per row from any pairwise dedup output
+        (connected components; filter ``is_canonical`` to materialize the
+        deduplicated corpus)."""
+        from .operators.dedup import dedup_clusters
+
+        return dedup_clusters(df, id_col, pairs, a_col, b_col)
+
     def similar_topk(self, df: DataFrame, query_vec: list[float], k: int = 10,
                      approximate: bool = False, **kwargs) -> DataFrame:
         from .operators.similarity import cosine_topk, cosine_topk_lsh

@@ -69,6 +69,90 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 20
+) -> DataFrame:
+    """(node, component) for every node in the undirected pair graph, where
+    component = the minimum node id reachable from it.
+
+    Min-label propagation **with path halving**: each round every node takes
+    the min of its own label, its neighbors' labels, and its label's label
+    (pointer jumping) — converging in O(log diameter) rounds rather than
+    O(diameter).  Near-dup graphs are unions of near-cliques (diameter ≈ 2),
+    so typical runs need 2 rounds; a pathological length-d chain needs
+    ~log₂ d.  Each round is two shuffle joins (labels onto the edge list,
+    labels onto themselves) + one min-aggregate — map-side combinable, so a
+    hub node's million edges reduce to one row per map partition before the
+    shuffle; AQE handles residual skew.  Convergence is detected from
+    sum(label) in the same action that materializes the round (labels only
+    ever decrease, so an unchanged sum ⇔ a fixed point).  Labels are
+    re-persisted per round and the previous round unpersisted, keeping
+    lineage O(1).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("_src"), F.col(b_col).alias("_dst"))
+        .union(pairs.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("_src").alias("_n"))
+        .distinct()
+        .select("_n", F.col("_n").alias("_c"))
+        .persist()
+    )
+    try:
+        prev_sum = None
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels, edges["_src"] == labels["_n"])
+                .groupBy("_dst")
+                .agg(F.min("_c").alias("_nc"))
+            )
+            half = (
+                labels.join(nbr, labels["_n"] == nbr["_dst"], "left")
+                .select("_n", F.least("_c", "_nc").alias("_c"))
+            )
+            # path halving: c ← label(c); labels form a pointer forest toward
+            # the component min, so one extra self-join doubles progress/round
+            ptr = labels.select(F.col("_n").alias("_pc"), F.col("_c").alias("_cc"))
+            new_labels = (
+                half.join(ptr, half["_c"] == ptr["_pc"], "left")
+                .select("_n", F.least("_c", "_cc").alias("_c"))
+                .persist()
+            )
+            cur_sum = new_labels.agg(F.sum("_c")).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        return labels.select(F.col("_n").alias("node"), F.col("_c").alias("component"))
+    finally:
+        edges.unpersist()
+
+
+def dedup_clusters(
+    df: DataFrame, id_col: str, pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id"
+) -> DataFrame:
+    """Assign every row a duplicate-cluster id: the min id of its connected
+    component in the near-dup pair graph (itself when it has no duplicates),
+    plus an ``is_canonical`` flag for the cluster representative.
+
+    ``pairs`` is the output of any pairwise dedup operator above; filtering
+    ``is_canonical`` materializes the deduplicated corpus."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", (F.col(id_col) == F.col("cluster_id")))
+    )
+
+
 def _hashed_shingles(text_col: Column, ngram: int) -> Column:
     """Distinct word-n-gram shingles hashed to int64 — set semantics are
     preserved (collision odds ~|set|²/2⁶⁴) while set ops run on fixed-width

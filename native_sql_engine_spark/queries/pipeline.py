@@ -231,6 +231,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
 
 
+@q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    s AS ({_SHINGLE_SQL}),
+    p AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    e AS (SELECT a_id AS src, b_id AS dst FROM p
+          UNION SELECT b_id, a_id FROM p),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS component
+             FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster_id,
+           (coalesce(c.component, d.doc_id) = d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → per-doc cluster id +
+    canonical flag (the materializable dedup verdict).  Spark side is
+    min-label propagation with path halving (O(log diameter) rounds); the
+    oracle is DuckDB's recursive-CTE transitive closure over the same
+    exact-Jaccard pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    return D.dedup_clusters(docs, "doc_id", pairs).orderBy("doc_id")
+
+
 @q("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 7, band-blocked) — rows-only:

@@ -63,3 +63,30 @@ def test_multimodal_stubs_are_marked(spark, sf_small):
     for stub in (M.decode_image, lambda d: M.resize_image(d, 2, 2), M.sample_frames):
         with pytest.raises(NotImplementedError):
             stub(docs)
+
+
+def test_connected_components_chain(spark):
+    """Worst-case diameter: a 12-node chain must collapse to one component
+    (exercises multi-round label propagation), plus an isolated pair."""
+    from native_sql_engine_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 111)] + [(500, 501)]
+    pairs = spark.createDataFrame(chain, ["a_id", "b_id"])
+    got = {
+        (r.node, r.component) for r in connected_components(pairs).collect()
+    }
+    want = {(n, 100) for n in range(100, 112)} | {(500, 500), (501, 500)}
+    assert got == want
+
+
+def test_dedup_clusters_canonicals_cover_corpus(spark, sf_small):
+    """Every cluster has exactly one canonical doc, and cluster_id is the
+    min doc_id of the cluster."""
+    rows = pipeline.QUERIES["dedup_clusters"](spark, sf_small).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.doc_id for m in members)
+        assert sum(m.is_canonical for m in members) == 1
+    assert any(len(m) > 1 for m in by_cluster.values()), "expected real clusters"
