@@ -109,10 +109,12 @@ class Engine:
         return dedup_clusters(df, id_col, pairs, a_col, b_col)
 
     def similar_topk(self, df: DataFrame, query_vec: list[float], k: int = 10,
-                     approximate: bool = False, **kwargs) -> DataFrame:
-        from .operators.similarity import cosine_topk, cosine_topk_lsh
+                     method: str = "exact", **kwargs) -> DataFrame:
+        """Cosine top-k: ``exact`` (brute force), ``lsh`` (sign-LSH +
+        multiprobe), or ``ivf`` (centroid lists + nprobe)."""
+        from .operators.similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh
 
-        fn = cosine_topk_lsh if approximate else cosine_topk
+        fn = {"exact": cosine_topk, "lsh": cosine_topk_lsh, "ivf": cosine_topk_ivf}[method]
         return fn(df, query_vec, k, **kwargs)
 
     def knn_join(self, left: DataFrame, right: DataFrame, k: int,

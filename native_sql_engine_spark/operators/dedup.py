@@ -89,9 +89,19 @@ def connected_components(
     re-persisted per round and the previous round unpersisted, keeping
     lineage O(1).
     """
+    # both directions in ONE pass over pairs (a union of two selects would
+    # recompute the upstream pair pipeline — often a full similarity join —
+    # once per branch)
     edges = (
-        pairs.select(F.col(a_col).alias("_src"), F.col(b_col).alias("_dst"))
-        .union(pairs.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("_src"), F.col(b_col).alias("_dst")),
+                    F.struct(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e._src", "_e._dst")
         .distinct()
         .persist()
     )
@@ -209,6 +219,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.8,
     ngram: int = 3,
+    sort: bool = True,
 ) -> DataFrame:
     """Exact near-dup pairs by word-``ngram`` shingle Jaccard ≥ threshold,
     via **prefix filtering** (AllPairs/PPJoin family).
@@ -248,13 +259,12 @@ def ngram_jaccard_pairs(
     pairs = cand.join(
         base.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh")), "a_id"
     ).join(base.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh")), "b_id")
-    return (
-        pairs.select(
-            "a_id", "b_id", F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 4).alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("a_id", "b_id")
-    )
+    out = pairs.select(
+        "a_id", "b_id", F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+    # sort=False skips the global sort when the pairs feed another operator
+    # (e.g. connected components) rather than a deterministic result set
+    return out.orderBy("a_id", "b_id") if sort else out
 
 
 def minhash_signature(tokens_or_shingles: Column, num_hashes: int = 64) -> Column:

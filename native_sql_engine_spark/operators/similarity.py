@@ -120,6 +120,121 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centroids fit on a bounded sample.
+
+    Index *build* runs Lloyd iterations in numpy on ≤ ``sample_rows`` rows
+    pulled to the driver — the standard IVF recipe (train the coarse
+    quantizer on a sample, assign the full corpus distributed).  The sample
+    bound keeps driver memory O(sample · dim) regardless of corpus size."""
+    import numpy as np
+
+    frac_df = df.select(_to_double(F.col(vec_col)).alias("_v"))
+    n = frac_df.count()
+    if n > sample_rows:
+        frac_df = frac_df.sample(fraction=min(1.0, 1.2 * sample_rows / n), seed=seed)
+    mat = np.array(frac_df.limit(sample_rows).toPandas()["_v"].tolist(), dtype="float64")
+    # L2-normalize so euclidean k-means ≈ spherical (cosine) k-means
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cent[c] = m / nm
+    return cent.tolist()
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, _cid): each row tagged with its nearest (cosine) centroid.
+
+    One Arrow-batched matmul per partition against the broadcast centroid
+    matrix — at 100 TB the output is written partitioned by ``_cid`` so a
+    query's nprobe lists are partition-pruned scans."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sess = df.sparkSession
+    bc = sess.sparkContext.broadcast(np.array(centroids, dtype="float64"))
+    in_df = df.select(F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("_v"))
+
+    schema = T.StructType(
+        [
+            T.StructField("_id", in_df.schema["_id"].dataType),
+            T.StructField("_v", T.ArrayType(T.DoubleType())),
+            T.StructField("_cid", T.IntegerType()),
+        ]
+    )
+
+    def block(it):
+        cent = bc.value
+        for batch in it:
+            if len(batch) == 0:
+                continue
+            m = np.array(batch["_v"].tolist(), dtype="float64")
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0
+            cid = np.argmax((m / nrm[:, None]) @ cent.T, axis=1)
+            yield pd.DataFrame({"_id": batch["_id"], "_v": batch["_v"], "_cid": cid.astype("int32")})
+
+    return in_df.mapInPandas(block, schema).select(
+        F.col("_id").alias(id_col), F.col("_v").alias(vec_col), "_cid"
+    )
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: probe the ``nprobe`` centroid lists
+    nearest the query, exact-rerank only those rows.
+
+    With the corpus stored partitioned by ``_cid`` the filter is partition
+    pruning — a query reads nprobe/n_centroids of the data; here the index
+    is built inline (centroid fit on a sample + distributed assign)."""
+    import numpy as np
+
+    cent = np.array(ivf_centroids(df, vec_col, n_centroids), dtype="float64")
+    q = np.asarray(query_vec, dtype="float64")
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    probes = [int(c) for c in np.argsort(-(cent @ q))[:nprobe]]
+    assigned = ivf_assign(df, cent.tolist(), id_col, vec_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("_cid").isin(probes))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), qlit), 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join_exact(
     left: DataFrame,
     right: DataFrame,

@@ -410,6 +410,41 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "agg_stats_extended",
+    """
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 4)       AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_s,
+           round(covar_pop(l_extendedprice, l_quantity), 2)  AS cov_p,
+           round(var_samp(l_quantity), 4)                    AS var_s,
+           round(var_pop(l_quantity), 4)                     AS var_p,
+           round(quantile_cont(l_extendedprice, 0.5), 2)     AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_stats_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates beyond the reference's native action set
+    (stddev_samp is its only moment aggregate — actions_impl.cc:4496-4946;
+    the rest fell back to row execution): corr, covariance, variance, exact
+    interpolated percentile.  All single-pass moment aggregates with
+    map-side partial merge except percentile (sort-based within group)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_s"),
+            F.round(F.covar_pop("l_extendedprice", "l_quantity"), 2).alias("cov_p"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_s"),
+            F.round(F.var_pop("l_quantity"), 4).alias("var_p"),
+            F.round(F.percentile("l_extendedprice", 0.5), 2).alias("median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
     "agg_rollup",
     """
     SELECT l_returnflag, l_linestatus,

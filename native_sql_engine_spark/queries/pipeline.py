@@ -267,7 +267,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is DuckDB's recursive-CTE transitive closure over the same
     exact-Jaccard pair set."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, sort=False)
     return D.dedup_clusters(docs, "doc_id", pairs).orderBy("doc_id")
 
 
@@ -339,6 +339,17 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (approximate by construction); recall vs brute force checked in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk_lsh(emb, _query_vec(spark, sf_dir), k=10, n_planes=6, multiprobe=2)
+
+
+@q("sim_cosine_topk_ivf")
+def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (fit on a sample) + nprobe
+    centroid-list scan + exact rerank — rows-only (approximate by
+    construction); recall vs brute force checked in tests.  At scale the
+    corpus is stored partitioned by centroid id, making the probe a
+    partition-pruned scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivf(emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, nprobe=6)
 
 
 @q(

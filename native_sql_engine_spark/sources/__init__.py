@@ -1,6 +1,7 @@
 from .io import (
     read_csv,
     read_parquet,
+    write_bucketed,
     write_csv,
     write_parquet,
     cached,
@@ -10,6 +11,7 @@ from .io import (
 __all__ = [
     "read_csv",
     "read_parquet",
+    "write_bucketed",
     "write_csv",
     "write_parquet",
     "cached",

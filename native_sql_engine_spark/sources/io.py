@@ -101,6 +101,27 @@ def write_csv(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (hash-clustered files + metastore metadata).
+
+    The co-located-join primitive at 100 TB: two tables bucketed on the same
+    key with the same bucket count join with ZERO shuffle — each task reads
+    bucket i of both sides (plan shows SortMergeJoin with no Exchange,
+    asserted in tests/test_sources.py).  ``sort_cols`` additionally
+    pre-sorts within buckets so the merge join skips its sort."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def cached(df: DataFrame) -> DataFrame:
     """Columnar cache (reference: ArrowColumnarCachedBatchSerializer /
     df.cache) — Spark's in-memory columnar cache is the same idea built in."""

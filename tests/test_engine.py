@@ -51,8 +51,10 @@ def test_similarity_methods(eng):
     qv = list(emb.filter(F.col("vec_id") == 0).first().embedding)
     exact = eng.similar_topk(emb, qv, k=5)
     assert exact.count() == 5
-    approx = eng.similar_topk(emb, qv, k=5, approximate=True, n_planes=6, multiprobe=2)
+    approx = eng.similar_topk(emb, qv, k=5, method="lsh", n_planes=6, multiprobe=2)
     assert approx.count() <= 5 or approx.count() > 0
+    ivf = eng.similar_topk(emb, qv, k=5, method="ivf", n_centroids=8, nprobe=3)
+    assert ivf.count() == 5
 
 
 def test_io_roundtrip(eng, tmp_path):

@@ -48,6 +48,19 @@ def test_lsh_ann_recall(spark, sf_small):
     assert overlap >= 4, f"LSH recall too low: {overlap}/10"
 
 
+def test_ivf_ann_recall(spark, sf_small):
+    """IVF ANN top-10 must overlap heavily with brute-force top-10 (nprobe=6
+    of 16 lists scans ~3/8 of the corpus; neighbors of the query cluster
+    into the probed lists, so recall should be near-perfect)."""
+    exact = [r.vec_id for r in pipeline.QUERIES["sim_cosine_topk"](spark, sf_small).collect()]
+    approx = [
+        r.vec_id for r in pipeline.QUERIES["sim_cosine_topk_ivf"](spark, sf_small).collect()
+    ]
+    assert approx[0] == 0  # query vector itself lives in the nearest list
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 6, f"IVF recall too low: {overlap}/10"
+
+
 def test_multimodal_features_deterministic(spark, sf_small):
     a = pipeline.QUERIES["multimodal_features"](spark, sf_small).collect()
     b = pipeline.QUERIES["multimodal_features"](spark, sf_small).collect()

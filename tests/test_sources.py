@@ -63,6 +63,39 @@ def test_csv_roundtrip(spark, sf_small, tmp_path):
     )
 
 
+def test_bucketed_join_no_shuffle(spark, sf_small):
+    """Two tables bucketed on the join key must join with no Exchange —
+    the co-located join that saves the dominant shuffle at 100 TB."""
+    from native_sql_engine_spark.plans.inspect import executed_plan
+
+    orders = load_table(spark, sf_small, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
+    S.write_bucketed(orders, "t_orders_b", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    S.write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force the shuffle-vs-bucket decision (broadcast would hide it on sf0.001)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, a["o_orderkey"] == b["l_orderkey"])
+        plan = executed_plan(joined)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        expect = (
+            load_table(spark, sf_small, "orders")
+            .join(
+                load_table(spark, sf_small, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
 def test_cached_reuse(spark, sf_small):
     li = load_table(spark, sf_small, "lineitem").groupBy("l_returnflag").count()
     c = S.cached(li)
