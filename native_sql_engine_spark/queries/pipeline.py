@@ -99,7 +99,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _langid_oracle() -> str:
+def _langid_case_sql() -> str:
+    """DuckDB CASE expression mirroring operators.text.language_id."""
     score = {
         lang: f"len(list_intersect(list_filter(string_split_regex(lower(text),'\\s+'), t -> t <> ''), "
         f"[{','.join(repr(m) for m in markers)}]))"
@@ -110,6 +111,11 @@ def _langid_oracle() -> str:
     for lang in sorted(score):
         case += f"WHEN {score[lang]} = {best} THEN '{lang}' "
     case += "END"
+    return case
+
+
+def _langid_oracle() -> str:
+    case = _langid_case_sql()
     return f"""
     SELECT lang_guess, cast(count(*) AS bigint) AS n,
            cast(sum(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END) AS bigint) AS n_correct
@@ -298,6 +304,62 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact form; LSH-blocked at scale)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+def _corpus_pipeline_oracle() -> str:
+    return f"""
+    WITH m AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+      FROM documents),
+    s AS (
+      SELECT doc_id, text,
+             cast(len(toks) AS bigint) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN length(text) * 1.0 / len(toks) ELSE 0.0 END AS awl,
+             punct,
+             len(list_intersect(toks, {_STOP_SQL})) AS stop_hits
+      FROM m),
+    sc AS (
+      SELECT doc_id, text, n_tokens,
+             round(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN punct * 1.0 / greatest(length(text), 1) < 0.2
+                        THEN 0.2 ELSE 0.0 END
+                 + CASE WHEN stop_hits > 0 THEN 0.1 ELSE 0.0 END, 2) AS quality_score
+      FROM s),
+    kept AS (SELECT * FROM sc WHERE quality_score >= 0.95),
+    lang AS (SELECT *, {_langid_case_sql()} AS lang_guess FROM kept),
+    fp AS (
+      SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                        '\\s+', ' ', 'g'))) AS fp
+      FROM lang),
+    win AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp)
+    SELECT f.doc_id, f.lang_guess, f.n_tokens, f.quality_score
+    FROM fp f JOIN win USING (fp, doc_id)
+    ORDER BY f.doc_id
+    """
+
+
+@q("corpus_pipeline", _corpus_pipeline_oracle())
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-corpus pipeline — the composed form of the text /
+    dedup operator surface in one plan: quality-score filter (≥ 0.95) →
+    language ID → exact content dedup (min doc_id per normalized-text
+    fingerprint).  Everything up to the dedup groupBy is per-row codegen'd
+    column math pipelined into the scan (zero shuffles); the dedup shuffles
+    the 128-bit digest, never the document body, then semi-joins winners
+    back (broadcast-able at typical dup rates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = X.quality_metrics(docs, "text").filter(F.col("quality_score") >= 0.95)
+    tagged = X.language_id(scored, "text")
+    fped = tagged.withColumn("fp", X.fingerprint(F.col("text")))
+    winners = fped.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        fped.join(winners, ["fp", "doc_id"], "left_semi")
+        .select("doc_id", "lang_guess", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )
 
 
 # =========================================================================

@@ -109,6 +109,33 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "stream_stream_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           cast(epoch_us(cast(p.ts AS timestamp)) - epoch_us(cast(c.ts AS timestamp))
+                AS bigint) AS micros_between
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND cast(p.ts AS timestamp) >= cast(c.ts AS timestamp)
+     AND cast(p.ts AS timestamp) <= cast(c.ts AS timestamp) + INTERVAL 600 SECONDS
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (clicks → purchases within 10 min, same
+    user) with two-sided watermarks; the drained append-mode result
+    hash-matches the batch self-join in DuckDB (replay equivalence)."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    out = _drain(SW.click_purchase_join(ev), "q_stream_ssjoin", "append")
+    return out.orderBy("click_id", "purchase_id")
+
+
 @q("stream_stateful_sessionize")
 def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionization via applyInPandasWithState — rows-only

@@ -115,6 +115,52 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def click_purchase_join(
+    events: DataFrame, watermark: str = "1 hour", within_secs: int = 600
+) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases within ``within_secs`` after it (attribution-window shape).
+
+    Both sides carry watermarks and the join condition bounds event time in
+    both directions, so Spark evicts buffered state past
+    watermark + within_secs — bounded memory at any input rate.  The join
+    shuffles both streams by user_id once; at 100 TB/day the same plan runs
+    over Kafka partitions unchanged."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within_secs} SECONDS"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        # µs difference: exact integers on both engine and oracle side
+        # (a seconds diff would truncate sub-second components differently)
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+        .cast("bigint")
+        .alias("micros_between"),
+    )
+
+
 #: output schema of the stateful sessionizer
 SESSION_STATE_OUTPUT = T.StructType(
     [
