@@ -418,7 +418,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(covar_pop(l_extendedprice, l_quantity), 2)  AS cov_p,
            round(var_samp(l_quantity), 4)                    AS var_s,
            round(var_pop(l_quantity), 4)                     AS var_p,
-           round(quantile_cont(l_extendedprice, 0.5), 2)     AS median_price
+           round(quantile_cont(l_quantity, 0.5), 1)          AS median_qty
     FROM lineitem
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -438,7 +438,10 @@ def agg_stats_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.covar_pop("l_extendedprice", "l_quantity"), 2).alias("cov_p"),
             F.round(F.var_samp("l_quantity"), 4).alias("var_s"),
             F.round(F.var_pop("l_quantity"), 4).alias("var_p"),
-            F.round(F.percentile("l_extendedprice", 0.5), 2).alias("median_price"),
+            # percentile over an integer-valued column: interpolated midpoints
+            # are .0/.5 (exact in binary), so the round() can't straddle an
+            # engine-dependent half-cent boundary like a price median can
+            F.round(F.percentile("l_quantity", 0.5), 1).alias("median_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -1193,6 +1196,75 @@ def expr_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_name", r"[aeiou]", ".").alias("masked"),
         F.col("p_name").rlike(r"^(red|blue)").cast("int").alias("starts_color"),
     ).orderBy("p_partkey")
+
+
+@q(
+    "expr_json",
+    """
+    SELECT event_type,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(cast(props->>'k' AS bigint)) AS bigint) AS sum_k,
+           round(avg(cast(json_extract_string(props, '$.k') AS bigint)), 4) AS avg_k,
+           cast(min(cast(props->>'k' AS bigint)) AS bigint) AS min_k,
+           cast(max(cast(props->>'k' AS bigint)) AS bigint) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def expr_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction — absent from the reference's native surface (JSON
+    funcs fall back, SURVEY §2.8); first-class here via both the path
+    extractor (get_json_object) and the parsed-struct route (from_json),
+    feeding a codegen'd aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k_path = F.get_json_object("props", "$.k").cast("bigint")
+    k_struct = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k_path).alias("sum_k"),
+            F.round(F.avg(k_path), 4).alias("avg_k"),
+            F.min(k_struct).alias("min_k"),
+            F.max(k_struct).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "expr_complex_types",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round([l_quantity, l_discount, l_tax][1], 2)                  AS a_first,
+           cast(len([l_quantity, l_discount, l_tax]) AS int)             AS a_len,
+           round(list_aggregate([l_quantity, l_discount, l_tax], 'sum'), 4) AS a_sum,
+           round(list_aggregate([l_quantity, l_discount, l_tax], 'min'), 4) AS a_min,
+           list_contains([l_returnflag, l_linestatus], 'N')              AS has_n,
+           round(map(['qty','disc'], [l_quantity, l_discount])['qty'][1], 2) AS m_qty,
+           struct_pack(flag := l_returnflag, status := l_linestatus).flag AS s_flag
+    FROM lineitem WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def expr_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY / MAP / STRUCT expressions — the types the reference cannot
+    execute natively at all (blank rows in docs/operators.md, SURVEY §1.3);
+    Spark runs them codegen'd."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    arr = F.array("l_quantity", "l_discount", "l_tax")
+    m = F.create_map(F.lit("qty"), F.col("l_quantity"), F.lit("disc"), F.col("l_discount"))
+    st = F.struct(F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.element_at(arr, 1), 2).alias("a_first"),
+        F.size(arr).alias("a_len"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 4).alias("a_sum"),
+        F.round(F.array_min(arr), 4).alias("a_min"),
+        F.array_contains(F.array("l_returnflag", "l_linestatus"), "N").alias("has_n"),
+        F.round(F.element_at(m, "qty"), 2).alias("m_qty"),
+        st.getField("flag").alias("s_flag"),
+    ).orderBy("l_orderkey", "l_linenumber")
 
 
 @q(
