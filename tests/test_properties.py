@@ -1,0 +1,161 @@
+"""Property-based tests (hypothesis) — randomized inputs vs brute-force
+Python reimplementations.
+
+The reference's level-1 strategy is golden-equivalence against vanilla
+Spark over the whole forked sql/core test corpus (SURVEY §5); these
+property tests play that role for the operators we *added* beyond Spark's
+surface, where no golden corpus exists: each example generates a random
+input, runs the distributed operator, and compares against an obviously
+correct sequential implementation.
+
+Each example batches MANY generated cases into one DataFrame (disjoint
+id spaces), so one Spark job checks dozens of cases — hypothesis drives
+the generation, Spark round-trips stay O(examples) not O(cases).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find(n_nodes: set[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = {n: n for n in n_nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label canonical form
+    return {n: find(n) for n in n_nodes}
+
+
+@given(
+    graphs=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**{**_SETTINGS, "max_examples": 3})  # each example is a multi-round iterative job
+def test_connected_components_matches_union_find(spark, graphs):
+    """connected_components ≡ sequential union-find on arbitrary graphs.
+    Many random graphs ride in one DataFrame on disjoint id ranges."""
+    from native_sql_engine_spark.operators.dedup import connected_components
+
+    all_edges: list[tuple[int, int]] = []
+    want: dict[int, int] = {}
+    for gi, g in enumerate(graphs):
+        off = gi * 1000
+        edges = [(a + off, b + off) for a, b in g]
+        nodes = {x for e in edges for x in e}
+        want.update(_union_find(nodes, edges))
+        all_edges.extend(edges)
+
+    pairs = spark.createDataFrame(all_edges, ["a_id", "b_id"]).coalesce(4)
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == want
+
+
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+            st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_jaccard_column_matches_python(spark, cases):
+    """The jaccard() column expression ≡ Python set arithmetic."""
+    from native_sql_engine_spark.operators.dedup import jaccard
+
+    rows = [(i, list(a), list(b)) for i, (a, b) in enumerate(cases)]
+    # explicit schema: empty generated arrays carry no inferable element type
+    df = spark.createDataFrame(rows, "i int, a array<string>, b array<string>").coalesce(2)
+    got = {
+        r.i: round(r.j, 6)
+        for r in df.select(
+            "i", jaccard(F.array_distinct("a"), F.array_distinct("b")).alias("j")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(cases):
+        sa, sb = set(a), set(b)
+        want = len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
+        assert abs(got[i] - want) < 1e-6, (i, a, b, got[i], want)
+
+
+@given(
+    cases=st.lists(
+        st.tuples(
+            # left: probe timestamps; right: (ts, value) updates
+            st.lists(st.integers(0, 100), min_size=1, max_size=10),
+            st.lists(st.tuples(st.integers(0, 100), st.integers(0, 999)), min_size=0, max_size=10),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_python(spark, cases):
+    """asof_join ≡ per-key sequential scan: latest right ts ≤ left ts wins,
+    greatest tie_break among equal timestamps."""
+    from native_sql_engine_spark.operators.temporal import asof_join
+
+    lrows, rrows = [], []
+    want: dict[tuple[int, int], int | None] = {}
+    for k, (probes, updates) in enumerate(cases):
+        for i, ts in enumerate(probes):
+            lrows.append((k, ts, i))
+            eligible = [(rts, v) for rts, v in updates if rts <= ts]
+            want[(k, i)] = max(eligible, key=lambda t: (t[0], t[1]))[1] if eligible else None
+        for rts, v in updates:
+            rrows.append((k, rts, v))
+
+    left = spark.createDataFrame(lrows, ["k", "ts", "probe_id"]).coalesce(2)
+    if rrows:
+        right = spark.createDataFrame(rrows, ["k", "rts", "v"]).coalesce(2)
+    else:
+        right = spark.createDataFrame([], "k int, rts int, v int")
+    out = asof_join(left, right, "k", "ts", "rts", ["v"], tie_break="v")
+    got = {(r.k, r.probe_id): r.right_v for r in out.collect()}
+    assert got == want
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(**_SETTINGS)
+def test_minhash_identical_docs_always_pair(spark, seed):
+    """MinHash-LSH can never miss EXACT duplicates (identical shingle sets
+    → identical signatures → identical band buckets), whatever the text."""
+    import random
+
+    from native_sql_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = random.Random(seed)
+    words = [f"w{rng.randint(0, 50)}" for _ in range(rng.randint(5, 40))]
+    text = " ".join(words)
+    other = " ".join(f"x{rng.randint(100, 200)}" for _ in range(20))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, other)], ["doc_id", "text"]
+    ).coalesce(2)
+    pairs = {(r.a_id, r.b_id) for r in minhash_lsh_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
