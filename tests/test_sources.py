@@ -96,6 +96,49 @@ def test_bucketed_join_no_shuffle(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def test_json_roundtrip(spark, sf_small, tmp_path):
+    nat = load_table(spark, sf_small, "nation")
+    out = str(tmp_path / "nation.json")
+    S.write_json(nat, out)
+    back = S.read_json(spark, out, schema=nat.schema)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nat.collect()
+    )
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_small, tmp_path):
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "li.orc")
+    S.write_orc(li, out)
+    back = S.read_orc(spark, out).filter(F.col("l_quantity") < 5).select(
+        "l_orderkey", "l_quantity"
+    )
+    explained = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in explained, "filter did not reach the ORC scan"
+    assert back.count() == li.filter(F.col("l_quantity") < 5).count()
+
+
+def test_arrow_ipc_roundtrip(spark, sf_small, tmp_path):
+    """Arrow IPC: distributed write (one file per partition) then distributed
+    decode; values and schema must survive the round trip."""
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).repartition(3)
+    out = str(tmp_path / "orders_ipc")
+    written = S.write_arrow_ipc(orders, out)
+    assert written == orders.count()
+    import glob
+
+    assert len(glob.glob(out + "/part-*.arrow")) == 3
+    back = S.read_arrow_ipc(spark, out)
+    assert back.schema == orders.schema
+    assert sorted(r.o_orderkey for r in back.collect()) == sorted(
+        r.o_orderkey for r in orders.collect()
+    )
+
+
 def test_cached_reuse(spark, sf_small):
     li = load_table(spark, sf_small, "lineitem").groupBy("l_returnflag").count()
     c = S.cached(li)
