@@ -329,6 +329,64 @@ def join_non_equi_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "join_theta_bnlj",
+    """
+    SELECT band, cast(count(*) AS bigint) AS n,
+           cast(round(sum(cast(o_totalprice AS decimal(38,9))), 2) AS double) AS total
+    FROM orders
+    JOIN (VALUES ('low',  0.0,      100000.0),
+                 ('mid',  100000.0, 200000.0),
+                 ('high', 200000.0, 1e18)) bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band ORDER BY band
+    """,
+)
+def join_theta_bnlj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta join (no equi keys) — BroadcastNestedLoopJoin.  The
+    reference keeps BNLJ on the row path (docs/operators.md row 22); here the
+    tiny band table broadcasts so the fact side streams with no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 200000.0), ("high", 200000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    cond = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
+    return (
+        orders.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,9)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("band")
+    )
+
+
+@q(
+    "range_generate",
+    """
+    SELECT cast(id % 7 AS bigint) AS bucket,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(id) AS bigint) AS id_sum
+    FROM range(0, 100000) t(id)
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def range_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy distributed sequence — RangeExec (row fallback in the reference,
+    docs/operators.md row 10).  spark.range partitions the interval across
+    executors; no data is materialized on the driver."""
+    return (
+        spark.range(0, 100000)
+        .groupBy((F.col("id") % 7).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("id").alias("id_sum"))
+        .orderBy("bucket")
+    )
+
+
 # =========================================================================
 # Aggregation (§2.4) — the reference's native action set + beyond
 # =========================================================================

@@ -157,6 +157,91 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
+@q(
+    "split_hash_sample",
+    """
+    WITH tagged AS (
+      SELECT n_chars,
+             CASE WHEN substr(md5(cast(doc_id AS varchar)), 1, 1) BETWEEN '0' AND '9'
+                    OR substr(md5(cast(doc_id AS varchar)), 1, 1) IN ('a', 'b')
+                  THEN 'train'
+                  WHEN substr(md5(cast(doc_id AS varchar)), 1, 1) IN ('c', 'd')
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, cast(count(*) AS bigint) AS n,
+           cast(round(avg(n_chars), 2) AS double) AS avg_chars
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def split_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-hash bucket (the
+    sampling primitive of a training-data pipeline: reproducible across
+    runs/engines, no RNG state, pure map — embarrassingly parallel at 100 TB;
+    first md5 hex digit → 12/2/2 of 16 buckets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(digit.between("0", "9") | digit.isin("a", "b"), "train")
+        .when(digit.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("n_chars"), 2).cast("double").alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@q(
+    "text_tfidf",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, cast(count(*) AS bigint) AS df FROM tf GROUP BY token),
+    total AS (SELECT cast(count(*) AS double) AS n_docs FROM documents)
+    SELECT t.token, d.df,
+           cast(round(max(t.tf * ln(total.n_docs / d.df)), 4) AS double) AS max_tfidf
+    FROM tf t JOIN dfreq d ON t.token = d.token CROSS JOIN total
+    GROUP BY t.token, d.df
+    ORDER BY d.df DESC, t.token
+    LIMIT 20
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring over the corpus: tokenize → per-doc term frequency →
+    document frequency → ln(N/df) weights.  All shuffles carry (token) or
+    (doc_id, token) pairs, never document bodies; the corpus size N rides
+    along as a broadcast scalar, so the plan is two hash aggregates plus one
+    token-keyed join at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+        .groupBy("token", "df")
+        .agg(F.round(F.max("tfidf"), 4).cast("double").alias("max_tfidf"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(20)
+    )
+
+
 # =========================================================================
 # Deduplication
 # =========================================================================
