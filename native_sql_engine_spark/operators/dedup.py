@@ -69,11 +69,59 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+#: Edge-count cutoff below which connected components collapses to a single
+#: driver-side union-find.  5M edges ≈ tens of MB on the driver — far under
+#: any sane driver heap — while the distributed path-halving rounds cost
+#: several full shuffle barriers each.  Near-dup graphs are *sparse relative
+#: to the corpus* (only actual duplicates appear), so even at 100 TB most
+#: runs stay under this; beyond it the O(log d) distributed rounds take over.
+SMALL_GRAPH_EDGES = 5_000_000
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find with path compression + union by size;
+    labels = min node id per component (matching the distributed path)."""
+    parent: dict[int, int] = {}
+    size: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+                size[n] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    # min id per component
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return {n: comp_min[find(n)] for n in parent}
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 20
 ) -> DataFrame:
     """(node, component) for every node in the undirected pair graph, where
     component = the minimum node id reachable from it.
+
+    The edge list is materialized once (it feeds every round anyway); when
+    it is small (< ``SMALL_GRAPH_EDGES``) the components are solved with one
+    driver-side union-find — exact same labels, none of the per-round
+    shuffle barriers.  Distributed path-halving handles the big-graph case.
 
     Min-label propagation **with path halving**: each round every node takes
     the min of its own label, its neighbors' labels, and its label's label
@@ -105,6 +153,17 @@ def connected_components(
         .distinct()
         .persist()
     )
+    n_edges = edges.count()  # materializes the persist; drives the path choice
+    if n_edges <= SMALL_GRAPH_EDGES:
+        try:
+            rows = edges.filter(F.col("_src") < F.col("_dst")).collect()
+            labels_map = _union_find_components([(r._src, r._dst) for r in rows])
+            spark = pairs.sparkSession
+            return spark.createDataFrame(
+                list(labels_map.items()), "node long, component long"
+            )
+        finally:
+            edges.unpersist()
     labels = (
         edges.select(F.col("_src").alias("_n"))
         .distinct()

@@ -33,7 +33,12 @@ def q(name: str, oracle: str | None = None):
 
 
 def _drain(stream_df: DataFrame, base: str, mode: str) -> DataFrame:
-    return SW.run_to_memory(stream_df, f"{base}_{next(_SINK_SEQ)}", output_mode=mode)
+    # the driver events table is a single-file micro-batch; 8 state
+    # partitions keep state-store maintenance proportional to it (the
+    # session's 32 would pay 4× the per-partition per-batch overhead)
+    return SW.run_to_memory(
+        stream_df, f"{base}_{next(_SINK_SEQ)}", output_mode=mode, state_partitions=8
+    )
 
 
 @q(

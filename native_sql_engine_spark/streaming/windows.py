@@ -225,20 +225,38 @@ def stateful_sessionize(events: DataFrame) -> DataFrame:
 
 
 def run_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a finite stream into an in-memory table (test/dev sink) with
     Trigger.AvailableNow — processes all available input then stops.
 
+    ``state_partitions`` sizes the stateful-operator partitioning (stream
+    aggregation / join state stores are created one per shuffle partition
+    and pay per-partition per-micro-batch maintenance, so this should track
+    stream volume: a few for a test stream, hundreds on a production
+    firehose).  It is pinned at the query's first checkpoint by Structured
+    Streaming; the session conf is restored afterwards so batch queries keep
+    their own setting.
+
     Production sinks swap this for ``.format("parquet")`` / ``foreachBatch``;
     the query plan is identical."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)

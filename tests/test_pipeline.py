@@ -78,15 +78,19 @@ def test_multimodal_stubs_are_marked(spark, sf_small):
             stub(docs)
 
 
-def test_connected_components_chain(spark):
+@pytest.mark.parametrize("small_graph_cutoff", [5_000_000, 0])
+def test_connected_components_chain(spark, small_graph_cutoff, monkeypatch):
     """Worst-case diameter: a 12-node chain must collapse to one component
-    (exercises multi-round label propagation), plus an isolated pair."""
-    from native_sql_engine_spark.operators.dedup import connected_components
+    (exercises multi-round label propagation), plus an isolated pair.
+    Parametrized over both execution paths: driver union-find (default at
+    this size) and the distributed path-halving rounds (cutoff forced to 0)."""
+    from native_sql_engine_spark.operators import dedup
 
+    monkeypatch.setattr(dedup, "SMALL_GRAPH_EDGES", small_graph_cutoff)
     chain = [(i, i + 1) for i in range(100, 111)] + [(500, 501)]
     pairs = spark.createDataFrame(chain, ["a_id", "b_id"])
     got = {
-        (r.node, r.component) for r in connected_components(pairs).collect()
+        (r.node, r.component) for r in dedup.connected_components(pairs).collect()
     }
     want = {(n, 100) for n in range(100, 112)} | {(500, 500), (501, 500)}
     assert got == want

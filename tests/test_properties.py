@@ -56,9 +56,10 @@ def _union_find(n_nodes: set[int], edges: list[tuple[int, int]]) -> dict[int, in
 )
 @settings(**{**_SETTINGS, "max_examples": 3})  # each example is a multi-round iterative job
 def test_connected_components_matches_union_find(spark, graphs):
-    """connected_components ≡ sequential union-find on arbitrary graphs.
+    """connected_components ≡ sequential union-find on arbitrary graphs,
+    on BOTH execution paths (driver union-find and distributed rounds).
     Many random graphs ride in one DataFrame on disjoint id ranges."""
-    from native_sql_engine_spark.operators.dedup import connected_components
+    from native_sql_engine_spark.operators import dedup
 
     all_edges: list[tuple[int, int]] = []
     want: dict[int, int] = {}
@@ -70,8 +71,14 @@ def test_connected_components_matches_union_find(spark, graphs):
         all_edges.extend(edges)
 
     pairs = spark.createDataFrame(all_edges, ["a_id", "b_id"]).coalesce(4)
-    got = {r.node: r.component for r in connected_components(pairs).collect()}
-    assert got == want
+    saved = dedup.SMALL_GRAPH_EDGES
+    try:
+        for cutoff in (saved, 0):
+            dedup.SMALL_GRAPH_EDGES = cutoff
+            got = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+            assert got == want, f"cutoff={cutoff}"
+    finally:
+        dedup.SMALL_GRAPH_EDGES = saved
 
 
 @given(
