@@ -114,3 +114,35 @@ def fingerprint(col: Column) -> Column:
     (A content-defined rolling hash reduces to the same shuffle key shape;
     md5 keeps the oracle exactly reproducible.)"""
     return F.md5(normalize_text(col))
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy record linkage: (a_id, b_id, dist) for pairs with
+    Levenshtein distance ≤ ``max_dist`` within the same blocking-key group.
+
+    Classic entity-resolution shape: the equi-join on ``block_cols`` keeps
+    the candidate space to within-block pairs (never the O(n²) corpus), a
+    length pre-filter |len(a)−len(b)| ≤ d discards non-candidates before
+    the O(len²) edit-distance kernel, and levenshtein verifies — all
+    JVM-side expressions.  At 100 TB the blocking key is the lever: pick
+    one with bounded group sizes (sorted-neighborhood keys, phonetic codes,
+    n-gram buckets) and skewed blocks split via AQE."""
+    a = df.select(
+        F.col(id_col).alias("a_id"), F.col(text_col).alias("_a_txt"), *block_cols
+    )
+    b = df.select(
+        F.col(id_col).alias("b_id"), F.col(text_col).alias("_b_txt"), *block_cols
+    )
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.abs(F.length("_a_txt") - F.length("_b_txt")) <= max_dist)
+        .select("a_id", "b_id", F.levenshtein("_a_txt", "_b_txt").alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -506,6 +506,37 @@ def agg_stats_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "agg_min_max_by",
+    """
+    SELECT o_orderstatus,
+           cast(arg_min(o_orderkey, printf('%018.4f#%012d', o_totalprice, o_orderkey)) AS bigint) AS cheapest_order,
+           cast(arg_max(o_orderkey, printf('%018.4f#%012d', o_totalprice, o_orderkey)) AS bigint) AS priciest_order,
+           bool_and(o_totalprice > 0)      AS all_positive,
+           bool_or(o_totalprice > 400000)  AS any_over_400k
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) + bool_and/bool_or aggregates — absent
+    from the reference's native action set (actions_impl.cc), first-class
+    here.  The ordering key is a zero-padded (price, key) string so argmin
+    ties break identically in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.format_string("%018.4f#%012d", F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", key).alias("cheapest_order"),
+            F.max_by("o_orderkey", key).alias("priciest_order"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "agg_rollup",
     """
     SELECT l_returnflag, l_linestatus,

@@ -242,6 +242,28 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "fuzzy_match_suppliers",
+    """
+    SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+           cast(levenshtein(a.s_name, b.s_name) AS int) AS dist
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE abs(length(a.s_name) - length(b.s_name)) <= 2
+      AND levenshtein(a.s_name, b.s_name) <= 2
+    ORDER BY a_id, b_id
+    """,
+)
+def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (entity resolution): same-nation supplier
+    pairs within Levenshtein distance 2 — equi-join blocking + length
+    pre-filter + edit-distance verify, no O(n²) stage."""
+    sup = load_table(spark, sf_dir, "supplier")
+    return X.fuzzy_match_pairs(
+        sup, "s_suppkey", "s_name", ["s_nationkey"], max_dist=2
+    ).orderBy("a_id", "b_id")
+
+
 # =========================================================================
 # Deduplication
 # =========================================================================
