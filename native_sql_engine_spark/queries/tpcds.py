@@ -15,7 +15,10 @@ on the TPC-H-ish tables — the shapes are what SURVEY §2 inventories:
 - q42/q52/q55: date-dim star aggregate, top-k;
 - q19: brand revenue with a cross-dimension (customer vs supplier nation)
   mismatch predicate;
-- q43: day-of-week pivot-style conditional aggregation.
+- q43: day-of-week pivot-style conditional aggregation;
+- q10: demographics count gated by EXISTS + (EXISTS OR EXISTS) subqueries;
+- q27: multi-dimension ROLLUP of averages;
+- q59: period-over-period comparison via self-join of an aggregate CTE.
 
 Every query is one ANSI-SQL string executed verbatim by BOTH Spark and the
 DuckDB oracle (day-of-week is day(date) % 7 to avoid engine-specific DOW
@@ -302,6 +305,68 @@ _register(
       AND c_nationkey = n_nationkey
     GROUP BY n_name
     ORDER BY n_name
+    """,
+)
+
+# --- q10-shape: demographics count gated by EXISTS + (EXISTS OR EXISTS) ----
+_register(
+    "tpcds_q10",
+    """
+    SELECT c_mktsegment, n_name, cast(count(*) AS bigint) AS cnt
+    FROM customer, nation
+    WHERE c_nationkey = n_nationkey
+      AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND (EXISTS (SELECT 1 FROM orders o, lineitem l
+                   WHERE o.o_custkey = c_custkey AND l.l_orderkey = o.o_orderkey
+                     AND l.l_returnflag = 'R')
+           OR EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000))
+    GROUP BY c_mktsegment, n_name
+    ORDER BY c_mktsegment, n_name
+    """,
+)
+
+# --- q27-shape: multi-dimension ROLLUP of averages --------------------------
+_register(
+    "tpcds_q27",
+    """
+    SELECT n_name, c_mktsegment,
+           cast(grouping(n_name) AS bigint)      AS g_nation,
+           cast(grouping(c_mktsegment) AS bigint) AS g_segment,
+           cast(count(*) AS bigint)               AS cnt,
+           round(avg(o_totalprice), 2)            AS avg_price
+    FROM orders, customer, nation
+    WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+    """,
+)
+
+# --- q59-shape: period-over-period comparison via aggregate self-join -------
+_register(
+    "tpcds_q59",
+    """
+    WITH monthly AS (
+      SELECT n_name,
+             year(o_orderdate)  AS yr,
+             month(o_orderdate) AS mon,
+             sum(cast(o_totalprice AS decimal(38,9))) AS sales
+      FROM orders, customer, nation
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      GROUP BY n_name, year(o_orderdate), month(o_orderdate)
+    )
+    SELECT cur.n_name,
+           cast(cur.yr AS bigint)  AS yr,
+           cast(cur.mon AS bigint) AS mon,
+           cast(round(cur.sales, 2) AS double) AS sales,
+           cast(round(prev.sales, 2) AS double) AS prev_year_sales,
+           round(cast(cur.sales AS double) / cast(prev.sales AS double), 4) AS yoy_ratio
+    FROM monthly cur
+    JOIN monthly prev
+      ON cur.n_name = prev.n_name AND cur.mon = prev.mon
+     AND cur.yr = prev.yr + 1
+    WHERE prev.sales <> 0
+    ORDER BY cur.n_name, yr, mon
     """,
 )
 
