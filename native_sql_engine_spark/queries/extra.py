@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -139,4 +139,71 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qty"),
         )
         .orderBy("p_brand")
+    )
+
+
+@q(
+    "timeseries_gapfill",
+    """
+    WITH daily AS (
+      SELECT c_mktsegment AS seg, cast(o_orderdate AS date) AS d,
+             sum(cast(o_totalprice AS decimal(38,9))) AS rev
+      FROM orders, customer
+      WHERE o_custkey = c_custkey AND year(cast(o_orderdate AS date)) = 1998
+      GROUP BY seg, d
+    ),
+    cal AS (SELECT cast(gs AS date) AS d
+            FROM generate_series(DATE '1998-01-01', DATE '1998-12-31', INTERVAL 1 DAY) t(gs)),
+    segs AS (SELECT DISTINCT c_mktsegment AS seg FROM customer),
+    grid AS (SELECT seg, d FROM segs CROSS JOIN cal)
+    SELECT g.seg,
+           cast(g.d AS varchar) AS day,
+           cast(round(coalesce(daily.rev, 0), 2) AS double) AS revenue,
+           cast(round(coalesce(last_value(daily.rev IGNORE NULLS)
+                 OVER (PARTITION BY g.seg ORDER BY g.d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 2)
+                AS double) AS revenue_locf
+    FROM grid g LEFT JOIN daily ON g.seg = daily.seg AND g.d = daily.d
+    ORDER BY 1, 2
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + last-observation-carried-forward over a daily
+    revenue series (the time-series resample primitive the reference lacks).
+
+    The dense calendar comes from one `sequence` literal exploded JVM-side
+    (365 rows) cross-joined with the distinct segments — a broadcast-sized
+    grid at any corpus scale, since its size is |segments| × |days|, not
+    |rows|; the fact table contributes only its per-day aggregate.  LOCF is
+    a running `last(ignorenulls)` window — one shuffle by segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.year(F.col("o_orderdate").cast("date")) == 1998)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,9)")).alias("rev"))
+    )
+    cal = spark.sql(
+        "SELECT explode(sequence(DATE'1998-01-01', DATE'1998-12-31', INTERVAL 1 DAY)) AS d"
+    )
+    segs = customer.select(F.col("c_mktsegment").alias("seg")).distinct()
+    grid = segs.crossJoin(cal)
+    w = W.partitionBy("seg").orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        grid.join(daily, ["seg", "d"], "left")
+        .select(
+            "seg",
+            F.col("d").cast("string").alias("day"),
+            F.round(F.coalesce("rev", F.lit(0)), 2).cast("double").alias("revenue"),
+            F.round(
+                F.coalesce(F.last("rev", ignorenulls=True).over(w), F.lit(0)), 2
+            )
+            .cast("double")
+            .alias("revenue_locf"),
+        )
+        .orderBy("seg", "day")
     )

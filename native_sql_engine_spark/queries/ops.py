@@ -506,6 +506,68 @@ def agg_stats_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "reshape_unpivot",
+    """
+    WITH wide AS (
+      SELECT n_name,
+             cast(round(sum(CASE WHEN o_orderstatus = 'F'
+                                 THEN cast(o_totalprice AS decimal(38,9)) ELSE 0 END), 2)
+                  AS double) AS sales_f,
+             cast(round(sum(CASE WHEN o_orderstatus = 'O'
+                                 THEN cast(o_totalprice AS decimal(38,9)) ELSE 0 END), 2)
+                  AS double) AS sales_o,
+             cast(round(sum(CASE WHEN o_orderstatus = 'P'
+                                 THEN cast(o_totalprice AS decimal(38,9)) ELSE 0 END), 2)
+                  AS double) AS sales_p
+      FROM orders, customer, nation
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, status, sales FROM (
+      SELECT n_name, 'sales_f' AS status, sales_f AS sales FROM wide
+      UNION ALL
+      SELECT n_name, 'sales_o' AS status, sales_o AS sales FROM wide
+      UNION ALL
+      SELECT n_name, 'sales_p' AS status, sales_p AS sales FROM wide
+    )
+    ORDER BY n_name, status
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via ``DataFrame.unpivot`` (melt) — the inverse of
+    pivot; Catalyst plans it as an Expand node, one pass over the input."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sums = {
+        s: F.round(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == s.upper(),
+                    F.col("o_totalprice").cast("decimal(38,9)"),
+                ).otherwise(F.lit(0))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias(f"sales_{s}")
+        for s in ("f", "o", "p")
+    }
+    wide = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(*sums.values())
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["sales_f", "sales_o", "sales_p"],
+        variableColumnName="status",
+        valueColumnName="sales",
+    ).orderBy("n_name", "status")
+
+
+@q(
     "agg_min_max_by",
     """
     SELECT o_orderstatus,
