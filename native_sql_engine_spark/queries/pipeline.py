@@ -198,6 +198,41 @@ def split_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "sample_stratified",
+    """
+    WITH tagged AS (
+      SELECT lang, n_chars,
+             substr(md5(cast(doc_id AS varchar)), 1, 2) AS h2
+      FROM documents
+    )
+    SELECT lang,
+           cast(count(*) AS bigint) AS n_sampled,
+           cast(round(avg(n_chars), 2) AS double) AS avg_chars
+    FROM tagged
+    WHERE h2 < '29'
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: ~16% of every language stratum
+    (md5 first-two-hex-digit < '29' ⇒ 41/256 buckets), no RNG state — the
+    same rows are picked on any engine, cluster size, or retry.  A pure
+    map-side filter: at 100 TB this is a scan predicate, no shuffle until
+    the per-stratum aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.filter(h2 < "29")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("n_chars"), 2).cast("double").alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
     "text_tfidf",
     """
     WITH tok AS (

@@ -62,3 +62,37 @@ def test_null_aware_anti_join_plan(spark, sf_small):
     )
     plan = P.executed_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "NullAwareAnti" in plan or "LeftAnti" in plan
+
+
+def test_theta_join_plans_as_bnlj(spark, sf_small):
+    """A pure non-equi join against a tiny broadcast side must plan as
+    BroadcastNestedLoopJoin — no shuffle on the fact side."""
+    from native_sql_engine_spark.queries.ops import QUERIES
+
+    df = QUERIES["join_theta_bnlj"](spark, sf_small)
+    assert P.has_node(df, "BroadcastNestedLoopJoin")
+    assert not P.has_node(df, "SortMergeJoin")
+
+
+def test_gapfill_grid_broadcasts(spark, sf_small):
+    """The dense calendar grid is |segments|x|days| — it must reach the fact
+    aggregate via a broadcast join, never a shuffled one."""
+    from native_sql_engine_spark.queries.extra import QUERIES
+
+    df = QUERIES["timeseries_gapfill"](spark, sf_small)
+    assert P.has_node(df, "BroadcastHashJoin") or P.has_node(
+        df, "BroadcastNestedLoopJoin"
+    )
+
+
+def test_stratified_sample_is_scan_predicate(spark, sf_small):
+    """The md5-bucket sample filter must sit map-side (a Filter over the
+    scan), introducing no exchange before the per-stratum aggregate."""
+    from native_sql_engine_spark.queries.pipeline import QUERIES
+
+    df = QUERIES["sample_stratified"](spark, sf_small)
+    plan = P.executed_plan(df)
+    agg_shuffles = plan.count("Exchange")
+    # exactly: one shuffle for the groupBy('lang') + the final orderBy range
+    # exchange; the sample filter itself must add none
+    assert agg_shuffles <= 2, plan
