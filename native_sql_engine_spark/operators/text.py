@@ -87,17 +87,37 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
 def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_guess") -> DataFrame:
     """Heuristic language ID: marker-stopword hit counts per language,
     argmax with deterministic (alphabetical) tie-break, 'und' when no
-    marker hits at all."""
-    toks = tokens(F.lower(F.col(text_col)))
-    scores = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
-        for lang, markers in sorted(LANG_MARKERS.items())
-    }
-    best = F.greatest(*scores.values())
-    guess = F.when(best <= 0, F.lit("und"))
-    for lang in sorted(scores):  # alphabetical order = deterministic tie-break
-        guess = guess.when(scores[lang] == best, F.lit(lang))
-    return df.withColumn(out, guess)
+    marker hits at all.
+
+    Built as two projection steps so the tokenization and each per-language
+    score are evaluated ONCE per row: the scores live in intermediate
+    columns that the argmax CASE only references.  (Inlining them into the
+    chained ``when``s makes Catalyst re-evaluate split+array_intersect per
+    branch — O(langs²) regex work per row; CollapseProject keeps the split
+    because the aliases are non-trivial and multiply referenced.)"""
+    langs = sorted(LANG_MARKERS)
+    toks_col, best_col = f"_{out}_toks", f"_{out}_best"
+    score_col = {lang: f"_{out}_{lang}" for lang in langs}
+    scored = df.withColumn(toks_col, tokens(F.lower(F.col(text_col)))).withColumns(
+        {
+            score_col[lang]: F.size(
+                F.array_intersect(
+                    F.col(toks_col),
+                    F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]),
+                )
+            )
+            for lang in langs
+        }
+    )
+    scored = scored.withColumn(
+        best_col, F.greatest(*[F.col(score_col[lang]) for lang in langs])
+    )
+    guess = F.when(F.col(best_col) <= 0, F.lit("und"))
+    for lang in langs:  # alphabetical order = deterministic tie-break
+        guess = guess.when(F.col(score_col[lang]) == F.col(best_col), F.lit(lang))
+    return scored.withColumn(out, guess).drop(
+        toks_col, best_col, *score_col.values()
+    )
 
 
 def normalize_text(col: Column) -> Column:

@@ -460,8 +460,11 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+            # rsd 0.02 halves HLL++ register cost vs 0.01 for the same
+            # order-of-magnitude answer; sketch size is per-group state that
+            # every map task carries at 100 TB, so precision is a real knob
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 500).alias("approx_median"),
         )
         .orderBy("l_returnflag")
     )
