@@ -166,3 +166,42 @@ def fuzzy_match_pairs(
         .select("a_id", "b_id", F.levenshtein("_a_txt", "_b_txt").alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
+
+
+#: PII-ish patterns, RE2-compatible so Spark (Java regex) and DuckDB (RE2)
+#: agree byte-for-byte on the replacement result.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+NUM_RUN_RE = r"[0-9]{4,}"
+
+
+def redact(col: Column, email_token: str = "<EMAIL>", num_token: str = "<NUM>") -> Column:
+    """Pattern-based redaction (emails, long digit runs) — the scrubbing
+    step of a pretraining pipeline.  Pure JVM regexp_replace: codegen'd,
+    no Python in the hot path."""
+    c = F.regexp_replace(col, EMAIL_RE, email_token)
+    return F.regexp_replace(c, NUM_RUN_RE, num_token)
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level top-k word n-grams: tokenize once into an intermediate
+    column (CollapseProject keeps the split single-evaluation), slide an
+    n-window via sequence+element_at (1-based, matching SQL list indexing),
+    explode, hash-aggregate.  The explode multiplies rows ~len(doc)×, but
+    partial map-side aggregation collapses them before the one shuffle —
+    the count state, not the n-gram stream, is what crosses the wire."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_tg_toks")) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_tg_toks"), i + j) for j in range(n)]
+        ),
+    )
+    return (
+        df.withColumn("_tg_toks", toks)
+        .filter(F.size(F.col("_tg_toks")) >= n)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(k)
+    )

@@ -1701,3 +1701,101 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
         "l_returnflag", "l_linestatus"
     )
+
+
+@q(
+    "agg_median_percentile",
+    """
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 2)                 AS med_price,
+           round(quantile_cont(l_extendedprice, 0.25), 2)    AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.95), 2)    AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / continuous percentiles (fallback-path aggregates in
+    the reference; first-class here).  Exact percentile is a sort-based
+    aggregate — at 100 TB prefer agg_approx_distinct's percentile_approx
+    sketch unless exactness is contractual."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_extendedprice"), 2).alias("med_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "agg_bitwise_bool",
+    """
+    SELECT l_returnflag,
+           cast(bit_and(l_orderkey) AS bigint) AS band,
+           cast(bit_or(l_orderkey) AS bigint)  AS bor,
+           cast(bit_xor(l_orderkey) AS bigint) AS bxor,
+           bool_and(l_quantity > 0)            AS all_pos_qty,
+           bool_or(l_discount > 0.05)          AS any_big_disc
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (bit_and/or/xor) and boolean (bool_and/or) aggregates —
+    scalar bitwise ops are native in the reference
+    (ColumnarArithmetic.scala bitwise_and/or/xor) but their aggregate forms
+    fall back; all are single-pass hash aggregates here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_orderkey").alias("band"),
+            F.bit_or("l_orderkey").alias("bor"),
+            F.bit_xor("l_orderkey").alias("bxor"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_pos_qty"),
+            F.bool_or(F.col("l_discount") > 0.05).alias("any_big_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "dedup_latest_by_key",
+    """
+    SELECT user_id, event_type, event_id,
+           cast(ts AS varchar) AS ts_s,
+           round(value, 2)     AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE user_id < 300) t
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (CDC compaction / training-snapshot
+    semantics): one hash-partitioned window pass, no self-join.  The
+    partition key is (user_id, event_type), so at scale the shuffle is the
+    same one a downstream per-user aggregation needs anyway."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.col("ts").cast("string").alias("ts_s"),
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -752,3 +752,59 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "text_redact",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                '<EMAIL>', 'g'),
+                 '[0-9]{4,}', '<NUM>', 'g')) AS fp,
+           cast(length(regexp_replace(
+                 regexp_replace(text,
+                                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                '<EMAIL>', 'g'),
+                 '[0-9]{4,}', '<NUM>', 'g')) AS bigint) AS n_chars_redacted
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing (emails, long digit runs) — per-row JVM regex,
+    verified byte-for-byte via md5 against the oracle's RE2 replacement."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    red = X.redact(F.col("text"))
+    return (
+        docs.withColumn("_red", red)
+        .select(
+            "doc_id",
+            F.md5("_red").alias("fp"),
+            F.length("_red").cast("bigint").alias("n_chars_redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "text_top_ngrams",
+    """
+    WITH tk AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+      FROM documents
+    )
+    SELECT ngram, cast(count(*) AS bigint) AS n
+    FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1])) AS ngram
+          FROM tk WHERE len(t) >= 2)
+    GROUP BY ngram ORDER BY n DESC, ngram
+    LIMIT 20
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams: explode + map-side-combined count; the
+    shuffle carries per-partition (ngram, count) state, not the exploded
+    token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.top_ngrams(docs, "text", n=2, k=20)

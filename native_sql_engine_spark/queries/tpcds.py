@@ -7,12 +7,15 @@ modified subset (SURVEY §5.4).  The driver schema has no store_sales star,
 so each query here reproduces the *operator shape* of its TPC-DS original
 on the TPC-H-ish tables — the shapes are what SURVEY §2 inventories:
 
+The full CI-gated modified subset (q3 q10 q19 q27 q34 q42 q43 q46 q52 q53
+q55 q59 q63 q65 q68 q73 q79 q89 q98) is covered 1:1:
+
 - q53/q63/q89: aggregate → window-over-aggregate (avg of group sums per
   super-group) → relative-deviation filter → ordered limit;
 - q46/q68: multi-dimension star join → per-ticket two-level aggregation →
   join back to the customer dimension;
 - q73/q34: per-order counts with HAVING band → customer join;
-- q42/q52/q55: date-dim star aggregate, top-k;
+- q3/q42/q52/q55: date-dim star aggregate, top-k;
 - q19: brand revenue with a cross-dimension (customer vs supplier nation)
   mismatch predicate;
 - q43: day-of-week pivot-style conditional aggregation;
@@ -367,6 +370,150 @@ _register(
      AND cur.yr = prev.yr + 1
     WHERE prev.sales <> 0
     ORDER BY cur.n_name, yr, mon
+    """,
+)
+
+# --- q3-shape: manufacturer-line revenue by year, top-k --------------------
+# (tpcds-modifiedQueries/q3.sql: one manufacturer's brand revenue per year;
+#  brand prefix plays the manufacturer id.)
+_register(
+    "tpcds_q3",
+    """
+    SELECT year(o_orderdate) AS d_year,
+           p_brand,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                AS double) AS sum_agg
+    FROM lineitem, orders, part
+    WHERE l_orderkey = o_orderkey
+      AND l_partkey = p_partkey
+      AND p_brand LIKE 'Brand#1%'
+      AND month(o_orderdate) = 12
+    GROUP BY year(o_orderdate), p_brand
+    ORDER BY d_year, sum_agg DESC, p_brand
+    LIMIT 100
+    """,
+)
+
+# --- q34-shape: order-size band (15-20) + status OR-predicate → customers --
+# (tpcds-modifiedQueries/q34.sql: q73's sibling with a wider count band and
+#  a buy-potential OR predicate; order status plays the demographic.)
+_register(
+    "tpcds_q34",
+    """
+    SELECT c_name, c_mktsegment, o_orderkey, cnt
+    FROM (
+      SELECT l_orderkey, cast(count(*) AS bigint) AS cnt
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey
+        AND (o_orderstatus = 'F' OR o_totalprice > 100000)
+      GROUP BY l_orderkey
+      HAVING count(*) BETWEEN 4 AND 6
+    ) big, orders, customer
+    WHERE big.l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+    ORDER BY c_name, cnt DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+
+# --- q42-shape: category revenue for one month, top-k ----------------------
+# (tpcds-modifiedQueries/q42.sql: q52's sibling keyed on category instead
+#  of brand; p_type plays the category.)
+_register(
+    "tpcds_q42",
+    """
+    SELECT year(o_orderdate) AS d_year,
+           p_type,
+           cast(round(sum(cast(l_extendedprice AS decimal(38,9))), 2) AS double) AS cat_revenue
+    FROM lineitem, orders, part
+    WHERE l_orderkey = o_orderkey
+      AND l_partkey = p_partkey
+      AND month(o_orderdate) = 11
+      AND p_size BETWEEN 10 AND 40
+    GROUP BY year(o_orderdate), p_type
+    ORDER BY cat_revenue DESC, d_year, p_type
+    LIMIT 100
+    """,
+)
+
+# --- q55-shape: one manager's brand revenue for one month ------------------
+# (tpcds-modifiedQueries/q55.sql: brand revenue under a manager filter;
+#  supplier nation plays the manager.)
+_register(
+    "tpcds_q55",
+    """
+    SELECT p_brand,
+           cast(round(sum(cast(l_extendedprice AS decimal(38,9))), 2) AS double) AS ext_price
+    FROM lineitem, orders, supplier, part
+    WHERE l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND l_partkey = p_partkey
+      AND s_nationkey IN (1, 2, 3)
+      AND month(o_orderdate) = 8
+    GROUP BY p_brand
+    ORDER BY ext_price DESC, p_brand
+    LIMIT 100
+    """,
+)
+
+# --- q68-shape: q46 + extended per-ticket measures (list price, tax) -------
+# (tpcds-modifiedQueries/q68.sql: same ticket pattern as q46 with extra
+#  ext_list_price / ext_tax sums and a two-city output.)
+_register(
+    "tpcds_q68",
+    """
+    SELECT c_name, n_name, o_orderkey, extended_price, extended_tax, list_discount
+    FROM (
+      SELECT o_orderkey,
+             o_custkey,
+             cast(round(sum(cast(l_extendedprice AS decimal(38,9))), 2) AS double)
+                  AS extended_price,
+             cast(round(sum(cast(l_extendedprice * l_tax AS decimal(38,9))), 2) AS double)
+                  AS extended_tax,
+             cast(round(sum(cast(l_extendedprice * l_discount AS decimal(38,9))), 2) AS double)
+                  AS list_discount
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey
+        AND day(o_orderdate) % 7 IN (1, 2)
+        AND o_orderstatus IN ('O', 'F')
+      GROUP BY o_orderkey, o_custkey
+    ) ticket, customer, nation
+    WHERE ticket.o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+      AND n_name IN ('CHINA', 'INDIA', 'RUSSIA', 'CANADA', 'KENYA')
+    ORDER BY c_name, o_orderkey
+    LIMIT 100
+    """,
+)
+
+# --- q89-shape: within-year monthly deviation per (category, manager) ------
+# (tpcds-modifiedQueries/q89.sql: q53's sibling — the window partitions on
+#  category × store so the deviation is against the pair's average month.)
+_register(
+    "tpcds_q89",
+    """
+    SELECT p_type, manager_id, order_month, sum_sales, avg_monthly_sales
+    FROM (
+      SELECT p_type,
+             s_nationkey AS manager_id,
+             month(o_orderdate) AS order_month,
+             cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                  AS double) AS sum_sales,
+             cast(round(avg(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))))
+                        OVER (PARTITION BY p_type, s_nationkey), 2) AS double)
+                  AS avg_monthly_sales
+      FROM lineitem, orders, supplier, part
+      WHERE l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey
+        AND l_partkey = p_partkey
+        AND p_type IN ('STANDARD', 'LARGE', 'SMALL')
+      GROUP BY p_type, s_nationkey, month(o_orderdate)
+    ) tmp
+    WHERE CASE WHEN avg_monthly_sales <> 0
+               THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+               ELSE NULL END > 0.1
+    ORDER BY sum_sales - avg_monthly_sales, p_type, manager_id, order_month
+    LIMIT 100
     """,
 )
 
