@@ -1707,9 +1707,9 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_median_percentile",
     """
     SELECT l_returnflag,
-           round(median(l_extendedprice), 2)                 AS med_price,
-           round(quantile_cont(l_extendedprice, 0.25), 2)    AS p25_price,
-           round(quantile_cont(l_extendedprice, 0.95), 2)    AS p95_price
+           round(median(l_extendedprice), 3)                 AS med_price,
+           round(quantile_cont(l_extendedprice, 0.25), 3)    AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.95), 3)    AS p95_price
     FROM lineitem
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -1723,9 +1723,13 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.median("l_extendedprice"), 2).alias("med_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95_price"),
+            # round(…, 3) not 2: prices are exact cents so interpolated
+            # percentiles are multiples of 0.0005 — a 2-decimal round sits ON
+            # the x.xx5 tie boundary and Spark/DuckDB can land on opposite
+            # sides; 3 decimals keeps the boundary a half-ulp away.
+            F.round(F.median("l_extendedprice"), 3).alias("med_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 3).alias("p25_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 3).alias("p95_price"),
         )
         .orderBy("l_returnflag")
     )

@@ -32,18 +32,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: Parquet-side schema of events.parquet (ts read as nanos-long, see
-#: catalog.load_table — streaming file sources need an explicit schema).
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) via nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_file_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Parquet-side schema of events.parquet, probed via a batch read.
+
+    Streaming file sources need an explicit schema, and the driver's data
+    has shipped ``ts`` both as parquet TIMESTAMP(NANOS) (surfaces as a
+    nanos-long under spark.sql.legacy.parquet.nanosAsLong) and as plain
+    timestamp[us] — probe instead of hardcoding so both work.
+    """
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,14 +49,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``maxFilesPerTrigger`` keeps micro-batches bounded; in production the
     same downstream plan attaches to ``spark.readStream.format("kafka")``.
     """
+    schema = _events_file_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(sf_dir)
     )
-    # integer DIV: double division loses µs precision at 1.7e18 nanos
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        # integer DIV: double division loses µs precision at 1.7e18 nanos
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        # parquet NTZ timestamps can't carry a watermark
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); session TZ is UTC so the
+        # cast to TIMESTAMP_LTZ is value-preserving.
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
