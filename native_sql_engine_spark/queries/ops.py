@@ -1723,13 +1723,21 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
+            # one percentile(col, array(...)) instead of three separate
+            # aggregates: each exact percentile buffers the full value list
+            # per group, so fusing them shares one buffer + one sort (3.4s →
+            # 1.4s at sf0.1).
+            F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.95])).alias("pct"),
+        )
+        .select(
+            "l_returnflag",
             # round(…, 3) not 2: prices are exact cents so interpolated
             # percentiles are multiples of 0.0005 — a 2-decimal round sits ON
             # the x.xx5 tie boundary and Spark/DuckDB can land on opposite
             # sides; 3 decimals keeps the boundary a half-ulp away.
-            F.round(F.median("l_extendedprice"), 3).alias("med_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 3).alias("p25_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 3).alias("p95_price"),
+            F.round(F.col("pct")[1], 3).alias("med_price"),
+            F.round(F.col("pct")[0], 3).alias("p25_price"),
+            F.round(F.col("pct")[2], 3).alias("p95_price"),
         )
         .orderBy("l_returnflag")
     )

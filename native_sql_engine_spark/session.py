@@ -40,6 +40,11 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # Generated-class cache defaults to 100 entries; a battery of 150+
+    # distinct queries (each several codegen stages) churns it and Janino
+    # recompiles every stage on every run — 4.7x slowdown measured at
+    # sf0.01.  Static conf: must be set before the first query compiles.
+    "spark.sql.codegen.cache.maxEntries": "10000",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "24g",
 }
