@@ -276,7 +276,7 @@ _register(
       AND n_name = 'NATION_5'
     GROUP BY l_partkey
     HAVING sum(l_extendedprice * l_quantity) > (
-        SELECT sum(l_extendedprice * l_quantity) * 0.01
+        SELECT sum(l_extendedprice * l_quantity) * 0.002
         FROM lineitem, supplier, nation
         WHERE l_suppkey = s_suppkey
           AND s_nationkey = n_nationkey
@@ -489,7 +489,9 @@ _register(
         WHERE c_acctbal > (
               SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
           AND NOT EXISTS (
-              SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT')
     ) custsale
     GROUP BY cntrycode
     ORDER BY cntrycode
