@@ -1811,3 +1811,70 @@ def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# =========================================================================
+# Lateral join + mergeable sketches
+# =========================================================================
+
+
+@q(
+    "join_lateral_topk",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c_mktsegment = 'MACHINERY'
+    ORDER BY c_custkey, o_orderkey
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) — the
+    join-lateral shape from the reference's inherited SQL test corpus
+    (native-sql-engine/core/src/test/resources/sql-tests inputs, SURVEY
+    §5.2).  Catalyst decorrelates the LATERAL LIMIT into a ranked window
+    over one hash shuffle of orders — no per-row subquery execution, so the
+    plan scales as a single exchange regardless of customer count."""
+    register = load_table  # keep the DataFrame idiom: window + semi filter
+    cust = register(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    orders = register(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    top2 = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    return (
+        cust.join(top2, cust["c_custkey"] == top2["o_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@q("agg_hll_mergeable")
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg):
+    per-group binary sketches are built map-side, merged across partitions,
+    and only then estimated — the re-aggregatable distinct-count path a
+    100 TB rollup needs (store sketches per partition/day, union for any
+    slice without rescanning).  Rows-only check (sketch estimates are
+    engine-specific); tests pin estimates within 2% of exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("hll_sketch_agg(l_orderkey)").alias("sk")
+    )
+    # second level: union the per-(flag,status) sketches up to per-flag —
+    # proving re-aggregation without touching the base table again
+    return (
+        per_flag.groupBy("l_returnflag")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_orders"))
+        .orderBy("l_returnflag")
+    )
