@@ -96,3 +96,43 @@ def test_stratified_sample_is_scan_predicate(spark, sf_small):
     # exactly: one shuffle for the groupBy('lang') + the final orderBy range
     # exchange; the sample filter itself must add none
     assert agg_shuffles <= 2, plan
+
+
+def test_new_tpcds_shapes_broadcast_dims(spark, sf_small):
+    """Full-set TPC-DS shapes: dimension joins must be broadcast at small
+    dim sizes (no shuffled join of a fact against a broadcastable dim), and
+    no plan may degrade to a cartesian product."""
+    from native_sql_engine_spark.catalog import register_tables
+    from native_sql_engine_spark.queries.tpcds import QUERIES
+
+    register_tables(spark, sf_small)
+    for name in ("tpcds_q1", "tpcds_q47", "tpcds_q70", "tpcds_q95"):
+        df = QUERIES[name](spark, sf_small)
+        plan = P.executed_plan(df)
+        assert plan.count("BroadcastHashJoin") >= 1, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q70_rollup_uses_expand(spark, sf_small):
+    """ROLLUP must plan as one Expand pass (ColumnarExpandExec parity,
+    SURVEY 2.4), not a union of per-level aggregates."""
+    from native_sql_engine_spark.catalog import register_tables
+    from native_sql_engine_spark.queries.tpcds import QUERIES
+
+    register_tables(spark, sf_small)
+    df = QUERIES["tpcds_q70"](spark, sf_small)
+    assert P.has_node(df, "Expand")
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_small):
+    """The LATERAL LIMIT subquery must decorrelate into a ranked window
+    (one shuffle of orders), never a per-customer nested loop."""
+    from native_sql_engine_spark.catalog import register_tables
+
+    register_tables(spark, sf_small)
+    from native_sql_engine_spark.queries.ops import ORACLE
+
+    df = spark.sql(ORACLE["join_lateral_topk"])
+    plan = P.executed_plan(df)
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan
