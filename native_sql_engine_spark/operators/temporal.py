@@ -112,3 +112,31 @@ def range_join_buckets(
         .filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col)))
         .drop("_bkt")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tie_break: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: collapse an event stream
+    into (key, attr, valid_from, valid_to) intervals, one row per attribute
+    *change* (valid_to is NULL on the open interval).
+
+    One hash shuffle by ``key_col`` feeds both window passes (change
+    detection via ``lag``, interval close via ``lead`` after the filter —
+    Spark reuses the partitioning, so the whole operator is a single
+    exchange).  At 100 TB this is the standard dimension-compaction shape:
+    state per key is O(1), no self-join, and the output partitioning matches
+    the downstream as-of join that consumes the history.
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, tie_break)
+    changed = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        # null-safe inequality: first row per key (lag NULL) always opens
+        .filter(~F.col("_prev").eqNullSafe(F.col(attr_col)))
+        .drop("_prev")
+    )
+    return changed.withColumn("valid_to", F.lead(ts_col).over(w))

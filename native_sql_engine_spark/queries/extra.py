@@ -207,3 +207,48 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "day")
     )
+
+
+@q(
+    "scd2_user_history",
+    """
+    WITH ch AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events WHERE user_id < 200
+    ),
+    c2 AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ch WHERE prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           cast(ts AS varchar) AS valid_from,
+           cast(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS varchar) AS valid_to
+    FROM c2
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 compaction of the event stream: one interval row per
+    change of a user's event_type (open interval has valid_to NULL).
+    Single exchange: change-detect lag + interval-close lead share the
+    per-user hash partitioning (operators/temporal.py::scd2_history)."""
+    from ..operators.temporal import scd2_history
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 200)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    hist = scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+    return (
+        hist.select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("string").alias("valid_from"),
+            F.col("valid_to").cast("string").alias("valid_to"),
+        )
+        .orderBy("user_id", "valid_from")
+    )

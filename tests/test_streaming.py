@@ -133,3 +133,34 @@ def test_stream_matches_duckdb(spark, sf_small, name):
 def test_stream_matches_duckdb_sf001(spark, sf_oracle, name):
     df = _stream.QUERIES[name](spark, sf_oracle)
     assert_matches_oracle(df, _stream.ORACLE[name], sf_oracle, name)
+
+
+def test_transform_with_state_running_agg(spark, sf_small):
+    """Spark-4 transformWithStateInPandas running aggregate equals the batch
+    groupBy twin (skipped where the runtime lacks protobuf; the gate itself
+    is asserted so the operator never crashes a worker mid-stream)."""
+    import pytest
+
+    ev = SW.read_events_stream(spark, sf_small)
+    if not SW.tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            SW.transform_with_state_agg(ev)
+        pytest.skip("google.protobuf not in runtime; gated operator")
+    out = SW.run_to_memory(
+        SW.transform_with_state_agg(ev), "t_tws", output_mode="update",
+        state_partitions=8,
+    )
+    import pyspark.sql.functions as F
+
+    want = (
+        load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    got = {r.user_id: (r.n_events, r.total_value, r.max_value) for r in out.collect()}
+    exp = {r.user_id: (r.n_events, r.total_value, r.max_value) for r in want.collect()}
+    assert got == exp
