@@ -133,6 +133,36 @@ class Engine:
 
         return language_id(df, text_col)
 
+    # -- temporal / skew joins (beyond-reference) --------------------------
+
+    def asof_join(self, left: DataFrame, right: DataFrame, key: str,
+                  left_ts: str, right_ts: str, value_cols: list[str],
+                  tie_break: str | None = None) -> DataFrame:
+        from .operators.temporal import asof_join
+
+        return asof_join(left, right, key, left_ts, right_ts, value_cols, tie_break)
+
+    def range_join(self, points: DataFrame, intervals: DataFrame,
+                   point_col: str, start_col: str, end_col: str,
+                   bucket_width: float, extra_key: str | None = None) -> DataFrame:
+        from .operators.temporal import range_join_buckets
+
+        return range_join_buckets(
+            points, intervals, point_col, start_col, end_col, bucket_width, extra_key
+        )
+
+    def scd2_history(self, df: DataFrame, key_col: str, attr_col: str,
+                     ts_col: str, tie_break: str) -> DataFrame:
+        from .operators.temporal import scd2_history
+
+        return scd2_history(df, key_col, attr_col, ts_col, tie_break)
+
+    def salted_join(self, probe: DataFrame, build: DataFrame, probe_key: str,
+                    build_key: str, salt: int = 8, how: str = "inner") -> DataFrame:
+        from .operators.skew import salted_join
+
+        return salted_join(probe, build, probe_key, build_key, salt, how)
+
     # -- streaming ---------------------------------------------------------
 
     def events_stream(self, sf_dir: str | None = None) -> DataFrame:

@@ -61,3 +61,37 @@ def test_io_roundtrip(eng, tmp_path):
     out = str(tmp_path / "t.parquet")
     eng.write_parquet(eng.table("nation"), out)
     assert eng.read_parquet(out).count() == eng.table("nation").count()
+
+
+def test_temporal_and_skew_methods(eng):
+    ev = eng.table("events").select(
+        "event_id", "user_id", F.to_date("ts").alias("ev_date")
+    )
+    orders = eng.table("orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        F.col("o_totalprice"),
+    )
+    asof = eng.asof_join(
+        ev, orders, "user_id", "ev_date", "o_orderdate", ["o_totalprice"]
+    )
+    assert asof.count() == ev.count()
+
+    hist = eng.scd2_history(
+        eng.table("events").select("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    assert "valid_to" in hist.columns and hist.count() > 0
+
+    pts = eng.table("orders").select("o_orderkey", "o_totalprice")
+    bands = eng.sql(
+        "select 'low' as band, 0.0 as lo, 100000.0 as hi "
+        "union all select 'high', 100000.0, 1e9"
+    )
+    rj = eng.range_join(pts, bands, "o_totalprice", "lo", "hi", bucket_width=50000.0)
+    assert rj.count() == pts.count()  # bands partition the price domain
+
+    sj = eng.salted_join(
+        eng.table("lineitem"), eng.table("part"), "l_partkey", "p_partkey", salt=4
+    )
+    assert sj.count() == eng.table("lineitem").count()
