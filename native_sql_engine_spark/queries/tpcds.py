@@ -826,6 +826,146 @@ _SQL_NEW["tpcds_q95"] = """
 for _name, _sql in _SQL_NEW.items():
     _register(_name, _sql)
 
+
+
+# =========================================================================
+# Full-set TPC-DS shapes, second batch:
+# - q38/q87: INTERSECT / EXCEPT chains over per-channel customer sets
+#   (distinct-set operations planned as semi/anti joins);
+# - q97: FULL OUTER join of two distinct (customer, item) channel sets with
+#   conditional-count overlap buckets;
+# - q39: statistical filter (coefficient of variation via stddev_samp/avg)
+#   + month-pair self-join;
+# - q75: year-over-year decline by brand across UNION ALLed channels.
+# =========================================================================
+_SQL_NEW2: dict[str, str] = {}
+
+# --- q38-shape: INTERSECT of per-channel customer sets ---------------------
+_SQL_NEW2["tpcds_q38"] = """
+    SELECT cast(count(*) AS bigint) AS n_loyal
+    FROM (
+      SELECT o_custkey FROM orders, lineitem
+      WHERE l_orderkey = o_orderkey AND l_returnflag = 'A'
+        AND year(o_orderdate) = 1996
+      INTERSECT
+      SELECT o_custkey FROM orders, lineitem
+      WHERE l_orderkey = o_orderkey AND l_returnflag = 'N'
+        AND year(o_orderdate) = 1996
+      INTERSECT
+      SELECT o_custkey FROM orders, lineitem
+      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+        AND year(o_orderdate) = 1996
+    ) hot
+"""
+
+# --- q87-shape: EXCEPT chain (customers in one channel but not others) -----
+_SQL_NEW2["tpcds_q87"] = """
+    SELECT cast(count(*) AS bigint) AS n_exclusive
+    FROM (
+      SELECT o_custkey FROM orders, lineitem
+      WHERE l_orderkey = o_orderkey AND l_returnflag = 'A'
+        AND year(o_orderdate) = 1996
+      EXCEPT
+      SELECT o_custkey FROM orders, lineitem
+      WHERE l_orderkey = o_orderkey AND l_returnflag = 'N'
+        AND year(o_orderdate) = 1996
+      EXCEPT
+      SELECT o_custkey FROM orders, lineitem
+      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+        AND year(o_orderdate) = 1996
+    ) ex
+"""
+
+# --- q97-shape: full outer join of channel customer-part sets --------------
+_SQL_NEW2["tpcds_q97"] = """
+    WITH ssci AS (
+      SELECT DISTINCT o_custkey AS customer_sk, l_partkey AS item_sk
+      FROM orders, lineitem
+      WHERE l_orderkey = o_orderkey AND o_orderstatus = 'F'
+    ),
+    csci AS (
+      SELECT DISTINCT o_custkey AS customer_sk, l_partkey AS item_sk
+      FROM orders, lineitem
+      WHERE l_orderkey = o_orderkey AND o_orderstatus = 'O'
+    )
+    SELECT cast(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                          AND csci.customer_sk IS NULL THEN 1 ELSE 0 END) AS bigint)
+             AS store_only,
+           cast(sum(CASE WHEN ssci.customer_sk IS NULL
+                          AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+             AS catalog_only,
+           cast(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                          AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+             AS store_and_catalog
+    FROM ssci FULL OUTER JOIN csci
+      ON ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk
+"""
+
+# --- q39-shape: mean/stdev coefficient-of-variation filter + month self-join
+_SQL_NEW2["tpcds_q39"] = """
+    WITH inv AS (
+      SELECT l_suppkey, month(l_shipdate) AS moy,
+             stddev_samp(l_quantity) AS stdev, avg(l_quantity) AS mean
+      FROM lineitem
+      WHERE year(l_shipdate) = 1996
+      GROUP BY l_suppkey, month(l_shipdate)
+    ),
+    flagged AS (
+      SELECT l_suppkey, moy,
+             round(CASE WHEN mean = 0 THEN NULL ELSE stdev / mean END, 4) AS cov
+      FROM inv
+      WHERE CASE WHEN mean = 0 THEN 0 ELSE stdev / mean END > 0.5
+    )
+    SELECT i1.l_suppkey, i1.moy AS moy1, i1.cov AS cov1,
+           i2.moy AS moy2, i2.cov AS cov2
+    FROM flagged i1, flagged i2
+    WHERE i1.l_suppkey = i2.l_suppkey
+      AND i1.moy = 3 AND i2.moy = 4
+    ORDER BY i1.l_suppkey
+    LIMIT 100
+"""
+
+# --- q75-shape: year-over-year decline by brand across unioned channels ----
+_SQL_NEW2["tpcds_q75"] = """
+    WITH all_sales AS (
+      SELECT yr, p_brand,
+             sum(cnt) AS sales_cnt,
+             sum(amt) AS sales_amt
+      FROM (
+        SELECT year(o_orderdate) AS yr, p_brand,
+               count(*) AS cnt,
+               sum(cast(l_extendedprice AS decimal(38,9))) AS amt
+        FROM lineitem, orders, part
+        WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+          AND o_orderstatus = 'F'
+        GROUP BY year(o_orderdate), p_brand
+        UNION ALL
+        SELECT year(o_orderdate) AS yr, p_brand,
+               count(*) AS cnt,
+               sum(cast(l_extendedprice AS decimal(38,9))) AS amt
+        FROM lineitem, orders, part
+        WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+          AND o_orderstatus = 'O'
+        GROUP BY year(o_orderdate), p_brand
+      ) u
+      GROUP BY yr, p_brand
+    )
+    SELECT cur.p_brand,
+           cast(prev.sales_cnt AS bigint) AS prev_cnt,
+           cast(cur.sales_cnt AS bigint) AS cur_cnt,
+           cast(cur.sales_cnt - prev.sales_cnt AS bigint) AS cnt_diff,
+           cast(round(cur.sales_amt - prev.sales_amt, 2) AS double) AS amt_diff
+    FROM all_sales cur, all_sales prev
+    WHERE cur.p_brand = prev.p_brand
+      AND cur.yr = 1997 AND prev.yr = 1996
+      AND cur.sales_cnt < prev.sales_cnt
+    ORDER BY cnt_diff, amt_diff, cur.p_brand
+    LIMIT 100
+"""
+
+for _name, _sql in _SQL_NEW2.items():
+    _register(_name, _sql)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _runner(sql) for name, sql in SQL.items()
 }
