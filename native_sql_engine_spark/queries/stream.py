@@ -156,3 +156,32 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "stream_sliding",
+    """
+    WITH w AS (
+      SELECT unnest([
+               to_timestamp(floor(epoch(cast(ts AS timestamp)) / 300) * 300 - 300),
+               to_timestamp(floor(epoch(cast(ts AS timestamp)) / 300) * 300)
+             ]) AS ws,
+             value
+      FROM events
+    )
+    SELECT cast(cast(ws AS timestamp) AS varchar) AS win_start,
+           cast(count(*) AS bigint) AS n,
+           round(cast(sum(cast(value AS decimal(38,9))) AS double) / count(*), 4)
+             AS avg_value
+    FROM w
+    GROUP BY ws
+    ORDER BY win_start
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 (each event lands in exactly two
+    windows); drained complete-mode result vs a DuckDB oracle that explodes
+    each event into its two window starts."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    out = _drain(SW.sliding_avg(ev), "q_stream_sliding", "complete")
+    return out.orderBy("win_start")

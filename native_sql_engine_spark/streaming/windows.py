@@ -91,11 +91,22 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def sliding_avg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """10-minute windows sliding every 5 — each event lands in 2 windows."""
+    """10-minute windows sliding every 5 — each event lands in 2 windows.
+
+    avg = exact decimal sum ÷ count (one double division) rather than
+    F.avg: running double averages differ from the oracle by an ulp and
+    flip the 4th-decimal round on tie values."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,9)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_value"),
+        )
         .select(F.col("w.start").cast("string").alias("win_start"), "n", "avg_value")
     )
 
