@@ -136,3 +136,31 @@ def test_lateral_topk_decorrelates_to_window(spark, sf_small):
     plan = P.executed_plan(df)
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning(spark, sf_small, tmp_path):
+    """A partitioned fact joined to a selectively-filtered dim must carry a
+    dynamicpruning expression in its PartitionFilters — at 100 TB this is
+    what turns a full-table scan into a few-partition scan when the filter
+    lives on the dimension."""
+    import re
+
+    from native_sql_engine_spark.catalog import load_table
+
+    fact_path = str(tmp_path / "orders_part")
+    dim_path = str(tmp_path / "years_dim")
+    (
+        load_table(spark, sf_small, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(fact_path)
+    )
+    spark.createDataFrame(
+        [(y, f"era_{y % 2}") for y in range(1995, 2002)], "d_year int, era string"
+    ).write.parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("era") == "era_0")
+    j = fact.join(dim, fact["o_year"] == dim["d_year"]).groupBy("era").count()
+    plan = P.executed_plan(j)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dynamicpruning" in m.group(1).lower(), plan
