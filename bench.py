@@ -5,14 +5,23 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 including the collect of results (count() would let Spark prune work the
 reference engine actually performs, so we materialize rows).
 
-Methodology: every query runs twice and the reported time is the per-query
-best of the two runs (best-of-N power run).  The first pass pays one-time
-Catalyst analysis + whole-stage-codegen compilation (~2-10s/query), a fixed
-cost that amortizes to nothing over the hours-long scans this engine
-targets at 100 TB; taking the per-query min also shields the metric from
-multi-second host-scheduling jitter observed on shared-VM runners (raw CPU
-benchmarks fluctuate 3x on this box).  Both raw pass totals are reported
-("pass1_total_sec"/"pass2_total_sec") for transparency.
+Methodology (round 2+): every query runs twice; the HEADLINE "value" is the
+warm second-pass total over the whole battery (steady-state, comparable
+across rounds).  The per-query best-of-two totals are still emitted as a
+secondary field ("best_total_sec") since the min shields individual numbers
+from multi-second host-scheduling jitter on shared-VM runners, but it is a
+downward-biased estimator and is NOT the headline.  The first pass pays
+one-time Catalyst analysis + whole-stage-codegen compilation (~0.3-2s/query),
+a fixed cost that amortizes to nothing over the hours-long scans this engine
+targets at 100 TB; its total is reported as "pass1_total_sec".
+
+Output-size contract: the driver captures only the tail of stdout (~4 KB) and
+json-parses the last line, so the line MUST stay well under that.  Per-query
+warm times are emitted only for the reference's three shipped benchmark
+suites (TPC-H, TPC-DS, SSB — the BASELINE.md comparison set); every other
+battery group (ops/pipeline/stream/udf/extra) is rolled up into one
+"group_totals" entry.  The complete per-query/per-pass detail is written to
+bench_detail.json next to this file instead of stdout.
 """
 
 from __future__ import annotations
@@ -21,6 +30,16 @@ import json
 import os
 import sys
 import time
+
+# groups whose members get individual numbers on the stdout JSON line
+_HEADLINE_PREFIXES = ("tpch_", "tpcds_", "ssb_")
+
+
+def _group(name: str) -> str:
+    for p in _HEADLINE_PREFIXES:
+        if name.startswith(p):
+            return p.rstrip("_")
+    return name.split("_", 1)[0]
 
 
 def main() -> None:
@@ -33,7 +52,6 @@ def main() -> None:
     register_tables(spark, sf_dir)
 
     qs = all_queries()
-    # headline set: the full TPC-H battery + SSB + pipeline ops if present
     names = sorted(qs)
 
     # warm the JVM + parquet footers once (not counted)
@@ -51,18 +69,48 @@ def main() -> None:
         qs[name](spark, sf_dir).collect()
         pass2[name] = round(time.perf_counter() - t0, 3)
 
-    timings = {name: min(pass1[name], pass2[name]) for name in names}
+    best = {name: min(pass1[name], pass2[name]) for name in names}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    headline_queries = {n: pass2[n] for n in names if n.startswith(_HEADLINE_PREFIXES)}
+    group_totals: dict[str, float] = {}
+    for name in names:
+        if not name.startswith(_HEADLINE_PREFIXES):
+            g = _group(name)
+            group_totals[g] = round(group_totals.get(g, 0.0) + pass2[name], 3)
+
     out = {
         "metric": "query_battery_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(pass2.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": headline_queries,
+        "group_totals": group_totals,
+        "n_queries": len(names),
         "pass1_total_sec": round(sum(pass1.values()), 3),
-        "pass2_total_sec": round(sum(pass2.values()), 3),
+        "best_total_sec": round(sum(best.values()), 3),
         "sf": float(sf) if sf else None,
     }
-    print(json.dumps(out))
+    detail = {
+        "pass1": pass1,
+        "pass2": pass2,
+        "best": best,
+        "sf": out["sf"],
+        "n_queries": len(names),
+    }
+    try:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # detail file is best-effort; the stdout line is the contract
+
+    line = json.dumps(out)
+    # hard guarantee: stay under the driver's stdout tail capture
+    if len(line) > 3500:
+        out.pop("queries")
+        out["queries_truncated"] = "see bench_detail.json"
+        line = json.dumps(out)
+    print(line)
     spark.stop()
 
 

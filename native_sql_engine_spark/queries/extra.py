@@ -215,12 +215,16 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ch AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev
+               AS prev,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
       FROM events WHERE user_id < 200
     ),
     c2 AS (
       SELECT user_id, event_type, ts, event_id
-      FROM ch WHERE prev IS DISTINCT FROM event_type
+      -- rn=1 kept unconditionally (mirrors the engine: a leading NULL attr
+      -- still opens the first interval)
+      FROM ch WHERE rn = 1 OR prev IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type,
            cast(ts AS varchar) AS valid_from,

@@ -478,6 +478,11 @@ _register(
 
 # --- q22: global sales opportunity (NOT EXISTS + scalar subquery) ------------
 # c_phone-free: country code modeled as the customer-number suffix.
+# ADAPTED from canonical TPC-H (like the NATION_* renames): the driver's
+# synthetic data gives every customer at least one order, so the canonical
+# "customers with no orders" anti-join is vacuous; restricting the NOT EXISTS
+# to '1-URGENT' orders keeps the null-aware anti-join SHAPE while matching
+# rows on this dataset.  Engine and DuckDB oracle share the predicate.
 _register(
     "tpch_q22",
     """

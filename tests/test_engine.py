@@ -95,3 +95,25 @@ def test_temporal_and_skew_methods(eng):
         eng.table("lineitem"), eng.table("part"), "l_partkey", "p_partkey", salt=4
     )
     assert sj.count() == eng.table("lineitem").count()
+
+
+def test_scd2_history_keeps_leading_null_attr(spark):
+    """A key whose FIRST attr value is NULL must still open an interval
+    (ADVICE r1: lag()=NULL + eqNullSafe(NULL,NULL) used to drop it)."""
+    from native_sql_engine_spark.operators.temporal import scd2_history
+
+    rows = [
+        (1, None, 1, 10),   # leading NULL attr — must open interval
+        (1, None, 2, 11),   # same value run — collapsed
+        (1, "a", 3, 12),    # change NULL -> a
+        (1, None, 4, 13),   # change a -> NULL
+        (2, "x", 1, 20),    # normal key
+    ]
+    df = spark.createDataFrame(rows, "k int, attr string, ts int, id int")
+    hist = scd2_history(df, "k", "attr", "ts", "id").orderBy("k", "ts").collect()
+    assert [(r.k, r.attr, r.ts, r.valid_to) for r in hist] == [
+        (1, None, 1, 3),
+        (1, "a", 3, 4),
+        (1, None, 4, None),
+        (2, "x", 1, None),
+    ]
