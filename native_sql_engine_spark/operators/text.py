@@ -9,7 +9,7 @@ are per-row transforms the scanner pipelines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 #: marker stopwords per language for the n-gram/stopword-ratio heuristic.
@@ -204,4 +204,127 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20) -
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "ngram")
         .limit(k)
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Train/eval contamination check: for every training document, count
+    the distinct word ``n``-grams it shares with the held-out eval set and
+    how many distinct eval documents it collides with.
+
+    100 TB path: each side explodes its DISTINCT per-doc n-grams and hashes
+    them to a single ``xxhash64`` long BEFORE the join, so the shuffle key
+    is 8 bytes instead of a ~50-byte string and the equi-join is an
+    ordinary hash join.  The eval side of a real contamination scan (a few
+    benchmark suites) is broadcast-sized even when the train side is the
+    full corpus.  Collision odds at 64 bits are negligible relative to
+    corpus sizes (~2^-24 at a trillion n-grams).
+    """
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        sh = shingles(tokens(F.col(text_col)), n)
+        return (
+            df.select(F.col(id_col).alias(out_id), F.explode(sh).alias("_g"))
+            .withColumn("_gh", F.xxhash64("_g"))
+            .drop("_g")
+        )
+
+    t = grams(train, "_train_id")
+    e = grams(eval_, "_eval_id").distinct()
+    hits = t.join(F.broadcast(e), "_gh")
+    return (
+        hits.groupBy("_train_id")
+        .agg(
+            F.count_distinct("_gh").alias("n_shared_ngrams"),
+            F.count_distinct("_eval_id").alias("n_eval_docs"),
+        )
+        .withColumnRenamed("_train_id", id_col)
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Gopher-style within-document repetition: fraction of duplicate word
+    ``n``-grams per document (1 - distinct/total).  Pure codegen'd array
+    expressions — no shuffle at all; the filter threshold is applied by the
+    caller so the stat stays reusable."""
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    all_grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    total = F.size(all_grams)
+    distinct = F.size(F.array_distinct(all_grams))
+    return df.select(
+        F.col(id_col),
+        total.cast("bigint").alias("n_ngrams"),
+        distinct.cast("bigint").alias("n_distinct"),
+        F.when(total > 0, F.round(F.lit(1.0) - distinct / total, 6))
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_tokens_col: Column,
+    capacity: int,
+) -> DataFrame:
+    """Fixed-boundary sequence packing: concatenate documents per group in
+    ``id_col`` order and chop the token stream into ``capacity``-sized
+    context windows; a document's bin is the window its first token lands
+    in (the standard concat-then-chunk pretraining packer).
+
+    One hash shuffle on ``group_col`` feeds the running-sum window; bin
+    assignment is a map-side ``floor`` over the cumulative count.  At
+    100 TB the group is a shard/source key, so windows never span the whole
+    corpus and AQE handles group skew."""
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    before = F.sum(n_tokens_col).over(w) - n_tokens_col
+    return df.select(
+        F.col(group_col),
+        F.col(id_col),
+        n_tokens_col.cast("bigint").alias("n_tokens"),
+        F.floor(before / capacity).cast("bigint").alias("bin"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int,
+    stride: int,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks
+    (``size`` tokens every ``stride``) — the context-window chunking step
+    of an embedding/RAG pipeline.  sequence+posexplode+slice stays in
+    whole-stage codegen; no shuffle, rows fan out ~len/stride×."""
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"), F.explode(starts).alias("_start"))
+        .select(
+            F.col(id_col),
+            (F.col("_start") / stride).cast("bigint").alias("chunk_id"),
+            F.slice(F.col("_toks"), F.col("_start") + 1, F.lit(size)).alias("_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_chunk").cast("bigint").alias("n_chunk_tokens"),
+            F.element_at("_chunk", 1).alias("first_token"),
+        )
     )

@@ -808,3 +808,173 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream."""
     docs = load_table(spark, sf_dir, "documents")
     return X.top_ngrams(docs, "text", n=2, k=20)
+
+
+# =========================================================================
+# Round 2: training-pipeline additions — contamination, packing,
+# repetition, chunking, embedding quantization
+# =========================================================================
+
+_TOKS_L = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+@q(
+    "contamination_ngram",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, source, {_TOKS_L} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct([array_to_string(toks[i+1:i+8], ' ')
+                                   for i in range(len(toks) - 7)])) AS gram
+      FROM tk WHERE len(toks) >= 8
+    ),
+    t AS (SELECT doc_id, gram FROM g WHERE source <> 'src0'),
+    e AS (SELECT DISTINCT doc_id, gram FROM g WHERE source = 'src0')
+    SELECT t.doc_id,
+           cast(count(DISTINCT t.gram) AS bigint) AS n_shared_ngrams,
+           cast(count(DISTINCT e.doc_id) AS bigint) AS n_eval_docs
+    FROM t JOIN e ON t.gram = e.gram
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: training docs sharing any 8-gram with the
+    held-out eval slice (source = src0).  Engine joins on xxhash64'd
+    n-grams (8-byte shuffle keys, eval side broadcast); the oracle joins
+    the raw strings — identical counts absent 64-bit collisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    eval_ = docs.filter(F.col("source") == "src0")
+    return X.ngram_contamination(train, eval_, "doc_id", "text", n=8).orderBy("doc_id")
+
+
+@q(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_TOKS_L}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS before
+      FROM t
+    )
+    SELECT source,
+           cast(floor(before / 512) AS bigint) AS bin,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_tokens) AS bigint) AS total_tokens
+    FROM c
+    GROUP BY source, floor(before / 512)
+    ORDER BY source, bin
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-boundary sequence packing into 512-token context windows per
+    source shard (concat-then-chunk pretraining packer); reports per-bin
+    document counts and fill (operators/text.py::pack_sequences)."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = X.pack_sequences(
+        docs, "doc_id", "source", X.token_count(F.col("text")), capacity=512
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+@q(
+    "text_repetition",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_L} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             [array_to_string(toks[i+1:i+3], ' ')
+              for i in range(len(toks) - 2)] AS grams
+      FROM tk
+    )
+    SELECT doc_id,
+           cast(len(grams) AS bigint) AS n_ngrams,
+           cast(len(list_distinct(grams)) AS bigint) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition stats (duplicate-3-gram
+    fraction); shuffle-free codegen'd array expressions
+    (operators/text.py::repetition_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.repetition_stats(docs, "doc_id", "text", n=3).orderBy("doc_id")
+
+
+@q(
+    "chunk_documents",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_L} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+      FROM tk WHERE len(toks) >= 1
+    )
+    SELECT doc_id,
+           cast(start / 24 AS bigint) AS chunk_id,
+           cast(len(toks[start+1:start+32]) AS bigint) AS n_chunk_tokens,
+           toks[start+1] AS first_token
+    FROM s
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (32-token windows every 24)
+    for an embedding/RAG pipeline; sequence+explode+slice, no shuffle
+    (operators/text.py::chunk_documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.chunk_documents(docs, "doc_id", "text", size=32, stride=24).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@q(
+    "embed_quantize_int8",
+    """
+    WITH vals AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             cast(unnest(embedding) AS double) AS x
+      FROM embeddings
+    ),
+    stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM vals GROUP BY dim)
+    SELECT vec_id,
+           cast(sum(code) AS bigint) AS code_sum,
+           cast(min(code) AS bigint) AS code_min,
+           cast(max(code) AS bigint) AS code_max,
+           cast(count(*) AS bigint) AS dims
+    FROM (
+      SELECT vec_id,
+             CASE WHEN mx > mn
+                  THEN least(floor((x - mn) / (mx - mn) * 255), 255)
+                  ELSE 0 END AS code
+      FROM vals, stats WHERE vals.dim = stats.dim
+    ) codes
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding table
+    (operators/similarity.py::quantize_int8): fixed-order float64
+    arithmetic makes the codes bit-reproducible, so code_sum/min/max are
+    exact across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb, "vec_id", "embedding").orderBy("vec_id")

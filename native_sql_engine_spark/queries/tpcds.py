@@ -966,6 +966,437 @@ _SQL_NEW2["tpcds_q75"] = """
 for _name, _sql in _SQL_NEW2.items():
     _register(_name, _sql)
 
+# --- round 2: 15 more full-set shapes ---------------------------------------
+# The driver schema has no l_shipmode / l_receiptdate / l_commitdate, so
+# "channel" is modeled with l_linestatus ('O'/'F': web/store) or
+# l_returnflag ('A'/'N'/'R': three channels) and shipping latency with the
+# month gap between o_orderdate and l_shipdate.  Shapes map 1:1 to the
+# reference's full TPC-DS set (resources/tpcds/).
+_SQL_NEW3: dict[str, str] = {}
+
+# q4: year-over-year growth ratio compared ACROSS two channels — the
+# 4-way self-join of a per-(customer, year, channel) aggregate CTE, keeping
+# customers whose web growth outpaces store growth (ratio-of-ratios).
+_SQL_NEW3["tpcds_q4"] = """
+    WITH year_total AS (
+      SELECT c_custkey,
+             c_name,
+             year(o_orderdate) AS yr,
+             l_linestatus AS channel,
+             cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                  AS double) AS total
+      FROM customer, orders, lineitem
+      WHERE c_custkey = o_custkey
+        AND o_orderkey = l_orderkey
+        AND year(o_orderdate) IN (1996, 1997)
+      GROUP BY c_custkey, c_name, year(o_orderdate), l_linestatus
+    )
+    SELECT ts1.c_custkey, ts1.c_name,
+           round(cast(tw2.total AS double) / tw1.total, 6) AS web_growth,
+           round(cast(ts2.total AS double) / ts1.total, 6) AS store_growth
+    FROM year_total ts1, year_total ts2, year_total tw1, year_total tw2
+    WHERE ts1.c_custkey = ts2.c_custkey
+      AND ts1.c_custkey = tw1.c_custkey
+      AND ts1.c_custkey = tw2.c_custkey
+      AND ts1.channel = 'F' AND ts2.channel = 'F'
+      AND tw1.channel = 'O' AND tw2.channel = 'O'
+      AND ts1.yr = 1996 AND ts2.yr = 1997
+      AND tw1.yr = 1996 AND tw2.yr = 1997
+      AND ts1.total > 0 AND tw1.total > 0
+      AND cast(tw2.total AS double) / tw1.total
+          > cast(ts2.total AS double) / ts1.total
+    ORDER BY ts1.c_custkey, ts1.c_name
+    LIMIT 100
+    """
+
+# q5: per-channel sales/returns/profit report rolled up over nation
+# (UNION-of-channels × ROLLUP; grouping NULLs rewritten via grouping() for
+# cross-engine-stable output).
+_SQL_NEW3["tpcds_q5"] = """
+    SELECT CASE WHEN grouping(channel) = 1 THEN 'ALL' ELSE channel END AS channel,
+           CASE WHEN grouping(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+           cast(round(sum(sales), 2) AS double) AS sales,
+           cast(round(sum(returns_), 2) AS double) AS returns_,
+           cast(round(sum(profit), 2) AS double) AS profit
+    FROM (
+      SELECT CASE WHEN l_linestatus = 'O' THEN 'web' ELSE 'store' END AS channel,
+             n_name,
+             cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) AS sales,
+             CASE WHEN l_returnflag = 'R'
+                  THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))
+                  ELSE cast(0 AS decimal(38,9)) END AS returns_,
+             cast(l_extendedprice * (1 - l_discount) - l_quantity * 100
+                  AS decimal(38,9)) AS profit
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey
+    ) all_sales
+    GROUP BY ROLLUP(channel, n_name)
+    ORDER BY channel, nation
+    """
+
+# q6: nations whose customers buy items priced >= 1.2x the average of the
+# item's type (correlated scalar subquery in the WHERE), count >= 10.
+_SQL_NEW3["tpcds_q6"] = """
+    SELECT n_name, cast(count(*) AS bigint) AS cnt
+    FROM customer, nation, orders, lineitem, part p1
+    WHERE c_nationkey = n_nationkey
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_partkey = p1.p_partkey
+      AND year(o_orderdate) = 1997
+      AND p1.p_retailprice > 1.2 * (
+            SELECT avg(p2.p_retailprice) FROM part p2
+            WHERE p2.p_type = p1.p_type)
+    GROUP BY n_name
+    HAVING count(*) >= 10
+    ORDER BY cnt, n_name
+    LIMIT 100
+    """
+
+# q9: five quantity-band buckets, each choosing between two scalar
+# subqueries by a count threshold (CASE WHEN over correlated-free scalar
+# subqueries, evaluated from a single-row driver table).
+_SQL_NEW3["tpcds_q9"] = """
+    SELECT CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) > 12000
+                THEN (SELECT cast(round(avg(l_extendedprice), 2) AS double)
+                      FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+                ELSE (SELECT cast(round(avg(l_discount) * 100000, 2) AS double)
+                      FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) END AS bucket1,
+           CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) > 12000
+                THEN (SELECT cast(round(avg(l_extendedprice), 2) AS double)
+                      FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+                ELSE (SELECT cast(round(avg(l_discount) * 100000, 2) AS double)
+                      FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) END AS bucket2,
+           CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) > 12000
+                THEN (SELECT cast(round(avg(l_extendedprice), 2) AS double)
+                      FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+                ELSE (SELECT cast(round(avg(l_discount) * 100000, 2) AS double)
+                      FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) END AS bucket3,
+           CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) > 12000
+                THEN (SELECT cast(round(avg(l_extendedprice), 2) AS double)
+                      FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+                ELSE (SELECT cast(round(avg(l_discount) * 100000, 2) AS double)
+                      FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) END AS bucket4,
+           CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) > 12000
+                THEN (SELECT cast(round(avg(l_extendedprice), 2) AS double)
+                      FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+                ELSE (SELECT cast(round(avg(l_discount) * 100000, 2) AS double)
+                      FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) END AS bucket5
+    FROM region
+    WHERE r_regionkey = 0
+    """
+
+# q17: sold-vs-returned quantity statistics per brand — two aggregate legs
+# (returnflag N / R) joined on the brand key, coefficient of variation on
+# each leg plus the return-rate ratio across legs.
+_SQL_NEW3["tpcds_q17"] = """
+    WITH sold AS (
+      SELECT p_brand,
+             cast(count(*) AS bigint) AS sold_cnt,
+             round(avg(l_quantity), 4) AS sold_mean,
+             round(stddev_samp(l_quantity), 4) AS sold_stdev
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND l_returnflag = 'N'
+      GROUP BY p_brand
+    ),
+    returned AS (
+      SELECT p_brand,
+             cast(count(*) AS bigint) AS ret_cnt,
+             round(avg(l_quantity), 4) AS ret_mean,
+             round(stddev_samp(l_quantity), 4) AS ret_stdev
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND l_returnflag = 'R'
+      GROUP BY p_brand
+    )
+    SELECT sold.p_brand,
+           sold_cnt, sold_mean,
+           round(sold_stdev / sold_mean, 4) AS sold_cov,
+           ret_cnt, ret_mean,
+           round(ret_stdev / ret_mean, 4) AS ret_cov,
+           round(cast(ret_cnt AS double) / sold_cnt, 4) AS return_rate
+    FROM sold, returned
+    WHERE sold.p_brand = returned.p_brand
+    ORDER BY sold.p_brand
+    LIMIT 100
+    """
+
+# q21: quantity shipped before/after a pivot date per (supplier-nation,
+# brand), kept when the after/before ratio stays within [2/3, 3/2].
+_SQL_NEW3["tpcds_q21"] = """
+    SELECT n_name, p_brand, inv_before, inv_after
+    FROM (
+      SELECT n_name, p_brand,
+             cast(sum(CASE WHEN l_shipdate < DATE '1997-07-01'
+                           THEN l_quantity ELSE 0 END) AS bigint) AS inv_before,
+             cast(sum(CASE WHEN l_shipdate >= DATE '1997-07-01'
+                           THEN l_quantity ELSE 0 END) AS bigint) AS inv_after
+      FROM lineitem, supplier, nation, part
+      WHERE l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey
+        AND l_partkey = p_partkey
+        AND l_shipdate BETWEEN DATE '1997-05-01' AND DATE '1997-08-31'
+      GROUP BY n_name, p_brand
+    ) x
+    WHERE inv_before > 0
+      -- ratio in [2/3, 3/2] via exact integer arithmetic: Spark parses the
+      -- literal 2.0/3.0 as DECIMAL division (0.666667) while DuckDB uses
+      -- double (0.6666666...), which flips rows landing exactly on 2/3
+      AND 2 * inv_before <= 3 * inv_after
+      AND 2 * inv_after <= 3 * inv_before
+    ORDER BY n_name, p_brand
+    LIMIT 100
+    """
+
+# q28: six price-band buckets, each computing avg / count / count-distinct
+# under an OR of band predicates, cross-joined into one row.
+_SQL_NEW3["tpcds_q28"] = """
+    SELECT b1.avg1, b1.cnt1, b1.cntd1,
+           b2.avg2, b2.cnt2, b2.cntd2,
+           b3.avg3, b3.cnt3, b3.cntd3,
+           b4.avg4, b4.cnt4, b4.cntd4,
+           b5.avg5, b5.cnt5, b5.cntd5,
+           b6.avg6, b6.cnt6, b6.cntd6
+    FROM
+      (SELECT cast(round(avg(l_extendedprice), 2) AS double) AS avg1,
+              cast(count(*) AS bigint) AS cnt1,
+              cast(count(DISTINCT l_partkey) AS bigint) AS cntd1
+       FROM lineitem WHERE l_quantity BETWEEN 1 AND 8
+         AND (l_extendedprice BETWEEN 10000 AND 40000
+           OR l_discount BETWEEN 0.00 AND 0.03
+           OR l_tax BETWEEN 0.05 AND 0.08)) b1,
+      (SELECT cast(round(avg(l_extendedprice), 2) AS double) AS avg2,
+              cast(count(*) AS bigint) AS cnt2,
+              cast(count(DISTINCT l_partkey) AS bigint) AS cntd2
+       FROM lineitem WHERE l_quantity BETWEEN 9 AND 16
+         AND (l_extendedprice BETWEEN 20000 AND 50000
+           OR l_discount BETWEEN 0.02 AND 0.05
+           OR l_tax BETWEEN 0.04 AND 0.07)) b2,
+      (SELECT cast(round(avg(l_extendedprice), 2) AS double) AS avg3,
+              cast(count(*) AS bigint) AS cnt3,
+              cast(count(DISTINCT l_partkey) AS bigint) AS cntd3
+       FROM lineitem WHERE l_quantity BETWEEN 17 AND 24
+         AND (l_extendedprice BETWEEN 30000 AND 60000
+           OR l_discount BETWEEN 0.04 AND 0.07
+           OR l_tax BETWEEN 0.03 AND 0.06)) b3,
+      (SELECT cast(round(avg(l_extendedprice), 2) AS double) AS avg4,
+              cast(count(*) AS bigint) AS cnt4,
+              cast(count(DISTINCT l_partkey) AS bigint) AS cntd4
+       FROM lineitem WHERE l_quantity BETWEEN 25 AND 32
+         AND (l_extendedprice BETWEEN 40000 AND 70000
+           OR l_discount BETWEEN 0.06 AND 0.09
+           OR l_tax BETWEEN 0.02 AND 0.05)) b4,
+      (SELECT cast(round(avg(l_extendedprice), 2) AS double) AS avg5,
+              cast(count(*) AS bigint) AS cnt5,
+              cast(count(DISTINCT l_partkey) AS bigint) AS cntd5
+       FROM lineitem WHERE l_quantity BETWEEN 33 AND 40
+         AND (l_extendedprice BETWEEN 50000 AND 80000
+           OR l_discount BETWEEN 0.08 AND 0.10
+           OR l_tax BETWEEN 0.01 AND 0.04)) b5,
+      (SELECT cast(round(avg(l_extendedprice), 2) AS double) AS avg6,
+              cast(count(*) AS bigint) AS cnt6,
+              cast(count(DISTINCT l_partkey) AS bigint) AS cntd6
+       FROM lineitem WHERE l_quantity BETWEEN 41 AND 50
+         AND (l_extendedprice BETWEEN 60000 AND 90000
+           OR l_discount BETWEEN 0.00 AND 0.02
+           OR l_tax BETWEEN 0.00 AND 0.03)) b6
+    """
+
+# q31: quarter-over-quarter growth compared across channels — per
+# (nation, quarter) revenue CTEs for web/store, 6-way join keeping nations
+# where web growth beats store growth in BOTH consecutive transitions.
+_SQL_NEW3["tpcds_q31"] = """
+    WITH rev AS (
+      SELECT n_name,
+             quarter(o_orderdate) AS qtr,
+             l_linestatus AS channel,
+             cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                  AS double) AS total
+      FROM lineitem, orders, customer, nation
+      WHERE l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND c_nationkey = n_nationkey
+        AND year(o_orderdate) = 1996
+        AND quarter(o_orderdate) <= 3
+      GROUP BY n_name, quarter(o_orderdate), l_linestatus
+    )
+    SELECT ss1.n_name,
+           round(cast(ws2.total AS double) / ws1.total, 6) AS web_q1_q2,
+           round(cast(ss2.total AS double) / ss1.total, 6) AS store_q1_q2,
+           round(cast(ws3.total AS double) / ws2.total, 6) AS web_q2_q3,
+           round(cast(ss3.total AS double) / ss2.total, 6) AS store_q2_q3
+    FROM rev ss1, rev ss2, rev ss3, rev ws1, rev ws2, rev ws3
+    WHERE ss1.n_name = ss2.n_name AND ss1.n_name = ss3.n_name
+      AND ss1.n_name = ws1.n_name AND ss1.n_name = ws2.n_name
+      AND ss1.n_name = ws3.n_name
+      AND ss1.channel = 'F' AND ss2.channel = 'F' AND ss3.channel = 'F'
+      AND ws1.channel = 'O' AND ws2.channel = 'O' AND ws3.channel = 'O'
+      AND ss1.qtr = 1 AND ss2.qtr = 2 AND ss3.qtr = 3
+      AND ws1.qtr = 1 AND ws2.qtr = 2 AND ws3.qtr = 3
+      AND ss1.total > 0 AND ss2.total > 0 AND ws1.total > 0 AND ws2.total > 0
+      AND cast(ws2.total AS double) / ws1.total
+          > cast(ss2.total AS double) / ss1.total
+      AND cast(ws3.total AS double) / ws2.total
+          > cast(ss3.total AS double) / ss2.total
+    ORDER BY ss1.n_name
+    """
+
+# q44: best and worst performing items side-by-side — two opposite-order
+# rank() subqueries over one per-part aggregate, joined on the rank.
+_SQL_NEW3["tpcds_q44"] = """
+    WITH perf AS (
+      SELECT l_partkey,
+             cast(round(avg(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                  AS double) AS avg_rev
+      FROM lineitem
+      GROUP BY l_partkey
+    ),
+    best AS (
+      SELECT l_partkey, rank() OVER (ORDER BY avg_rev DESC, l_partkey) AS rnk
+      FROM perf
+    ),
+    worst AS (
+      SELECT l_partkey, rank() OVER (ORDER BY avg_rev ASC, l_partkey) AS rnk
+      FROM perf
+    )
+    SELECT best.rnk,
+           p1.p_name AS best_performing,
+           p2.p_name AS worst_performing
+    FROM best, worst, part p1, part p2
+    WHERE best.rnk <= 10 AND worst.rnk <= 10
+      AND best.rnk = worst.rnk
+      AND p1.p_partkey = best.l_partkey
+      AND p2.p_partkey = worst.l_partkey
+    ORDER BY best.rnk
+    """
+
+# q48: one flat aggregate under a disjunction of three (segment ×
+# price-band × nation-set) conjunctions.
+_SQL_NEW3["tpcds_q48"] = """
+    SELECT cast(sum(l_quantity) AS bigint) AS total_quantity
+    FROM lineitem, orders, customer, nation
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+      AND ((c_mktsegment = 'BUILDING'
+            AND o_totalprice BETWEEN 50000 AND 150000
+            AND n_name IN ('NATION_0', 'NATION_3', 'NATION_6'))
+        OR (c_mktsegment = 'MACHINERY'
+            AND o_totalprice BETWEEN 100000 AND 250000
+            AND n_name IN ('NATION_1', 'NATION_4', 'NATION_7'))
+        OR (c_mktsegment = 'AUTOMOBILE'
+            AND o_totalprice BETWEEN 150000 AND 400000
+            AND n_name IN ('NATION_2', 'NATION_5', 'NATION_8')))
+    """
+
+# q49: worst return ratios per channel — per-(channel, part) returned/sold
+# ratio, dense ranked within channel, top 10 reported for both channels.
+_SQL_NEW3["tpcds_q49"] = """
+    SELECT channel, l_partkey, ret_ratio, rnk
+    FROM (
+      SELECT channel, l_partkey, ret_ratio,
+             rank() OVER (PARTITION BY channel
+                          ORDER BY ret_ratio DESC, l_partkey) AS rnk
+      FROM (
+        SELECT l_linestatus AS channel,
+               l_partkey,
+               round(cast(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)
+                          AS double)
+                     / sum(l_quantity), 6) AS ret_ratio
+        FROM lineitem
+        GROUP BY l_linestatus, l_partkey
+        HAVING sum(l_quantity) >= 100
+      ) ratios
+    ) ranked
+    WHERE rnk <= 10
+    ORDER BY channel, rnk, l_partkey
+    """
+
+# q54: customer revenue segmentation — per-customer revenue bucketed into
+# 5000-wide segments, counting customers per segment.
+_SQL_NEW3["tpcds_q54"] = """
+    SELECT segment,
+           cast(count(*) AS bigint) AS num_customers,
+           segment * 5000 AS segment_base
+    FROM (
+      SELECT o_custkey,
+             cast(floor(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)))
+                        / 5000) AS bigint) AS segment
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey
+        AND year(o_orderdate) = 1997
+      GROUP BY o_custkey
+    ) segs
+    GROUP BY segment
+    ORDER BY segment
+    LIMIT 100
+    """
+
+# q58: brands whose three return-flag-channel revenues are mutually within
+# 10% of the cross-channel average (three aggregate legs joined pairwise).
+_SQL_NEW3["tpcds_q58"] = """
+    WITH rev AS (
+      SELECT p_brand, l_returnflag AS channel,
+             cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                  AS double) AS total
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+      GROUP BY p_brand, l_returnflag
+    )
+    SELECT a.p_brand,
+           a.total AS a_rev, n.total AS n_rev, r.total AS r_rev,
+           round((a.total + n.total + r.total) / 3, 2) AS average
+    FROM rev a, rev n, rev r
+    WHERE a.p_brand = n.p_brand AND a.p_brand = r.p_brand
+      AND a.channel = 'A' AND n.channel = 'N' AND r.channel = 'R'
+      AND a.total BETWEEN 0.9 * (a.total + n.total + r.total) / 3
+                      AND 1.1 * (a.total + n.total + r.total) / 3
+      AND n.total BETWEEN 0.9 * (a.total + n.total + r.total) / 3
+                      AND 1.1 * (a.total + n.total + r.total) / 3
+      AND r.total BETWEEN 0.9 * (a.total + n.total + r.total) / 3
+                      AND 1.1 * (a.total + n.total + r.total) / 3
+    ORDER BY a.p_brand
+    LIMIT 100
+    """
+
+# q62: shipping-latency bucket pivot — months between order and ship date
+# bucketed into a conditional-sum pivot per (priority, nation "warehouse").
+_SQL_NEW3["tpcds_q62"] = """
+    SELECT o_orderpriority, n_name,
+           cast(sum(CASE WHEN gap_months <= 0 THEN 1 ELSE 0 END) AS bigint) AS same_month,
+           cast(sum(CASE WHEN gap_months = 1 THEN 1 ELSE 0 END) AS bigint) AS next_month,
+           cast(sum(CASE WHEN gap_months = 2 THEN 1 ELSE 0 END) AS bigint) AS two_months,
+           cast(sum(CASE WHEN gap_months >= 3 THEN 1 ELSE 0 END) AS bigint) AS three_plus
+    FROM (
+      SELECT o_orderpriority, s_nationkey,
+             (year(l_shipdate) * 12 + month(l_shipdate))
+             - (year(o_orderdate) * 12 + month(o_orderdate)) AS gap_months
+      FROM lineitem, orders, supplier
+      WHERE l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey
+        AND year(o_orderdate) = 1997
+    ) g, nation
+    WHERE g.s_nationkey = n_nationkey
+    GROUP BY o_orderpriority, n_name
+    ORDER BY o_orderpriority, n_name
+    LIMIT 100
+    """
+
+# q90: am/pm ratio — two disjoint hour-band counts from the events table,
+# cross-joined into a single ratio row.
+_SQL_NEW3["tpcds_q90"] = """
+    SELECT round(cast(am_cnt AS double) / pm_cnt, 6) AS am_pm_ratio,
+           cast(am_cnt AS bigint) AS am_cnt,
+           cast(pm_cnt AS bigint) AS pm_cnt
+    FROM (SELECT count(*) AS am_cnt FROM events
+          WHERE hour(ts) BETWEEN 6 AND 11) am,
+         (SELECT count(*) AS pm_cnt FROM events
+          WHERE hour(ts) BETWEEN 15 AND 20) pm
+    """
+
+for _name, _sql in _SQL_NEW3.items():
+    _register(_name, _sql)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _runner(sql) for name, sql in SQL.items()
 }

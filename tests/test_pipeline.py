@@ -107,3 +107,30 @@ def test_dedup_clusters_canonicals_cover_corpus(spark, sf_small):
         assert cid == min(m.doc_id for m in members)
         assert sum(m.is_canonical for m in members) == 1
     assert any(len(m) > 1 for m in by_cluster.values()), "expected real clusters"
+
+
+def test_pack_sequences_bin_assignment(spark):
+    """Concat-then-chunk semantics: a doc's bin is where its FIRST token
+    lands; docs may straddle bins (fixed 10-token windows here)."""
+    from pyspark.sql import functions as F
+    from native_sql_engine_spark.operators.text import pack_sequences
+
+    rows = [("s", 1, 4), ("s", 2, 4), ("s", 3, 4), ("s", 4, 9), ("t", 5, 25)]
+    df = spark.createDataFrame(rows, ["src", "doc_id", "n"])
+    out = pack_sequences(df, "doc_id", "src", F.col("n"), capacity=10)
+    got = {(r.doc_id, r.bin) for r in out.collect()}
+    # cum-before: d1=0→bin0, d2=4→bin0, d3=8→bin0 (straddles), d4=12→bin1
+    assert got == {(1, 0), (2, 0), (3, 0), (4, 1), (5, 0)}
+
+
+def test_quantize_int8_known_values(spark):
+    """Min maps to 0, max to 255, midpoint to floor(0.5*255)=127; constant
+    dimensions quantize to 0."""
+    from native_sql_engine_spark.operators.similarity import quantize_int8
+
+    rows = [(1, [0.0, 5.0]), (2, [10.0, 5.0]), (3, [5.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {r.vec_id: (r.code_sum, r.code_min, r.code_max, r.dims)
+           for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    # dim0 spans [0,10] → codes 0, 255, 127; dim1 constant → always 0
+    assert got == {1: (0, 0, 0, 2), 2: (255, 0, 255, 2), 3: (127, 0, 127, 2)}
