@@ -133,6 +133,35 @@ class Engine:
 
         return language_id(df, text_col)
 
+    def contamination_check(self, train: DataFrame, eval_: DataFrame,
+                            id_col: str, text_col: str, n: int = 8) -> DataFrame:
+        from .operators.text import ngram_contamination
+
+        return ngram_contamination(train, eval_, id_col, text_col, n)
+
+    def repetition_stats(self, df: DataFrame, id_col: str,
+                         text_col: str = "text", n: int = 3) -> DataFrame:
+        from .operators.text import repetition_stats
+
+        return repetition_stats(df, id_col, text_col, n)
+
+    def pack_sequences(self, df: DataFrame, id_col: str, group_col: str,
+                       n_tokens_col, capacity: int) -> DataFrame:
+        from .operators.text import pack_sequences
+
+        return pack_sequences(df, id_col, group_col, n_tokens_col, capacity)
+
+    def chunk_documents(self, df: DataFrame, id_col: str, text_col: str = "text",
+                        size: int = 512, stride: int = 384) -> DataFrame:
+        from .operators.text import chunk_documents
+
+        return chunk_documents(df, id_col, text_col, size, stride)
+
+    def quantize_int8(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        from .operators.similarity import quantize_int8
+
+        return quantize_int8(df, id_col, vec_col)
+
     # -- temporal / skew joins (beyond-reference) --------------------------
 
     def asof_join(self, left: DataFrame, right: DataFrame, key: str,

@@ -117,3 +117,20 @@ def test_scd2_history_keeps_leading_null_attr(spark):
         (1, None, 4, None),
         (2, "x", 1, None),
     ]
+
+
+def test_pipeline_facade_methods(eng):
+    docs = eng.table("documents")
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    assert eng.contamination_check(train, ev, "doc_id", "text").columns == [
+        "doc_id", "n_shared_ngrams", "n_eval_docs"]
+    assert eng.repetition_stats(docs, "doc_id").count() == docs.count()
+    packed = eng.pack_sequences(
+        docs, "doc_id", "source", F.size(F.split("text", r"\s+")), capacity=512)
+    assert {"bin", "n_tokens"} <= set(packed.columns)
+    chunks = eng.chunk_documents(docs, "doc_id", size=32, stride=24)
+    assert chunks.count() >= docs.count()
+    emb = eng.table("embeddings")
+    q = eng.quantize_int8(emb, "vec_id", "embedding")
+    assert q.count() == emb.count()

@@ -164,3 +164,44 @@ def test_dynamic_partition_pruning(spark, sf_small, tmp_path):
     plan = P.executed_plan(j)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "dynamicpruning" in m.group(1).lower(), plan
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_small):
+    """The eval n-gram set must broadcast (no sort-merge join at corpus
+    scale) and the join key must be the xxhash64'd gram, not the string."""
+    from native_sql_engine_spark.operators.text import ngram_contamination
+
+    docs = load_table(spark, sf_small, "documents")
+    out = ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id", "text", n=8,
+    )
+    plan = P.executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "xxhash64" in plan
+
+
+def test_repetition_and_chunking_are_shuffle_free(spark, sf_small):
+    """Per-document array expressions must not introduce an Exchange."""
+    from native_sql_engine_spark.operators.text import chunk_documents, repetition_stats
+
+    docs = load_table(spark, sf_small, "documents")
+    assert "Exchange" not in P.executed_plan(
+        repetition_stats(docs, "doc_id", "text")
+    )
+    assert "Exchange" not in P.executed_plan(
+        chunk_documents(docs, "doc_id", "text", size=32, stride=24)
+    )
+
+
+def test_quantize_stats_broadcast_back(spark, sf_small):
+    """Pass 2 of int8 quantization joins the per-dimension stats via
+    broadcast; the only wide shuffles are the two hash aggregates."""
+    from native_sql_engine_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_small, "embeddings")
+    plan = P.executed_plan(quantize_int8(emb, "vec_id", "embedding"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
