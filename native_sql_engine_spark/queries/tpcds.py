@@ -1397,6 +1397,231 @@ _SQL_NEW3["tpcds_q90"] = """
 for _name, _sql in _SQL_NEW3.items():
     _register(_name, _sql)
 
+# --- round 2b: 8 more full-set shapes ---------------------------------------
+_SQL_NEW4: dict[str, str] = {}
+
+# q7: flat demographic star aggregate — four averages per item under
+# segment + priority dimension filters.
+_SQL_NEW4["tpcds_q7"] = """
+    SELECT p_brand,
+           round(avg(l_quantity), 4) AS agg1,
+           cast(round(avg(cast(l_extendedprice AS decimal(38,9))), 2) AS double) AS agg2,
+           round(avg(l_discount), 6) AS agg3,
+           cast(round(avg(cast(l_extendedprice * l_tax AS decimal(38,9))), 2) AS double) AS agg4
+    FROM lineitem, orders, customer, part
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND l_partkey = p_partkey
+      AND c_mktsegment = 'BUILDING'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 100
+    """
+
+# q15: revenue by customer "zip" (name-suffix code) under an OR of three
+# qualification predicates (code list / balance / nation set).
+_SQL_NEW4["tpcds_q15"] = """
+    SELECT zip, cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                     AS double) AS total_sales
+    FROM (
+      SELECT substring(c_name, 17, 2) AS zip, c_custkey, c_nationkey, c_acctbal
+      FROM customer
+    ) c, nation, orders, lineitem
+    WHERE c.c_nationkey = n_nationkey
+      AND c.c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND year(o_orderdate) = 1997 AND quarter(o_orderdate) = 1
+      AND (zip IN ('10', '25', '40', '55', '70')
+        OR c_acctbal > 9000
+        OR n_name IN ('NATION_3', 'NATION_9', 'NATION_17'))
+    GROUP BY zip
+    ORDER BY zip
+    LIMIT 100
+    """
+
+# q36: gross-margin ratio over a ROLLUP hierarchy with rank within each
+# grouping level (lochierarchy = grouping(p_type)+grouping(p_brand)).
+_SQL_NEW4["tpcds_q36"] = """
+    WITH agg AS (
+      SELECT CASE WHEN grouping(p_type) = 1 THEN 'ALL' ELSE p_type END AS pt,
+             CASE WHEN grouping(p_brand) = 1 THEN 'ALL' ELSE p_brand END AS pb,
+             grouping(p_type) + grouping(p_brand) AS lochierarchy,
+             round(cast(sum(cast(l_extendedprice * (1 - l_discount) - l_quantity * 100
+                                 AS decimal(38,9))) AS double)
+                   / cast(sum(cast(l_extendedprice * (1 - l_discount)
+                                   AS decimal(38,9))) AS double), 6) AS gross_margin
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+      GROUP BY ROLLUP(p_type, p_brand)
+    )
+    SELECT pt, pb, lochierarchy, gross_margin,
+           rank() OVER (PARTITION BY lochierarchy,
+                                     CASE WHEN lochierarchy = 0 THEN pt END
+                        ORDER BY gross_margin ASC, pb) AS rank_within_parent
+    FROM agg
+    ORDER BY lochierarchy DESC, pt, rank_within_parent, pb
+    LIMIT 100
+    """
+
+# q45: revenue by zip gated by (zip IN literal-list OR custkey IN
+# subquery) — the IN-subquery inside a disjunction plans as an
+# existence join, the null-aware cousin of q10's EXISTS gating.
+_SQL_NEW4["tpcds_q45"] = """
+    SELECT zip, cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                     AS double) AS total_sales
+    FROM (
+      SELECT substring(c_name, 17, 2) AS zip, c_custkey
+      FROM customer
+    ) c, orders, lineitem
+    WHERE c.c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND year(o_orderdate) = 1997
+      AND (zip IN ('10', '25', '40', '55', '70')
+        OR c.c_custkey IN (SELECT o_custkey FROM orders
+                           WHERE o_totalprice > 400000))
+    GROUP BY zip
+    ORDER BY zip
+    LIMIT 100
+    """
+
+# q61: promotional-to-total revenue ratio — two single-row aggregate legs
+# cross-joined into one ratio row.
+_SQL_NEW4["tpcds_q61"] = """
+    SELECT promotions, total,
+           round(cast(promotions AS double) / total * 100, 6) AS promo_pct
+    FROM
+      (SELECT cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                   AS double) AS promotions
+       FROM lineitem, part
+       WHERE l_partkey = p_partkey
+         AND p_type = 'PROMO'
+         AND l_discount > 0.05
+         AND year(l_shipdate) = 1997) p,
+      (SELECT cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                   AS double) AS total
+       FROM lineitem, part
+       WHERE l_partkey = p_partkey
+         AND year(l_shipdate) = 1997) t
+    """
+
+# q66: wide monthly shipping pivot per nation "warehouse" — 12 conditional
+# revenue sums, UNION ALL of the two linestatus "carriers", re-aggregated.
+_SQL_NEW4["tpcds_q66"] = """
+    SELECT n_name, yr,
+           cast(round(sum(jan), 2) AS double) AS jan_rev,
+           cast(round(sum(feb), 2) AS double) AS feb_rev,
+           cast(round(sum(mar), 2) AS double) AS mar_rev,
+           cast(round(sum(apr), 2) AS double) AS apr_rev,
+           cast(round(sum(may), 2) AS double) AS may_rev,
+           cast(round(sum(jun), 2) AS double) AS jun_rev,
+           cast(round(sum(jul), 2) AS double) AS jul_rev,
+           cast(round(sum(aug), 2) AS double) AS aug_rev,
+           cast(round(sum(sep), 2) AS double) AS sep_rev,
+           cast(round(sum(oct), 2) AS double) AS oct_rev,
+           cast(round(sum(nov), 2) AS double) AS nov_rev,
+           cast(round(sum(dec), 2) AS double) AS dec_rev,
+           cast(count(*) AS bigint) AS n_slices
+    FROM (
+      SELECT n_name, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             CASE WHEN month(o_orderdate) = 1 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END AS jan,
+             CASE WHEN month(o_orderdate) = 2 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END AS feb,
+             CASE WHEN month(o_orderdate) = 3 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END AS mar,
+             CASE WHEN month(o_orderdate) = 4 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END AS apr,
+             CASE WHEN month(o_orderdate) = 5 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END AS may,
+             CASE WHEN month(o_orderdate) = 6 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END AS jun,
+             CASE WHEN month(o_orderdate) = 7 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END AS jul,
+             CASE WHEN month(o_orderdate) = 8 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END AS aug,
+             CASE WHEN month(o_orderdate) = 9 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END AS sep,
+             CASE WHEN month(o_orderdate) = 10 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END AS oct,
+             CASE WHEN month(o_orderdate) = 11 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END AS nov,
+             CASE WHEN month(o_orderdate) = 12 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END AS dec
+      FROM lineitem, orders, supplier, nation
+      WHERE l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey
+        AND l_linestatus = 'O'
+        AND year(o_orderdate) = 1997
+      UNION ALL
+      SELECT n_name, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             CASE WHEN month(o_orderdate) = 1 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END,
+             CASE WHEN month(o_orderdate) = 2 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END,
+             CASE WHEN month(o_orderdate) = 3 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END,
+             CASE WHEN month(o_orderdate) = 4 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END,
+             CASE WHEN month(o_orderdate) = 5 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END,
+             CASE WHEN month(o_orderdate) = 6 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END,
+             CASE WHEN month(o_orderdate) = 7 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END,
+             CASE WHEN month(o_orderdate) = 8 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END,
+             CASE WHEN month(o_orderdate) = 9 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END,
+             CASE WHEN month(o_orderdate) = 10 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END,
+             CASE WHEN month(o_orderdate) = 11 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END,
+             CASE WHEN month(o_orderdate) = 12 THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) ELSE cast(0 AS decimal(38,9)) END
+      FROM lineitem, orders, supplier, nation
+      WHERE l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey
+        AND l_linestatus = 'F'
+        AND year(o_orderdate) = 1997
+    ) slices
+    GROUP BY n_name, yr
+    ORDER BY n_name, yr
+    LIMIT 100
+    """
+
+# q67: ROLLUP over the product hierarchy then top-5 per p_type partition by
+# ranked sales (Expand feeding a ranking window).
+_SQL_NEW4["tpcds_q67"] = """
+    WITH agg AS (
+      SELECT CASE WHEN grouping(p_type) = 1 THEN 'ALL' ELSE p_type END AS pt,
+             CASE WHEN grouping(p_brand) = 1 THEN 'ALL' ELSE p_brand END AS pb,
+             CASE WHEN grouping(p_size) = 1 THEN -1 ELSE p_size END AS psz,
+             cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                  AS double) AS sumsales
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+      GROUP BY ROLLUP(p_type, p_brand, p_size)
+    )
+    SELECT pt, pb, psz, sumsales, rnk
+    FROM (
+      SELECT pt, pb, psz, sumsales,
+             rank() OVER (PARTITION BY pt
+                          ORDER BY sumsales DESC, pb, psz) AS rnk
+      FROM agg
+    ) ranked
+    WHERE rnk <= 5
+    ORDER BY pt, rnk, pb, psz
+    """
+
+# q85: returned lines under a disjunction of three (segment × order-price ×
+# discount) band conjunctions, averaged per segment.
+_SQL_NEW4["tpcds_q85"] = """
+    SELECT c_mktsegment,
+           round(avg(l_quantity), 4) AS avg_qty,
+           cast(round(avg(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                AS double) AS avg_refunded,
+           cast(round(avg(cast(l_extendedprice * l_tax AS decimal(38,9))), 2)
+                AS double) AS avg_fee,
+           cast(count(*) AS bigint) AS n_returns
+    FROM lineitem, orders, customer
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND l_returnflag = 'R'
+      AND ((c_mktsegment = 'BUILDING'
+            AND o_totalprice BETWEEN 50000 AND 200000
+            AND l_discount BETWEEN 0.00 AND 0.05)
+        OR (c_mktsegment = 'MACHINERY'
+            AND o_totalprice BETWEEN 100000 AND 300000
+            AND l_discount BETWEEN 0.02 AND 0.07)
+        OR (c_mktsegment = 'HOUSEHOLD'
+            AND o_totalprice BETWEEN 150000 AND 450000
+            AND l_discount BETWEEN 0.05 AND 0.10))
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """
+
+for _name, _sql in _SQL_NEW4.items():
+    _register(_name, _sql)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _runner(sql) for name, sql in SQL.items()
 }
