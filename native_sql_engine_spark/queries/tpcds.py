@@ -1622,6 +1622,305 @@ _SQL_NEW4["tpcds_q85"] = """
 for _name, _sql in _SQL_NEW4.items():
     _register(_name, _sql)
 
+# --- round 2c: toward the full 99-query set ---------------------------------
+# (resources/tpcds/ ships all 99; shapes adapted to the driver star schema.)
+_SQL_NEW5: dict[str, str] = {}
+
+# q2: week-over-week report — per-day-of-week sums for two years from one
+# aggregate CTE, self-joined into a YoY ratio per dow.
+_SQL_NEW5["tpcds_q2"] = """
+    WITH wk AS (
+      SELECT year(o_orderdate) AS yr,
+             day(o_orderdate) % 7 AS dow,
+             sum(cast(o_totalprice AS decimal(38,9))) AS sales
+      FROM orders
+      WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY year(o_orderdate), day(o_orderdate) % 7
+    )
+    SELECT a.dow AS dow,
+           cast(round(a.sales, 2) AS double) AS sales_1996,
+           cast(round(b.sales, 2) AS double) AS sales_1997,
+           round(cast(a.sales AS double) / cast(b.sales AS double), 6) AS yoy_ratio
+    FROM wk a JOIN wk b ON a.dow = b.dow
+    WHERE a.yr = 1996 AND b.yr = 1997
+    ORDER BY dow
+    """
+
+# q8: store sales limited to nations in the INTERSECT of a preferred-name
+# list and nations with a large customer base (IN over INTERSECT subquery).
+_SQL_NEW5["tpcds_q8"] = """
+    SELECT s_name,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                AS double) AS net_sales
+    FROM lineitem, orders, supplier
+    WHERE l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND year(o_orderdate) = 1997
+      AND s_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_name LIKE 'NATION_1%' OR n_name LIKE 'NATION_2%'
+        INTERSECT
+        SELECT c_nationkey FROM customer GROUP BY c_nationkey HAVING count(*) > 40)
+    GROUP BY s_name
+    ORDER BY s_name
+    LIMIT 100
+    """
+
+# q12: 30-day-window item revenue with ratio-to-class via a window sum
+# (web_sales flavor of the q98 family; ship-date window, type partition).
+_SQL_NEW5["tpcds_q12"] = """
+    SELECT p_type, p_brand,
+           cast(round(itemrevenue, 2) AS double) AS itemrevenue,
+           round(cast(itemrevenue AS double) * 100
+                 / cast(sum(itemrevenue) OVER (PARTITION BY p_type) AS double),
+                 6) AS revenueratio
+    FROM (
+      SELECT p_type, p_brand,
+             sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS itemrevenue
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= date '1997-03-01' AND l_shipdate < date '1997-03-31'
+      GROUP BY p_type, p_brand) t
+    ORDER BY p_type, revenueratio, p_brand
+    LIMIT 100
+    """
+
+# q13: single-row averages under a three-way OR of (segment × balance-band ×
+# quantity-band) conjunctions spanning two dimension tables.
+_SQL_NEW5["tpcds_q13"] = """
+    SELECT round(avg(l_quantity), 4) AS avg_qty,
+           cast(round(avg(cast(l_extendedprice AS decimal(38,9))), 2) AS double) AS avg_price,
+           cast(round(avg(cast(o_totalprice AS decimal(38,9))), 2) AS double) AS avg_order,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                AS double) AS net_paid
+    FROM lineitem, orders, customer, nation
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+      AND ((c_mktsegment = 'AUTOMOBILE' AND c_acctbal BETWEEN 0 AND 3000
+            AND l_quantity BETWEEN 1 AND 20)
+        OR (c_mktsegment = 'FURNITURE' AND c_acctbal BETWEEN 2000 AND 6000
+            AND l_quantity BETWEEN 10 AND 35)
+        OR (c_mktsegment = 'MACHINERY' AND c_acctbal BETWEEN 5000 AND 10000
+            AND l_quantity BETWEEN 25 AND 50))
+    """
+
+# q18: multi-measure averages under ROLLUP over (region, nation, segment).
+_SQL_NEW5["tpcds_q18"] = """
+    SELECT r_name, n_name, c_mktsegment,
+           round(avg(l_quantity), 4) AS avg_qty,
+           cast(round(avg(cast(l_extendedprice AS decimal(38,9))), 2) AS double) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           cast(round(avg(cast(o_totalprice AS decimal(38,9))), 2) AS double) AS avg_total,
+           cast(count(*) AS bigint) AS n_rows
+    FROM lineitem, orders, customer, nation, region
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND year(o_orderdate) = 1997
+    GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, c_mktsegment NULLS FIRST
+    LIMIT 100
+    """
+
+# q20: order-date-window revenue ratio-to-brand (catalog flavor of q12/q98:
+# different partition key, tax-inclusive measure, type IN-list filter).
+_SQL_NEW5["tpcds_q20"] = """
+    SELECT p_brand, p_type,
+           cast(round(itemrevenue, 2) AS double) AS itemrevenue,
+           round(cast(itemrevenue AS double) * 100
+                 / cast(sum(itemrevenue) OVER (PARTITION BY p_brand) AS double),
+                 6) AS revenueratio
+    FROM (
+      SELECT p_brand, p_type,
+             sum(cast(l_extendedprice * (1 + l_tax) AS decimal(38,9))) AS itemrevenue
+      FROM lineitem, orders, part
+      WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        AND o_orderdate >= date '1997-06-01' AND o_orderdate < date '1997-07-01'
+        AND p_type IN ('PROMO', 'ECONOMY', 'STANDARD')
+      GROUP BY p_brand, p_type) t
+    ORDER BY p_brand, revenueratio, p_type
+    LIMIT 100
+    """
+
+# q22: average quantity-on-hand ROLLUP down the part hierarchy
+# (type → brand → size), ordered by the average.
+_SQL_NEW5["tpcds_q22"] = """
+    SELECT p_type, p_brand, p_size,
+           round(avg(l_quantity), 4) AS qoh
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND year(l_shipdate) BETWEEN 1996 AND 1998
+    GROUP BY ROLLUP(p_type, p_brand, p_size)
+    ORDER BY qoh, p_type NULLS FIRST, p_brand NULLS FIRST, p_size NULLS FIRST
+    LIMIT 100
+    """
+
+# q24: per-(customer, supplier, brand) net paid where customer and supplier
+# share a nation, kept above a scalar-subquery threshold over the same CTE
+# (exchange/CTE reuse: ss is scanned twice).
+_SQL_NEW5["tpcds_q24"] = """
+    WITH ss AS (
+      SELECT c_name, s_name, p_brand,
+             sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS netpaid
+      FROM lineitem, orders, customer, supplier, part
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+        AND c_nationkey = s_nationkey
+        AND l_returnflag = 'R'
+      GROUP BY c_name, s_name, p_brand
+    )
+    SELECT c_name, s_name, p_brand,
+           cast(round(netpaid, 2) AS double) AS paid
+    FROM ss
+    WHERE netpaid > (SELECT 0.05 * avg(netpaid) FROM ss)
+    ORDER BY c_name, s_name, p_brand
+    LIMIT 100
+    """
+
+# q25: three-channel profit flow — store-sold, returned, catalog-resold legs
+# (one aggregate CTE per l_returnflag channel) joined on (part, supplier).
+_SQL_NEW5["tpcds_q25"] = """
+    WITH st AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS profit
+      FROM lineitem WHERE l_returnflag = 'N' AND year(l_shipdate) = 1996
+      GROUP BY l_partkey, l_suppkey),
+    rt AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             sum(cast(l_extendedprice * (1 + l_tax) AS decimal(38,9))) AS loss
+      FROM lineitem WHERE l_returnflag = 'R' AND year(l_shipdate) IN (1996, 1997)
+      GROUP BY l_partkey, l_suppkey),
+    ct AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS profit
+      FROM lineitem WHERE l_returnflag = 'A' AND year(l_shipdate) IN (1996, 1997)
+      GROUP BY l_partkey, l_suppkey)
+    SELECT p_brand, s_name,
+           cast(round(sum(st.profit), 2) AS double) AS store_profit,
+           cast(round(sum(rt.loss), 2) AS double)   AS return_loss,
+           cast(round(sum(ct.profit), 2) AS double) AS catalog_profit
+    FROM st JOIN rt ON st.pk = rt.pk AND st.sk = rt.sk
+            JOIN ct ON st.pk = ct.pk AND st.sk = ct.sk
+            JOIN part ON st.pk = p_partkey
+            JOIN supplier ON st.sk = s_suppkey
+    GROUP BY p_brand, s_name
+    ORDER BY p_brand, s_name
+    LIMIT 100
+    """
+
+# q26: flat demographic star averages on the order-priority/status dimension
+# (catalog flavor of the q7 family).
+_SQL_NEW5["tpcds_q26"] = """
+    SELECT p_brand,
+           round(avg(l_quantity), 4) AS agg1,
+           cast(round(avg(cast(l_extendedprice AS decimal(38,9))), 2) AS double) AS agg2,
+           round(avg(l_discount), 6) AS agg3,
+           cast(round(avg(cast(l_extendedprice * (1 + l_tax) AS decimal(38,9))), 2)
+                AS double) AS agg4
+    FROM lineitem, orders, part
+    WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      AND o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED')
+      AND o_orderstatus = 'F'
+      AND year(o_orderdate) = 1996
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 100
+    """
+
+# q29: three-channel quantity flow with stepped date windows per leg
+# (sold Q1 → returned within six months → restocked across two years).
+_SQL_NEW5["tpcds_q29"] = """
+    WITH sold AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_returnflag = 'N' AND year(l_shipdate) = 1996
+        AND month(l_shipdate) BETWEEN 1 AND 3
+      GROUP BY l_partkey, l_suppkey),
+    ret AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND year(l_shipdate) = 1996
+        AND month(l_shipdate) BETWEEN 1 AND 9
+      GROUP BY l_partkey, l_suppkey),
+    restock AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_returnflag = 'A' AND year(l_shipdate) IN (1996, 1997)
+      GROUP BY l_partkey, l_suppkey)
+    SELECT p_brand, s_name,
+           round(sum(sold.qty), 2)    AS store_qty,
+           round(sum(ret.qty), 2)     AS returned_qty,
+           round(sum(restock.qty), 2) AS catalog_qty
+    FROM sold JOIN ret     ON sold.pk = ret.pk AND sold.sk = ret.sk
+              JOIN restock ON sold.pk = restock.pk AND sold.sk = restock.sk
+              JOIN part     ON sold.pk = p_partkey
+              JOIN supplier ON sold.sk = s_suppkey
+    GROUP BY p_brand, s_name
+    ORDER BY p_brand, s_name
+    LIMIT 100
+    """
+
+# q30: customers whose return total exceeds 1.2× their nation's average —
+# correlated scalar subquery over a shared aggregate CTE.
+_SQL_NEW5["tpcds_q30"] = """
+    WITH ret AS (
+      SELECT o_custkey AS ck, c_nationkey AS nk,
+             sum(cast(l_extendedprice * (1 + l_tax) AS decimal(38,9))) AS total_ret
+      FROM lineitem, orders, customer
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND l_returnflag = 'R' AND year(l_shipdate) = 1997
+      GROUP BY o_custkey, c_nationkey
+    )
+    SELECT c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+           cast(round(r1.total_ret, 2) AS double) AS total_returns
+    FROM ret r1, customer, nation
+    WHERE r1.ck = c_custkey AND c_nationkey = n_nationkey
+      AND cast(r1.total_ret AS double) >
+          (SELECT 1.2 * avg(cast(r2.total_ret AS double)) FROM ret r2
+           WHERE r2.nk = r1.nk)
+    ORDER BY c_name, total_returns
+    LIMIT 100
+    """
+
+# q32: "excess discount" — lines whose discount beats 1.3× the per-part
+# average (correlated scalar subquery on the fact table itself).
+_SQL_NEW5["tpcds_q32"] = """
+    SELECT cast(round(sum(cast(l1.l_extendedprice * l1.l_discount AS decimal(38,9))), 2)
+                AS double) AS excess_discount
+    FROM lineitem l1, part
+    WHERE l1.l_partkey = p_partkey
+      AND p_brand IN ('Brand#21', 'Brand#22', 'Brand#23')
+      AND year(l1.l_shipdate) = 1997
+      AND l1.l_discount > (
+        SELECT 1.3 * avg(l2.l_discount) FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey AND year(l2.l_shipdate) = 1997)
+    """
+
+# q35: demographic stats gated by EXISTS + (EXISTS OR EXISTS) — the q10
+# gating pattern with a multi-measure aggregate payload.
+_SQL_NEW5["tpcds_q35"] = """
+    SELECT c_mktsegment, n_name,
+           cast(count(*) AS bigint) AS cnt,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           cast(round(avg(cast(c_acctbal AS decimal(38,9))), 4) AS double) AS avg_bal
+    FROM customer, nation
+    WHERE c_nationkey = n_nationkey
+      AND EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1997)
+      AND (EXISTS (SELECT 1 FROM orders, lineitem
+                   WHERE o_custkey = c_custkey AND l_orderkey = o_orderkey
+                     AND l_returnflag = 'A')
+        OR EXISTS (SELECT 1 FROM orders, lineitem
+                   WHERE o_custkey = c_custkey AND l_orderkey = o_orderkey
+                     AND l_returnflag = 'N'))
+    GROUP BY c_mktsegment, n_name
+    ORDER BY c_mktsegment, n_name
+    LIMIT 100
+    """
+
+for _name, _sql in _SQL_NEW5.items():
+    _register(_name, _sql)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _runner(sql) for name, sql in SQL.items()
 }
