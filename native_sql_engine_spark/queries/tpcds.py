@@ -1921,6 +1921,349 @@ _SQL_NEW5["tpcds_q35"] = """
 for _name, _sql in _SQL_NEW5.items():
     _register(_name, _sql)
 
+# --- round 2d: 14 more full-set shapes --------------------------------------
+_SQL_NEW6: dict[str, str] = {}
+
+# q37: parts in a price band with sales in a date window, gated by an EXISTS
+# on the supplier side; distinct part attributes out.
+_SQL_NEW6["tpcds_q37"] = """
+    SELECT p_name, p_brand, round(min(p_retailprice), 2) AS min_price
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_retailprice BETWEEN 930 AND 960
+      AND l_shipdate >= date '1997-01-01' AND l_shipdate < date '1997-03-01'
+      AND EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey AND s_acctbal > 0)
+    GROUP BY p_name, p_brand
+    ORDER BY p_name, p_brand
+    LIMIT 100
+    """
+
+# q40: net sales before/after a pivot date per (supplier nation, brand),
+# with returned amounts subtracted via a LEFT JOIN + coalesce leg.
+_SQL_NEW6["tpcds_q40"] = """
+    SELECT n_name, p_brand,
+           cast(round(sum(cast(CASE WHEN l.l_shipdate < date '1997-01-01'
+                                    THEN l.l_extendedprice - coalesce(r.ret_amt, 0)
+                                    ELSE 0 END AS decimal(38,9))), 2) AS double) AS sales_before,
+           cast(round(sum(cast(CASE WHEN l.l_shipdate >= date '1997-01-01'
+                                    THEN l.l_extendedprice - coalesce(r.ret_amt, 0)
+                                    ELSE 0 END AS decimal(38,9))), 2) AS double) AS sales_after
+    FROM lineitem l
+    LEFT JOIN (SELECT l_orderkey, l_partkey,
+                      sum(l_extendedprice) AS ret_amt
+               FROM lineitem WHERE l_returnflag = 'R'
+               GROUP BY l_orderkey, l_partkey) r
+      ON l.l_orderkey = r.l_orderkey AND l.l_partkey = r.l_partkey
+    JOIN supplier ON l.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l.l_partkey = p_partkey
+    WHERE l.l_returnflag = 'N' AND year(l.l_shipdate) IN (1996, 1997)
+    GROUP BY n_name, p_brand
+    ORDER BY n_name, p_brand
+    LIMIT 100
+    """
+
+# q41: distinct product names whose brand carries sibling parts matching an
+# OR of (type, size-band) conjunctions — correlated scalar count > 0.
+_SQL_NEW6["tpcds_q41"] = """
+    SELECT DISTINCT p_name
+    FROM part p1
+    WHERE p_retailprice BETWEEN 950 AND 980
+      AND (SELECT count(*) FROM part p2
+           WHERE p2.p_brand = p1.p_brand
+             AND ((p2.p_type IN ('STANDARD', 'SMALL') AND p2.p_size BETWEEN 1 AND 15)
+               OR (p2.p_type IN ('MEDIUM', 'LARGE') AND p2.p_size BETWEEN 30 AND 45))) > 0
+    ORDER BY p_name
+    LIMIT 100
+    """
+
+# q50: return-latency day-bucket pivot per supplier nation (order date →
+# return ship date, day gap via year*365 + dayofyear arithmetic).
+_SQL_NEW6["tpcds_q50"] = """
+    SELECT n_name,
+           cast(sum(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END) AS bigint) AS d30,
+           cast(sum(CASE WHEN gap_days > 30 AND gap_days <= 60 THEN 1 ELSE 0 END) AS bigint) AS d60,
+           cast(sum(CASE WHEN gap_days > 60 AND gap_days <= 90 THEN 1 ELSE 0 END) AS bigint) AS d90,
+           cast(sum(CASE WHEN gap_days > 90 AND gap_days <= 120 THEN 1 ELSE 0 END) AS bigint) AS d120,
+           cast(sum(CASE WHEN gap_days > 120 THEN 1 ELSE 0 END) AS bigint) AS d_over_120
+    FROM (
+      SELECT s_nationkey,
+             (year(l_shipdate) * 365 + dayofyear(l_shipdate))
+             - (year(o_orderdate) * 365 + dayofyear(o_orderdate)) AS gap_days
+      FROM lineitem, orders, supplier
+      WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        AND l_returnflag = 'R' AND year(l_shipdate) = 1997
+    ) g, nation
+    WHERE g.s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    LIMIT 100
+    """
+
+# q56: per-item revenue summed across three channel legs (UNION ALL of
+# aggregate CTEs, q33 family) for a part-name prefix set.
+_SQL_NEW6["tpcds_q56"] = """
+    WITH ss AS (
+      SELECT p_name AS item, sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS total
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND l_returnflag = 'N'
+        AND (p_name LIKE 'small%' OR p_name LIKE 'red%' OR p_name LIKE 'blue%')
+        AND month(l_shipdate) = 5
+      GROUP BY p_name),
+    cs AS (
+      SELECT p_name AS item, sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS total
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND l_returnflag = 'A'
+        AND (p_name LIKE 'small%' OR p_name LIKE 'red%' OR p_name LIKE 'blue%')
+        AND month(l_shipdate) = 5
+      GROUP BY p_name),
+    ws AS (
+      SELECT p_name AS item, sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS total
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND l_returnflag = 'R'
+        AND (p_name LIKE 'small%' OR p_name LIKE 'red%' OR p_name LIKE 'blue%')
+        AND month(l_shipdate) = 5
+      GROUP BY p_name)
+    SELECT item, cast(round(sum(total), 2) AS double) AS total_sales
+    FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) t
+    GROUP BY item
+    ORDER BY total_sales, item
+    LIMIT 100
+    """
+
+# q57: monthly deviation-from-average with lag/lead context per
+# (nation, part type) — the q47 pattern on the supplier dimension.
+_SQL_NEW6["tpcds_q57"] = """
+    WITH m AS (
+      SELECT n_name, p_type, month(l_shipdate) AS moy,
+             sum(cast(l_extendedprice AS decimal(38,9))) AS sum_sales_d
+      FROM lineitem, supplier, nation, part
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND l_partkey = p_partkey
+        AND year(l_shipdate) = 1997
+      GROUP BY n_name, p_type, month(l_shipdate)),
+    v AS (
+      SELECT n_name, p_type, moy,
+             cast(round(sum_sales_d, 2) AS double) AS sum_sales,
+             cast(round(avg(sum_sales_d) OVER (PARTITION BY n_name, p_type), 2)
+                  AS double) AS avg_monthly,
+             cast(round(lag(sum_sales_d) OVER (PARTITION BY n_name, p_type ORDER BY moy), 2)
+                  AS double) AS prev_sales,
+             cast(round(lead(sum_sales_d) OVER (PARTITION BY n_name, p_type ORDER BY moy), 2)
+                  AS double) AS next_sales
+      FROM m)
+    SELECT n_name, p_type, moy, sum_sales, avg_monthly, prev_sales, next_sales
+    FROM v
+    WHERE avg_monthly > 0 AND abs(sum_sales - avg_monthly) / avg_monthly > 0.1
+    ORDER BY n_name, p_type, moy
+    LIMIT 100
+    """
+
+# q60: q56 family with a size-set filter and item ordering first.
+_SQL_NEW6["tpcds_q60"] = """
+    WITH ss AS (
+      SELECT p_brand AS item, sum(cast(l_extendedprice AS decimal(38,9))) AS total
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND l_returnflag = 'N'
+        AND p_size IN (5, 10, 15, 20, 25) AND month(l_shipdate) = 9
+      GROUP BY p_brand),
+    cs AS (
+      SELECT p_brand AS item, sum(cast(l_extendedprice AS decimal(38,9))) AS total
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND l_returnflag = 'A'
+        AND p_size IN (5, 10, 15, 20, 25) AND month(l_shipdate) = 9
+      GROUP BY p_brand),
+    ws AS (
+      SELECT p_brand AS item, sum(cast(l_extendedprice AS decimal(38,9))) AS total
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND l_returnflag = 'R'
+        AND p_size IN (5, 10, 15, 20, 25) AND month(l_shipdate) = 9
+      GROUP BY p_brand)
+    SELECT item, cast(round(sum(total), 2) AS double) AS total_sales
+    FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) t
+    GROUP BY item
+    ORDER BY item, total_sales
+    LIMIT 100
+    """
+
+# q64: cross-year "repeat sales" — one multi-dim aggregate CTE self-joined
+# across two years on (part, nation) where the later year sold no more.
+_SQL_NEW6["tpcds_q64"] = """
+    WITH cs AS (
+      SELECT p_partkey AS pk, s_nationkey AS nk, year(o_orderdate) AS yr,
+             cast(count(*) AS bigint) AS cnt,
+             sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS amt
+      FROM lineitem, orders, supplier, part
+      WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+        AND year(o_orderdate) IN (1996, 1997)
+      GROUP BY p_partkey, s_nationkey, year(o_orderdate))
+    SELECT p_brand, n_name,
+           cs1.cnt AS cnt_1996, cast(round(cs1.amt, 2) AS double) AS amt_1996,
+           cs2.cnt AS cnt_1997, cast(round(cs2.amt, 2) AS double) AS amt_1997
+    FROM cs cs1 JOIN cs cs2 ON cs1.pk = cs2.pk AND cs1.nk = cs2.nk
+         JOIN part ON cs1.pk = p_partkey
+         JOIN nation ON cs1.nk = n_nationkey
+    WHERE cs1.yr = 1996 AND cs2.yr = 1997 AND cs2.cnt <= cs1.cnt
+    ORDER BY p_brand, n_name, cnt_1996, amt_1996, cnt_1997, amt_1997
+    LIMIT 100
+    """
+
+# q69: active customers with no returns and no urgent orders —
+# EXISTS + NOT EXISTS + NOT EXISTS gating, banded counts.
+_SQL_NEW6["tpcds_q69"] = """
+    SELECT c_mktsegment,
+           CASE WHEN c_acctbal < 2500 THEN 'low'
+                WHEN c_acctbal < 7500 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           cast(count(*) AS bigint) AS cnt
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1997)
+      AND NOT EXISTS (SELECT 1 FROM orders, lineitem
+                      WHERE o_custkey = c_custkey AND l_orderkey = o_orderkey
+                        AND l_returnflag = 'R' AND year(l_shipdate) = 1997)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+                        AND year(o_orderdate) = 1997)
+    GROUP BY c_mktsegment,
+             CASE WHEN c_acctbal < 2500 THEN 'low'
+                  WHEN c_acctbal < 7500 THEN 'mid'
+                  ELSE 'high' END
+    ORDER BY c_mktsegment, bal_band
+    """
+
+# q71: revenue by (type, hour-of-day) over three UNION ALL "time dim" legs
+# of the events stream table, restricted to business hours.
+_SQL_NEW6["tpcds_q71"] = """
+    SELECT event_type, hr,
+           cast(round(sum(amt), 2) AS double) AS revenue,
+           cast(count(*) AS bigint) AS n_events
+    FROM (
+      SELECT event_type, hour(ts) AS hr, cast(value AS decimal(38,9)) AS amt
+      FROM events WHERE value < 10
+      UNION ALL
+      SELECT event_type, hour(ts) AS hr, cast(value * 2 AS decimal(38,9)) AS amt
+      FROM events WHERE value >= 10 AND value < 100
+      UNION ALL
+      SELECT event_type, hour(ts) AS hr, cast(value / 2 AS decimal(38,9)) AS amt
+      FROM events WHERE value >= 100) t
+    WHERE hr BETWEEN 8 AND 18
+    GROUP BY event_type, hr
+    ORDER BY event_type, hr
+    LIMIT 100
+    """
+
+# q72: demand exceeding on-hand inventory — aggregate-then-join with an
+# inequality residual (avg stocked quantity < ordered quantity).
+_SQL_NEW6["tpcds_q72"] = """
+    WITH inv AS (
+      SELECT l_partkey AS pk, avg(l_quantity) AS inv_qty
+      FROM lineitem WHERE l_returnflag = 'A'
+      GROUP BY l_partkey)
+    SELECT p_brand, month(l.l_shipdate) AS moy, cast(count(*) AS bigint) AS short_count
+    FROM lineitem l
+    JOIN inv ON l.l_partkey = inv.pk AND inv.inv_qty < l.l_quantity
+    JOIN part ON l.l_partkey = p_partkey
+    WHERE l.l_returnflag = 'N' AND year(l.l_shipdate) = 1997
+    GROUP BY p_brand, month(l.l_shipdate)
+    ORDER BY p_brand, moy
+    LIMIT 100
+    """
+
+# q74: customers whose store-channel YoY growth beats their web-channel
+# growth — four-leg self-join of one (customer, channel, year) aggregate.
+_SQL_NEW6["tpcds_q74"] = """
+    WITH yt AS (
+      SELECT c_name AS cust, l_returnflag AS chan, year(o_orderdate) AS yr,
+             sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS total
+      FROM lineitem, orders, customer
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND l_returnflag IN ('N', 'A') AND year(o_orderdate) IN (1996, 1997)
+      GROUP BY c_name, l_returnflag, year(o_orderdate))
+    SELECT s1.cust AS c_name
+    FROM yt s1, yt s2, yt w1, yt w2
+    WHERE s1.cust = s2.cust AND s1.cust = w1.cust AND s1.cust = w2.cust
+      AND s1.chan = 'N' AND s2.chan = 'N' AND w1.chan = 'A' AND w2.chan = 'A'
+      AND s1.yr = 1996 AND s2.yr = 1997 AND w1.yr = 1996 AND w2.yr = 1997
+      AND s1.total > 0 AND w1.total > 0
+      AND cast(s2.total AS double) / cast(s1.total AS double)
+          > cast(w2.total AS double) / cast(w1.total AS double)
+    ORDER BY c_name
+    LIMIT 100
+    """
+
+# q76: channel-union counts of rows whose dimension key is NULL
+# (synthesized deterministically via nullif).
+_SQL_NEW6["tpcds_q76"] = """
+    SELECT chan, yr, cast(count(*) AS bigint) AS cnt,
+           cast(round(sum(amt), 2) AS double) AS sales
+    FROM (
+      SELECT 'store' AS chan, year(l_shipdate) AS yr,
+             cast(l_extendedprice AS decimal(38,9)) AS amt
+      FROM lineitem WHERE l_returnflag = 'N' AND nullif(l_linestatus, 'F') IS NULL
+      UNION ALL
+      SELECT 'web' AS chan, year(l_shipdate) AS yr,
+             cast(l_extendedprice AS decimal(38,9)) AS amt
+      FROM lineitem WHERE l_returnflag = 'R' AND nullif(l_linestatus, 'O') IS NULL
+      UNION ALL
+      SELECT 'catalog' AS chan, year(l_shipdate) AS yr,
+             cast(l_extendedprice AS decimal(38,9)) AS amt
+      FROM lineitem WHERE l_returnflag = 'A') t
+    GROUP BY chan, yr
+    ORDER BY chan, yr
+    LIMIT 100
+    """
+
+# q77: per-channel sales vs returns (LEFT and FULL OUTER legs) unioned,
+# then ROLLUP totals over (channel, nation).
+_SQL_NEW6["tpcds_q77"] = """
+    WITH ss AS (
+      SELECT s_nationkey AS nk, sum(cast(l_extendedprice AS decimal(38,9))) AS sales
+      FROM lineitem, supplier
+      WHERE l_suppkey = s_suppkey AND l_returnflag = 'N' AND year(l_shipdate) = 1997
+      GROUP BY s_nationkey),
+    sr AS (
+      SELECT s_nationkey AS nk,
+             sum(cast(l_extendedprice * (1 + l_tax) AS decimal(38,9))) AS ret
+      FROM lineitem, supplier
+      WHERE l_suppkey = s_suppkey AND l_returnflag = 'R'
+        AND year(l_shipdate) = 1997 AND month(l_shipdate) <= 6
+      GROUP BY s_nationkey),
+    cs AS (
+      SELECT s_nationkey AS nk, sum(cast(l_extendedprice AS decimal(38,9))) AS sales
+      FROM lineitem, supplier
+      WHERE l_suppkey = s_suppkey AND l_returnflag = 'A' AND year(l_shipdate) = 1997
+      GROUP BY s_nationkey),
+    cr AS (
+      SELECT s_nationkey AS nk,
+             sum(cast(l_extendedprice * (1 + l_tax) AS decimal(38,9))) AS ret
+      FROM lineitem, supplier
+      WHERE l_suppkey = s_suppkey AND l_returnflag = 'R'
+        AND year(l_shipdate) = 1997 AND month(l_shipdate) > 6
+      GROUP BY s_nationkey)
+    SELECT channel, nk,
+           cast(round(sum(sales), 2) AS double) AS sales,
+           cast(round(sum(returns_amt), 2) AS double) AS returns_amt,
+           cast(round(sum(profit), 2) AS double) AS profit
+    FROM (
+      SELECT 'store channel' AS channel, ss.nk AS nk, ss.sales AS sales,
+             coalesce(sr.ret, 0) AS returns_amt,
+             ss.sales - coalesce(sr.ret, 0) AS profit
+      FROM ss LEFT JOIN sr ON ss.nk = sr.nk
+      UNION ALL
+      SELECT 'catalog channel' AS channel, coalesce(cs.nk, cr.nk) AS nk,
+             coalesce(cs.sales, 0) AS sales,
+             coalesce(cr.ret, 0) AS returns_amt,
+             coalesce(cs.sales, 0) - coalesce(cr.ret, 0) AS profit
+      FROM cs FULL OUTER JOIN cr ON cs.nk = cr.nk) t
+    GROUP BY ROLLUP(channel, nk)
+    ORDER BY channel NULLS FIRST, nk NULLS FIRST
+    LIMIT 100
+    """
+
+for _name, _sql in _SQL_NEW6.items():
+    _register(_name, _sql)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _runner(sql) for name, sql in SQL.items()
 }
