@@ -2264,6 +2264,282 @@ _SQL_NEW6["tpcds_q77"] = """
 for _name, _sql in _SQL_NEW6.items():
     _register(_name, _sql)
 
+# --- round 2e: final 13 shapes — the full-set battery is now 99/99 ----------
+_SQL_NEW7: dict[str, str] = {}
+
+# q78: unreturned sales per (year, part) in two channels (anti LEFT JOIN on
+# the returns key), joined, with a cross-channel quantity ratio.
+_SQL_NEW7["tpcds_q78"] = """
+    WITH ret AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_returnflag = 'R'),
+    ss AS (
+      SELECT year(l.l_shipdate) AS yr, l.l_partkey AS pk,
+             sum(l.l_quantity) AS qty,
+             sum(cast(l.l_extendedprice * (1 - l.l_discount) AS decimal(38,9))) AS amt
+      FROM lineitem l LEFT JOIN ret r
+        ON l.l_orderkey = r.ok AND l.l_partkey = r.pk
+      WHERE l.l_returnflag = 'N' AND r.ok IS NULL
+      GROUP BY year(l.l_shipdate), l.l_partkey),
+    ws AS (
+      SELECT year(l.l_shipdate) AS yr, l.l_partkey AS pk,
+             sum(l.l_quantity) AS qty,
+             sum(cast(l.l_extendedprice * (1 - l.l_discount) AS decimal(38,9))) AS amt
+      FROM lineitem l LEFT JOIN ret r
+        ON l.l_orderkey = r.ok AND l.l_partkey = r.pk
+      WHERE l.l_returnflag = 'A' AND r.ok IS NULL
+      GROUP BY year(l.l_shipdate), l.l_partkey)
+    SELECT ss.yr AS yr, ss.pk AS p_key,
+           round(ss.qty, 2) AS store_qty, round(ws.qty, 2) AS other_qty,
+           cast(round(ss.amt, 2) AS double) AS store_amt,
+           cast(round(ws.amt, 2) AS double) AS other_amt,
+           round(cast(ss.qty AS double) / ws.qty, 6) AS qty_ratio
+    FROM ss JOIN ws ON ss.yr = ws.yr AND ss.pk = ws.pk
+    WHERE ss.yr = 1997
+    ORDER BY qty_ratio, p_key
+    LIMIT 100
+    """
+
+# q80: per-brand sales/returns/profit report with a LEFT-JOIN returns leg
+# and channel split, totalled via ROLLUP(channel, brand).
+_SQL_NEW7["tpcds_q80"] = """
+    WITH ret AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk,
+             sum(cast(l_extendedprice * (1 + l_tax) AS decimal(38,9))) AS ret_amt
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_orderkey, l_partkey),
+    leg AS (
+      SELECT CASE WHEN l.l_linestatus = 'F' THEN 'store channel'
+                  ELSE 'web channel' END AS channel,
+             p_brand AS id,
+             cast(l.l_extendedprice AS decimal(38,9)) AS sales,
+             coalesce(r.ret_amt, 0) AS returns_amt
+      FROM lineitem l
+      LEFT JOIN ret r ON l.l_orderkey = r.ok AND l.l_partkey = r.pk
+      JOIN part ON l.l_partkey = p_partkey
+      WHERE l.l_returnflag = 'N' AND p_type <> 'PROMO'
+        AND year(l.l_shipdate) = 1997)
+    SELECT channel, id,
+           cast(round(sum(sales), 2) AS double) AS sales,
+           cast(round(sum(returns_amt), 2) AS double) AS returns_amt,
+           cast(round(sum(sales - returns_amt), 2) AS double) AS profit
+    FROM leg
+    GROUP BY ROLLUP(channel, id)
+    ORDER BY channel NULLS FIRST, id NULLS FIRST
+    LIMIT 100
+    """
+
+# q81: customers whose 1996 return total beats 1.2× their nation's average
+# (q30 family, earlier year, segment in the payload).
+_SQL_NEW7["tpcds_q81"] = """
+    WITH ret AS (
+      SELECT o_custkey AS ck, c_nationkey AS nk,
+             sum(cast(l_extendedprice * (1 + l_tax) AS decimal(38,9))) AS total_ret
+      FROM lineitem, orders, customer
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND l_returnflag = 'R' AND year(l_shipdate) = 1996
+      GROUP BY o_custkey, c_nationkey
+    )
+    SELECT c_name, c_mktsegment, n_name,
+           cast(round(r1.total_ret, 2) AS double) AS total_returns
+    FROM ret r1, customer, nation
+    WHERE r1.ck = c_custkey AND c_nationkey = n_nationkey
+      AND cast(r1.total_ret AS double) >
+          (SELECT 1.2 * avg(cast(r2.total_ret AS double)) FROM ret r2
+           WHERE r2.nk = r1.nk)
+    ORDER BY total_returns DESC, c_name
+    LIMIT 100
+    """
+
+# q82: store flavor of q37 — size-band parts with spring-1996 sales and a
+# balance-banded supplier EXISTS.
+_SQL_NEW7["tpcds_q82"] = """
+    SELECT p_name, p_size, round(min(p_retailprice), 2) AS min_price
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_size BETWEEN 10 AND 30
+      AND l_shipdate >= date '1996-04-01' AND l_shipdate < date '1996-07-01'
+      AND EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey AND s_acctbal BETWEEN 1000 AND 8000)
+    GROUP BY p_name, p_size
+    ORDER BY p_name, p_size
+    LIMIT 100
+    """
+
+# q83: three return channels joined on brand, date gated by a month
+# IN-subquery, each leg as a percentage of the three-leg average.
+_SQL_NEW7["tpcds_q83"] = """
+    WITH mos AS (
+      SELECT DISTINCT month(o_orderdate) AS m FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1997
+        AND month(o_orderdate) <= 3),
+    sr AS (
+      SELECT p_brand AS item, sum(l_quantity) AS qty
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND l_returnflag = 'R'
+        AND month(l_shipdate) IN (SELECT m FROM mos)
+      GROUP BY p_brand),
+    cr AS (
+      SELECT p_brand AS item, sum(l_quantity) AS qty
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND l_returnflag = 'A'
+        AND month(l_shipdate) IN (SELECT m FROM mos)
+      GROUP BY p_brand),
+    wr AS (
+      SELECT p_brand AS item, sum(l_quantity) AS qty
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND l_returnflag = 'N'
+        AND month(l_shipdate) IN (SELECT m FROM mos)
+      GROUP BY p_brand)
+    SELECT sr.item AS item,
+           round(sr.qty, 2) AS sr_items,
+           round(cr.qty, 2) AS cr_items,
+           round(wr.qty, 2) AS wr_items,
+           round(cast(sr.qty AS double) / ((sr.qty + cr.qty + wr.qty) / 3) * 100, 6)
+             AS sr_dev
+    FROM sr JOIN cr ON sr.item = cr.item
+            JOIN wr ON sr.item = wr.item
+    ORDER BY item
+    LIMIT 100
+    """
+
+# q84: plain multi-dimension star lookup with a concatenated display name
+# and a balance band.
+_SQL_NEW7["tpcds_q84"] = """
+    SELECT c_custkey AS customer_id,
+           c_name || ', ' || n_name AS customer_name
+    FROM customer, nation, region
+    WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND c_acctbal BETWEEN 4000 AND 6000
+    ORDER BY customer_id
+    LIMIT 100
+    """
+
+# q86: ROLLUP down the part hierarchy with rank-within-grouping-level
+# (grouping() in both the partition key and the ordering).
+_SQL_NEW7["tpcds_q86"] = """
+    SELECT p_type, p_brand,
+           cast(round(total_sum, 2) AS double) AS total_sum,
+           lochierarchy, rk
+    FROM (
+      SELECT p_type, p_brand,
+             sum(cast(l_extendedprice AS decimal(38,9))) AS total_sum,
+             grouping(p_type) + grouping(p_brand) AS lochierarchy,
+             rank() OVER (
+               PARTITION BY grouping(p_type) + grouping(p_brand),
+                            CASE WHEN grouping(p_brand) = 0 THEN p_type END
+               ORDER BY sum(cast(l_extendedprice AS decimal(38,9))) DESC) AS rk
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND l_returnflag = 'A'
+        AND year(l_shipdate) = 1997
+      GROUP BY ROLLUP(p_type, p_brand)) t
+    ORDER BY lochierarchy DESC,
+             CASE WHEN lochierarchy = 0 THEN p_type END NULLS FIRST,
+             rk, p_type NULLS FIRST, p_brand NULLS FIRST
+    LIMIT 100
+    """
+
+# q91: return losses by (priority, month) under demographic filters.
+_SQL_NEW7["tpcds_q91"] = """
+    SELECT o_orderpriority, month(l_shipdate) AS moy,
+           cast(round(sum(cast(l_extendedprice * (1 + l_tax) AS decimal(38,9))), 2)
+                AS double) AS returns_loss
+    FROM lineitem, orders, customer
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND l_returnflag = 'R' AND year(l_shipdate) = 1997
+      AND c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal < 5000
+    GROUP BY o_orderpriority, month(l_shipdate)
+    ORDER BY o_orderpriority, moy
+    LIMIT 100
+    """
+
+# q92: "excess revenue" — lines priced above 1.3× the per-part average
+# (q32 family on the price measure with a size-band filter).
+_SQL_NEW7["tpcds_q92"] = """
+    SELECT cast(round(sum(cast(l1.l_extendedprice AS decimal(38,9))), 2) AS double)
+             AS excess_revenue
+    FROM lineitem l1, part
+    WHERE l1.l_partkey = p_partkey
+      AND p_size BETWEEN 35 AND 50
+      AND year(l1.l_shipdate) = 1996
+      AND l1.l_extendedprice > (
+        SELECT 1.3 * avg(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey AND year(l2.l_shipdate) = 1996)
+    """
+
+# q93: per-customer net sales after conditional return netting (returned
+# lines contribute negatively), finished-lines only.
+_SQL_NEW7["tpcds_q93"] = """
+    SELECT c_name,
+           cast(round(sum(cast(CASE WHEN l_returnflag = 'R'
+                                    THEN -(l_extendedprice * (1 - l_discount))
+                                    ELSE l_extendedprice * (1 - l_discount)
+                               END AS decimal(38,9))), 2) AS double) AS act_sales
+    FROM lineitem, orders, customer
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND l_linestatus = 'F'
+    GROUP BY c_name
+    ORDER BY act_sales, c_name
+    LIMIT 100
+    """
+
+# q94: single-nation shipments with a second-supplier EXISTS and a
+# no-returns NOT EXISTS (web flavor of the q16/q21 anti-join family).
+_SQL_NEW7["tpcds_q94"] = """
+    SELECT cast(count(DISTINCT o_orderkey) AS bigint) AS order_count,
+           cast(round(sum(cast(l1.l_extendedprice AS decimal(38,9))), 2) AS double)
+             AS total_shipping,
+           cast(round(sum(cast(l1.l_extendedprice * (1 - l1.l_discount)
+                               AS decimal(38,9))), 2) AS double) AS net_paid
+    FROM lineitem l1, orders, supplier
+    WHERE l1.l_orderkey = o_orderkey AND l1.l_suppkey = s_suppkey
+      AND s_nationkey = 5
+      AND year(o_orderdate) = 1997
+      AND o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_returnflag = 'R')
+    """
+
+# q96: gated star count — events in an evening half-hour for two event
+# types, restricted to a customer segment via the user dimension.
+_SQL_NEW7["tpcds_q96"] = """
+    SELECT cast(count(*) AS bigint) AS cnt
+    FROM events, customer
+    WHERE user_id = c_custkey
+      AND hour(ts) = 20 AND minute(ts) >= 30
+      AND event_type IN ('click', 'view')
+      AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    """
+
+# q99: wide day-gap buckets per (priority, line status) — the q62/q50
+# latency family at a coarser grain.
+_SQL_NEW7["tpcds_q99"] = """
+    SELECT o_orderpriority, l_linestatus,
+           cast(sum(CASE WHEN gap_days <= 60 THEN 1 ELSE 0 END) AS bigint) AS d60,
+           cast(sum(CASE WHEN gap_days > 60 AND gap_days <= 120 THEN 1 ELSE 0 END)
+                AS bigint) AS d120,
+           cast(sum(CASE WHEN gap_days > 120 AND gap_days <= 180 THEN 1 ELSE 0 END)
+                AS bigint) AS d180,
+           cast(sum(CASE WHEN gap_days > 180 THEN 1 ELSE 0 END) AS bigint) AS d_over_180
+    FROM (
+      SELECT o_orderpriority, l_linestatus,
+             (year(l_shipdate) * 365 + dayofyear(l_shipdate))
+             - (year(o_orderdate) * 365 + dayofyear(o_orderdate)) AS gap_days
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey AND year(o_orderdate) = 1996
+    ) g
+    GROUP BY o_orderpriority, l_linestatus
+    ORDER BY o_orderpriority, l_linestatus
+    """
+
+for _name, _sql in _SQL_NEW7.items():
+    _register(_name, _sql)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _runner(sql) for name, sql in SQL.items()
 }
