@@ -205,3 +205,43 @@ def test_quantize_stats_broadcast_back(spark, sf_small):
     plan = P.executed_plan(quantize_int8(emb, "vec_id", "embedding"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_round2c_tpcds_shapes_plan_quality(spark, sf_small):
+    """Round-2 full-set shapes: dims broadcast, ROLLUP expands, FULL OUTER
+    merges — and nothing degrades to a cartesian product."""
+    from native_sql_engine_spark.catalog import register_tables
+    from native_sql_engine_spark.queries.tpcds import QUERIES
+
+    register_tables(spark, sf_small)
+    # q24: CTE threshold — dims broadcast under the aggregate
+    plan = P.executed_plan(QUERIES["tpcds_q24"](spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # q8: IN-over-INTERSECT plans as (semi) joins, not a product
+    plan = P.executed_plan(QUERIES["tpcds_q8"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    # q77: channel report keeps the ROLLUP Expand and a FullOuter merge
+    plan = P.executed_plan(QUERIES["tpcds_q77"](spark, sf_small))
+    assert "Expand" in plan
+    assert "FullOuter" in plan
+    # q86: grouping-level rank — Expand for ROLLUP + a Window over it
+    plan = P.executed_plan(QUERIES["tpcds_q86"](spark, sf_small))
+    assert "Expand" in plan and "Window" in plan
+
+
+def test_q40_returns_leg_aggregates_before_join(spark, sf_small):
+    """q40/q78/q80 family: the returns side is pre-aggregated to its join
+    key before the LEFT JOIN (shuffle carries one row per (order, part),
+    not every return line) — the plan must show an aggregate below the
+    outer join."""
+    from native_sql_engine_spark.catalog import register_tables
+    from native_sql_engine_spark.queries.tpcds import QUERIES
+
+    register_tables(spark, sf_small)
+    df = QUERIES["tpcds_q40"](spark, sf_small)
+    plan = P.executed_plan(df)
+    assert "LeftOuter" in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
