@@ -328,3 +328,51 @@ def chunk_documents(
             F.element_at("_chunk", 1).alias("first_token"),
         )
     )
+
+
+def rebalance_mix(
+    df: DataFrame,
+    key_col: str,
+    class_col: str,
+    target: dict[str, float],
+    buckets: int = 256,
+) -> DataFrame:
+    """Deterministic corpus mix rebalancing: downsample each class toward a
+    target share of the output (the "data mixing" step of a training-data
+    pipeline — e.g. cap English at 40% of tokens).
+
+    Per-class keep rate = min(1, target_share × total / class_count),
+    quantized to ``buckets`` md5 buckets.  A row is kept when its content
+    hash bucket (first two md5 hex digits of the key) falls below the
+    class's threshold — reproducible across runs, engines and cluster
+    sizes, no RNG state.
+
+    100 TB path: the class-count aggregate is tiny (|classes| rows) and is
+    broadcast back onto the corpus; the filter itself is a pure map over
+    the scan — the corpus never shuffles.  Classes absent from ``target``
+    get rate 0 (dropped).
+    """
+    counts = df.groupBy(class_col).agg(F.count("*").alias("_cnt"))
+    tgt = F.create_map(
+        *[F.lit(x) for kv in target.items() for x in kv]
+    )[F.col(class_col)]
+    rates = counts.select(
+        class_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(tgt, F.lit(0.0))
+                * F.sum("_cnt").over(W.partitionBy())
+                / F.col("_cnt"),
+            )
+            * buckets
+        )
+        .cast("int")
+        .alias("_thr"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 2), 16, 10).cast("int")
+    return (
+        df.join(F.broadcast(rates), class_col)
+        .where((F.col("_thr") >= buckets) | (bucket < F.col("_thr")))
+        .drop("_thr")
+    )

@@ -978,3 +978,44 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact across engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.quantize_int8(emb, "vec_id", "embedding").orderBy("vec_id")
+
+
+_MIX_TARGET = {"en": 0.30, "de": 0.20, "es": 0.20, "fr": 0.15, "zh": 0.15}
+
+
+@q(
+    "corpus_mix_rebalance",
+    """
+    WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    rates AS (
+      SELECT lang,
+             cast(floor(least(1.0,
+               (CASE lang WHEN 'en' THEN 0.30 WHEN 'de' THEN 0.20
+                          WHEN 'es' THEN 0.20 WHEN 'fr' THEN 0.15
+                          WHEN 'zh' THEN 0.15 ELSE 0.0 END)
+               * (SELECT sum(cnt) FROM counts) / cnt) * 256) AS int) AS thr
+      FROM counts),
+    kept AS (
+      SELECT d.lang AS lang, d.n_chars AS n_chars
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE r.thr >= 256
+         OR ('0x' || substr(md5(cast(d.doc_id AS varchar)), 1, 2))::INT < r.thr)
+    SELECT lang, cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS sum_chars
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing: downsample each language toward a target
+    corpus share (en capped at 30%) via md5-bucket keep rates — per-class
+    rates are a tiny broadcast; the corpus itself never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = X.rebalance_mix(docs, "doc_id", "lang", _MIX_TARGET)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

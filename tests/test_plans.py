@@ -245,3 +245,16 @@ def test_q40_returns_leg_aggregates_before_join(spark, sf_small):
     assert "LeftOuter" in plan
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mix_rebalance_broadcasts_rates(spark, sf_small):
+    """corpus_mix_rebalance: per-class rates join back as a broadcast; the
+    corpus side is filtered in place (no corpus-wide Exchange below the
+    join)."""
+    from native_sql_engine_spark.catalog import load_table
+    from native_sql_engine_spark.operators.text import rebalance_mix
+
+    docs = load_table(spark, sf_small, "documents")
+    kept = rebalance_mix(docs, "doc_id", "lang", {"en": 0.3, "de": 0.2})
+    plan = P.executed_plan(kept)
+    assert "BroadcastHashJoin" in plan
