@@ -133,6 +133,12 @@ class Engine:
 
         return language_id(df, text_col)
 
+    def rebalance_mix(self, df: DataFrame, key_col: str, class_col: str,
+                      target: dict[str, float], buckets: int = 256) -> DataFrame:
+        from .operators.text import rebalance_mix
+
+        return rebalance_mix(df, key_col, class_col, target, buckets)
+
     def contamination_check(self, train: DataFrame, eval_: DataFrame,
                             id_col: str, text_col: str, n: int = 8) -> DataFrame:
         from .operators.text import ngram_contamination

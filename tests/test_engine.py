@@ -134,3 +134,15 @@ def test_pipeline_facade_methods(eng):
     emb = eng.table("embeddings")
     q = eng.quantize_int8(emb, "vec_id", "embedding")
     assert q.count() == emb.count()
+
+
+def test_rebalance_mix_facade(eng):
+    docs = eng.table("documents")
+    kept = eng.rebalance_mix(docs, "doc_id", "lang", {"en": 0.3, "de": 0.2})
+    n_en = kept.filter(F.col("lang") == "en").count()
+    # English must actually be downsampled; de's rate caps at 1 (kept whole)
+    assert 0 < n_en < docs.filter(F.col("lang") == "en").count()
+    assert kept.filter(F.col("lang") == "de").count() == docs.filter(
+        F.col("lang") == "de").count()
+    # classes absent from the target are dropped entirely
+    assert kept.filter(~F.col("lang").isin("en", "de")).count() == 0
