@@ -6,6 +6,7 @@ from .inspect import (
     has_node,
     wholestage_span_count,
     assert_scan_pruned,
+    plan_signature,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "has_node",
     "wholestage_span_count",
     "assert_scan_pruned",
+    "plan_signature",
 ]

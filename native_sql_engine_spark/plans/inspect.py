@@ -83,3 +83,44 @@ def assert_scan_pruned(
     pushed = " ".join(pushed_filters(df))
     for c in must_push:
         assert c in pushed, f"no pushed filter mentions {c}: [{pushed}]"
+
+
+#: Physical node names that define a plan's "shape" for stability purposes.
+#: Deliberately strategy-level (join algorithm, aggregate kind, Expand,
+#: Window, Exchange, cartesian) — node ids, expression ids and AQE
+#: wrappers are noise and excluded.
+_SIGNATURE_NODES = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "Expand",
+    "Window",
+    "Generate",
+    "Exchange",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+)
+
+
+def plan_signature(df: DataFrame) -> dict[str, int]:
+    """Canonical strategy-level signature of the physical plan: counts of
+    the join/aggregate/exchange operators that determine cost at scale.
+
+    This is the engine's analog of the reference's `tpcds-plan-stability/`
+    golden plan files (SURVEY §5.4): a committed snapshot of every
+    benchmark query's signature turns an accidental plan regression (a
+    broadcast silently degrading to a sort-merge join, a second Exchange
+    appearing) into a test failure instead of a production incident.
+    """
+    plan = executed_plan(df)
+    sig: dict[str, int] = {}
+    for node in _SIGNATURE_NODES:
+        n = len(re.findall(rf"\b{node}\b", plan))
+        if n:
+            sig[node] = n
+    return sig
