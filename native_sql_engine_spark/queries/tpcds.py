@@ -2540,6 +2540,121 @@ _SQL_NEW7["tpcds_q99"] = """
 for _name, _sql in _SQL_NEW7.items():
     _register(_name, _sql)
 
+# --- tpcds-v2.7.0 a/b split variants ---------------------------------------
+# The reference additionally ships resources/tpcds-v2.7.0/ where q14/q23/
+# q24/q39 are split into a/b pairs; the base battery carries the "a" shape
+# under the plain name, these are the "b" halves.
+_SQL_V27: dict[str, str] = {}
+
+# q14b: brands sold in BOTH years (INTERSECT across years rather than
+# across channels), with the two year legs joined side by side.
+_SQL_V27["tpcds_q14b"] = """
+    WITH shared AS (
+      SELECT p_brand FROM part, lineitem
+      WHERE l_partkey = p_partkey AND year(l_shipdate) = 1996
+      INTERSECT
+      SELECT p_brand FROM part, lineitem
+      WHERE l_partkey = p_partkey AND year(l_shipdate) = 1997),
+    y1 AS (
+      SELECT p_brand, sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS rev
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND year(l_shipdate) = 1996
+        AND p_brand IN (SELECT p_brand FROM shared)
+      GROUP BY p_brand),
+    y2 AS (
+      SELECT p_brand, sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS rev
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND year(l_shipdate) = 1997
+        AND p_brand IN (SELECT p_brand FROM shared)
+      GROUP BY p_brand)
+    SELECT y1.p_brand AS p_brand,
+           cast(round(y1.rev, 2) AS double) AS rev_1996,
+           cast(round(y2.rev, 2) AS double) AS rev_1997
+    FROM y1 JOIN y2 ON y1.p_brand = y2.p_brand
+    ORDER BY p_brand
+    LIMIT 100
+    """
+
+# q23b: the per-customer breakdown of q23's frequent-items × best-customers
+# revenue (same CTEs, grouped payload instead of one scalar).
+_SQL_V27["tpcds_q23b"] = """
+    WITH frequent_parts AS (
+      SELECT l_partkey
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING count(DISTINCT l_orderkey) > 4
+    ),
+    best_customers AS (
+      SELECT o_custkey
+      FROM orders
+      GROUP BY o_custkey
+      HAVING sum(cast(o_totalprice AS decimal(38,9))) >
+             (SELECT 0.5 * max(cust_total)
+              FROM (SELECT sum(cast(o_totalprice AS decimal(38,9))) AS cust_total
+                    FROM orders GROUP BY o_custkey) m)
+    )
+    SELECT c_name,
+           cast(round(sum(cast(l_extendedprice AS decimal(38,9))), 2) AS double) AS sales
+    FROM lineitem, orders, customer
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND l_partkey IN (SELECT l_partkey FROM frequent_parts)
+      AND o_custkey IN (SELECT o_custkey FROM best_customers)
+      AND year(o_orderdate) = 1996
+    GROUP BY c_name
+    ORDER BY sales DESC, c_name
+    LIMIT 100
+    """
+
+# q24b: q24 with the alternate channel/threshold literals (the v2.7.0 pair
+# differs only in its filter constant).
+_SQL_V27["tpcds_q24b"] = """
+    WITH ss AS (
+      SELECT c_name, s_name, p_brand,
+             sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS netpaid
+      FROM lineitem, orders, customer, supplier, part
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+        AND c_nationkey = s_nationkey
+        AND l_returnflag = 'N'
+      GROUP BY c_name, s_name, p_brand
+    )
+    SELECT c_name, s_name, p_brand,
+           cast(round(netpaid, 2) AS double) AS paid
+    FROM ss
+    WHERE netpaid > (SELECT 0.1 * avg(netpaid) FROM ss)
+    ORDER BY c_name, s_name, p_brand
+    LIMIT 100
+    """
+
+# q39b: q39's stricter half — the coefficient-of-variation cut applies to
+# BOTH months (v2.7.0 raises the second-period threshold).
+_SQL_V27["tpcds_q39b"] = """
+    WITH inv AS (
+      SELECT l_suppkey, month(l_shipdate) AS moy,
+             stddev_samp(l_quantity) AS stdev, avg(l_quantity) AS mean
+      FROM lineitem
+      WHERE year(l_shipdate) = 1996
+      GROUP BY l_suppkey, month(l_shipdate)
+    ),
+    flagged AS (
+      SELECT l_suppkey, moy,
+             round(CASE WHEN mean = 0 THEN NULL ELSE stdev / mean END, 4) AS cov
+      FROM inv
+      WHERE CASE WHEN mean = 0 THEN 0 ELSE stdev / mean END > 0.6
+    )
+    SELECT i1.l_suppkey, i1.moy AS moy1, i1.cov AS cov1,
+           i2.moy AS moy2, i2.cov AS cov2
+    FROM flagged i1, flagged i2
+    WHERE i1.l_suppkey = i2.l_suppkey
+      AND i1.moy = 3 AND i2.moy = 4
+      AND i2.cov > 0.6
+    ORDER BY i1.l_suppkey
+    LIMIT 100
+    """
+
+for _name, _sql in _SQL_V27.items():
+    _register(_name, _sql)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _runner(sql) for name, sql in SQL.items()
 }

@@ -38,16 +38,17 @@ def test_benchmark_plan_signatures_stable(spark, sf_small):
         golden = json.load(f)
     queries = _all_queries()
     # every golden entry must still exist, every query must have a golden
-    assert set(golden) == set(queries), (
-        "query set changed — re-bless with SPARK_GRAFT_BLESS_PLANS=1"
-    )
+    if not _BLESS:
+        assert set(golden) == set(queries), (
+            "query set changed — re-bless with SPARK_GRAFT_BLESS_PLANS=1"
+        )
     drift: dict[str, tuple[dict, dict]] = {}
     current: dict[str, dict] = {}
     for name, fn in sorted(queries.items()):
         sig = P.plan_signature(fn(spark, sf_small))
         current[name] = sig
-        if sig != golden[name]:
-            drift[name] = (golden[name], sig)
+        if sig != golden.get(name):
+            drift[name] = (golden.get(name), sig)
     if _BLESS:
         with open(_GOLDEN, "w") as f:
             json.dump(current, f, indent=1, sort_keys=True)
