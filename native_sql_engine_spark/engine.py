@@ -172,10 +172,18 @@ class Engine:
 
     def asof_join(self, left: DataFrame, right: DataFrame, key: str,
                   left_ts: str, right_ts: str, value_cols: list[str],
-                  tie_break: str | None = None) -> DataFrame:
+                  tie_break: str | None = None, direction: str = "backward",
+                  tolerance=None) -> DataFrame:
         from .operators.temporal import asof_join
 
-        return asof_join(left, right, key, left_ts, right_ts, value_cols, tie_break)
+        return asof_join(left, right, key, left_ts, right_ts, value_cols,
+                         tie_break, direction, tolerance)
+
+    def merge_upsert(self, target: DataFrame, source: DataFrame, key: str,
+                     op_col: str = "op") -> DataFrame:
+        from .operators.cdc import merge_upsert
+
+        return merge_upsert(target, source, key, op_col)
 
     def range_join(self, points: DataFrame, intervals: DataFrame,
                    point_col: str, start_col: str, end_col: str,

@@ -31,22 +31,34 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     tie_break: str | None = None,
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts`` ≤ ``left_ts`` for the same ``key`` (an ASOF JOIN).
+    """For each left row, attach the nearest right row for the same ``key``:
+    the greatest ``right_ts`` ≤ ``left_ts`` (``direction="backward"``, the
+    default ASOF JOIN) or the smallest ``right_ts`` ≥ ``left_ts``
+    (``direction="forward"``).
 
     Union-merge: both sides are tagged and merged into one stream, shuffled
-    once by ``key`` and sorted by time; the latest right-side values are
-    carried forward with ``last(ignorenulls)``.  At equal timestamps the
-    right row sorts first (≤ semantics).  ``tie_break`` (a right column
-    name) makes multiple right rows at the same timestamp deterministic:
-    the greatest value wins.
+    once by ``key`` and sorted by time; the matched right-side values are
+    carried across with ``last(ignorenulls)`` (time order reversed for the
+    forward direction).  At equal timestamps the right row sorts first
+    (≤ / ≥ semantics).  ``tie_break`` (a right column name) makes multiple
+    right rows at the same timestamp deterministic: the greatest value wins.
+
+    ``tolerance`` bounds the match distance: a callable
+    ``(left_ts_col, matched_right_ts_col) -> BooleanColumn``; matches
+    failing the predicate are nulled out (pandas ``merge_asof`` tolerance).
+    State per key stays O(1) regardless of tolerance.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lt = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast("double").alias("_tb"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r__ts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
         F.struct(*left.columns).alias("_row"),
     )
@@ -55,22 +67,31 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         (F.col(tie_break) if tie_break else F.lit(0)).cast("double").alias("_tb"),
+        F.col(right_ts).alias("_r__ts"),
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
         F.lit(None).cast(lt.schema["_row"].dataType).alias("_row"),
     )
     merged = lt.unionByName(rt)
-    # right rows first at equal ts (asof is <=); among tied right rows the
-    # greatest tie_break lands last, so last(ignorenulls) picks it
+    # right rows first at equal ts (asof is <= / >=); among tied right rows
+    # the winning tie_break lands last, so last(ignorenulls) picks it
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         W.partitionBy("_k")
-        .orderBy(F.col("_ts"), F.col("_side").desc(), F.col("_tb").asc())
+        .orderBy(ts_order, F.col("_side").desc(), F.col("_tb").asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    carry_cols = ["__ts"] + [f"_{c}" for c in value_cols]
     carried = merged.select(
         "_side",
         "_row",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in value_cols],
+        *[F.last(f"_r{c}", ignorenulls=True).over(w).alias(f"_r{c}") for c in carry_cols],
     ).filter(F.col("_side") == 0)
+    if tolerance is not None:
+        ok = tolerance(F.col(f"_row.{left_ts}"), F.col("_r__ts"))
+        carried = carried.select(
+            "_row",
+            *[F.when(ok, F.col(f"_r{c}")).alias(f"_r{c}") for c in carry_cols],
+        )
     return carried.select(
         *[F.col(f"_row.{c}").alias(c) for c in left.columns],
         *[F.col(f"_r_{c}").alias(f"right_{c}") for c in value_cols],

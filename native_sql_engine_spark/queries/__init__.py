@@ -34,9 +34,9 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 
 
 def _modules():
-    from . import extra, ops, pipeline, ssb, stream, tpcds, tpch, udf
+    from . import analytics, extra, ops, pipeline, ssb, stream, tpcds, tpch, udf
 
-    return (tpch, tpcds, ssb, ops, pipeline, stream, udf, extra)
+    return (tpch, tpcds, ssb, ops, pipeline, stream, udf, extra, analytics)
 
 
 def _verification_history() -> dict[str, tuple[int, bool]]:

@@ -1,0 +1,500 @@
+"""Behavioral-analytics + data-management battery (beyond-reference).
+
+Clickstream analytics the reference cannot express as single operators
+(funnel, cohort retention, path n-grams), write-side MERGE/CDC semantics
+(its sinks are plain file writes, SURVEY §2.1), tolerance/forward as-of
+joins, and distribution statistics (quantile binning, winsorization,
+fixed-width histograms, multi-granularity time rollups, inverted-index
+postings).  Spark side is DataFrame API; ORACLE is the DuckDB-dialect
+equivalent with identical column names (hash-stability conventions as in
+tpch.py: computed doubles rounded, counts cast BIGINT, deterministic total
+orders under LIMIT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.cdc import merge_upsert
+from ..operators.temporal import asof_join
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "funnel_view_click_purchase",
+    """
+    WITH e1 AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS fv
+      FROM events),
+    e2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > fv THEN ts END)
+               OVER (PARTITION BY user_id) AS fc
+      FROM e1),
+    e3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > fc THEN ts END)
+               OVER (PARTITION BY user_id) AS fp
+      FROM e2)
+    SELECT cast(count(DISTINCT CASE WHEN fv IS NOT NULL THEN user_id END) AS bigint) AS n_view,
+           cast(count(DISTINCT CASE WHEN fc IS NOT NULL THEN user_id END) AS bigint) AS n_click_after_view,
+           cast(count(DISTINCT CASE WHEN fp IS NOT NULL THEN user_id END) AS bigint) AS n_purchase_after_click
+    FROM e3
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: users counted at a
+    stage only if the event happened strictly AFTER their first prior-stage
+    event.  Three stacked windows over ONE user-hash partitioning (no
+    self-joins, no event×event product); the final count-distinct
+    re-aggregates user-level flags.  At 100 TB: state per user is O(1) and
+    the only exchange is the single hash-by-user shuffle."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    e1 = ev.withColumn(
+        "fv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    e2 = e1.withColumn(
+        "fc",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("fv")), F.col("ts"))
+        ).over(w),
+    )
+    e3 = e2.withColumn(
+        "fp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc")), F.col("ts")
+            )
+        ).over(w),
+    )
+    return e3.agg(
+        F.count_distinct(F.when(F.col("fv").isNotNull(), F.col("user_id"))).alias("n_view"),
+        F.count_distinct(F.when(F.col("fc").isNotNull(), F.col("user_id"))).alias(
+            "n_click_after_view"
+        ),
+        F.count_distinct(F.when(F.col("fp").isNotNull(), F.col("user_id"))).alias(
+            "n_purchase_after_click"
+        ),
+    )
+
+
+@q(
+    "retention_cohort_weekly",
+    """
+    WITH firsts AS (
+      SELECT user_id, cast(date_trunc('week', min(ts)) AS date) AS cohort
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, cast(date_trunc('week', ts) AS date) AS wk
+      FROM events)
+    SELECT cast(f.cohort AS varchar) AS cohort_week,
+           cast(date_diff('day', f.cohort, a.wk) / 7 AS bigint) AS week_offset,
+           cast(count(DISTINCT a.user_id) AS bigint) AS active_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    WHERE date_diff('day', f.cohort, a.wk) / 7 BETWEEN 0 AND 4
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def retention_cohort_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen ISO week,
+    counted as active at week offsets 0–4.  Two aggregates share the
+    user-hash shuffle (first-seen min + distinct user-weeks); the cohort
+    side is |users| rows, the join is key-colocated.  The classic growth
+    report the reference's batch-relational surface has no operator for."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    off = (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("long")
+    return (
+        firsts.join(activity, "user_id")
+        .withColumn("week_offset", off)
+        .filter((F.col("week_offset") >= 0) & (F.col("week_offset") <= 4))
+        .groupBy(F.col("cohort").cast("string").alias("cohort_week"), "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@q(
+    "cdc_merge_orders",
+    """
+    WITH tgt AS (
+      SELECT o_orderkey, o_orderpriority,
+             cast(o_totalprice AS decimal(18,2)) AS price
+      FROM orders),
+    merged AS (
+      SELECT o_orderkey, o_orderpriority,
+             cast(round(price * cast(1.10 AS decimal(3,2)), 2) AS decimal(18,2)) AS price
+      FROM tgt WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, price
+      FROM tgt WHERE o_orderkey % 97 <> 0 AND o_orderkey % 101 <> 0)
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+           cast(round(sum(cast(price AS decimal(38,9))), 2) AS double) AS total
+    FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (operators/cdc.py::merge_upsert): a CDC batch of
+    price updates (keys % 97 = 0, +10%) and deletes (keys % 101 = 0) applied
+    onto the orders snapshot; verified through the post-merge aggregate.
+    The snapshot is never shuffled — one broadcast left-anti join + union."""
+    tgt = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    upd = (
+        tgt.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn(
+            "price",
+            F.round(F.col("price") * F.lit("1.10").cast("decimal(3,2)"), 2).cast(
+                "decimal(18,2)"
+            ),
+        )
+        .withColumn("op", F.lit("U"))
+    )
+    dels = (
+        tgt.filter((F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0))
+        .withColumn("op", F.lit("D"))
+    )
+    merged = merge_upsert(tgt, upd.unionByName(dels), key="o_orderkey")
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("price").cast("decimal(38,9)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "join_asof_forward_tolerance",
+    """
+    SELECT e.event_id, e.user_id,
+           cast((SELECT min(o.o_orderdate) FROM orders o
+                 WHERE o.o_custkey = e.user_id
+                   AND o.o_orderdate >= cast(e.ts AS date)
+                   AND date_diff('day', cast(e.ts AS date), o.o_orderdate) <= 30)
+                AS varchar) AS next_order_date,
+           (SELECT round(max(o.o_totalprice), 2) FROM orders o
+            WHERE o.o_custkey = e.user_id
+              AND o.o_orderdate = (SELECT min(o2.o_orderdate) FROM orders o2
+                                   WHERE o2.o_custkey = e.user_id
+                                     AND o2.o_orderdate >= cast(e.ts AS date)
+                                     AND date_diff('day', cast(e.ts AS date),
+                                                   o2.o_orderdate) <= 30))
+             AS next_order_price
+    FROM events e
+    ORDER BY e.event_id
+    """,
+)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (pandas merge_asof semantics): each
+    event picks up the user's NEXT order within 30 days (ties at the date →
+    max price).  Same union-merge single-shuffle plan as the backward as-of
+    — time order reversed, matches outside the tolerance nulled — state per
+    key stays O(1) at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("ts_date")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    out = asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts_date",
+        right_ts="o_orderdate",
+        value_cols=["o_orderdate", "o_totalprice"],
+        tie_break="o_totalprice",
+        direction="forward",
+        tolerance=lambda lts, rts: F.datediff(rts, lts) <= 30,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("right_o_orderdate").cast("string").alias("next_order_date"),
+        F.col("right_o_totalprice").alias("next_order_price"),
+    ).orderBy("event_id")
+
+
+@q(
+    "feature_binning_deciles",
+    """
+    WITH priced AS (
+      SELECT c_mktsegment AS seg,
+             cast(o_totalprice AS decimal(18,2)) AS price, o_orderkey,
+             ntile(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    SELECT seg, decile, cast(count(*) AS bigint) AS n,
+           cast(min(price) AS double) AS lo,
+           cast(max(price) AS double) AS hi,
+           cast(round(avg(cast(price AS decimal(38,9))), 2) AS double) AS mean_price
+    FROM priced GROUP BY seg, decile ORDER BY seg, decile
+    """,
+)
+def feature_binning_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature binning: per-segment price deciles (ntile) with
+    per-bin stats — the feature-engineering discretization primitive.
+    The window partitions by segment so the sort is per-partition-parallel;
+    at 100 TB swap ntile for approx-quantile boundaries broadcast to a
+    map-side width assignment (same output schema, documented trade)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    priced = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            "o_orderkey",
+            F.col("o_totalprice").alias("raw_price"),
+        )
+        .withColumn(
+            "decile",
+            F.ntile(10).over(W.partitionBy("seg").orderBy("raw_price", "o_orderkey")),
+        )
+    )
+    return (
+        priced.groupBy("seg", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("price").cast("double").alias("lo"),
+            F.max("price").cast("double").alias("hi"),
+            F.round(F.avg(F.col("price").cast("decimal(38,9)")), 2)
+            .cast("double")
+            .alias("mean_price"),
+        )
+        .orderBy("seg", "decile")
+    )
+
+
+@q(
+    "outlier_winsorize",
+    """
+    WITH bounds AS (
+      SELECT c_mktsegment AS seg,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1)
+    SELECT b.seg, cast(count(*) AS bigint) AS n,
+           cast(round(avg(o_totalprice), 2) AS double) AS raw_mean,
+           cast(round(avg(least(greatest(o_totalprice, b.p05), b.p95)), 2) AS double)
+             AS winsorized_mean
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN bounds b ON b.seg = c_mktsegment
+    GROUP BY b.seg ORDER BY b.seg
+    """,
+)
+def outlier_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clamped) mean per segment — the outlier-robust
+    statistic pass of a feature pipeline.  Two aggregates: exact
+    interpolated percentiles per segment (tiny result, broadcast back),
+    then one clamped mean over the same join — the fact side shuffles
+    once and the bounds join is a broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("seg"), "o_totalprice"
+    )
+    bounds = joined.groupBy("seg").agg(
+        F.percentile("o_totalprice", 0.05).alias("p05"),
+        F.percentile("o_totalprice", 0.95).alias("p95"),
+    )
+    return (
+        joined.join(F.broadcast(bounds), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 2).cast("double").alias("raw_mean"),
+            F.round(
+                F.avg(F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))),
+                2,
+            )
+            .cast("double")
+            .alias("winsorized_mean"),
+        )
+        .orderBy("seg")
+    )
+
+
+@q(
+    "rollup_time_multigrain",
+    """
+    SELECT cast(year(cast(o_orderdate AS date)) AS int) AS yr,
+           cast(quarter(cast(o_orderdate AS date)) AS int) AS qtr,
+           cast(month(cast(o_orderdate AS date)) AS int) AS mon,
+           cast(grouping(year(cast(o_orderdate AS date))) +
+                grouping(quarter(cast(o_orderdate AS date))) +
+                grouping(month(cast(o_orderdate AS date))) AS int) AS grain,
+           cast(count(*) AS bigint) AS n,
+           cast(round(sum(cast(o_totalprice AS decimal(38,9))), 2) AS double) AS revenue
+    FROM orders
+    GROUP BY ROLLUP(year(cast(o_orderdate AS date)),
+                    quarter(cast(o_orderdate AS date)),
+                    month(cast(o_orderdate AS date)))
+    ORDER BY grain, yr NULLS FIRST, qtr NULLS FIRST, mon NULLS FIRST
+    """,
+)
+def rollup_time_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: ONE pass produces the
+    month, quarter, year, and grand-total revenue series via ROLLUP (the
+    reference's ColumnarExpandExec shape, SURVEY §2.4) — at 100 TB this
+    replaces four separate scans with one Expand over the partial
+    aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_rollup_orders")
+    return spark.sql(
+        """
+        SELECT cast(year(cast(o_orderdate AS date)) AS int) AS yr,
+               cast(quarter(cast(o_orderdate AS date)) AS int) AS qtr,
+               cast(month(cast(o_orderdate AS date)) AS int) AS mon,
+               cast(grouping(year(cast(o_orderdate AS date))) +
+                    grouping(quarter(cast(o_orderdate AS date))) +
+                    grouping(month(cast(o_orderdate AS date))) AS int) AS grain,
+               cast(count(*) AS bigint) AS n,
+               cast(round(sum(cast(o_totalprice AS decimal(38,9))), 2) AS double) AS revenue
+        FROM _rollup_orders
+        GROUP BY ROLLUP(year(cast(o_orderdate AS date)),
+                        quarter(cast(o_orderdate AS date)),
+                        month(cast(o_orderdate AS date)))
+        ORDER BY grain, yr NULLS FIRST, qtr NULLS FIRST, mon NULLS FIRST
+        """
+    )
+
+
+@q(
+    "inverted_index_postings",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+      FROM documents)
+    SELECT tok, cast(count(DISTINCT doc_id) AS bigint) AS df,
+           (list_sort(list(DISTINCT doc_id)))[1:5] AS posting_head
+    FROM toks WHERE length(tok) >= 4
+    GROUP BY tok ORDER BY df DESC, tok LIMIT 50
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (token → document-frequency + head of the sorted
+    posting list) over the corpus: explode codegen'd tokenization, ONE hash
+    aggregate keyed by token (collect_set is map-side combined), top-50 by
+    document frequency.  The full posting list is the same plan without the
+    slice; at 100 TB postings shard naturally by token hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
+    ).filter(F.length("tok") >= 4)
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5).alias("posting_head"),
+        )
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(50)
+    )
+
+
+@q(
+    "agg_histogram_fixed",
+    """
+    WITH b AS (
+      SELECT CASE WHEN l_extendedprice < 0 THEN 0
+                  WHEN l_extendedprice >= 100000 THEN 21
+                  ELSE cast(floor(l_extendedprice / 5000.0) AS bigint) + 1 END AS bucket,
+             l_extendedprice
+      FROM lineitem)
+    SELECT bucket, cast(count(*) AS bigint) AS n,
+           cast(round(min(l_extendedprice), 2) AS double) AS lo,
+           cast(round(max(l_extendedprice), 2) AS double) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bucket histogram of l_extendedprice on [0, 100000)
+    via `width_bucket` — a pure map-side expression + one hash aggregate
+    (shuffles 22 rows max at any scale); the distribution-profiling
+    primitive behind data-quality dashboards."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.width_bucket(F.col("l_extendedprice"), F.lit(0.0), F.lit(100000.0), F.lit(20))
+            .alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).cast("double").alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "events_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events)
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           cast(count(*) AS bigint) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY path ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user paths (clickstream sequence mining): two
+    `lead` windows over one user-hash shuffle emit every consecutive
+    event-type trigram, then a hash aggregate counts them.  No self-joins
+    — the naive 3-way event join is quadratic on hot users; this is linear
+    with O(1) window state."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("e2", F.lead("event_type", 1).over(w)).withColumn(
+        "e3", F.lead("event_type", 2).over(w)
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path"),
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )

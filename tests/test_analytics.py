@@ -1,0 +1,63 @@
+"""Behavioral-analytics / CDC / distribution-stats battery vs DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from native_sql_engine_spark.compare import assert_matches_oracle
+from native_sql_engine_spark.queries import analytics
+
+
+@pytest.mark.parametrize("name", sorted(analytics.QUERIES))
+def test_analytics_matches_duckdb(spark, sf_small, name):
+    df = analytics.QUERIES[name](spark, sf_small)
+    assert_matches_oracle(df, analytics.ORACLE[name], sf_small, name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(analytics.QUERIES))
+def test_analytics_matches_duckdb_sf001(spark, sf_oracle, name):
+    df = analytics.QUERIES[name](spark, sf_oracle)
+    assert_matches_oracle(df, analytics.ORACLE[name], sf_oracle, name)
+
+
+def test_merge_upsert_rowlevel(spark):
+    """Row-level MERGE semantics: update wins, delete removes, untouched kept."""
+    from pyspark.sql import functions as F
+
+    from native_sql_engine_spark.operators.cdc import merge_upsert
+
+    tgt = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    src = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "U")], ["k", "v", "op"]
+    )
+    out = {r["k"]: r["v"] for r in merge_upsert(tgt, src, "k").collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}
+    # target never shuffles: plan has no Exchange on the kept branch
+    plan = merge_upsert(tgt, src, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of picks the smallest right_ts >= left_ts; tolerance nulls
+    matches farther than the bound."""
+    from pyspark.sql import functions as F
+
+    from native_sql_engine_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 25), (2, 5)], ["k", "t"])
+    right = spark.createDataFrame([(1, 12, "x"), (1, 30, "y"), (2, 50, "z")], ["k", "t", "v"])
+    out = asof_join(
+        left,
+        right,
+        key="k",
+        left_ts="t",
+        right_ts="t",
+        value_cols=["v"],
+        direction="forward",
+        tolerance=lambda lt, rt: (rt - lt) <= 10,
+    )
+    got = {(r["k"], r["t"]): r["right_v"] for r in out.collect()}
+    assert got == {(1, 10): "x", (1, 25): "y", (2, 5): None}
