@@ -20,7 +20,7 @@ import os
 import pytest
 
 from native_sql_engine_spark import plans as P
-from native_sql_engine_spark.queries import ssb, tpcds, tpch
+from native_sql_engine_spark.queries import analytics, ssb, tpcds, tpch
 
 _GOLDEN = os.path.join(os.path.dirname(__file__), "plan_golden", "signatures.json")
 _BLESS = os.environ.get("SPARK_GRAFT_BLESS_PLANS") == "1"
@@ -28,7 +28,7 @@ _BLESS = os.environ.get("SPARK_GRAFT_BLESS_PLANS") == "1"
 
 def _all_queries():
     out = {}
-    for mod in (tpch, tpcds, ssb):
+    for mod in (tpch, tpcds, ssb, analytics):
         out.update(mod.QUERIES)
     return out
 
