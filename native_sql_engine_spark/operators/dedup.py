@@ -156,12 +156,21 @@ def connected_components(
     n_edges = edges.count()  # materializes the persist; drives the path choice
     if n_edges <= SMALL_GRAPH_EDGES:
         try:
+            import pandas as pd
+
             rows = edges.filter(F.col("_src") < F.col("_dst")).collect()
             labels_map = _union_find_components([(r._src, r._dst) for r in rows])
             spark = pairs.sparkSession
-            return spark.createDataFrame(
-                list(labels_map.items()), "node long, component long"
+            # pandas → Arrow → LocalTableScan: a true local relation with
+            # known (tiny) stats, so downstream joins broadcast it.  A plain
+            # createDataFrame(list) builds a Python-RDD-backed plan with
+            # unknown stats — no broadcast, and every execution pays a
+            # Python worker round-trip.
+            pdf = pd.DataFrame(
+                {"node": list(labels_map.keys()), "component": list(labels_map.values())},
+                dtype="int64",
             )
+            return spark.createDataFrame(pdf)
         finally:
             edges.unpersist()
     labels = (

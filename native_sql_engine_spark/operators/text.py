@@ -60,7 +60,9 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     length + symbol-ratio + stopword tests) as a single double in [0,1].
     """
     c = F.col(text_col)
-    toks = tokens(c)
+    # tokenize once into an attribute (the split feeds 3 downstream exprs)
+    staged = df.select("*", tokens(c).alias("_qm_toks"))
+    toks = F.col("_qm_toks")
     n_tok = F.size(toks)
     n_chars = F.length(c)
     punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
@@ -74,8 +76,8 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         + F.when(stop_hits > 0, F.lit(0.1)).otherwise(F.lit(0.0))
     )
-    return df.select(
-        "*",
+    return staged.select(
+        *df.columns,
         n_tok.cast("bigint").alias("n_tokens"),
         F.round(avg_word, 4).alias("avg_word_len"),
         punct.cast("bigint").alias("n_punct"),
@@ -227,9 +229,12 @@ def ngram_contamination(
     corpus sizes (~2^-24 at a trillion n-grams).
     """
     def grams(df: DataFrame, out_id: str) -> DataFrame:
-        sh = shingles(tokens(F.col(text_col)), n)
+        # tokenize into an attribute first: shingles()' transform lambda then
+        # slices a materialized array instead of re-running the regex split
+        # per element (same O(tokens²) trap as repetition_stats, same fix)
         return (
-            df.select(F.col(id_col).alias(out_id), F.explode(sh).alias("_g"))
+            df.select(F.col(id_col).alias(out_id), tokens(F.col(text_col)).alias("_toks"))
+            .select(out_id, F.explode(shingles(F.col("_toks"), n)).alias("_g"))
             .withColumn("_gh", F.xxhash64("_g"))
             .drop("_g")
         )
@@ -252,16 +257,33 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
     ``n``-grams per document (1 - distinct/total).  Pure codegen'd array
     expressions — no shuffle at all; the filter threshold is applied by the
     caller so the stat stays reusable."""
-    toks = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    all_grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    total = F.size(all_grams)
-    distinct = F.size(F.array_distinct(all_grams))
-    return df.select(
+    # Staged projections: `_toks` / `_grams` become materialized attributes,
+    # so the lambda body slices an in-memory array.  Inlining everything into
+    # one projection captures the tokenize expression inside the transform()
+    # lambda and re-evaluates the regex split per element — O(tokens²) regex
+    # work per document, measured 7× slower at sf0.1.  CollapseProject leaves
+    # the stages alone because the aliases are non-cheap and multiply used.
+    t1 = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    t2 = t1.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(-1))),
+            lambda i: F.array_join(F.slice(F.col("_toks"), i + 1, n), " "),
+        ).alias("_grams"),
+    )
+    t3 = t2.select(
         F.col(id_col),
-        total.cast("bigint").alias("n_ngrams"),
-        distinct.cast("bigint").alias("n_distinct"),
-        F.when(total > 0, F.round(F.lit(1.0) - distinct / total, 6))
+        F.size("_grams").cast("bigint").alias("n_ngrams"),
+        F.size(F.array_distinct("_grams")).cast("bigint").alias("n_distinct"),
+    )
+    return t3.select(
+        id_col,
+        "n_ngrams",
+        "n_distinct",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_ngrams"), 6),
+        )
         .otherwise(F.lit(0.0))
         .alias("rep_ratio"),
     )

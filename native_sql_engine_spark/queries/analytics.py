@@ -243,7 +243,7 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("right_o_orderdate").cast("string").alias("next_order_date"),
         F.col("right_o_totalprice").alias("next_order_price"),
-    ).orderBy("event_id")
+    )
 
 
 @q(

@@ -74,7 +74,7 @@ def join_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("right_o_orderdate").cast("string").alias("last_order_date"),
         F.col("right_o_totalprice").alias("last_order_price"),
-    ).orderBy("event_id")
+    )
 
 
 @q(

@@ -60,7 +60,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
         X.bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe"),
-    ).orderBy("doc_id")
+    )
 
 
 _STOP_SQL = "['the','a','and','of','to','is','in','it','that','for']"
@@ -96,7 +96,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = X.quality_metrics(docs, "text")
     return out.select(
         "doc_id", "n_tokens", "avg_word_len", "n_punct", "n_stopwords", "quality_score"
-    ).orderBy("doc_id")
+    )
 
 
 def _langid_case_sql() -> str:
@@ -320,7 +320,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         D.dedup_exact(docs, ["lang", "source"], "doc_id")
         .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
     )
 
 
@@ -416,7 +415,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard pair set."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, sort=False)
-    return D.dedup_clusters(docs, "doc_id", pairs).orderBy("doc_id")
+    return D.dedup_clusters(docs, "doc_id", pairs)
 
 
 @q("dedup_simhash")
@@ -495,12 +494,18 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = X.quality_metrics(docs, "text").filter(F.col("quality_score") >= 0.95)
     tagged = X.language_id(scored, "text")
-    fped = tagged.withColumn("fp", X.fingerprint(F.col("text")))
-    winners = fped.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    fped = tagged.withColumn("fp", X.fingerprint(F.col("text"))).select(
+        "doc_id", "lang_guess", "n_tokens", "quality_score", "fp"
+    )
+    # dedup winner = min doc_id per fingerprint, as a window over the narrow
+    # projection: ONE scan + one shuffle of 5 columns.  (The groupBy + semi
+    # join shape shuffles only digests but scans/scores the corpus twice —
+    # strictly worse unless the projection were wide.)
+    keep = F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fp"))
     return (
-        fped.join(winners, ["fp", "doc_id"], "left_semi")
+        fped.withColumn("_keep", keep)
+        .filter(F.col("_keep"))
         .select("doc_id", "lang_guess", "n_tokens", "quality_score")
-        .orderBy("doc_id")
     )
 
 
@@ -750,7 +755,6 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("sess_id").alias("n_sessions"),
             F.max("cnt").cast("bigint").alias("max_session_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -783,7 +787,6 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("_red").alias("fp"),
             F.length("_red").cast("bigint").alias("n_chars_redacted"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -848,7 +851,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != "src0")
     eval_ = docs.filter(F.col("source") == "src0")
-    return X.ngram_contamination(train, eval_, "doc_id", "text", n=8).orderBy("doc_id")
+    return X.ngram_contamination(train, eval_, "doc_id", "text", n=8)
 
 
 @q(
@@ -916,7 +919,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction); shuffle-free codegen'd array expressions
     (operators/text.py::repetition_stats)."""
     docs = load_table(spark, sf_dir, "documents")
-    return X.repetition_stats(docs, "doc_id", "text", n=3).orderBy("doc_id")
+    return X.repetition_stats(docs, "doc_id", "text", n=3)
 
 
 @q(
@@ -940,9 +943,7 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for an embedding/RAG pipeline; sequence+explode+slice, no shuffle
     (operators/text.py::chunk_documents)."""
     docs = load_table(spark, sf_dir, "documents")
-    return X.chunk_documents(docs, "doc_id", "text", size=32, stride=24).orderBy(
-        "doc_id", "chunk_id"
-    )
+    return X.chunk_documents(docs, "doc_id", "text", size=32, stride=24)
 
 
 @q(
@@ -977,7 +978,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic makes the codes bit-reproducible, so code_sum/min/max are
     exact across engines."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.quantize_int8(emb, "vec_id", "embedding").orderBy("vec_id")
+    return S.quantize_int8(emb, "vec_id", "embedding")
 
 
 _MIX_TARGET = {"en": 0.30, "de": 0.20, "es": 0.20, "fr": 0.15, "zh": 0.15}

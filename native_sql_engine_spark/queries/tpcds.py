@@ -1443,16 +1443,25 @@ _SQL_NEW4["tpcds_q15"] = """
 # q36: gross-margin ratio over a ROLLUP hierarchy with rank within each
 # grouping level (lochierarchy = grouping(p_type)+grouping(p_brand)).
 _SQL_NEW4["tpcds_q36"] = """
-    WITH agg AS (
+    WITH pre AS (
+      -- pre-aggregate at the finest grain BEFORE the rollup Expand: the
+      -- Expand then multiplies |type x brand| rows, not |lineitem| rows
+      -- (decimal sums re-aggregate exactly)
+      SELECT p_type, p_brand,
+             sum(cast(l_extendedprice * (1 - l_discount) - l_quantity * 100
+                      AS decimal(38,9))) AS margin_s,
+             sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS gross_s
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+      GROUP BY p_type, p_brand
+    ),
+    agg AS (
       SELECT CASE WHEN grouping(p_type) = 1 THEN 'ALL' ELSE p_type END AS pt,
              CASE WHEN grouping(p_brand) = 1 THEN 'ALL' ELSE p_brand END AS pb,
              grouping(p_type) + grouping(p_brand) AS lochierarchy,
-             round(cast(sum(cast(l_extendedprice * (1 - l_discount) - l_quantity * 100
-                                 AS decimal(38,9))) AS double)
-                   / cast(sum(cast(l_extendedprice * (1 - l_discount)
-                                   AS decimal(38,9))) AS double), 6) AS gross_margin
-      FROM lineitem, part
-      WHERE l_partkey = p_partkey
+             round(cast(sum(margin_s) AS double)
+                   / cast(sum(gross_s) AS double), 6) AS gross_margin
+      FROM pre
       GROUP BY ROLLUP(p_type, p_brand)
     )
     SELECT pt, pb, lochierarchy, gross_margin,
@@ -1571,14 +1580,20 @@ _SQL_NEW4["tpcds_q66"] = """
 # q67: ROLLUP over the product hierarchy then top-5 per p_type partition by
 # ranked sales (Expand feeding a ranking window).
 _SQL_NEW4["tpcds_q67"] = """
-    WITH agg AS (
+    WITH pre AS (
+      -- finest-grain pre-aggregate before the 4-way rollup Expand (see q36)
+      SELECT p_type, p_brand, p_size,
+             sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS s
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+      GROUP BY p_type, p_brand, p_size
+    ),
+    agg AS (
       SELECT CASE WHEN grouping(p_type) = 1 THEN 'ALL' ELSE p_type END AS pt,
              CASE WHEN grouping(p_brand) = 1 THEN 'ALL' ELSE p_brand END AS pb,
              CASE WHEN grouping(p_size) = 1 THEN -1 ELSE p_size END AS psz,
-             cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
-                  AS double) AS sumsales
-      FROM lineitem, part
-      WHERE l_partkey = p_partkey
+             cast(round(sum(s), 2) AS double) AS sumsales
+      FROM pre
       GROUP BY ROLLUP(p_type, p_brand, p_size)
     )
     SELECT pt, pb, psz, sumsales, rnk
