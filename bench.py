@@ -18,11 +18,17 @@ targets at 100 TB; its total is reported as "pass1_total_sec".
 Output-size contract: the driver captures only the tail of stdout (~4 KB) and
 json-parses the last line, so the line MUST stay well under that.  Per-query
 warm times are emitted only for TPC-H and SSB (35 queries); the 99-query
-TPC-DS suite and every other battery group (ops/pipeline/stream/udf/extra)
-are rolled up into one "group_totals" entry each — at 244 registered queries
-a full per-query map would overflow the tail capture and the driver would
-record parsed=null.  The complete per-query/per-pass detail is written to
-bench_detail.json next to this file instead of stdout.
+TPC-DS suite and every other battery group (ops/pipeline/stream/udf/extra/
+analytics) are rolled up into one "group_totals" entry each — at 259
+registered queries a full per-query map would overflow the tail capture and
+the driver would record parsed=null.  The complete per-query/per-pass detail
+is written to bench_detail.json next to this file instead of stdout.
+
+Between every 12 queries an UNTIMED System.gc() runs on the driver: Spark's
+ContextCleaner reclaims shuffle files/broadcast blocks only on GC, and with
+a 24g heap a two-pass 259-query battery otherwise defers all cleanup until
+it lands as multi-second stalls inside random timed queries (measured: the
+same dedup queries swing 2s ↔ 20s run-to-run without this).
 """
 
 from __future__ import annotations
@@ -58,14 +64,26 @@ def main() -> None:
     # warm the JVM + parquet footers once (not counted)
     qs["tpch_q6"](spark, sf_dir).collect()
 
+    def _hygiene() -> None:
+        # untimed: force a driver GC so Spark's ContextCleaner reclaims the
+        # previous queries' shuffle files/broadcasts NOW instead of stalling
+        # a later timed query (cleanup is GC-triggered; 259 queries × 2
+        # passes otherwise accumulate it all and pass-2 numbers catch
+        # multi-second cleanup spikes at random)
+        spark.sparkContext._jvm.System.gc()
+
     pass1: dict[str, float] = {}
-    for name in names:  # pays analysis + codegen once
+    for i, name in enumerate(names):  # pays analysis + codegen once
+        if i % 12 == 0:
+            _hygiene()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
         pass1[name] = round(time.perf_counter() - t0, 3)
 
     pass2: dict[str, float] = {}
-    for name in names:  # steady-state pass
+    for i, name in enumerate(names):  # steady-state pass
+        if i % 12 == 0:
+            _hygiene()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
         pass2[name] = round(time.perf_counter() - t0, 3)

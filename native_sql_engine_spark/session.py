@@ -47,6 +47,12 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.codegen.cache.maxEntries": "10000",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "24g",
+    # ContextCleaner only reclaims shuffle files / broadcast blocks when the
+    # driver GCs; with a 24g heap and the default 30min periodic GC, a long
+    # query battery accumulates hundreds of stale shuffles and the deferred
+    # cleanup lands as multi-second stalls inside later queries.  A short
+    # periodic GC keeps cleanup incremental (no-op for short sessions).
+    "spark.cleaner.periodicGC.interval": "2min",
 }
 
 

@@ -1,0 +1,195 @@
+"""SQL logic-test corpus — the engine's analog of the reference's level-2
+test strategy (SURVEY §5.2: Spark's `sql-tests/inputs/` golden corpus run
+under the plugin).
+
+Each case is ONE dialect-portable SQL string executed verbatim on BOTH
+engines (Spark over the registered temp views, DuckDB over the same
+parquet) and compared order-insensitively — pinning the semantic corners
+the reference encodes in native kernels: three-valued logic, null-safe
+comparison, NOT IN with NULLs, empty-set aggregates, set-op multiset
+semantics, window ties/frames/defaults, grouping-set markers, interval
+arithmetic, try_cast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from native_sql_engine_spark.catalog import register_tables
+from native_sql_engine_spark.compare import assert_matches_oracle
+
+#: name → dialect-portable SQL (identical text on Spark and DuckDB)
+CASES: dict[str, str] = {
+    # -- three-valued logic / NULL semantics --------------------------------
+    "null_equals_null_filters": "SELECT count(*) AS n FROM nation WHERE NULL = NULL",
+    "null_is_distinct": """
+        SELECT count(*) AS n FROM nation WHERE NULL IS DISTINCT FROM NULL
+    """,
+    "one_is_distinct_from_null": """
+        SELECT count(*) AS n FROM nation WHERE 1 IS DISTINCT FROM NULL
+    """,
+    "case_on_null_predicate": """
+        SELECT CASE WHEN cast(NULL AS boolean) THEN 'a' ELSE 'b' END AS v
+    """,
+    "in_list_with_null_is_unknown": """
+        SELECT CASE WHEN (1 IN (2, NULL)) IS NULL THEN 'unknown' ELSE 'known' END AS v
+    """,
+    "coalesce_nullif": """
+        SELECT coalesce(NULL, NULL, 3) AS a, nullif(5, 5) AS b, nullif(5, 4) AS c
+    """,
+    "string_concat_null_propagates": "SELECT 'a' || NULL AS v",
+    "least_greatest_ignore_nulls": """
+        SELECT least(1, NULL) AS l, greatest(cast(NULL AS int), cast(NULL AS int)) AS g
+    """,
+    # -- NOT IN with NULLs (null-aware anti join, SURVEY §2.3) --------------
+    "not_in_subquery_with_nulls_is_empty": """
+        SELECT count(*) AS n FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END FROM orders)
+    """,
+    "not_in_subquery_no_nulls": """
+        SELECT count(*) AS n FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+    # -- aggregates over empty / null sets ----------------------------------
+    "empty_set_aggregates": """
+        SELECT sum(l_quantity) AS s, min(l_quantity) AS mn, count(*) AS n,
+               count(l_quantity) AS nc
+        FROM lineitem WHERE 1 = 0
+    """,
+    "count_ignores_nulls": """
+        SELECT count(*) AS n_star,
+               count(CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey END) AS n_even
+        FROM nation
+    """,
+    "avg_ignores_nulls": """
+        SELECT avg(CASE WHEN n_nationkey < 10 THEN cast(n_nationkey AS double) END) AS a
+        FROM nation
+    """,
+    "stddev_single_row_is_null": """
+        SELECT stddev_samp(cast(n_nationkey AS double)) AS sd
+        FROM nation WHERE n_nationkey = 3
+    """,
+    "scalar_subquery_empty_is_null": """
+        SELECT (SELECT max(o_totalprice) FROM orders WHERE 1 = 0) AS v
+    """,
+    "having_without_group_by": """
+        SELECT sum(n_nationkey) AS s FROM nation HAVING sum(n_nationkey) > 0
+    """,
+    "filter_clause_aggregates": """
+        SELECT count(*) FILTER (WHERE n_nationkey % 2 = 0) AS n_even,
+               sum(n_nationkey) FILTER (WHERE n_nationkey > 10) AS s_big
+        FROM nation
+    """,
+    "bool_and_or": """
+        SELECT bool_and(n_nationkey >= 0) AS all_pos, bool_or(n_nationkey > 100) AS any_huge
+        FROM nation
+    """,
+    # -- set operations: multiset semantics ---------------------------------
+    "union_distinct_collapses_nulls": """
+        SELECT cast(NULL AS int) AS v UNION SELECT cast(NULL AS int)
+    """,
+    "union_all_keeps_duplicates": """
+        SELECT count(*) AS n FROM (
+          SELECT n_regionkey FROM nation UNION ALL SELECT n_regionkey FROM nation) t
+    """,
+    "intersect_all_multiset": """
+        SELECT count(*) AS n FROM (
+          SELECT n_regionkey FROM nation INTERSECT ALL SELECT n_regionkey FROM nation) t
+    """,
+    "except_all_multiset": """
+        SELECT v FROM (
+          SELECT n_regionkey AS v FROM nation
+          EXCEPT ALL
+          SELECT n_regionkey AS v FROM nation WHERE n_nationkey % 2 = 0) t
+    """,
+    # -- subqueries ---------------------------------------------------------
+    "exists_correlated": """
+        SELECT count(*) AS n FROM region r
+        WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey)
+    """,
+    "not_exists_never_matching": """
+        SELECT count(*) AS n FROM region r
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_regionkey = r.r_regionkey AND n.n_nationkey < 0)
+    """,
+    "in_preserves_outer_duplicates": """
+        SELECT count(*) AS n FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+    """,
+    # -- window semantics ---------------------------------------------------
+    "window_rank_vs_dense_rank_ties": """
+        SELECT n_nationkey % 5 AS grp,
+               n_nationkey,
+               rank() OVER (ORDER BY n_nationkey % 5, n_nationkey) AS rk,
+               dense_rank() OVER (ORDER BY n_nationkey % 5) AS drk
+        FROM nation
+    """,
+    "window_lag_default": """
+        SELECT n_nationkey,
+               lag(n_nationkey, 1, -1) OVER (ORDER BY n_nationkey) AS prev
+        FROM nation
+    """,
+    "window_range_frame_duplicates": """
+        SELECT n_regionkey,
+               sum(n_nationkey) OVER (ORDER BY n_regionkey
+                                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS running
+        FROM nation
+    """,
+    "window_rows_frame": """
+        SELECT n_nationkey,
+               sum(n_nationkey) OVER (ORDER BY n_nationkey
+                                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s3
+        FROM nation
+    """,
+    # -- grouping sets ------------------------------------------------------
+    "grouping_marker_vs_real_null": """
+        SELECT CASE WHEN grouping(n_regionkey) = 1 THEN -1 ELSE n_regionkey END AS rk,
+               grouping(n_regionkey) AS g,
+               count(*) AS n
+        FROM nation GROUP BY GROUPING SETS ((n_regionkey), ())
+    """,
+    "group_by_ordinal": """
+        SELECT n_regionkey, count(*) AS n FROM nation GROUP BY 1
+    """,
+    # -- expressions / casts ------------------------------------------------
+    "integer_division_is_float": "SELECT 7 / 2 AS d, 7 % 2 AS m",
+    "try_cast_invalid_is_null": """
+        SELECT try_cast('abc' AS int) AS bad, try_cast('12' AS int) AS good
+    """,
+    "substring_beyond_end": "SELECT substring('hello', 2, 100) AS v",
+    "extract_parts": """
+        SELECT extract(year FROM DATE '2021-03-05') AS y,
+               extract(month FROM DATE '2021-03-05') AS m,
+               extract(day FROM DATE '2021-03-05') AS d
+    """,
+    "interval_month_end_clamp": """
+        SELECT cast(cast(DATE '2020-01-31' + INTERVAL 1 MONTH AS date) AS string) AS v
+    """,
+    "values_inline_table": """
+        SELECT x, count(*) AS n FROM (VALUES (1), (1), (2)) t(x) GROUP BY x
+    """,
+    "order_by_aggregate": """
+        SELECT n_regionkey, count(*) AS n
+        FROM nation GROUP BY n_regionkey ORDER BY count(*) DESC, n_regionkey
+    """,
+    "cross_join_cardinality": """
+        SELECT count(*) AS n FROM region CROSS JOIN region r2
+    """,
+    "like_underscore_percent": """
+        SELECT r_name FROM region
+        WHERE r_name LIKE 'A%' OR r_name LIKE '_SIA' OR r_name LIKE '%EAST'
+    """,
+}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark, sf_small):
+    register_tables(spark, sf_small)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_sqllogic_spark_matches_duckdb(spark, sf_small, name):
+    sql = CASES[name]
+    assert_matches_oracle(spark.sql(sql), sql, sf_small, name)
