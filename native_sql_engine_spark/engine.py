@@ -58,6 +58,11 @@ class Engine:
 
         return read_parquet(self.spark, path, columns)
 
+    def read_jsonl_corpus(self, path: str, schema, corrupt_col: str = "_corrupt_record") -> DataFrame:
+        from .sources.io import read_jsonl_corpus
+
+        return read_jsonl_corpus(self.spark, path, schema, corrupt_col)
+
     def read_csv(self, path: str, schema=None, **options) -> DataFrame:
         from .sources import read_csv
 

@@ -53,6 +53,13 @@ ENGINE_CONF: dict[str, str] = {
     # cleanup lands as multi-second stalls inside later queries.  A short
     # periodic GC keeps cleanup incremental (no-op for short sessions).
     "spark.cleaner.periodicGC.interval": "2min",
+    # A multi-hundred-query battery JIT-compiles thousands of generated
+    # classes; the JVM's default 240m reserved code cache fills, the JIT
+    # stops compiling, and codegen-heavy stages (64-aggregate SimHash votes,
+    # wide TPC-DS projections) fall back to interpreted bytecode — the same
+    # query then swings 2s ↔ 10s between runs.  1g keeps C2 active for the
+    # whole battery (static conf: applies at JVM launch).
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
 }
 
 

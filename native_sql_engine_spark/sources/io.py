@@ -142,6 +142,44 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(normalize_object_store_uri(path))
 
 
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Fault-tolerant JSONL corpus ingestion: PERMISSIVE mode with an
+    explicit quarantine column for malformed lines.
+
+    Real web-scale JSONL shards always contain broken lines (truncated
+    writes, invalid UTF-8 escapes, schema drift); failing the job
+    (FAILFAST) or silently dropping them (DROPMALFORMED) both lose data
+    silently at 100 TB.  PERMISSIVE + a corrupt-record column lets the
+    pipeline route bad lines to a quarantine sink in the same single pass:
+
+        df = read_jsonl_corpus(...).cache()
+        good = df.filter(col(corrupt_col).isNull()).drop(corrupt_col)
+        bad  = df.filter(col(corrupt_col).isNotNull())
+
+    The explicit ``schema`` is mandatory: it avoids the full inference scan
+    AND is where the corrupt column is declared (Spark only populates it
+    when it appears in the schema).  NOTE: Spark disallows queries that
+    prune the scan down to ONLY the corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache or write
+    the parsed result before splitting, as above.
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(T.StructField(corrupt_col, T.StringType()))
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(normalize_object_store_uri(path))
+    )
+
+
 def read_orc(
     spark: SparkSession, path: str, columns: list[str] | None = None
 ) -> DataFrame:

@@ -145,3 +145,27 @@ def test_cached_reuse(spark, sf_small):
     n1 = c.count()
     assert c.count() == n1
     c.unpersist()
+
+
+def test_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE JSONL ingestion: good lines parse, malformed lines land in
+    the corrupt column with the raw text preserved — one pass, no data loss."""
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "ok"}\n'
+        "{broken json line\n"
+        '{"doc_id": "not-a-number", "text": "drifted"}\n'
+    )
+    # cache before splitting: Spark disallows scans pruned to only the
+    # corrupt column (see read_jsonl_corpus docstring)
+    df = S.read_jsonl_corpus(spark, str(p), "doc_id bigint, text string").cache()
+    rows = {r["doc_id"]: r for r in df.collect()}
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 2
+    assert rows[1]["text"] == "hello world"
+    # the quarantined rows keep the raw line for forensics/replay
+    raw = [r["_corrupt_record"] for r in bad.collect()]
+    assert any("broken json line" in s for s in raw)
+    assert any("not-a-number" in s for s in raw)
