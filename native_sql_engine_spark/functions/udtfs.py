@@ -1,0 +1,37 @@
+"""Python UDTFs (user-defined TABLE functions) — PySpark 4 surface.
+
+The reference executes `Generate`/explode as a row fallback (SURVEY §2.10,
+docs/operators.md row 6) and has no user-defined table functions at all;
+PySpark 4's `@udtf` gives the engine a first-class, Arrow-batched
+set-returning function that composes with LATERAL joins.
+
+Scale note: a UDTF runs per input row inside the Python worker with Arrow
+transport — same cost model as mapInPandas.  For kernels expressible as
+`explode` of a codegen'd array expression, prefer that (JVM-side); UDTFs
+are for genuinely imperative row→rows logic (custom parsers, tokenizers
+with state, protocol decoders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="pos int, tok string")
+class SplitTokens:
+    """Emit (position, token) rows for every whitespace token of the input —
+    the canonical row→rows kernel (a tokenizer the optimizer can't see
+    into).  Matches tokens() / DuckDB string_split_regex semantics."""
+
+    def eval(self, text: str):  # noqa: D102 — UDTF contract method
+        if text is None:
+            return
+        pos = 0
+        for tok in text.split():
+            yield (pos, tok)
+            pos += 1
+
+
+def register_udtfs(spark) -> None:
+    """Register all engine UDTFs for SQL/LATERAL use (idempotent)."""
+    spark.udtf.register("split_tokens", SplitTokens)

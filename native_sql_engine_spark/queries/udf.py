@@ -125,3 +125,40 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "udf_python_udtf",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), s -> s <> '') AS toks
+      FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           cast(len(toks) AS bigint) AS n_toks,
+           toks[1] AS first_tok,
+           toks[len(toks)] AS last_tok
+    FROM t ORDER BY doc_id
+    """,
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (PySpark 4 table function — no reference equivalent at
+    all, §2.10) in a LATERAL join: a row→rows tokenizer emits (pos, tok)
+    per document, re-aggregated to per-doc stats that hash-match the
+    set-based oracle — proving the UDTF transport is lossless and
+    order-faithful."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               cast(count(*) AS bigint) AS n_toks,
+               min_by(s.tok, s.pos) AS first_tok,
+               max_by(s.tok, s.pos) AS last_tok
+        FROM _udtf_docs d, LATERAL split_tokens(d.text) s
+        GROUP BY d.doc_id ORDER BY d.doc_id
+        """
+    )

@@ -166,3 +166,108 @@ def test_minhash_identical_docs_always_pair(spark, seed):
     ).coalesce(2)
     pairs = {(r.a_id, r.b_id) for r in minhash_lsh_pairs(df, "doc_id", "text").collect()}
     assert (1, 2) in pairs
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 3),        # key
+            st.integers(0, 100),      # left ts
+        ),
+        min_size=1, max_size=30,
+    ),
+    rdata=st.lists(
+        st.tuples(
+            st.integers(0, 3),        # key
+            st.integers(0, 100),      # right ts
+            st.integers(-1000, 1000), # value
+        ),
+        min_size=1, max_size=30,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.sampled_from([None, 10, 30]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, data, rdata, direction, tol):
+    """asof_join ≡ pandas.merge_asof on random int-time series (both
+    directions, with/without tolerance).  Right timestamps are deduped per
+    key so tie-break order is unambiguous in both implementations."""
+    import pandas as pd
+
+    from native_sql_engine_spark.operators.temporal import asof_join
+
+    seen = set()
+    rded = []
+    for k, t, v in rdata:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rded.append((k, t, v))
+    left = spark.createDataFrame(
+        pd.DataFrame(data, columns=["k", "t"]).astype("int64")
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(rded, columns=["k", "t", "v"]).astype("int64")
+    )
+    tol_fn = None
+    if tol is not None:
+        if direction == "backward":
+            tol_fn = lambda lt, rt: (lt - rt) <= tol
+        else:
+            tol_fn = lambda lt, rt: (rt - lt) <= tol
+    got = asof_join(
+        left, right, key="k", left_ts="t", right_ts="t",
+        value_cols=["v"], direction=direction, tolerance=tol_fn,
+    ).toPandas()
+
+    lp = pd.DataFrame(data, columns=["k", "t"]).astype("int64").sort_values("t", kind="stable")
+    rp = pd.DataFrame(rded, columns=["k", "t", "v"]).astype("int64").sort_values("t", kind="stable")
+    kwargs = dict(on="t", by="k", direction=direction)
+    if tol is not None:
+        kwargs["tolerance"] = tol
+    want = pd.merge_asof(lp, rp.rename(columns={"v": "right_v"}), **kwargs)
+
+    got_s = sorted(
+        (int(r.k), int(r.t), None if pd.isna(r.right_v) else int(r.right_v))
+        for r in got.itertuples()
+    )
+    want_s = sorted(
+        (int(r.k), int(r.t), None if pd.isna(r.right_v) else int(r.right_v))
+        for r in want.itertuples()
+    )
+    assert got_s == want_s
+
+
+@settings(**_SETTINGS)
+@given(
+    tgt=st.dictionaries(st.integers(0, 20), st.integers(-100, 100), min_size=1, max_size=15),
+    ops=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(-100, 100), st.booleans()),
+        min_size=0, max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_upsert_matches_sequential_apply(spark, tgt, ops):
+    """merge_upsert ≡ sequential dict apply: upserts replace/insert,
+    deletes remove, untouched keys survive."""
+    import pandas as pd
+
+    from native_sql_engine_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame(
+        pd.DataFrame(sorted(tgt.items()), columns=["k", "v"]).astype("int64")
+    )
+    src_rows = [(k, v, "D" if is_del else "U") for k, v, is_del in ops]
+    if not src_rows:
+        src_rows = [(999, 0, "U")]  # createDataFrame needs ≥1 row; disjoint key
+    source = spark.createDataFrame(
+        pd.DataFrame(src_rows, columns=["k", "v", "op"]).astype({"k": "int64", "v": "int64"})
+    )
+    got = {int(r.k): int(r.v) for r in merge_upsert(target, source, "k").collect()}
+
+    want = dict(tgt)
+    for k, v, op in src_rows:
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
