@@ -68,6 +68,13 @@ class Engine:
 
         return read_csv(self.spark, path, schema, **options)
 
+    def write_parquet_zordered(self, df: DataFrame, path: str,
+                               zorder_cols: list[str], num_files: int | None = None,
+                               bits: int = 12, mode: str = "overwrite") -> None:
+        from .operators.layout import write_parquet_zordered
+
+        write_parquet_zordered(df, path, zorder_cols, num_files, bits, mode)
+
     def write_parquet(self, df: DataFrame, path: str, **kwargs) -> None:
         from .sources import write_parquet
 

@@ -169,3 +169,33 @@ def test_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
     raw = [r["_corrupt_record"] for r in bad.collect()]
     assert any("broken json line" in s for s in raw)
     assert any("not-a-number" in s for s in raw)
+
+
+def test_zorder_write_narrows_per_file_ranges(spark, sf_small, tmp_path):
+    """Z-order clustering: per-file min-max spread on BOTH z-columns must be
+    far narrower than an unclustered layout — that spread is exactly what
+    parquet min-max skipping prunes on."""
+    from native_sql_engine_spark.operators.layout import write_parquet_zordered
+
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    plain, zpath = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    orders.repartition(8).write.parquet(plain)
+    write_parquet_zordered(orders, zpath, ["o_custkey", "o_totalprice"], num_files=8)
+
+    def avg_spread(path, col):
+        df = spark.read.parquet(path).select(
+            F.input_file_name().alias("f"), F.col(col)
+        )
+        per_file = df.groupBy("f").agg((F.max(col) - F.min(col)).alias("spread"))
+        return per_file.agg(F.avg("spread")).first()[0]
+
+    for col in ["o_custkey", "o_totalprice"]:
+        assert avg_spread(zpath, col) < 0.6 * avg_spread(plain, col), col
+
+    # clustering is a layout change only — content identical
+    assert (
+        spark.read.parquet(zpath).orderBy("o_orderkey").collect()
+        == orders.orderBy("o_orderkey").collect()
+    )
