@@ -75,6 +75,12 @@ class Engine:
 
         write_parquet_zordered(df, path, zorder_cols, num_files, bits, mode)
 
+    def compact_parquet(self, src: str, dst: str,
+                        target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        from .sources.io import compact_parquet
+
+        return compact_parquet(self.spark, src, dst, target_file_bytes)
+
     def write_parquet(self, df: DataFrame, path: str, **kwargs) -> None:
         from .sources import write_parquet
 

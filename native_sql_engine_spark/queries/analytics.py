@@ -498,3 +498,55 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+@q(
+    "rollup_incremental_merge",
+    """
+    WITH base AS (
+      SELECT strftime(cast(o_orderdate AS date), '%Y-%m') AS mon,
+             cast(count(*) AS bigint) AS n,
+             sum(cast(o_totalprice AS decimal(38,9))) AS rev
+      FROM orders WHERE cast(o_orderdate AS date) < DATE '1998-01-01'
+      GROUP BY mon),
+    delta AS (
+      SELECT strftime(cast(o_orderdate AS date), '%Y-%m') AS mon,
+             cast(count(*) AS bigint) AS n,
+             sum(cast(o_totalprice AS decimal(38,9))) AS rev
+      FROM orders WHERE cast(o_orderdate AS date) >= DATE '1998-01-01'
+      GROUP BY mon)
+    SELECT mon, cast(sum(n) AS bigint) AS n,
+           cast(round(sum(rev), 2) AS double) AS revenue
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM delta) t
+    GROUP BY mon ORDER BY mon
+    """,
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: yesterday's aggregate
+    table merges with today's delta partition by RE-AGGREGATING partials
+    (sum-of-sums, sum-of-counts) — no re-read of history.  The oracle
+    recomputes from scratch, proving partial-merge exactness (decimal sums
+    are associative).  At 100 TB this is the only affordable way to keep a
+    rollup current: cost is O(delta + |rollup|), not O(history)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").cast("decimal(38,9)").alias("price"),
+    )
+    cutoff = F.lit("1998-01-01").cast("date")
+
+    def agg(df):
+        return df.groupBy(F.date_format("d", "yyyy-MM").alias("mon")).agg(
+            F.count("*").alias("n"), F.sum("price").alias("rev")
+        )
+
+    base = agg(orders.filter(F.col("d") < cutoff))      # the stored rollup
+    delta = agg(orders.filter(F.col("d") >= cutoff))    # today's partition
+    return (
+        base.unionByName(delta)
+        .groupBy("mon")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("mon")
+    )

@@ -185,3 +185,37 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = SW.read_events_stream(spark, sf_dir)
     out = _drain(SW.sliding_avg(ev), "q_stream_sliding", "complete")
     return out.orderBy("win_start")
+
+
+@q(
+    "stream_static_join",
+    """
+    SELECT c_mktsegment AS seg,
+           cast(count(*) AS bigint) AS n_purchases,
+           cast(round(sum(cast(value AS decimal(38,9))), 2) AS double) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY seg ORDER BY seg
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static (dimension) join: the purchase stream enriches against
+    the batch customer table — the canonical streaming star-join.  The
+    static side is broadcast per micro-batch (no stream state grows from
+    it, unlike a stream-stream join); complete-mode per-segment totals
+    hash-match the batch join in DuckDB (replay equivalence)."""
+    from ..catalog import load_table
+
+    ev = SW.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("seg")
+    )
+    joined = ev.join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+    agg = joined.groupBy("seg").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum(F.col("value").cast("decimal(38,9)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+    out = _drain(agg, "q_stream_static", "complete")
+    return out.orderBy("seg")

@@ -180,6 +180,35 @@ def read_jsonl_corpus(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target) files.  Returns the output file count.
+
+    The 100 TB maintenance primitive: streaming/micro-batch sinks and
+    over-parallel writes leave datasets with millions of KB-sized files,
+    and every future scan then pays per-file open/footer/scheduling cost
+    that dwarfs the I/O.  Sizing from the ACTUAL on-disk bytes (via the
+    Hadoop FS API, so it works on object stores too) rather than row
+    counts keeps output files near the row-group sweet spot regardless of
+    schema width.  `coalesce` (not `repartition`): merging files needs no
+    shuffle, just fewer write tasks."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(normalize_object_store_uri(src))
+    fs = path.getFileSystem(hconf)
+    total = fs.getContentSummary(path).getLength()
+    n_files = max(1, -(-int(total) // target_file_bytes))
+    df = spark.read.parquet(normalize_object_store_uri(src))
+    df.coalesce(n_files).write.mode(mode).parquet(normalize_object_store_uri(dst))
+    return n_files
+
+
 def read_orc(
     spark: SparkSession, path: str, columns: list[str] | None = None
 ) -> DataFrame:

@@ -199,3 +199,35 @@ def test_zorder_write_narrows_per_file_ranges(spark, sf_small, tmp_path):
         spark.read.parquet(zpath).orderBy("o_orderkey").collect()
         == orders.orderBy("o_orderkey").collect()
     )
+
+
+def test_compact_parquet_merges_small_files(spark, sf_small, tmp_path):
+    """Compaction sizes output from on-disk bytes: a 16-file shredded
+    dataset collapses to 1 file (tiny data, 128MB target), content equal,
+    no shuffle (coalesce)."""
+    import glob
+
+    orders = load_table(spark, sf_small, "orders")
+    shredded = str(tmp_path / "shredded")
+    compacted = str(tmp_path / "compacted")
+    orders.repartition(16).write.parquet(shredded)
+    assert len(glob.glob(shredded + "/part-*.parquet")) == 16
+    n = S.compact_parquet(spark, shredded, compacted)
+    assert n == 1
+    assert len(glob.glob(compacted + "/part-*.parquet")) == 1
+    assert spark.read.parquet(compacted).count() == orders.count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema read over shards written at different schema versions:
+    the unified schema carries the superset, missing columns read as NULL —
+    how a long-lived 100 TB dataset absorbs additive schema drift."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, v string").write.parquet(base + "/day=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v string, score double"
+    ).write.parquet(base + "/day=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "v", "score", "day"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
