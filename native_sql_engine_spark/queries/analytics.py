@@ -550,3 +550,115 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon")
     )
+
+
+@q(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, abs(e.value - m.med) AS absdev, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (
+      SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           cast(count(*) AS bigint) AS n,
+           cast(round(max(d.med), 4) AS double) AS med,
+           cast(round(max(m.mad), 4) AS double) AS mad,
+           cast(sum(CASE WHEN d.absdev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS bigint) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: median-absolute-deviation outliers per
+    event type (|x − med| > 3·1.4826·MAD — the robust z-score that mean/
+    stddev-based detection gets wrong under heavy tails).  Two exact-
+    percentile aggregates with their tiny per-type results broadcast back;
+    the events table streams through twice, never self-joins."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("absdev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("med"), 4).cast("double").alias("med"),
+            F.round(F.max("mad"), 4).cast("double").alias("mad"),
+            F.sum(
+                F.when(F.col("absdev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "text_keywords_per_doc",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                              s -> len(s) >= 4))) AS tok
+      FROM documents),
+    tf AS (
+      SELECT t.doc_id, t.tok,
+             len(list_filter(string_split_regex(lower(d.text), '[^a-z]+'),
+                             s -> s = t.tok)) AS tf
+      FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+    df AS (SELECT tok, cast(count(*) AS bigint) AS df FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS rnk,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+      FROM tf, df, n WHERE tf.tok = df.tok)
+    SELECT doc_id, tok, cast(tf AS bigint) AS tf, df, tfidf
+    FROM scored WHERE rnk <= 3 AND doc_id < 100
+    ORDER BY doc_id, tf DESC, df, tok
+    """,
+)
+def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by TF-IDF (ranked on
+    integer (tf desc, df asc, tok) so ordering is engine-exact; the float
+    tfidf is a reported score, not the sort key).  One explode + two hash
+    aggregates sharing the token keying + a broadcast of the DF table —
+    the per-doc window never sees more than the doc's own tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
+        )
+        .filter(F.length("tok") >= 4)
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("df").asc(), "tok")
+    return (
+        tf.join(dfreq, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 100))
+        .select(
+            "doc_id",
+            "tok",
+            F.col("tf").cast("bigint").alias("tf"),
+            "df",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
+        .orderBy("doc_id", F.col("tf").desc(), "df", "tok")
+    )
