@@ -164,3 +164,37 @@ def test_transform_with_state_running_agg(spark, sf_small):
     got = {r.user_id: (r.n_events, r.total_value, r.max_value) for r in out.collect()}
     exp = {r.user_id: (r.n_events, r.total_value, r.max_value) for r in want.collect()}
     assert got == exp
+
+
+def test_foreach_batch_parquet_sink(spark, sf_small, tmp_path):
+    """Production sink path: drain the event stream through foreachBatch
+    into parquet (idempotent per-batch-id subdirs — the exactly-once
+    pattern when the sink is not transactional) and verify the landed rows
+    equal the batch table."""
+    from pyspark.sql import functions as F
+
+    from native_sql_engine_spark.catalog import load_table
+    from native_sql_engine_spark.streaming import windows as SW
+
+    out = str(tmp_path / "landed")
+    ev = SW.read_events_stream(spark, sf_small).select("event_id", "event_type", "value")
+
+    def sink(batch_df, batch_id: int) -> None:
+        # per-batch-id directory + overwrite = replay-safe (a retried batch
+        # rewrites its own directory instead of duplicating rows)
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = spark.read.parquet(out)
+    batch = load_table(spark, sf_small, "events")
+    assert landed.count() == batch.count()
+    assert landed.select(F.sum("value")).first()[0] == pytest.approx(
+        batch.select(F.sum("value")).first()[0]
+    )
