@@ -399,7 +399,7 @@ def rollup_time_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
       FROM documents)
     SELECT tok, cast(count(DISTINCT doc_id) AS bigint) AS df,
-           (list_sort(list(DISTINCT doc_id)))[1:5] AS posting_head
+           array_to_string((list_sort(list(DISTINCT doc_id)))[1:5], ',') AS posting_head
     FROM toks WHERE length(tok) >= 4
     GROUP BY tok ORDER BY df DESC, tok LIMIT 50
     """,
@@ -419,7 +419,12 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("tok")
         .agg(
             F.count_distinct("doc_id").alias("df"),
-            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5).alias("posting_head"),
+            # comma-joined string (not array): the only battery output that
+            # would otherwise carry a complex type through the driver's
+            # value-hash compare
+            F.array_join(F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5), ",").alias(
+                "posting_head"
+            ),
         )
         .orderBy(F.col("df").desc(), "tok")
         .limit(50)
