@@ -1878,3 +1878,54 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_orders"))
         .orderBy("l_returnflag")
     )
+
+
+@q(
+    "agg_approx_top_k",
+    """
+    WITH c AS (
+      SELECT event_type, cast(count(*) AS bigint) AS n
+      FROM events GROUP BY event_type)
+    SELECT string_agg(event_type || ':' || n, ',' ORDER BY n DESC, event_type)
+             AS top_items
+    FROM c
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy-hitters sketch (Spark 4 SQL surface; the
+    reference has no sketch aggregates at all).  With maxItemsTracked ≥
+    the column's cardinality the sketch is EXACT, so the result is
+    oracle-checkable; at 100 TB the same one-pass mergeable sketch tracks
+    heavy hitters over columns whose exact groupBy would not fit."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_atk_events")
+    return spark.sql(
+        """
+        SELECT array_join(
+                 transform(approx_top_k(event_type, 5, 10000),
+                           s -> concat(s.item, ':', s.count)), ',') AS top_items
+        FROM _atk_events
+        """
+    )
+
+
+@q(
+    "agg_listagg",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS members
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg / string_agg with deterministic WITHIN GROUP ordering
+    (Spark 4 surface; ref's collect_* falls back to row execution)."""
+    nat = load_table(spark, sf_dir, "nation")
+    nat.createOrReplaceTempView("_la_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS members
+        FROM _la_nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """
+    )
