@@ -258,3 +258,46 @@ def test_mix_rebalance_broadcasts_rates(spark, sf_small):
     kept = rebalance_mix(docs, "doc_id", "lang", {"en": 0.3, "de": 0.2})
     plan = P.executed_plan(kept)
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew handling end-to-end: a join where 95% of probe rows share
+    one key must show skew-split partitions in the final adaptive plan —
+    the runtime repair the reference implements as
+    ColumnarCustomShuffleReaderExec (SURVEY §2.9)."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        # force the skew path to be observable on toy data
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        probe = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pay"),
+        )
+        build = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        joined = probe.join(build, "k")
+        # collect() on the SAME DataFrame whose plan we inspect — count()
+        # would execute a different query and leave this one un-finalized
+        rows = joined.collect()
+        # hot key 7 matches every id%20!=0 row (190000); the 10000 distinct
+        # keys id%20==0 match only those < 1000 (50 of them)
+        assert len(rows) == 190_000 + 50
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the skewed partition:\n{plan[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
