@@ -181,6 +181,74 @@ CASES: dict[str, str] = {
         SELECT r_name FROM region
         WHERE r_name LIKE 'A%' OR r_name LIKE '_SIA' OR r_name LIKE '%EAST'
     """,
+    # -- correlated / nested subqueries -------------------------------------
+    "correlated_scalar_agg": """
+        SELECT r_name,
+               (SELECT count(*) FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS n
+        FROM region r ORDER BY r_name
+    """,
+    "nested_subquery_two_levels": """
+        SELECT count(*) AS n FROM customer
+        WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+            SELECT r_regionkey FROM region WHERE r_name LIKE 'A%'))
+    """,
+    "exists_with_limit_subquery": """
+        SELECT count(*) AS n FROM region r
+        WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey LIMIT 1)
+    """,
+    "self_join_inequality": """
+        SELECT count(*) AS n FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
+    """,
+    # -- scalar function agreement ------------------------------------------
+    "math_functions_agree": """
+        SELECT round(sqrt(2.0), 10) AS sq, round(exp(1.0), 10) AS e,
+               round(ln(10.0), 10) AS l, round(pi(), 10) AS p,
+               round(power(2.0, 10), 4) AS pw, abs(-5) AS ab,
+               round(sin(1.0), 10) AS sn, round(atan2(1.0, 2.0), 10) AS at2
+    """,
+    "string_functions_agree": """
+        SELECT upper('aBc') AS u, lower('AbC') AS l, length('hello') AS n,
+               trim('  x  ') AS t, ltrim('  x') AS lt, rtrim('x  ') AS rt,
+               replace('banana', 'an', 'XY') AS rep, reverse('abc') AS rev,
+               repeat('ab', 3) AS rp, lpad('7', 3, '0') AS lp, rpad('7', 3, '0') AS rpd,
+               concat_ws('-', 'a', 'b', 'c') AS cw, split_part('a,b,c', ',', 2) AS sp,
+               position('ll' IN 'hello') AS pos
+    """,
+    "date_functions_agree": """
+        SELECT year(DATE '2021-07-04') AS y, month(DATE '2021-07-04') AS m,
+               day(DATE '2021-07-04') AS d,
+               cast(last_day(DATE '2021-02-03') AS string) AS ld,
+               cast(cast(date_trunc('month', DATE '2021-07-14') AS date) AS string) AS mstart
+    """,
+    "greatest_least_multi": "SELECT greatest(1, 5, 3) AS g, least(2.5, 1.5, 9.0) AS l",
+    "mod_negative_operands": "SELECT (-7) % 3 AS a, 7 % (-3) AS b",
+    "case_insensitive_like_via_lower": """
+        SELECT count(*) AS n FROM region WHERE lower(r_name) LIKE '%a%'
+    """,
+    # -- more window / grouping shapes --------------------------------------
+    "window_ntile_distribution": """
+        SELECT n_nationkey, ntile(4) OVER (ORDER BY n_nationkey) AS q FROM nation
+    """,
+    "window_first_last_value_frame": """
+        SELECT n_nationkey,
+               first_value(n_nationkey) OVER (ORDER BY n_nationkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+               last_value(n_nationkey) OVER (ORDER BY n_nationkey
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS lv
+        FROM nation
+    """,
+    "union_by_position_types": """
+        SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y' ORDER BY a
+    """,
+    "distinct_star_multicol": """
+        SELECT count(*) AS n
+        FROM (SELECT DISTINCT n_regionkey, n_nationkey % 3 FROM nation) t
+    """,
+    "agg_in_case_in_having": """
+        SELECT n_regionkey FROM nation GROUP BY n_regionkey
+        HAVING CASE WHEN count(*) > 3 THEN 1 ELSE 0 END = 1 ORDER BY n_regionkey
+    """,
 }
 
 
