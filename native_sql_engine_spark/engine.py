@@ -212,6 +212,12 @@ class Engine:
             points, intervals, point_col, start_col, end_col, bucket_width, extra_key
         )
 
+    def ewma(self, df: DataFrame, key_col: str, ts_col: str, value_col: str,
+             alpha: float = 0.3, out_col: str = "ewma") -> DataFrame:
+        from .operators.temporal import ewma
+
+        return ewma(df, key_col, ts_col, value_col, alpha, out_col)
+
     def scd2_history(self, df: DataFrame, key_col: str, attr_col: str,
                      ts_col: str, tie_break: str) -> DataFrame:
         from .operators.temporal import scd2_history

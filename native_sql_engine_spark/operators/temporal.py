@@ -165,3 +165,38 @@ def scd2_history(
         .drop("_prev", "_rn")
     )
     return changed.withColumn("valid_to", F.lead(ts_col).over(w))
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, ordered by time —
+    the time-series smoothing primitive (pandas ``ewm(alpha).mean()``
+    semantics, adjust=True).
+
+    EWMA is a linear recurrence, which plain window aggregates cannot
+    express (the naive closed form Σ x_j·α̅^(i−j) overflows for long
+    series).  It runs as Arrow-batched ``applyInPandas``: ONE hash shuffle
+    by key, each group smoothed by the exact pandas kernel in-memory.
+    At 100 TB the constraint is per-key series size (a group must fit a
+    worker); hot keys get windowed/segmented upstream.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="stable")
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=True).mean()
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(smooth, schema=schema)

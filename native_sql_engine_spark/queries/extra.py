@@ -256,3 +256,24 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+@q("timeseries_ewma")
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of the event value series (rows-only: the
+    linear recurrence has no closed-form SQL; exactness vs the pandas
+    kernel is pinned in tests/test_extra.py::test_ewma_matches_pandas)."""
+    from ..operators.temporal import ewma
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    out = ewma(ev, "user_id", "ts", "value", alpha=0.3)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round("ewma", 4).alias("ewma"),
+    )
