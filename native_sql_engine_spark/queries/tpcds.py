@@ -2667,6 +2667,162 @@ _SQL_V27["tpcds_q39b"] = """
     LIMIT 100
     """
 
+
+# ---------------------------------------------------------------------------
+# v2.7.0 "a" rewrite variants: the same result set as the base query via the
+# alternate formulation the suite ships (ROLLUP -> explicit UNION of grouping
+# levels; OR-of-EXISTS -> IN over a UNION).  Each shares the base query's
+# semantics exactly, so correctness cross-checks the two plan shapes against
+# one DuckDB answer.
+
+# q27a: ROLLUP(n_name, c_mktsegment) unrolled into three aggregate legs.
+_SQL_V27["tpcds_q27a"] = """
+    WITH j AS (
+      SELECT n_name, c_mktsegment, o_totalprice
+      FROM orders, customer, nation
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey)
+    SELECT n_name, c_mktsegment,
+           cast(0 AS bigint) AS g_nation, cast(0 AS bigint) AS g_segment,
+           cast(count(*) AS bigint) AS cnt, round(avg(o_totalprice), 2) AS avg_price
+    FROM j GROUP BY n_name, c_mktsegment
+    UNION ALL
+    SELECT n_name, cast(NULL AS string),
+           cast(0 AS bigint), cast(1 AS bigint),
+           cast(count(*) AS bigint), round(avg(o_totalprice), 2)
+    FROM j GROUP BY n_name
+    UNION ALL
+    SELECT cast(NULL AS string), cast(NULL AS string),
+           cast(1 AS bigint), cast(1 AS bigint),
+           cast(count(*) AS bigint), round(avg(o_totalprice), 2)
+    FROM j
+    ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+    """
+
+# q22a: ROLLUP(p_type, p_brand, p_size) unrolled into four aggregate legs.
+_SQL_V27["tpcds_q22a"] = """
+    WITH j AS (
+      SELECT p_type, p_brand, p_size, l_quantity
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND year(l_shipdate) BETWEEN 1996 AND 1998)
+    SELECT p_type, p_brand, p_size, round(avg(l_quantity), 4) AS qoh
+    FROM j GROUP BY p_type, p_brand, p_size
+    UNION ALL
+    SELECT p_type, p_brand, cast(NULL AS int), round(avg(l_quantity), 4)
+    FROM j GROUP BY p_type, p_brand
+    UNION ALL
+    SELECT p_type, cast(NULL AS string), cast(NULL AS int), round(avg(l_quantity), 4)
+    FROM j GROUP BY p_type
+    UNION ALL
+    SELECT cast(NULL AS string), cast(NULL AS string), cast(NULL AS int),
+           round(avg(l_quantity), 4)
+    FROM j
+    ORDER BY qoh, p_type NULLS FIRST, p_brand NULLS FIRST, p_size NULLS FIRST
+    LIMIT 100
+    """
+
+# q86a: rollup report unrolled; the rank runs over the unioned levels.
+_SQL_V27["tpcds_q86a"] = """
+    WITH j AS (
+      SELECT p_type, p_brand, l_extendedprice
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND l_returnflag = 'A'
+        AND year(l_shipdate) = 1997),
+    lv AS (
+      SELECT p_type, p_brand,
+             sum(cast(l_extendedprice AS decimal(38,9))) AS total_sum,
+             0 AS lochierarchy
+      FROM j GROUP BY p_type, p_brand
+      UNION ALL
+      SELECT p_type, cast(NULL AS string),
+             sum(cast(l_extendedprice AS decimal(38,9))), 1
+      FROM j GROUP BY p_type
+      UNION ALL
+      SELECT cast(NULL AS string), cast(NULL AS string),
+             sum(cast(l_extendedprice AS decimal(38,9))), 2
+      FROM j)
+    SELECT p_type, p_brand,
+           cast(round(total_sum, 2) AS double) AS total_sum,
+           lochierarchy,
+           rank() OVER (PARTITION BY lochierarchy,
+                                     CASE WHEN lochierarchy = 0 THEN p_type END
+                        ORDER BY total_sum DESC) AS rk
+    FROM lv
+    ORDER BY lochierarchy DESC,
+             CASE WHEN lochierarchy = 0 THEN p_type END NULLS FIRST,
+             rk, p_type NULLS FIRST, p_brand NULLS FIRST
+    LIMIT 100
+    """
+
+# q70a: region/nation rollup unrolled with post-union rank.
+_SQL_V27["tpcds_q70a"] = """
+    WITH j AS (
+      SELECT r_name, n_name, l_extendedprice
+      FROM lineitem, supplier, nation, region
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey),
+    lv AS (
+      SELECT r_name, n_name,
+             sum(cast(l_extendedprice AS decimal(38,9))) AS total_sum,
+             0 AS lochierarchy
+      FROM j GROUP BY r_name, n_name
+      UNION ALL
+      SELECT r_name, cast(NULL AS string),
+             sum(cast(l_extendedprice AS decimal(38,9))), 1
+      FROM j GROUP BY r_name
+      UNION ALL
+      SELECT cast(NULL AS string), cast(NULL AS string),
+             sum(cast(l_extendedprice AS decimal(38,9))), 2
+      FROM j)
+    SELECT cast(round(total_sum, 2) AS double) AS total_sum,
+           r_name, n_name, lochierarchy,
+           cast(rank() OVER (PARTITION BY lochierarchy,
+                                          CASE WHEN lochierarchy >= 1 THEN r_name END
+                             ORDER BY total_sum DESC) AS bigint) AS rk
+    FROM lv
+    ORDER BY lochierarchy DESC,
+             CASE WHEN lochierarchy = 0 THEN r_name END,
+             rk, r_name NULLS FIRST, n_name NULLS FIRST
+    LIMIT 100
+    """
+
+# q10a: the OR of correlated EXISTS legs becomes IN over a UNION of keys.
+_SQL_V27["tpcds_q10a"] = """
+    SELECT c_mktsegment, n_name, cast(count(*) AS bigint) AS cnt
+    FROM customer, nation
+    WHERE c_nationkey = n_nationkey
+      AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND c_custkey IN (
+        SELECT o.o_custkey FROM orders o, lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    GROUP BY c_mktsegment, n_name
+    ORDER BY c_mktsegment, n_name
+    """
+
+# q35a: same union-of-keys rewrite for the two returnflag legs.
+_SQL_V27["tpcds_q35a"] = """
+    SELECT c_mktsegment, n_name,
+           cast(count(*) AS bigint) AS cnt,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           cast(round(avg(cast(c_acctbal AS decimal(38,9))), 4) AS double) AS avg_bal
+    FROM customer, nation
+    WHERE c_nationkey = n_nationkey
+      AND EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1997)
+      AND c_custkey IN (
+        SELECT o_custkey FROM orders, lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'A'
+        UNION
+        SELECT o_custkey FROM orders, lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'N')
+    GROUP BY c_mktsegment, n_name
+    ORDER BY c_mktsegment, n_name
+    LIMIT 100
+    """
+
+
 for _name, _sql in _SQL_V27.items():
     _register(_name, _sql)
 
