@@ -2823,6 +2823,73 @@ _SQL_V27["tpcds_q35a"] = """
     """
 
 
+
+# q36a: gross-margin rollup unrolled into union-of-levels (ratio computed
+# per leg from the same finest-grain partials as the base).
+_SQL_V27["tpcds_q36a"] = """
+    WITH pre AS (
+      SELECT p_type, p_brand,
+             sum(cast(l_extendedprice * (1 - l_discount) - l_quantity * 100
+                      AS decimal(38,9))) AS margin_s,
+             sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS gross_s
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+      GROUP BY p_type, p_brand),
+    agg AS (
+      SELECT p_type AS pt, p_brand AS pb, 0 AS lochierarchy,
+             round(cast(margin_s AS double) / cast(gross_s AS double), 6) AS gross_margin
+      FROM pre
+      UNION ALL
+      SELECT p_type, 'ALL', 1,
+             round(cast(sum(margin_s) AS double) / cast(sum(gross_s) AS double), 6)
+      FROM pre GROUP BY p_type
+      UNION ALL
+      SELECT 'ALL', 'ALL', 2,
+             round(cast(sum(margin_s) AS double) / cast(sum(gross_s) AS double), 6)
+      FROM pre)
+    SELECT pt, pb, lochierarchy, gross_margin,
+           rank() OVER (PARTITION BY lochierarchy,
+                                     CASE WHEN lochierarchy = 0 THEN pt END
+                        ORDER BY gross_margin ASC, pb) AS rank_within_parent
+    FROM agg
+    ORDER BY lochierarchy DESC, pt, rank_within_parent, pb
+    LIMIT 100
+    """
+
+# q67a: the 4-level sales rollup unrolled; per-type top-5 rank over the
+# unioned levels.
+_SQL_V27["tpcds_q67a"] = """
+    WITH pre AS (
+      SELECT p_type, p_brand, p_size,
+             sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS s
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+      GROUP BY p_type, p_brand, p_size),
+    agg AS (
+      SELECT p_type AS pt, p_brand AS pb, p_size AS psz,
+             cast(round(s, 2) AS double) AS sumsales
+      FROM pre
+      UNION ALL
+      SELECT p_type, p_brand, -1, cast(round(sum(s), 2) AS double)
+      FROM pre GROUP BY p_type, p_brand
+      UNION ALL
+      SELECT p_type, 'ALL', -1, cast(round(sum(s), 2) AS double)
+      FROM pre GROUP BY p_type
+      UNION ALL
+      SELECT 'ALL', 'ALL', -1,
+             cast(round(sum(s), 2) AS double)
+      FROM pre)
+    SELECT pt, pb, psz, sumsales, rnk
+    FROM (
+      SELECT pt, pb, psz, sumsales,
+             rank() OVER (PARTITION BY pt
+                          ORDER BY sumsales DESC, pb, psz) AS rnk
+      FROM agg) ranked
+    WHERE rnk <= 5
+    ORDER BY pt, rnk, pb, psz
+    """
+
+
 for _name, _sql in _SQL_V27.items():
     _register(_name, _sql)
 

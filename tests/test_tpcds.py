@@ -26,6 +26,8 @@ _A_VARIANT_PAIRS = [
     ("tpcds_q22a", "tpcds_q22"),
     ("tpcds_q27a", "tpcds_q27"),
     ("tpcds_q35a", "tpcds_q35"),
+    ("tpcds_q36a", "tpcds_q36"),
+    ("tpcds_q67a", "tpcds_q67"),
     ("tpcds_q70a", "tpcds_q70"),
     ("tpcds_q86a", "tpcds_q86"),
 ]
