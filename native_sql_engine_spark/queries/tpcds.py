@@ -2890,6 +2890,234 @@ _SQL_V27["tpcds_q67a"] = """
     """
 
 
+
+# q5a: channel/nation rollup unrolled over the finest-grain partial
+# (decimal sums re-aggregate exactly; 'ALL' markers like the base).
+_SQL_V27["tpcds_q5a"] = """
+    WITH all_sales AS (
+      SELECT CASE WHEN l_linestatus = 'O' THEN 'web' ELSE 'store' END AS channel,
+             n_name,
+             cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) AS sales,
+             CASE WHEN l_returnflag = 'R'
+                  THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))
+                  ELSE cast(0 AS decimal(38,9)) END AS returns_,
+             cast(l_extendedprice * (1 - l_discount) - l_quantity * 100
+                  AS decimal(38,9)) AS profit
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey),
+    pre AS (
+      SELECT channel, n_name, sum(sales) AS sales, sum(returns_) AS returns_,
+             sum(profit) AS profit
+      FROM all_sales GROUP BY channel, n_name)
+    SELECT channel, nation,
+           cast(round(sales, 2) AS double) AS sales,
+           cast(round(returns_, 2) AS double) AS returns_,
+           cast(round(profit, 2) AS double) AS profit
+    FROM (
+      SELECT channel, n_name AS nation, sales, returns_, profit FROM pre
+      UNION ALL
+      SELECT channel, 'ALL', sum(sales), sum(returns_), sum(profit)
+      FROM pre GROUP BY channel
+      UNION ALL
+      SELECT 'ALL', 'ALL', sum(sales), sum(returns_), sum(profit) FROM pre) lv
+    ORDER BY channel, nation
+    """
+
+# q18a: the 4-level demographic-averages rollup unrolled; averages rebuilt
+# as sum/count from the shared finest-grain partial.
+_SQL_V27["tpcds_q18a"] = """
+    WITH pre AS (
+      SELECT r_name, n_name, c_mktsegment,
+             cast(count(*) AS bigint) AS cnt,
+             sum(l_quantity) AS sq,
+             sum(cast(l_extendedprice AS decimal(38,9))) AS sp,
+             sum(l_discount) AS sd,
+             sum(cast(o_totalprice AS decimal(38,9))) AS st
+      FROM lineitem, orders, customer, nation, region
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND year(o_orderdate) = 1997
+      GROUP BY r_name, n_name, c_mktsegment),
+    lv AS (
+      SELECT r_name, n_name, c_mktsegment, cnt, sq, sp, sd, st FROM pre
+      UNION ALL
+      SELECT r_name, n_name, cast(NULL AS string),
+             sum(cnt), sum(sq), sum(sp), sum(sd), sum(st)
+      FROM pre GROUP BY r_name, n_name
+      UNION ALL
+      SELECT r_name, cast(NULL AS string), cast(NULL AS string),
+             sum(cnt), sum(sq), sum(sp), sum(sd), sum(st)
+      FROM pre GROUP BY r_name
+      UNION ALL
+      SELECT cast(NULL AS string), cast(NULL AS string), cast(NULL AS string),
+             sum(cnt), sum(sq), sum(sp), sum(sd), sum(st)
+      FROM pre)
+    SELECT r_name, n_name, c_mktsegment,
+           round(sq / cnt, 4) AS avg_qty,
+           cast(round(sp / cnt, 2) AS double) AS avg_price,
+           round(sd / cnt, 6) AS avg_disc,
+           cast(round(st / cnt, 2) AS double) AS avg_total,
+           cnt AS n_rows
+    FROM lv
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, c_mktsegment NULLS FIRST
+    LIMIT 100
+    """
+
+# q77a: the channel/nation P&L rollup unrolled over the channel legs.
+_SQL_V27["tpcds_q77a"] = """
+    WITH ss AS (
+      SELECT s_nationkey AS nk, sum(cast(l_extendedprice AS decimal(38,9))) AS sales
+      FROM lineitem, supplier
+      WHERE l_suppkey = s_suppkey AND l_returnflag = 'N' AND year(l_shipdate) = 1997
+      GROUP BY s_nationkey),
+    sr AS (
+      SELECT s_nationkey AS nk,
+             sum(cast(l_extendedprice * (1 + l_tax) AS decimal(38,9))) AS ret
+      FROM lineitem, supplier
+      WHERE l_suppkey = s_suppkey AND l_returnflag = 'R'
+        AND year(l_shipdate) = 1997 AND month(l_shipdate) <= 6
+      GROUP BY s_nationkey),
+    cs AS (
+      SELECT s_nationkey AS nk, sum(cast(l_extendedprice AS decimal(38,9))) AS sales
+      FROM lineitem, supplier
+      WHERE l_suppkey = s_suppkey AND l_returnflag = 'A' AND year(l_shipdate) = 1997
+      GROUP BY s_nationkey),
+    cr AS (
+      SELECT s_nationkey AS nk,
+             sum(cast(l_extendedprice * (1 + l_tax) AS decimal(38,9))) AS ret
+      FROM lineitem, supplier
+      WHERE l_suppkey = s_suppkey AND l_returnflag = 'R'
+        AND year(l_shipdate) = 1997 AND month(l_shipdate) > 6
+      GROUP BY s_nationkey),
+    t AS (
+      SELECT 'store channel' AS channel, ss.nk AS nk, ss.sales AS sales,
+             coalesce(sr.ret, 0) AS returns_amt,
+             ss.sales - coalesce(sr.ret, 0) AS profit
+      FROM ss LEFT JOIN sr ON ss.nk = sr.nk
+      UNION ALL
+      SELECT 'catalog channel' AS channel, coalesce(cs.nk, cr.nk) AS nk,
+             coalesce(cs.sales, 0) AS sales,
+             coalesce(cr.ret, 0) AS returns_amt,
+             coalesce(cs.sales, 0) - coalesce(cr.ret, 0) AS profit
+      FROM cs FULL OUTER JOIN cr ON cs.nk = cr.nk)
+    SELECT channel, nk,
+           cast(round(sum(sales), 2) AS double) AS sales,
+           cast(round(sum(returns_amt), 2) AS double) AS returns_amt,
+           cast(round(sum(profit), 2) AS double) AS profit
+    FROM (
+      SELECT channel, nk, sales, returns_amt, profit FROM t
+      UNION ALL
+      SELECT channel, cast(NULL AS bigint), sales, returns_amt, profit FROM t
+      UNION ALL
+      SELECT cast(NULL AS string), cast(NULL AS bigint), sales, returns_amt, profit
+      FROM t) lv
+    GROUP BY channel, nk
+    ORDER BY channel NULLS FIRST, nk NULLS FIRST
+    LIMIT 100
+    """
+
+# q80a: the channel/brand return-netting rollup unrolled the same way.
+_SQL_V27["tpcds_q80a"] = """
+    WITH ret AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk,
+             sum(cast(l_extendedprice * (1 + l_tax) AS decimal(38,9))) AS ret_amt
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_orderkey, l_partkey),
+    leg AS (
+      SELECT CASE WHEN l.l_linestatus = 'F' THEN 'store channel'
+                  ELSE 'web channel' END AS channel,
+             p_brand AS id,
+             cast(l.l_extendedprice AS decimal(38,9)) AS sales,
+             coalesce(r.ret_amt, 0) AS returns_amt
+      FROM lineitem l
+      LEFT JOIN ret r ON l.l_orderkey = r.ok AND l.l_partkey = r.pk
+      JOIN part ON l.l_partkey = p_partkey
+      WHERE l.l_returnflag = 'N' AND p_type <> 'PROMO'
+        AND year(l.l_shipdate) = 1997)
+    SELECT channel, id,
+           cast(round(sum(sales), 2) AS double) AS sales,
+           cast(round(sum(returns_amt), 2) AS double) AS returns_amt,
+           cast(round(sum(sales - returns_amt), 2) AS double) AS profit
+    FROM (
+      SELECT channel, id, sales, returns_amt FROM leg
+      UNION ALL
+      SELECT channel, cast(NULL AS string), sales, returns_amt FROM leg
+      UNION ALL
+      SELECT cast(NULL AS string), cast(NULL AS string), sales, returns_amt FROM leg) lv
+    GROUP BY channel, id
+    ORDER BY channel NULLS FIRST, id NULLS FIRST
+    LIMIT 100
+    """
+
+# q51a: the FULL OUTER channel merge rewritten as union + max-per-key
+# (each (brand, moy) appears at most once per side, so max == the value).
+_SQL_V27["tpcds_q51a"] = """
+    WITH store_v AS (
+      SELECT p_brand, month(o_orderdate) AS moy,
+             sum(cast(l_extendedprice AS decimal(38,9))) AS sales
+      FROM lineitem, orders, part
+      WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        AND o_orderstatus = 'F' AND year(o_orderdate) = 1996
+      GROUP BY p_brand, month(o_orderdate)),
+    web_v AS (
+      SELECT p_brand, month(o_orderdate) AS moy,
+             sum(cast(l_extendedprice AS decimal(38,9))) AS sales
+      FROM lineitem, orders, part
+      WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        AND o_orderstatus = 'O' AND year(o_orderdate) = 1996
+      GROUP BY p_brand, month(o_orderdate)),
+    merged AS (
+      SELECT brand, moy,
+             max(store_sales) AS store_sales, max(web_sales) AS web_sales
+      FROM (
+        SELECT p_brand AS brand, moy, sales AS store_sales,
+               cast(NULL AS decimal(38,9)) AS web_sales
+        FROM store_v
+        UNION ALL
+        SELECT p_brand, moy, cast(NULL AS decimal(38,9)), sales FROM web_v) u
+      GROUP BY brand, moy),
+    cume AS (
+      SELECT brand, moy,
+             sum(store_sales) OVER (PARTITION BY brand ORDER BY moy
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS store_cume,
+             sum(web_sales) OVER (PARTITION BY brand ORDER BY moy
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS web_cume
+      FROM merged)
+    SELECT brand, moy,
+           cast(round(store_cume, 2) AS double) AS store_cume,
+           cast(round(web_cume, 2) AS double) AS web_cume
+    FROM cume
+    WHERE web_cume > store_cume
+    ORDER BY brand, moy
+    LIMIT 100
+    """
+
+# q14a: the three-way INTERSECT of cross-channel brands collapsed to one
+# pass (returnflag domain is exactly {A, N, R}, so present-in-all-three ==
+# count(DISTINCT l_returnflag) = 3).
+_SQL_V27["tpcds_q14a"] = """
+    WITH cross_items AS (
+      SELECT p_brand FROM part, lineitem
+      WHERE l_partkey = p_partkey
+      GROUP BY p_brand
+      HAVING count(DISTINCT l_returnflag) = 3)
+    SELECT p_brand,
+           cast(count(*) AS bigint) AS n_sales,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))), 2)
+                AS double) AS revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND p_brand IN (SELECT p_brand FROM cross_items)
+      AND year(l_shipdate) = 1996
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    LIMIT 100
+    """
+
+
 for _name, _sql in _SQL_V27.items():
     _register(_name, _sql)
 

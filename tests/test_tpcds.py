@@ -28,6 +28,12 @@ _A_VARIANT_PAIRS = [
     ("tpcds_q35a", "tpcds_q35"),
     ("tpcds_q36a", "tpcds_q36"),
     ("tpcds_q67a", "tpcds_q67"),
+    ("tpcds_q5a", "tpcds_q5"),
+    ("tpcds_q14a", "tpcds_q14"),
+    ("tpcds_q18a", "tpcds_q18"),
+    ("tpcds_q51a", "tpcds_q51"),
+    ("tpcds_q77a", "tpcds_q77"),
+    ("tpcds_q80a", "tpcds_q80"),
     ("tpcds_q70a", "tpcds_q70"),
     ("tpcds_q86a", "tpcds_q86"),
 ]
