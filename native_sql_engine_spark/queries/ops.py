@@ -1929,3 +1929,41 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _la_nation GROUP BY n_regionkey ORDER BY n_regionkey
         """
     )
+
+
+@q(
+    "agg_mode_deterministic",
+    """
+    WITH b AS (
+      SELECT event_type, cast(floor(value / 10) AS bigint) AS bucket,
+             cast(count(*) AS bigint) AS n
+      FROM events GROUP BY event_type, bucket)
+    SELECT event_type,
+           min(bucket) FILTER (WHERE n = mx) AS modal_bucket,
+           mx AS modal_n
+    FROM (SELECT event_type, bucket, n, max(n) OVER (PARTITION BY event_type) AS mx
+          FROM b) t
+    GROUP BY event_type, mx
+    ORDER BY event_type
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic statistical mode per group (SQL `mode()` leaves ties
+    engine-defined, so this builds it from two hash aggregates with a
+    smallest-value tie-break: bucket counts → min_by over (count desc,
+    bucket asc)).  Map-side combinable at every step — no sort, no
+    ambiguity, identical answers on any engine."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.floor(F.col("value") / 10).cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    return (
+        counts.groupBy("event_type")
+        .agg(
+            # max_by with a composite key: highest count wins, ties resolved
+            # to the SMALLEST bucket (negated bucket inside the max key)
+            F.expr("max_by(bucket, struct(n, -bucket))").alias("modal_bucket"),
+            F.max("n").alias("modal_n"),
+        )
+        .orderBy("event_type")
+    )
