@@ -231,3 +231,24 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score", "day"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_bucketed_aggregation_no_shuffle(spark, sf_small):
+    """groupBy on the bucket key of a bucketed table must aggregate with no
+    Exchange — bucketing pre-partitions for aggregation exactly as it does
+    for joins (the other half of the co-location story at 100 TB)."""
+    from native_sql_engine_spark.plans.inspect import executed_plan
+
+    orders = load_table(spark, sf_small, "orders").select("o_custkey", "o_totalprice")
+    S.write_bucketed(orders, "t_orders_agg_b", ["o_custkey"], 4)
+    try:
+        agg = (
+            spark.table("t_orders_agg_b")
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("s"))
+        )
+        plan = executed_plan(agg)
+        assert "Exchange" not in plan, f"bucketed aggregation still shuffles:\n{plan}"
+        assert agg.count() == orders.select("o_custkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_agg_b")

@@ -198,3 +198,57 @@ def test_foreach_batch_parquet_sink(spark, sf_small, tmp_path):
     assert landed.select(F.sum("value")).first()[0] == pytest.approx(
         batch.select(F.sum("value")).first()[0]
     )
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics end-to-end: after the watermark advances past an
+    event's window, a late-arriving older event is DROPPED from the
+    append-mode aggregate — the state-bounding contract every 100 TB
+    streaming aggregation relies on."""
+    import time as _time
+
+    from pyspark.sql import functions as F, types as T
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+    # batch 1: recent events advance the watermark far past 10:00
+    spark.createDataFrame(
+        [("2024-01-01 12:00:00", 1), ("2024-01-01 12:00:30", 1)],
+        "ts string, v long",
+    ).select(F.col("ts").cast("timestamp"), "v").write.parquet(str(src / "f1"))
+    _time.sleep(1.1)  # distinct modification times => deterministic file order
+    # batch 2: an event 2 hours older than the watermark (10-min delay budget)
+    spark.createDataFrame(
+        [("2024-01-01 10:00:00", 100), ("2024-01-01 12:01:00", 1)],
+        "ts string, v long",
+    ).select(F.col("ts").cast("timestamp"), "v").write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.sum("v").alias("total"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_drop_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["w"]["start"].strftime("%H:%M"): r["total"]
+        for r in spark.table("late_drop_sink").collect()
+    }
+    # the 10:00 window (late by 2h) must NOT appear; the 12:00 windows close
+    # only once the watermark passes them — emitted totals exclude v=100
+    assert "10:00" not in rows, f"late event leaked into the aggregate: {rows}"
+    assert 100 not in rows.values()
