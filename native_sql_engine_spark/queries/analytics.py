@@ -667,3 +667,63 @@ def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", F.col("tf").desc(), "df", "tok")
     )
+
+
+@q(
+    "attribution_last_touch",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+      FROM events)
+    SELECT coalesce(CASE WHEN date_diff('day', cast(touch_ts AS timestamp),
+                                        cast(ts AS timestamp)) <= 7
+                         THEN touch END, 'direct') AS channel,
+           cast(count(*) AS bigint) AS n_purchases,
+           cast(round(sum(cast(value AS decimal(38,9))), 2) AS double) AS revenue
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY channel ORDER BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the user's
+    most recent preceding non-purchase event within a 7-day lookback
+    ('direct' when none).  One user-hash shuffle, two `last(ignorenulls)`
+    windows over a 1-PRECEDING frame — the naive formulation is a
+    purchase×event self-join that explodes on active users; this is
+    linear with O(1) window state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    np_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    seq = ev.withColumn("touch", F.last(non_purchase, ignorenulls=True).over(w)).withColumn(
+        "touch_ts", F.last(np_ts, ignorenulls=True).over(w)
+    )
+    channel = F.coalesce(
+        F.when(F.datediff(F.col("ts"), F.col("touch_ts")) <= 7, F.col("touch")),
+        F.lit("direct"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(38,9)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("channel")
+    )
