@@ -146,3 +146,38 @@ def test_rebalance_mix_facade(eng):
         F.col("lang") == "de").count()
     # classes absent from the target are dropped entirely
     assert kept.filter(~F.col("lang").isin("en", "de")).count() == 0
+
+
+def test_round2_facade_methods(eng, tmp_path):
+    """CDC merge, forward/tolerance as-of, EWMA, compaction, Z-order, and
+    JSONL ingestion are all reachable and functional through the facade."""
+    spark = eng.spark
+
+    tgt = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    src = spark.createDataFrame([(2, "B", "U"), (3, "c", "U")], "k long, v string, op string")
+    merged = {r.k: r.v for r in eng.merge_upsert(tgt, src, "k").collect()}
+    assert merged == {1: "a", 2: "B", 3: "c"}
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame([(1, 12, 5.0)], "k long, t long, v double")
+    fwd = eng.asof_join(left, right, "k", "t", "t", ["v"], direction="forward",
+                        tolerance=lambda lt, rt: (rt - lt) <= 5)
+    assert fwd.first().right_v == 5.0
+
+    ev = eng.table("events").filter(F.col("user_id") < 10).select("user_id", "ts", "value")
+    sm = eng.ewma(ev, "user_id", "ts", "value", alpha=0.5)
+    assert "ewma" in sm.columns and sm.count() == ev.count()
+
+    orders = eng.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    shred = str(tmp_path / "shred")
+    orders.repartition(8).write.parquet(shred)
+    assert eng.compact_parquet(shred, str(tmp_path / "compact")) == 1
+
+    zpath = str(tmp_path / "z")
+    eng.write_parquet_zordered(orders, zpath, ["o_custkey", "o_totalprice"], num_files=2)
+    assert spark.read.parquet(zpath).count() == orders.count()
+
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"doc_id": 1, "text": "x"}\n{bad\n')
+    jl = eng.read_jsonl_corpus(str(p), "doc_id bigint, text string").cache()
+    assert jl.filter(F.col("_corrupt_record").isNotNull()).count() == 1
