@@ -511,17 +511,44 @@ def simhash_pairs(
     )
 
 
-def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
-) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold (exact).
+#: Corpus row bound under which the exact broadcast block-matmul runs — the
+#: build-side discipline of a broadcast hash join (the normalized matrix is
+#: collected once and shipped to every executor; 1M × 64-dim float64 ≈
+#: 0.5 GB, the practical broadcast ceiling).  Above it the operator
+#: automatically switches to the LSH-bucketed distributed path.
+EMBED_BROADCAST_ROWS = 1_000_000
 
-    Block matrix-product: the corpus matrix is L2-normalized once and
-    broadcast (same contract as a broadcast join's build side); each
-    partition multiplies its row block against it with one BLAS matmul and
-    emits only pairs above threshold — no per-pair interpreted expressions,
-    no shuffled cross join.  At billion-vector scale the identical kernel
-    runs per sign-LSH bucket (similarity.py) instead of corpus-wide.
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    max_broadcast_rows: int = EMBED_BROADCAST_ROWS,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    Dispatch: corpora up to ``max_broadcast_rows`` use the exact broadcast
+    block-matmul (below); larger corpora use the distributed LSH-bucketed
+    path (``embedding_neardup_pairs_lsh``) — approximate, never collects
+    the corpus anywhere.
+    """
+    if df.count() <= max_broadcast_rows:
+        return _embedding_pairs_broadcast(df, id_col, vec_col, threshold)
+    return embedding_neardup_pairs_lsh(df, id_col, vec_col, threshold)
+
+
+def _embedding_pairs_broadcast(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Exact pairs via broadcast block matrix-product.
+
+    The corpus matrix is L2-normalized once and broadcast (same contract as
+    a broadcast join's build side — only legal under the
+    ``EMBED_BROADCAST_ROWS`` guard); each partition multiplies its row
+    block against it with one BLAS matmul and emits only pairs above
+    threshold — no per-pair interpreted expressions, no shuffled cross
+    join.
     """
     import numpy as np
     import pandas as pd
@@ -567,5 +594,68 @@ def embedding_neardup_pairs(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .mapInPandas(block, schema)
         .select(F.col("a_id"), F.col("b_id"), "cos")
+        .orderBy("a_id", "b_id")
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed embedding near-dup pairs via multi-table sign-LSH.
+
+    Fully distributed — nothing is ever collected to the driver: rows are
+    exploded into (table, bucket) with one numpy matmul per Arrow batch
+    (similarity.lsh_bucket_rows), then each bucket group runs the SAME
+    block-matmul pair kernel as the exact path, just scoped to its bucket
+    (applyInPandas), then pairs found in several tables are deduped.
+
+    Approximate by construction: a pair at angle θ collides with
+    probability 1-(1-(1-θ/π)^n_planes)^n_tables — the defaults give ≈0.99
+    recall at cos ≥ 0.95 — and every emitted pair's cosine is exact
+    (verified inside the kernel), so precision is 1.0.  At 100 TB the
+    bucket table is written partitioned by (table, bucket) so the group
+    stage is shuffle-free.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .similarity import lsh_bucket_rows
+
+    buckets = lsh_bucket_rows(df, id_col, vec_col, n_planes, n_tables, seed)
+
+    schema = T.StructType(
+        [
+            T.StructField("a_id", buckets.schema["_id"].dataType),
+            T.StructField("b_id", buckets.schema["_id"].dataType),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def bucket_pairs(key, batch):
+        if len(batch) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos": []}).astype(
+                {"cos": "float64"}
+            )
+        ids = batch["_id"].to_numpy()
+        m = np.array(batch["_v"].tolist(), dtype="float64")
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        g = (m / nrm[:, None]) @ (m / nrm[:, None]).T
+        ai, bi = np.where((g >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"a_id": ids[ai], "b_id": ids[bi], "cos": np.round(g[ai, bi], 4)}
+        )
+
+    return (
+        buckets.groupBy("_table", "_bucket")
+        .applyInPandas(bucket_pairs, schema)
+        .dropDuplicates(["a_id", "b_id"])
         .orderBy("a_id", "b_id")
     )

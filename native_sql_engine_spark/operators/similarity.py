@@ -235,6 +235,13 @@ def cosine_topk_ivf(
     )
 
 
+#: Build-side row bound for the brute-force k-NN join — the same discipline
+#: as a broadcast hash join's build side (every left partition scans the
+#: whole right side).  Beyond this, ``knn_join_lsh`` is the path: bucketed
+#: candidates, no cross product.
+KNN_BRUTE_FORCE_ROWS = 1_000_000
+
+
 def knn_join_exact(
     left: DataFrame,
     right: DataFrame,
@@ -242,11 +249,21 @@ def knn_join_exact(
     left_id: str,
     right_id: str,
     vec_col: str = "embedding",
+    max_right_rows: int | None = KNN_BRUTE_FORCE_ROWS,
 ) -> DataFrame:
     """Exact k-NN join (every left row → its k nearest right rows).
 
-    Blocked brute force: fine for dim-table-sized ``right``; for large
-    ``right`` swap in the LSH bucket as the join key first."""
+    Blocked brute force — correct for dim-table-sized ``right`` only, and
+    the contract is ENFORCED: ``right`` larger than ``max_right_rows``
+    raises (pass None to opt out) with a pointer to ``knn_join_lsh``."""
+    if max_right_rows is not None:
+        n_right = right.count()
+        if n_right > max_right_rows:
+            raise ValueError(
+                f"knn_join_exact: right side has {n_right} rows > "
+                f"max_right_rows={max_right_rows}; use knn_join_lsh (bucketed, "
+                "no cross product) or pass max_right_rows=None to force."
+            )
     lv = left.select(
         F.col(left_id).alias("_lid"), _to_double(F.col(vec_col)).alias("_lv")
     )
@@ -261,6 +278,159 @@ def knn_join_exact(
     w = W.partitionBy("_lid").orderBy(F.col("cos").desc(), F.col("_rid"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            "cos",
+            F.col("_rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def _stacked_planes(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """(n_tables · n_planes, dim) float64 matrix of hyperplanes — one
+    independent sign-LSH table per ``n_tables`` block of ``n_planes`` rows."""
+    import numpy as np
+
+    return np.array(
+        [
+            row
+            for t in range(n_tables)
+            for row in lsh_planes(dim, n_planes, seed=seed + 1009 * t)
+        ],
+        dtype="float64",
+    )
+
+
+def lsh_bucket_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(_table, _bucket, _id, _v): every row exploded into its sign-LSH
+    bucket in each of ``n_tables`` independent tables.
+
+    All n_tables·n_planes plane dot products are ONE numpy matmul per Arrow
+    batch (no interpreted higher-order folds — 64 ``F.aggregate`` trees per
+    row were the round-2 HOF trap).  Output amplification is n_tables×; at
+    100 TB this table is written bucket-partitioned once and reused, so the
+    amplification is paid at index-build, not per query.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    in_df = df.select(F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("_v"))
+    dim = None  # resolved lazily from the first batch
+    planes_holder = {}
+
+    schema = T.StructType(
+        [
+            T.StructField("_table", T.IntegerType()),
+            T.StructField("_bucket", T.IntegerType()),
+            T.StructField("_id", in_df.schema["_id"].dataType),
+            T.StructField("_v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def block(it):
+        for batch in it:
+            if len(batch) == 0:
+                continue
+            m = np.array(batch["_v"].tolist(), dtype="float64")
+            if "A" not in planes_holder:
+                planes_holder["A"] = _stacked_planes(m.shape[1], n_planes, n_tables, seed)
+            A = planes_holder["A"]
+            signs = (m @ A.T) >= 0  # (n, n_tables·n_planes)
+            bits = (1 << np.arange(n_planes, dtype="int64"))
+            out = []
+            for t in range(n_tables):
+                block_signs = signs[:, t * n_planes : (t + 1) * n_planes]
+                buckets = (block_signs * bits).sum(axis=1).astype("int32")
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "_table": np.full(len(batch), t, dtype="int32"),
+                            "_bucket": buckets,
+                            "_id": batch["_id"],
+                            "_v": batch["_v"],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return in_df.mapInPandas(block, schema)
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN join via multi-table sign-LSH blocking.
+
+    Both sides are bucketed with the SAME hyperplanes; candidates are an
+    equi-join on (table, bucket) — never a cross product — then deduped,
+    scored with one vectorized element-wise dot per Arrow batch, and
+    per-left top-k'd with a window.  Recall for a pair at angle θ is
+    1-(1-p^n_planes)^n_tables with p = 1-θ/π; the defaults give ≳0.95 for
+    cos ≥ 0.8 neighbors.  At 100 TB the right side is bucketed once and
+    stored partition-by-bucket; a probe touches n_tables buckets.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    lb = lsh_bucket_rows(left, left_id, vec_col, n_planes, n_tables, seed).select(
+        "_table", "_bucket", F.col("_id").alias("_lid"), F.col("_v").alias("_lv")
+    )
+    rb = lsh_bucket_rows(right, right_id, vec_col, n_planes, n_tables, seed).select(
+        "_table", "_bucket", F.col("_id").alias("_rid"), F.col("_v").alias("_rv")
+    )
+    cand = (
+        lb.join(rb, ["_table", "_bucket"])
+        .select("_lid", "_lv", "_rid", "_rv")
+        .dropDuplicates(["_lid", "_rid"])
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("_lid", cand.schema["_lid"].dataType),
+            T.StructField("_rid", cand.schema["_rid"].dataType),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def score(it):
+        for batch in it:
+            if len(batch) == 0:
+                continue
+            lm = np.array(batch["_lv"].tolist(), dtype="float64")
+            rm = np.array(batch["_rv"].tolist(), dtype="float64")
+            ln = np.linalg.norm(lm, axis=1)
+            rn = np.linalg.norm(rm, axis=1)
+            ln[ln == 0] = 1.0
+            rn[rn == 0] = 1.0
+            cos = np.einsum("ij,ij->i", lm, rm) / (ln * rn)
+            yield pd.DataFrame(
+                {"_lid": batch["_lid"], "_rid": batch["_rid"], "cos": np.round(cos, 4)}
+            )
+
+    w = W.partitionBy("_lid").orderBy(F.col("cos").desc(), F.col("_rid"))
+    return (
+        cand.mapInPandas(score, schema)
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(
             F.col("_lid").alias(left_id),

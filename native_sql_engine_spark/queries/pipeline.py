@@ -594,6 +594,37 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("sim_knn_join_lsh")
+def sim_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed k-NN join (the large-right scale path): both sides
+    bucketed by shared sign-LSH tables, candidates from a (table, bucket)
+    equi-join, vectorized rerank, per-left top-k — rows-only (approximate
+    by construction); recall vs the exact join checked in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("left_id"), "embedding"
+    )
+    right = emb.select(F.col("vec_id").alias("right_id"), "embedding")
+    return S.knn_join_lsh(
+        left, right, 3, "left_id", "right_id", n_planes=4, n_tables=12
+    ).orderBy("left_id", "rank")
+
+
+@q("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LSH-bucketed embedding near-dup pairs (the >1M-row scale
+    path — never collects the corpus): per-bucket block-matmul kernel via
+    applyInPandas — rows-only (approximate blocking, exact cosines); recall
+    vs the exact pair set checked in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 4-plane × 12-table blocking: ≈0.9 recall down at cos 0.45 (the demo
+    # threshold); the operator defaults (8×8) are tuned for the ≥0.95
+    # dedup design point.
+    return D.embedding_neardup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.45, n_planes=4, n_tables=12
+    )
+
+
 @q(
     "embed_norm_stats",
     """

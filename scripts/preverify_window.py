@@ -1,0 +1,53 @@
+"""Pre-verify the upcoming driver correctness window at sf0.01.
+
+Replicates the driver's t2 check: run the first N entries of all_queries()
+through both Spark and the DuckDB oracle and compare. Run before each round's
+driver pass so any env drift is caught here, not in CORRECTNESS_r{N}.json.
+
+Usage: python scripts/preverify_window.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+from __spark_entry__ import queries, oracle_sql  # noqa: E402
+from native_sql_engine_spark.compare import assert_matches_oracle  # noqa: E402
+from native_sql_engine_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    spark = get_spark()
+    qs = queries()
+    oracles = oracle_sql()
+    window = list(qs)[:n]
+    failed = []
+    t0 = time.time()
+    for i, name in enumerate(window):
+        try:
+            df = qs[name](spark, sf_dir)
+            if name in oracles:
+                assert_matches_oracle(df, oracles[name], sf_dir, name)
+                status = "ok"
+            else:
+                cnt = df.count()
+                status = f"rows-only ({cnt})"
+            print(f"[{i + 1}/{len(window)}] {name}: {status}", flush=True)
+        except Exception:
+            failed.append(name)
+            print(f"[{i + 1}/{len(window)}] {name}: FAIL", flush=True)
+            traceback.print_exc()
+    print(f"\n{len(window) - len(failed)}/{len(window)} green in {time.time() - t0:.0f}s")
+    if failed:
+        print("FAILED:", failed)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

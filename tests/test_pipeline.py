@@ -61,6 +61,74 @@ def test_ivf_ann_recall(spark, sf_small):
     assert overlap >= 6, f"IVF recall too low: {overlap}/10"
 
 
+def test_knn_join_lsh_recall(spark, sf_small):
+    """LSH k-NN join must recover most of the exact join's (left, right)
+    edges — and every one of its cosines is exact."""
+    exact = {
+        (r.left_id, r.right_id)
+        for r in pipeline.QUERIES["sim_knn_join"](spark, sf_small).collect()
+    }
+    approx = {
+        (r.left_id, r.right_id)
+        for r in pipeline.QUERIES["sim_knn_join_lsh"](spark, sf_small).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"kNN-join LSH recall too low: {recall:.2f}"
+
+
+def test_knn_join_exact_enforces_right_bound(spark, sf_small):
+    from native_sql_engine_spark.catalog import load_table
+    from native_sql_engine_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_small, "embeddings")
+    left = emb.limit(2).select(F.col("vec_id").alias("left_id"), "embedding")
+    right = emb.select(F.col("vec_id").alias("right_id"), "embedding")
+    with pytest.raises(ValueError, match="knn_join_lsh"):
+        S.knn_join_exact(left, right, 3, "left_id", "right_id", max_right_rows=5)
+
+
+def test_embedding_lsh_recall_and_precision(spark, sf_small):
+    """The distributed LSH path must recover nearly all exact pairs at the
+    operator's design threshold band, and every pair it emits must be a
+    true pair (cosines are exactly verified inside the bucket kernel)."""
+    exact = {
+        (r.a_id, r.b_id): r.cos
+        for r in pipeline.QUERIES["dedup_embedding"](spark, sf_small).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id): r.cos
+        for r in pipeline.QUERIES["dedup_embedding_lsh"](spark, sf_small).collect()
+    }
+    assert exact, "fixture should contain embedding near-dup pairs"
+    # precision = 1.0: every emitted pair is in the exact set, same cosine
+    for pair, cos in approx.items():
+        assert pair in exact and abs(cos - exact[pair]) < 1e-9, pair
+    # high-threshold pairs (the dedup design point) must essentially all be found
+    strong = {p for p, c in exact.items() if c >= 0.8}
+    if strong:
+        found = len(strong & set(approx))
+        assert found / len(strong) >= 0.9, f"LSH missed strong pairs: {found}/{len(strong)}"
+
+
+def test_embedding_dispatch_uses_lsh_above_bound(spark, sf_small):
+    """Above the broadcast guard the operator must route to the LSH path
+    (no corpus collect) — proven by forcing a tiny bound."""
+    from native_sql_engine_spark.catalog import load_table
+    from native_sql_engine_spark.operators import dedup as D
+
+    emb = load_table(spark, sf_small, "embeddings")
+    out = D.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, max_broadcast_rows=1
+    )
+    # LSH plan contains FlatMapGroupsInPandas (bucket kernel); broadcast path doesn't
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    rows = out.collect()
+    assert rows  # finds pairs without any driver-side corpus materialization
+
+
 def test_multimodal_features_deterministic(spark, sf_small):
     a = pipeline.QUERIES["multimodal_features"](spark, sf_small).collect()
     b = pipeline.QUERIES["multimodal_features"](spark, sf_small).collect()
