@@ -888,8 +888,9 @@ def window_rows_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "window_range_between",
     """
-    SELECT p_partkey, p_size,
+    SELECT p_partkey, p_brand, p_size,
            cast(count(*) OVER (
+               PARTITION BY p_brand
                ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
              AS bigint) AS n_close
     FROM part WHERE p_partkey < 300
@@ -897,10 +898,12 @@ def window_rows_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame per brand — partitioned so the window parallelizes (an
+    unpartitioned ordered window is single-partition at any scale)."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
-    w = W.orderBy("p_size").rangeBetween(-2, W.currentRow)
+    w = W.partitionBy("p_brand").orderBy("p_size").rangeBetween(-2, W.currentRow)
     return part.select(
-        "p_partkey", "p_size", F.count("*").over(w).alias("n_close")
+        "p_partkey", "p_brand", "p_size", F.count("*").over(w).alias("n_close")
     ).orderBy("p_partkey")
 
 
@@ -993,8 +996,10 @@ def sort_multikey_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE l_discount END AS d
       FROM lineitem WHERE l_orderkey < 60)
     SELECT l_orderkey, l_linenumber, round(d, 4) AS d,
-           cast(rank() OVER (ORDER BY d ASC NULLS FIRST) AS bigint) AS rk_nulls_first,
-           cast(rank() OVER (ORDER BY d DESC NULLS LAST) AS bigint) AS rk_desc_nulls_last
+           cast(rank() OVER (PARTITION BY l_orderkey
+                             ORDER BY d ASC NULLS FIRST) AS bigint) AS rk_nulls_first,
+           cast(rank() OVER (PARTITION BY l_orderkey
+                             ORDER BY d DESC NULLS LAST) AS bigint) AS rk_desc_nulls_last
     FROM t
     ORDER BY l_orderkey, l_linenumber
     """,
@@ -1003,7 +1008,10 @@ def sort_nulls_nan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL/NaN ordering — the reference pre-partitions nulls/NaN in its sort
     kernels (sort_kernel.cc:63-66); Spark orders NaN after +Inf, and we pin
     NULLS FIRST/LAST explicitly (DuckDB's default differs). Ordering is
-    encoded via rank() so the unordered hash compare still validates it."""
+    encoded via rank() so the unordered hash compare still validates it;
+    ranks are per-order (partitioned window) so the plan parallelizes —
+    every order has a NULL line 1 and a NaN line 2, which must rank first
+    under ASC NULLS FIRST and (NaN, then NULL) last under DESC NULLS LAST."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 60)
     t = li.select(
         "l_orderkey",
@@ -1013,13 +1021,17 @@ def sort_nulls_nan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("l_discount"))
         .alias("d"),
     )
+    w = W.partitionBy("l_orderkey")
     return t.select(
         "l_orderkey",
         "l_linenumber",
         F.round("d", 4).alias("d"),
-        F.rank().over(W.orderBy(F.col("d").asc_nulls_first())).cast("bigint").alias("rk_nulls_first"),
         F.rank()
-        .over(W.orderBy(F.col("d").desc_nulls_last()))
+        .over(w.orderBy(F.col("d").asc_nulls_first()))
+        .cast("bigint")
+        .alias("rk_nulls_first"),
+        F.rank()
+        .over(w.orderBy(F.col("d").desc_nulls_last()))
         .cast("bigint")
         .alias("rk_desc_nulls_last"),
     ).orderBy("l_orderkey", "l_linenumber")
