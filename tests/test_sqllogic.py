@@ -249,6 +249,151 @@ CASES: dict[str, str] = {
         SELECT n_regionkey FROM nation GROUP BY n_regionkey
         HAVING CASE WHEN count(*) > 3 THEN 1 ELSE 0 END = 1 ORDER BY n_regionkey
     """,
+    # -- typeCoercion: implicit cast lattice (sql-tests/inputs/typeCoercion/
+    #    native/ in the reference's corpus) ---------------------------------
+    "tc_int_plus_decimal": "SELECT 1 + 2.5 AS v",
+    "tc_int_div_is_double": "SELECT 7 / 2 AS v",
+    "tc_string_eq_int_col": "SELECT count(*) AS n FROM nation WHERE n_nationkey = '3'",
+    "tc_decimal_add_scale": """
+        SELECT cast(cast(1.10 AS decimal(10,2)) + cast(2.05 AS decimal(10,2))
+               AS double) AS v
+    """,
+    "tc_smallint_plus_int": "SELECT cast(1 AS smallint) + cast(2 AS int) AS v",
+    "tc_bool_to_string": "SELECT cast(true AS varchar(10)) AS v",
+    "tc_float_vs_double_literal": """
+        SELECT (cast(0.1 AS float) = cast(0.1 AS double)) AS v
+    """,
+    "tc_in_list_mixed_numeric": """
+        SELECT count(*) AS n FROM nation WHERE n_nationkey IN (1, 2.0)
+    """,
+    "tc_concat_int": "SELECT 'a' || 1 AS v",
+    "tc_int_eq_decimal": "SELECT (1 = 1.0) AS v",
+    "tc_string_gt_string_lex": "SELECT ('10' > '9') AS v",
+    "tc_coalesce_mixed_numeric": "SELECT coalesce(NULL, 1.5, 2) AS v",
+    "tc_case_branch_coercion": """
+        SELECT CASE WHEN n_nationkey > 10 THEN 1 ELSE 2.5 END AS v, n_nationkey
+        FROM nation
+    """,
+    "tc_decimal_col_int_literal": """
+        SELECT count(*) AS n FROM lineitem WHERE l_quantity = 10
+    """,
+    "tc_int_div_zero_is_null": "SELECT 1 / 0 AS v",
+    "tc_round_half": "SELECT round(2.5) AS a, round(3.5) AS b, round(-2.5) AS c",
+    "tc_cast_string_number_ws": "SELECT cast(' 42 ' AS int) AS v",
+    "tc_cast_invalid_string_try": "SELECT try_cast('abc' AS int) AS v",
+    "tc_double_sci_notation": "SELECT cast('1e3' AS double) AS v",
+    "tc_string_date_compare": """
+        SELECT count(*) AS n FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+    """,
+    "tc_between_mixed": """
+        SELECT count(*) AS n FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07
+    """,
+    "tc_abs_negative_decimal": "SELECT cast(abs(-3.75) AS double) AS v",
+    "tc_power_int_args": "SELECT cast(power(2, 10) AS double) AS v",
+    "tc_string_num_order": """
+        SELECT v FROM (SELECT cast(n_nationkey AS varchar(5)) AS v FROM nation) t
+        ORDER BY v LIMIT 5
+    """,
+    # -- ANSI interval arithmetic edges (month-end clamping, leap years,
+    #    midnight/year rollover) -------------------------------------------
+    "iv_month_end_clamp": """
+        SELECT cast(cast(DATE '2021-01-31' + INTERVAL 1 MONTH AS date)
+               AS varchar(10)) AS v
+    """,
+    "iv_minus_day": """
+        SELECT cast(cast(DATE '2021-03-01' - INTERVAL 1 DAY AS date)
+               AS varchar(10)) AS v
+    """,
+    "iv_ts_plus_minutes": """
+        SELECT cast(TIMESTAMP '2021-01-01 23:30:00' + INTERVAL 90 MINUTE
+               AS varchar(30)) AS v
+    """,
+    "iv_month_overflow_year": """
+        SELECT cast(cast(DATE '2021-01-31' + INTERVAL 13 MONTH AS date)
+               AS varchar(10)) AS v
+    """,
+    "iv_sub_interval_day": """
+        SELECT cast(cast(DATE '2020-03-01' - INTERVAL 1 DAY AS date)
+               AS varchar(10)) AS v
+    """,
+    "iv_leap_feb": """
+        SELECT cast(cast(DATE '2020-01-31' + INTERVAL 1 MONTH AS date)
+               AS varchar(10)) AS v
+    """,
+    "iv_ts_cross_midnight": """
+        SELECT cast(TIMESTAMP '2021-12-31 23:59:59' + INTERVAL 2 SECOND
+               AS varchar(30)) AS v
+    """,
+    "iv_chain_add_sub": """
+        SELECT cast(cast(DATE '2021-05-15' + INTERVAL 2 MONTH - INTERVAL 20 DAY
+               AS date) AS varchar(10)) AS v
+    """,
+    # -- subquery corners (sql-tests/inputs/subquery/{exists,in,scalar}) ----
+    "sq_exists_having": """
+        SELECT r_name FROM region r WHERE EXISTS (
+          SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n_regionkey HAVING count(*) > 3) ORDER BY r_name
+    """,
+    "sq_not_exists_corr": """
+        SELECT count(*) AS n FROM customer c WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "sq_scalar_in_select_corr": """
+        SELECT r_regionkey, cast((SELECT count(*) FROM nation n
+               WHERE n.n_regionkey = r.r_regionkey) AS bigint) AS cnt
+        FROM region r ORDER BY r_regionkey
+    """,
+    "sq_in_correlated_filter": """
+        SELECT count(*) AS n FROM orders o WHERE o.o_custkey IN (
+          SELECT c_custkey FROM customer c WHERE c.c_nationkey = o.o_orderkey % 25)
+    """,
+    "sq_exists_limit_zero": """
+        SELECT count(*) AS n FROM region WHERE EXISTS (SELECT 1 FROM nation LIMIT 0)
+    """,
+    "sq_nested_two_levels": """
+        SELECT count(*) AS n FROM customer WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+            SELECT r_regionkey FROM region WHERE r_name LIKE 'A%'))
+    """,
+    "sq_scalar_empty_is_null": """
+        SELECT CASE WHEN (SELECT max(o_totalprice) FROM orders WHERE 1=0) IS NULL
+               THEN 'null' ELSE 'val' END AS v
+    """,
+    "sq_exists_uncorrelated_true": """
+        SELECT count(*) AS n FROM region WHERE EXISTS (SELECT 1 FROM nation)
+    """,
+    "sq_anti_with_corr_and_extra_pred": """
+        SELECT count(*) AS n FROM customer c WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > 300000)
+    """,
+    "sq_in_with_agg_subquery": """
+        SELECT count(*) AS n FROM orders WHERE o_totalprice > (
+          SELECT avg(o_totalprice) FROM orders)
+    """,
+    "sq_corr_scalar_arith": """
+        SELECT o_orderkey FROM orders o
+        WHERE o.o_totalprice > 2 * (SELECT coalesce(avg(l_extendedprice), 0)
+              FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        ORDER BY o_orderkey LIMIT 10
+    """,
+    "sq_exists_on_both_branches": """
+        SELECT count(*) AS n FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 400000)
+    """,
+}
+
+#: Negative corpus (the reference's subquery/negative territory): SQL both
+#: engines must REJECT — agreement on the invalid space is part of the
+#: dialect contract.
+NEGATIVE_CASES: dict[str, str] = {
+    "neg_scalar_subquery_multi_col": "SELECT (SELECT n_nationkey, n_name FROM nation) AS v",
+    "neg_unknown_column": "SELECT no_such_col FROM nation",
+    "neg_agg_in_where": "SELECT n_name FROM nation WHERE count(*) > 1",
+    "neg_groupby_missing_col": "SELECT n_name, count(*) FROM nation GROUP BY n_regionkey",
+    "neg_union_arity_mismatch": "SELECT 1 UNION ALL SELECT 1, 2",
 }
 
 
@@ -261,3 +406,20 @@ def _views(spark, sf_small):
 def test_sqllogic_spark_matches_duckdb(spark, sf_small, name):
     sql = CASES[name]
     assert_matches_oracle(spark.sql(sql), sql, sf_small, name)
+
+
+@pytest.mark.parametrize("name", sorted(NEGATIVE_CASES))
+def test_sqllogic_both_engines_reject(spark, sf_small, name):
+    import duckdb
+
+    from native_sql_engine_spark.compare import duck_connection
+
+    sql = NEGATIVE_CASES[name]
+    with pytest.raises(Exception):
+        spark.sql(sql).collect()
+    con = duck_connection(sf_small)
+    try:
+        with pytest.raises(duckdb.Error):
+            con.execute(sql).fetchdf()
+    finally:
+        con.close()
