@@ -6,10 +6,12 @@ models image/audio/video as ``binary`` payload columns with a metadata
 struct, and implements decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` operators.
 
-The container has no image/audio codecs, so the *decode* kernels are
-deterministic fakes or clearly-marked stubs (NotImplementedError); the
-Spark-side plumbing — schema, batch iteration, partitioning — is real and
-tested.  Swapping in PIL/ffmpeg later changes only the inner function.
+Decode is REAL for uncompressed formats — 24-bit BI_RGB BMP and binary
+PPM (P6) images, YUV4MPEG2 (.y4m) video — implemented in pure numpy, no
+codec libraries.  Compressed formats (JPEG/PNG/mp4) raise
+NotImplementedError inside the kernel: those genuinely need PIL/ffmpeg,
+which this container lacks; swapping them in later changes only the inner
+function, never the Spark plumbing (schema, Arrow batching, partitioning).
 """
 
 from __future__ import annotations
@@ -83,19 +85,351 @@ def fake_decode_features(
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode — STUB: no codec libraries in this container."""
+#: schema of a decoded image: raw RGB bytes (row-major) + shape metadata —
+#: the tensor representation a downstream feature extractor consumes,
+#: kept as binary so a 100 TB image corpus never explodes into per-pixel rows
+DECODED_IMAGE = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def _decode_bmp(buf: bytes):
+    """Pure-numpy decode of an uncompressed 24-bit BI_RGB Windows BMP
+    (BITMAPINFOHEADER).  Returns (height, width, 3, RGB uint8 array)."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP variant (header={hdr_size}, bpp={bpp}, compression={compression}) "
+            "needs a codec library; pure-numpy path supports 24-bit BI_RGB"
+        )
+    flipped = height > 0  # positive height = bottom-up row order
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    px = np.frombuffer(buf, dtype=np.uint8, count=row_stride * height, offset=data_off)
+    px = px.reshape(height, row_stride)[:, : width * 3].reshape(height, width, 3)
+    if flipped:
+        px = px[::-1]
+    return height, width, 3, px[:, :, ::-1]  # BGR storage → RGB
+
+
+def _decode_ppm(buf: bytes):
+    """Pure-numpy decode of a binary PPM (P6, maxval ≤ 255).
+    Returns (height, width, 3, RGB uint8 array)."""
+    import numpy as np
+
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens,
+    # with '#' comments; pixel data starts after the single whitespace byte
+    # that follows maxval
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM needs a codec library")
+    px = np.frombuffer(buf, dtype=np.uint8, count=width * height * 3, offset=pos)
+    return height, width, 3, px.reshape(height, width, 3)
+
+
+def _decode_any(buf: bytes):
+    if buf[:2] == b"BM":
+        return _decode_bmp(buf)
+    if buf[:2] == b"P6":
+        return _decode_ppm(buf)
     raise NotImplementedError(
-        "image decode requires PIL/opencv (not in container); "
-        "use fake_decode_features for the pipeline shape"
+        "compressed image formats (JPEG/PNG/...) require PIL/opencv "
+        "(not in this container); BMP and PPM decode natively"
     )
 
 
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image decode for uncompressed formats — pure numpy, no codec
+    libraries: 24-bit BI_RGB BMP and binary PPM (P6).  Output is the
+    DECODED_IMAGE tensor representation (raw RGB bytes + shape).  Arrow
+    batched via mapInPandas; compressed formats still raise
+    NotImplementedError inside the kernel (codec libs absent here)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, cs, pxs = [], [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                h, w, c, px = _decode_any(bytes(raw))
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                pxs.append(px.tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "channels": cs, "pixels": pxs}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, DECODED_IMAGE)
+
+
 def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — STUB (no codec libraries in this container)."""
-    raise NotImplementedError("image resize requires PIL/opencv (not in container)")
+    """Nearest-neighbor resize over DECODED_IMAGE rows (the output of
+    ``decode_image``) — pure numpy fancy-indexing per Arrow batch; the
+    standard thumbnail/normalize step before feature extraction."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_px = []
+            for h, w, c, raw in zip(pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]):
+                px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(int(h), int(w), int(c))
+                rows = (np.arange(height) * h) // height
+                cols = (np.arange(width) * w) // width
+                out_px.append(px[rows][:, cols].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "channels": pdf["channels"],
+                    "pixels": out_px,
+                }
+            )
+
+    return df.select("media_id", "width", "height", "channels", "pixels").mapInPandas(
+        batches, DECODED_IMAGE
+    )
 
 
-def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — STUB (no ffmpeg in this container)."""
-    raise NotImplementedError("frame sampling requires ffmpeg (not in container)")
+#: schema of sampled video frames: one row per kept frame, grayscale plane
+SAMPLED_FRAME = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("luma", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 30, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL frame sampling for uncompressed YUV4MPEG2 (.y4m) streams — the
+    format ffmpeg itself pipes raw video through; plain-text header +
+    'FRAME\\n'-delimited planar frames, parseable with numpy alone.  Emits
+    every ``every_n``-th frame's luma plane.  Compressed containers
+    (mp4/webm) still raise NotImplementedError inside the kernel."""
+    import numpy as np
+
+    def parse_y4m(buf: bytes):
+        if not buf.startswith(b"YUV4MPEG2"):
+            raise NotImplementedError(
+                "compressed video requires ffmpeg (not in this container); "
+                "YUV4MPEG2 streams decode natively"
+            )
+        nl = buf.index(b"\n")
+        width = height = None
+        subsamp = "420"
+        for tok in buf[9:nl].split():
+            if tok[:1] == b"W":
+                width = int(tok[1:])
+            elif tok[:1] == b"H":
+                height = int(tok[1:])
+            elif tok[:1] == b"C":
+                subsamp = tok[1:].decode()
+        if not width or not height:
+            raise ValueError("y4m header missing W/H")
+        if subsamp.startswith("420"):
+            frame_bytes = width * height * 3 // 2
+        elif subsamp.startswith("422"):
+            frame_bytes = width * height * 2
+        elif subsamp.startswith("444"):
+            frame_bytes = width * height * 3
+        else:
+            raise NotImplementedError(f"y4m chroma mode {subsamp}")
+        pos, idx = nl + 1, 0
+        while pos < len(buf):
+            fnl = buf.index(b"\n", pos)  # FRAME line (may carry params)
+            if buf[pos : pos + 5] != b"FRAME":
+                raise ValueError("malformed y4m frame marker")
+            start = fnl + 1
+            yield idx, width, height, buf[start : start + width * height]  # luma plane
+            pos = start + frame_bytes
+            idx += 1
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ws, hs, lumas = [], [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                for idx, w, h, luma in parse_y4m(bytes(raw)):
+                    if idx % every_n == 0:
+                        ids.append(mid)
+                        idxs.append(idx)
+                        ws.append(w)
+                        hs.append(h)
+                        lumas.append(luma)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "width": ws, "height": hs, "luma": lumas}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, SAMPLED_FRAME)
+
+
+def synthesize_bmp_corpus(
+    df: DataFrame, id_col: str = "doc_id", width: int = 4, height: int = 4
+) -> DataFrame:
+    """Deterministic 24-bit BMP payload per row: stored byte k of the pixel
+    area is (id·37 + k) mod 256.  A stand-in for reading real image bytes
+    (none ship with the test data) with a closed form the DuckDB oracle can
+    reproduce — decode statistics become exactly SQL-checkable.  Row stride
+    must be 4-byte aligned (width multiple of 4 keeps padding zero)."""
+    import struct
+
+    import numpy as np
+
+    if (width * 3) % 4:
+        raise ValueError("choose width with 4-byte-aligned rows for a closed form")
+    npx = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + npx, 0, 0, 54)
+            + struct.pack("<Iii", 40, width, height)
+            + struct.pack("<HHI", 1, 24, 0)
+            + struct.pack("<IiiII", npx, 2835, 2835, 0, 0)
+        )
+        for pdf in it:
+            payloads = [
+                header
+                + ((int(i) * 37 + np.arange(npx, dtype=np.int64)) % 256)
+                .astype(np.uint8)
+                .tobytes()
+                for i in pdf[id_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+def synthesize_y4m_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 4,
+    height: int = 4,
+    n_frames: int = 61,
+) -> DataFrame:
+    """Deterministic YUV4MPEG2 stream per row: luma byte p of frame f is
+    (id + 7·f + p) mod 256 (chroma zeroed).  Same closed-form contract as
+    ``synthesize_bmp_corpus`` — frame-sample statistics are SQL-checkable."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"YUV4MPEG2 W{width} H{height} F30:1 Ip A1:1 C420\n".encode()
+        chroma = bytes(width * height // 2)
+        np_px = width * height
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                frames = []
+                for f in range(n_frames):
+                    luma = ((int(i) + 7 * f + np.arange(np_px, dtype=np.int64)) % 256).astype(
+                        np.uint8
+                    )
+                    frames.append(b"FRAME\n" + luma.tobytes() + chroma)
+                payloads.append(header + b"".join(frames))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """(media_id, width, height, mean_px) over DECODED_IMAGE rows — the
+    canonical post-decode reduction (mean is permutation-invariant, so it is
+    independent of BGR→RGB and row-flip storage order)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_px", T.DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            means = [
+                round(float(np.frombuffer(bytes(raw), dtype=np.uint8).mean()), 4)
+                for raw in pdf["pixels"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": pdf["width"].values,
+                    "height": pdf["height"].values,
+                    "mean_px": means,
+                }
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+def frame_stats(df: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, mean_luma) over SAMPLED_FRAME rows."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("mean_luma", T.DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            means = [
+                round(float(np.frombuffer(bytes(raw), dtype=np.uint8).mean()), 4)
+                for raw in pdf["luma"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "frame_idx": pdf["frame_idx"].values,
+                    "mean_luma": means,
+                }
+            )
+
+    return df.mapInPandas(batches, schema)

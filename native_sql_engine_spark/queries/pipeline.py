@@ -696,6 +696,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@q(
+    "multimodal_decode",
+    """
+    SELECT d.doc_id, 4 AS width, 4 AS height,
+           round(avg(cast((d.doc_id * 37 + t.k) % 256 AS double)), 4) AS mean_px
+    FROM documents d, range(48) t(k)
+    WHERE d.doc_id < 200
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (pure-numpy 24-bit BMP) with an exact oracle: the
+    synthesized payloads' pixel bytes have the closed form (id·37+k) mod 256,
+    so DuckDB recomputes the decoded mean from first principles — if the
+    BMP header parse, stride handling, or BGR→RGB flip were wrong, the mean
+    would come from the wrong bytes and the hashes would differ."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = M.synthesize_bmp_corpus(docs, "doc_id", width=4, height=4)
+    decoded = M.decode_image(payloads, "payload", "doc_id")
+    return (
+        M.image_stats(decoded)
+        .select(F.col("media_id").alias("doc_id"), "width", "height", "mean_px")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+    SELECT d.doc_id, f.f AS frame_idx,
+           round(avg(cast((d.doc_id + 7 * f.f + t.p) % 256 AS double)), 4) AS mean_luma
+    FROM documents d,
+         (SELECT 0 AS f UNION ALL SELECT 30 UNION ALL SELECT 60) f,
+         range(16) t(p)
+    WHERE d.doc_id < 100
+    GROUP BY d.doc_id, f.f
+    ORDER BY d.doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (YUV4MPEG2 parse, every 30th frame of 61)
+    with an exact oracle over the synthesized luma closed form
+    (id+7·f+p) mod 256 — wrong frame offsets or plane sizes would surface
+    as a hash mismatch."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = M.synthesize_y4m_corpus(docs, "doc_id", width=4, height=4, n_frames=61)
+    frames = M.sample_frames(payloads, every_n=30, payload_col="payload", id_col="doc_id")
+    return (
+        M.frame_stats(frames)
+        .select(F.col("media_id").alias("doc_id"), "frame_idx", "mean_luma")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 # =========================================================================
 # Events: time-series shapes (tumbling windows, sessionization)
 # =========================================================================

@@ -136,14 +136,94 @@ def test_multimodal_features_deterministic(spark, sf_small):
     assert all(abs(r.fsum - 1.0) < 1e-6 for r in a)  # histogram sums to 1
 
 
-def test_multimodal_stubs_are_marked(spark, sf_small):
-    from native_sql_engine_spark.operators import multimodal as M
-    from native_sql_engine_spark.catalog import load_table
+def _bmp_2x2() -> bytes:
+    """Hand-built 2x2 24-bit BMP, bottom-up BGR with 2-byte row padding.
+    Logical image (top-down RGB): [[red, green], [blue, white]]."""
+    import struct
 
-    docs = load_table(spark, sf_small, "documents")
-    for stub in (M.decode_image, lambda d: M.resize_image(d, 2, 2), M.sample_frames):
-        with pytest.raises(NotImplementedError):
-            stub(docs)
+    # stored rows bottom-up: row0 = blue, white; row1 = red, green (BGR)
+    rows = [
+        bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\x00\x00",  # blue, white + pad
+        bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00",  # red, green + pad
+    ]
+    px = b"".join(rows)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<Iii", 40, 2, 2)
+        + struct.pack("<HHI", 1, 24, 0)
+        + struct.pack("<IiiII", len(px), 2835, 2835, 0, 0)
+        + px
+    )
+
+
+def test_bmp_decode_exact(spark):
+    """BMP decode must handle bottom-up row order, row padding, and BGR→RGB."""
+    from native_sql_engine_spark.operators.multimodal import _decode_bmp
+
+    h, w, c, px = _decode_bmp(_bmp_2x2())
+    assert (h, w, c) == (2, 2, 3)
+    assert px.tolist() == [
+        [[255, 0, 0], [0, 255, 0]],  # red, green
+        [[0, 0, 255], [255, 255, 255]],  # blue, white
+    ]
+
+
+def test_ppm_decode_with_comment(spark):
+    from native_sql_engine_spark.operators.multimodal import _decode_ppm
+
+    buf = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    h, w, c, px = _decode_ppm(buf)
+    assert (h, w, c) == (1, 2, 3)
+    assert px.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+
+
+def test_decode_resize_spark_roundtrip(spark):
+    """End-to-end through the Spark operators: decode a known BMP, resize
+    2x2 → 4x4 nearest-neighbor (each source pixel becomes a 2x2 block)."""
+    import numpy as np
+
+    from native_sql_engine_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(1, bytearray(_bmp_2x2()))], "doc_id long, payload binary")
+    decoded = M.decode_image(df, "payload", "doc_id")
+    row = decoded.collect()[0]
+    assert (row.width, row.height, row.channels) == (2, 2, 3)
+    up = M.resize_image(decoded, 4, 4).collect()[0]
+    px = np.frombuffer(bytes(up.pixels), dtype=np.uint8).reshape(4, 4, 3)
+    assert px[0, 0].tolist() == [255, 0, 0] and px[1, 1].tolist() == [255, 0, 0]
+    assert px[0, 2].tolist() == [0, 255, 0] and px[3, 3].tolist() == [255, 255, 255]
+
+
+def test_y4m_frame_sampling(spark):
+    from native_sql_engine_spark.operators import multimodal as M
+
+    luma = [bytes([f] * 4) for f in range(5)]  # 2x2, 5 frames, C420 chroma = 2 bytes
+    stream = b"YUV4MPEG2 W2 H2 F30:1 C420\n" + b"".join(
+        b"FRAME\n" + l + b"\x00\x00" for l in luma
+    )
+    df = spark.createDataFrame([(7, bytearray(stream))], "doc_id long, payload binary")
+    rows = M.sample_frames(df, every_n=2).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    assert all(bytes(r.luma) == bytes([r.frame_idx] * 4) for r in rows)
+    assert rows[0].width == 2 and rows[0].height == 2
+
+
+def test_compressed_formats_still_stubbed(spark):
+    """JPEG/PNG/mp4 genuinely need codec libraries — the kernel must say so."""
+    from native_sql_engine_spark.operators import multimodal as M
+
+    jpeg = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 64))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="PIL|codec|NotImplemented"):
+        M.decode_image(jpeg, "payload", "doc_id").collect()
+    mp4 = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="ffmpeg|codec|NotImplemented"):
+        M.sample_frames(mp4).collect()
 
 
 @pytest.mark.parametrize("small_graph_cutoff", [5_000_000, 0])
