@@ -301,3 +301,33 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_knn_join_lsh_has_no_cross_product(spark, sf_small):
+    """The LSH k-NN join's whole point is avoiding the exact join's cross
+    product — pin it: candidates come from a shuffle equi-join on
+    (table, bucket), never a Cartesian/BNLJ."""
+    from native_sql_engine_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_small, "embeddings")
+    left = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("left_id"), "embedding")
+    right = emb.select(F.col("vec_id").alias("right_id"), "embedding")
+    out = S.knn_join_lsh(left, right, 3, "left_id", "right_id")
+    plan = P.executed_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_embedding_lsh_no_driver_collect_plan(spark, sf_small):
+    """The distributed embedding-dedup path must be a pure distributed plan:
+    bucket explode (mapInPandas) → per-bucket kernel (FlatMapGroupsInPandas)
+    — no Cartesian stage, no local (driver-side) relation of the corpus."""
+    from native_sql_engine_spark.operators import dedup as D
+
+    emb = load_table(spark, sf_small, "embeddings")
+    out = D.embedding_neardup_pairs_lsh(emb, "vec_id", "embedding", threshold=0.45)
+    plan = P.executed_plan(out)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "LocalTableScan" not in plan
