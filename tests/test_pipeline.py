@@ -282,3 +282,23 @@ def test_quantize_int8_known_values(spark):
            for r in quantize_int8(df, "vec_id", "embedding").collect()}
     # dim0 spans [0,10] → codes 0, 255, 127; dim1 constant → always 0
     assert got == {1: (0, 0, 0, 2), 2: (255, 0, 255, 2), 3: (127, 0, 127, 2)}
+
+
+def test_knn_join_dispatch(spark, sf_small):
+    """knn_join routes small rights to the exact join and big rights (via a
+    forced tiny bound) to the LSH path — proven by plan shape."""
+    from native_sql_engine_spark.catalog import load_table
+    from native_sql_engine_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_small, "embeddings")
+    left = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("left_id"), "embedding")
+    right = emb.select(F.col("vec_id").alias("right_id"), "embedding")
+    exact = S.knn_join(left, right, 2, "left_id", "right_id")
+    assert "CartesianProduct" in exact._jdf.queryExecution().executedPlan().toString() or \
+        "BroadcastNestedLoopJoin" in exact._jdf.queryExecution().executedPlan().toString()
+    approx = S.knn_join(left, right, 2, "left_id", "right_id", max_exact_rows=1)
+    # LSH path is mapInPandas-bucketed; no cross product anywhere
+    plan = approx._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" in plan
+    assert "Join Cross" not in plan
