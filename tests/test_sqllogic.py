@@ -383,6 +383,105 @@ CASES: dict[str, str] = {
           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                           AND o.o_totalprice > 400000)
     """,
+    # -- grouping sets / aggregate modifiers --------------------------------
+    "gs_grouping_sets_marker": """
+        SELECT n_regionkey, cast(grouping(n_regionkey) AS int) AS g,
+               cast(count(*) AS bigint) AS n
+        FROM nation GROUP BY GROUPING SETS ((n_regionkey), ())
+        ORDER BY g, n_regionkey
+    """,
+    "gs_rollup_two_levels": """
+        SELECT n_regionkey, n_nationkey % 2 AS parity, cast(count(*) AS bigint) AS n
+        FROM nation GROUP BY ROLLUP (n_regionkey, parity)
+        ORDER BY n_regionkey NULLS LAST, parity NULLS LAST
+    """,
+    "gs_cube_markers": """
+        SELECT cast(grouping(n_regionkey) AS int) AS gr,
+               cast(grouping(n_nationkey % 2) AS int) AS gp,
+               cast(count(*) AS bigint) AS n
+        FROM nation GROUP BY CUBE (n_regionkey, n_nationkey % 2)
+        ORDER BY gr, gp, n
+    """,
+    "agg_filter_clause": """
+        SELECT cast(count(*) FILTER (WHERE n_regionkey = 0) AS bigint) AS r0,
+               cast(count(*) FILTER (WHERE n_regionkey <> 0) AS bigint) AS rest
+        FROM nation
+    """,
+    "agg_bool_and_or": """
+        SELECT bool_and(n_nationkey >= 0) AS ba, bool_or(n_nationkey > 23) AS bo
+        FROM nation
+    """,
+    "agg_count_distinct_expr": """
+        SELECT cast(count(DISTINCT n_regionkey) AS bigint) AS n FROM nation
+    """,
+    "case_no_else_null": """
+        SELECT sum(CASE WHEN n_regionkey = 0 THEN 1 END) AS s FROM nation
+    """,
+    # -- inline tables / set-op multiset semantics with NULL rows -----------
+    "values_multicol_dups": """
+        SELECT a, b FROM (VALUES (1, 'x'), (2, 'y'), (1, 'x')) t(a, b) ORDER BY a, b
+    """,
+    "setop_intersect_with_null_rows": """
+        SELECT * FROM (SELECT NULL AS v UNION ALL SELECT NULL UNION ALL SELECT 1)
+        t INTERSECT SELECT NULL AS v
+    """,
+    "setop_except_all_multiset": """
+        SELECT v FROM (
+          (SELECT 1 AS v UNION ALL SELECT 1 UNION ALL SELECT 1 UNION ALL SELECT 2)
+          EXCEPT ALL
+          (SELECT 1 AS v UNION ALL SELECT 2)
+        ) t ORDER BY v
+    """,
+    # -- join forms ---------------------------------------------------------
+    "join_using_shared": """
+        SELECT count(*) AS n FROM
+          (SELECT n_regionkey AS rk FROM nation) a
+        JOIN (SELECT r_regionkey AS rk FROM region) b USING (rk)
+    """,
+    "join_full_outer_coalesce": """
+        SELECT coalesce(a.k, b.k) AS k, a.v AS av, b.v AS bv FROM
+          (SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, 'b') a
+        FULL OUTER JOIN
+          (SELECT 2 AS k, 'x' AS v UNION ALL SELECT 3, 'y') b
+        ON a.k = b.k ORDER BY k
+    """,
+    "join_natural": """
+        SELECT count(*) AS n FROM
+          (SELECT n_regionkey FROM nation) a NATURAL JOIN
+          (SELECT r_regionkey AS n_regionkey FROM region) b
+    """,
+    "lateral_correlated_subquery": """
+        SELECT r_regionkey, t.n FROM region,
+        LATERAL (SELECT count(*) AS n FROM nation
+                 WHERE n_regionkey = r_regionkey) t
+        ORDER BY r_regionkey
+    """,
+    # -- window defaults / distribution functions ---------------------------
+    "win_lag_default": """
+        SELECT n_nationkey,
+               lag(n_nationkey, 1, -1) OVER (ORDER BY n_nationkey) AS prev
+        FROM nation ORDER BY n_nationkey
+    """,
+    "win_percent_rank_ties": """
+        SELECT n_regionkey, round(percent_rank() OVER (ORDER BY n_regionkey), 6) AS pr
+        FROM nation ORDER BY n_regionkey, pr
+    """,
+    "win_cume_dist": """
+        SELECT n_regionkey, round(cume_dist() OVER (ORDER BY n_regionkey), 6) AS cd
+        FROM nation ORDER BY n_regionkey, cd
+    """,
+    # -- misc scalar edges --------------------------------------------------
+    "order_in_subquery_limit": """
+        SELECT v FROM (SELECT n_nationkey AS v FROM nation ORDER BY n_nationkey DESC
+                       LIMIT 3) t ORDER BY v
+    """,
+    "is_true_predicate": """
+        SELECT count(*) AS n FROM nation WHERE (n_regionkey = 0) IS TRUE
+    """,
+    "str_substr_negative_start": "SELECT substr('hello', -3) AS v",
+    "str_substr_beyond_len": "SELECT substr('hi', 10, 5) AS v",
+    "num_round_negative_digits": "SELECT round(12345.678, -2) AS v",
+    "num_floor_ceil_negative": "SELECT floor(-2.5) AS f, ceil(-2.5) AS c",
 }
 
 #: Negative corpus (the reference's subquery/negative territory): SQL both
