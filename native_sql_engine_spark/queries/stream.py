@@ -219,3 +219,31 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(agg, "q_stream_static", "complete")
     return out.orderBy("seg")
+
+
+@q(
+    "stream_parquet_sink",
+    """
+    SELECT event_id, user_id,
+           cast(round(cast(value AS decimal(38,9)) * 2, 2) AS double) AS doubled
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable parquet sink e2e: stream → checkpointed file sink → read the
+    committed files back.  What the oracle match proves: every input row
+    reached the sink exactly once through the _spark_metadata commit
+    protocol (the crash/restart path is the same mechanism —
+    test_parquet_sink_exactly_once_resume pins the resume half)."""
+    import tempfile
+
+    ev = SW.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    out = ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value").cast("decimal(38,9)") * 2, 2).cast("double").alias("doubled"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_sink_")
+    SW.run_to_parquet(out, f"{base}/data", f"{base}/ckpt", state_partitions=8)
+    return spark.read.parquet(f"{base}/data").orderBy("event_id")

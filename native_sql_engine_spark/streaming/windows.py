@@ -278,6 +278,42 @@ def run_to_memory(
     return spark.table(name)
 
 
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+) -> None:
+    """Drain a finite stream into a parquet directory sink with an explicit
+    checkpoint — the durable production sink shape.
+
+    Exactly-once contract: the file sink records committed files per
+    micro-batch in ``_spark_metadata`` inside ``path`` and the source
+    offsets in ``checkpoint``; re-running with the SAME checkpoint after
+    new input arrives processes ONLY the unseen input (no duplicates, no
+    gaps) — crash/restart recovery is the same mechanism (pinned by
+    tests/test_streaming.py::test_parquet_sink_exactly_once_resume).
+    """
+    spark = stream_df.sparkSession
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
 #: output schema of the transformWithState running aggregate
 TWS_OUTPUT = T.StructType(
     [

@@ -252,3 +252,46 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # only once the watermark passes them — emitted totals exclude v=100
     assert "10:00" not in rows, f"late event leaked into the aggregate: {rows}"
     assert 100 not in rows.values()
+
+
+def test_parquet_sink_exactly_once_resume(spark, sf_small, tmp_path):
+    """Checkpoint-resume contract of the durable parquet sink: after run 1
+    drains file A, adding file B and re-running with the SAME checkpoint
+    must process ONLY B — no duplicates of A's rows, no gaps.  This is the
+    crash/restart recovery path at 100 TB (same offsets + _spark_metadata
+    mechanism, just a planned stop instead of a crash)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id", "value")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    a.coalesce(1).write.parquet(str(src / "a.parquet"))
+
+    schema = spark.read.parquet(str(src / "a.parquet")).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        SW.run_to_parquet(
+            stream.filter(F.col("value") >= 0), sink, ckpt, state_partitions=4
+        )
+
+    run_once()
+    n_a = spark.read.parquet(sink).count()
+    assert n_a == a.filter(F.col("value") >= 0).count()
+
+    b.coalesce(1).write.parquet(str(src / "b.parquet"))
+    run_once()  # same checkpoint: must pick up ONLY b.parquet
+    out = spark.read.parquet(sink)
+    expected = ev.filter(F.col("value") >= 0)
+    assert out.count() == expected.count()
+    # exactly-once by key: no event_id appears twice
+    assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
