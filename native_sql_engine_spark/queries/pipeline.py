@@ -1105,3 +1105,62 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "source_csv_roundtrip",
+    """
+    SELECT n_regionkey, cast(count(*) AS bigint) AS n,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source e2e (the reference's second Arrow-Dataset format,
+    arrow-data-source csv — ArrowDataSourceV2): parquet → CSV files →
+    schema-pinned CSV scan → aggregate; the oracle over the original
+    parquet proves the format round-trips values exactly."""
+    import tempfile
+
+    from ..sources import io as IO
+
+    nation = load_table(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="src_csv_")
+    IO.write_csv(nation.select("n_nationkey", "n_name", "n_regionkey"), f"{base}/nation")
+    back = IO.read_csv(
+        spark, f"{base}/nation", schema="n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count("*").alias("n"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
+
+
+@q(
+    "source_arrow_ipc_roundtrip",
+    """
+    SELECT s_nationkey, cast(count(*) AS bigint) AS n,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def source_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC interchange e2e (the reference's native format identity):
+    mapInArrow partition-parallel IPC writer → binaryFile+pyarrow parallel
+    reader → aggregate, oracle-matched against the original parquet."""
+    import tempfile
+
+    from ..sources import io as IO
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    base = tempfile.mkdtemp(prefix="src_ipc_")
+    IO.write_arrow_ipc(supplier, base)
+    back = IO.read_arrow_ipc(spark, base)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(F.count("*").alias("n"), F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
+        .orderBy("s_nationkey")
+    )
