@@ -1164,3 +1164,61 @@ def source_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
         .orderBy("s_nationkey")
     )
+
+
+@q(
+    "source_orc_roundtrip",
+    """
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source e2e (beyond the reference's parquet+csv+arrow surface):
+    write → vectorized ORC scan → aggregate, oracle-matched against the
+    original parquet."""
+    import tempfile
+
+    from ..sources import io as IO
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    base = tempfile.mkdtemp(prefix="src_orc_")
+    IO.write_orc(orders.select("o_orderkey", "o_orderpriority", "o_totalprice"), base)
+    back = IO.read_orc(spark, base)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "source_json_roundtrip",
+    """
+    SELECT c_mktsegment, cast(count(*) AS bigint) AS n,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer WHERE c_custkey < 2000
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source e2e with a pinned schema (no inference pass):
+    write → schema'd scan → aggregate, oracle-matched against the original
+    parquet — exercising the numeric fidelity of the text format."""
+    import tempfile
+
+    from ..sources import io as IO
+
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 2000)
+    base = tempfile.mkdtemp(prefix="src_json_")
+    IO.write_json(cust.select("c_custkey", "c_mktsegment", "c_acctbal"), base)
+    back = IO.read_json(
+        spark, base, schema="c_custkey bigint, c_mktsegment string, c_acctbal double"
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .orderBy("c_mktsegment")
+    )
