@@ -331,3 +331,26 @@ def test_embedding_lsh_no_driver_collect_plan(spark, sf_small):
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "LocalTableScan" not in plan
+
+
+def test_salted_join_spreads_hot_key(spark, sf_small):
+    """The salt must (a) leave the join result row-identical to the plain
+    join and (b) spread a hot key's probe rows over multiple salt values."""
+    from native_sql_engine_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_small, "events").select("user_id", "value")
+    cust = load_table(spark, sf_small, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = ev.join(cust, "user_id").groupBy("c_mktsegment").count()
+    salted = salted_join(ev, cust, ["user_id"], salt=8).groupBy("c_mktsegment").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    hot = ev.groupBy("user_id").count().orderBy(F.col("count").desc()).first()
+    spread = (
+        ev.filter(F.col("user_id") == hot.user_id)
+        .select(F.pmod(F.hash("user_id", "value", F.lit("salt")), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert spread > 1, "hot key's rows must land in multiple salt buckets"
