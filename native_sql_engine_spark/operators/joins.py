@@ -92,41 +92,3 @@ def existence_join(
         "FROM _ex_l"
     )
 
-
-def salted_join(
-    left: DataFrame,
-    right: DataFrame,
-    on: list[str],
-    how: str = "inner",
-    salt: int = 8,
-    salt_col: str = "_salt",
-) -> DataFrame:
-    """Equi-join with explicit key salting for hot-key skew.
-
-    The probe side gets a deterministic salt in [0, salt) derived from a
-    hash of its whole row; the build side is replicated ``salt`` times
-    (explode over the salt range); the join runs on (keys..., salt) — a hot
-    key's rows now spread over ``salt`` reducers instead of one.  Result is
-    row-identical to the unsalted join (oracle-checked in the battery).
-
-    When to use over AQE's skew-join: AQE only splits skewed *sort-merge*
-    partitions after a stats-visible shuffle; salting also covers
-    shuffled-hash joins, pre-AQE stages, and the build-side replication is
-    explicit and bounded (salt × |right| rows — use for moderate-size right
-    sides; a broadcast join needs no salting at all).  Supported join types:
-    inner/left (probe-side-preserving; replication would duplicate
-    right-preserving outputs).
-    """
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how}")
-    # deterministic probe salt from the WHOLE row, not the join keys (a
-    # key-derived salt would put every row of the hot key in one bucket,
-    # defeating the spread), and not rand() — reruns and retried tasks must
-    # salt identically
-    probe = left.withColumn(
-        salt_col, F.pmod(F.hash(*left.columns, F.lit("salt")), F.lit(salt)).cast("int")
-    )
-    build = right.withColumn(
-        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    )
-    return probe.join(build, [*on, salt_col], how).drop(salt_col)

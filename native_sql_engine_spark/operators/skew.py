@@ -29,7 +29,13 @@ def salted_join(
     replicated).  Build-side replication costs |build|×salt rows — use for
     large-probe ∙ modest-build joins where one probe key is hot; result is
     row-identical to the unsalted join."""
-    p = probe.withColumn("_salt_p", (F.rand(seed=42) * salt).cast("int"))
+    # deterministic salt from the WHOLE probe row, not rand(): a task retry
+    # must salt identically or a recomputed partition joins differently
+    # mid-query; and not from the key alone — a key-derived salt would put
+    # every row of the hot key in ONE bucket, defeating the spread
+    p = probe.withColumn(
+        "_salt_p", F.pmod(F.hash(*probe.columns, F.lit("salt")), F.lit(salt)).cast("int")
+    )
     b = build.withColumn("_salt_b", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = p.join(
         b,

@@ -1222,37 +1222,3 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
         .orderBy("c_mktsegment")
     )
-
-
-@q(
-    "join_salted_skew",
-    """
-    SELECT c_mktsegment, cast(count(*) AS bigint) AS n,
-           cast(round(sum(cast(value AS decimal(38,9))), 2) AS double) AS total
-    FROM events JOIN customer ON user_id = c_custkey
-    GROUP BY c_mktsegment ORDER BY c_mktsegment
-    """,
-)
-def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key-salted equi-join (operators/joins.py::salted_join): the probe
-    side salts on a whole-row hash, the build side replicates over the salt
-    range, the join runs on (key, salt) — a hot user's events spread across
-    8 reducers instead of one.  The oracle is the PLAIN join: salting must
-    be row-identical to it."""
-    from ..operators.joins import salted_join
-
-    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
-    )
-    joined = salted_join(ev, cust, ["user_id"], salt=8)
-    return (
-        joined.groupBy("c_mktsegment")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(38,9)")), 2)
-            .cast("double")
-            .alias("total"),
-        )
-        .orderBy("c_mktsegment")
-    )

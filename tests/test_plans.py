@@ -334,16 +334,20 @@ def test_embedding_lsh_no_driver_collect_plan(spark, sf_small):
 
 
 def test_salted_join_spreads_hot_key(spark, sf_small):
-    """The salt must (a) leave the join result row-identical to the plain
-    join and (b) spread a hot key's probe rows over multiple salt values."""
-    from native_sql_engine_spark.operators.joins import salted_join
+    """The deterministic whole-row salt must (a) leave the join result
+    row-identical to the plain join and (b) spread a hot key's probe rows
+    over multiple salt values (a key-derived or constant salt would pass
+    (a) but concentrate the hot key on one reducer)."""
+    from native_sql_engine_spark.operators.skew import salted_join
 
     ev = load_table(spark, sf_small, "events").select("user_id", "value")
     cust = load_table(spark, sf_small, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        F.col("c_custkey").alias("ck"), "c_mktsegment"
     )
-    plain = ev.join(cust, "user_id").groupBy("c_mktsegment").count()
-    salted = salted_join(ev, cust, ["user_id"], salt=8).groupBy("c_mktsegment").count()
+    plain = ev.join(cust, ev.user_id == cust.ck).groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(ev, cust, "user_id", "ck", salt=8).groupBy("c_mktsegment").count()
+    )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
     hot = ev.groupBy("user_id").count().orderBy(F.col("count").desc()).first()
