@@ -1019,17 +1019,21 @@ _SQL_NEW3["tpcds_q5"] = """
            cast(round(sum(returns_), 2) AS double) AS returns_,
            cast(round(sum(profit), 2) AS double) AS profit
     FROM (
+      -- pre-aggregate per (channel, nation) BEFORE the rollup Expand: sum is
+      -- re-aggregatable in exact decimal, so the Expand doubles ~50 grouped
+      -- rows instead of every joined lineitem row (same trick as q36/q67)
       SELECT CASE WHEN l_linestatus = 'O' THEN 'web' ELSE 'store' END AS channel,
              n_name,
-             cast(l_extendedprice * (1 - l_discount) AS decimal(38,9)) AS sales,
-             CASE WHEN l_returnflag = 'R'
+             sum(cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))) AS sales,
+             sum(CASE WHEN l_returnflag = 'R'
                   THEN cast(l_extendedprice * (1 - l_discount) AS decimal(38,9))
-                  ELSE cast(0 AS decimal(38,9)) END AS returns_,
-             cast(l_extendedprice * (1 - l_discount) - l_quantity * 100
-                  AS decimal(38,9)) AS profit
+                  ELSE cast(0 AS decimal(38,9)) END) AS returns_,
+             sum(cast(l_extendedprice * (1 - l_discount) - l_quantity * 100
+                  AS decimal(38,9))) AS profit
       FROM lineitem, supplier, nation
       WHERE l_suppkey = s_suppkey
         AND s_nationkey = n_nationkey
+      GROUP BY channel, n_name
     ) all_sales
     GROUP BY ROLLUP(channel, n_name)
     ORDER BY channel, nation
