@@ -345,8 +345,7 @@ def lsh_bucket_rows(
     from pyspark.sql import types as T
 
     in_df = df.select(F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("_v"))
-    dim = None  # resolved lazily from the first batch
-    planes_holder = {}
+    planes_holder = {}  # plane matrix built lazily once the first batch reveals dim
 
     schema = T.StructType(
         [

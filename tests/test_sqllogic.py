@@ -482,6 +482,57 @@ CASES: dict[str, str] = {
     "str_substr_beyond_len": "SELECT substr('hi', 10, 5) AS v",
     "num_round_negative_digits": "SELECT round(12345.678, -2) AS v",
     "num_floor_ceil_negative": "SELECT floor(-2.5) AS f, ceil(-2.5) AS c",
+    # -- batch 4: shared scalar/aggregate function surface + subquery
+    #    placement corners ---------------------------------------------------
+    "fn_date_part_fields": """
+        SELECT cast(date_part('year', DATE '2021-07-04') AS bigint) AS y,
+               cast(date_part('month', DATE '2021-07-04') AS bigint) AS m,
+               cast(date_part('day', DATE '2021-07-04') AS bigint) AS d
+    """,
+    "fn_left_right": "SELECT left('spark', 2) AS l, right('spark', 3) AS r",
+    "fn_instr": "SELECT instr('hello world', 'wor') AS p",
+    "fn_nullif_chain": "SELECT nullif(nullif('a', 'b'), 'a') AS v",
+    "agg_median_exact": "SELECT median(n_nationkey) AS med FROM nation",
+    "agg_any_value_single": "SELECT any_value(v) AS v FROM (SELECT 42 AS v) t",
+    "agg_sum_big_decimal": """
+        SELECT cast(sum(cast(o_totalprice AS decimal(38,9))) AS double) AS s FROM orders
+    """,
+    "win_nth_value_frame": """
+        SELECT n_nationkey, nth_value(n_nationkey, 3) OVER (
+          ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv
+        FROM nation ORDER BY n_nationkey
+    """,
+    "win_count_star_range": """
+        SELECT n_regionkey, cast(count(*) OVER (
+          PARTITION BY n_regionkey % 2 ORDER BY n_regionkey
+          RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS bigint) AS c
+        FROM nation ORDER BY n_regionkey, c
+    """,
+    "tc_unioned_int_double": """
+        SELECT v FROM (SELECT 1 AS v UNION ALL SELECT 2.5) t ORDER BY v
+    """,
+    "tc_greatest_null_mix": "SELECT greatest(1, NULL, 3) AS g",
+    "having_without_groupby": """
+        SELECT count(*) AS n FROM nation HAVING count(*) > 10
+    """,
+    "distinct_order_by_expr": """
+        SELECT DISTINCT n_regionkey * 2 AS d FROM nation ORDER BY d
+    """,
+    "exists_in_select_list": """
+        SELECT r_regionkey,
+               EXISTS (SELECT 1 FROM nation WHERE n_regionkey = r_regionkey
+                       AND n_nationkey > 20) AS has_big
+        FROM region ORDER BY r_regionkey
+    """,
+    "subquery_in_case": """
+        SELECT CASE WHEN (SELECT count(*) FROM nation) > 20 THEN 'big' ELSE 'small' END AS v
+    """,
+    "correlated_in_having": """
+        SELECT n_regionkey, cast(count(*) AS bigint) AS n FROM nation
+        GROUP BY n_regionkey
+        HAVING count(*) > (SELECT count(*) FROM region) - 3
+        ORDER BY n_regionkey
+    """,
 }
 
 #: Negative corpus (the reference's subquery/negative territory): SQL both
