@@ -398,3 +398,41 @@ def rebalance_mix(
         .where((F.col("_thr") >= buckets) | (bucket < F.col("_thr")))
         .drop("_thr")
     )
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, entropy): Shannon entropy in bits over each document's character
+    distribution — the classic cheap gibberish / compression-artifact /
+    boilerplate detector (natural language ≈ 3.5-4.5 bits/char; base64
+    blobs and repeated padding fall far outside).
+
+    Plan: posexplode to characters → (doc, char) hash-count → per-doc
+    -Σ p·log2 p — two map-side-combinable aggregates sharing one doc-key
+    shuffle; no Python, no per-row UDF.  Documents are repartitioned by id
+    before the explode so the shuffle moves |docs| rows, not |chars|.
+    """
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    chars = (
+        df.repartition(nparts, F.col(id_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), "(?!^)")).alias("_c"),
+        )
+        .filter(F.col("_c") != "")
+    )
+    counts = chars.groupBy("_id", "_c").agg(F.count("*").alias("_n"))
+    totals = counts.groupBy("_id").agg(F.sum("_n").alias("_tot"))
+    return (
+        counts.join(totals, "_id")
+        .groupBy("_id")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("_n") / F.col("_tot"))
+                    * F.log2(F.col("_n") / F.col("_tot"))
+                ),
+                4,
+            ).alias("entropy")
+        )
+        .select(F.col("_id").alias(id_col), "entropy")
+    )

@@ -1222,3 +1222,26 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "text_char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+      FROM documents WHERE doc_id < 200
+    ),
+    f AS (SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY doc_id, c),
+    t AS (SELECT doc_id, sum(n) AS tot FROM f GROUP BY doc_id)
+    SELECT f.doc_id,
+           round(-sum((n * 1.0 / tot) * log2(n * 1.0 / tot)), 4) AS entropy
+    FROM f JOIN t USING (doc_id)
+    GROUP BY f.doc_id ORDER BY f.doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (gibberish /
+    base64-blob / padding detector) — explode + two map-side-combinable
+    hash aggregates on one doc-key shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return X.char_entropy(docs, "doc_id", "text").orderBy("doc_id")
