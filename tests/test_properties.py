@@ -271,3 +271,75 @@ def test_merge_upsert_matches_sequential_apply(spark, tgt, ops):
         else:
             want[k] = v
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # width
+            st.integers(min_value=1, max_value=6),  # height
+            st.randoms(use_true_random=False),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_bmp_encode_decode_roundtrip(cases):
+    """Random 24-bit BMPs (arbitrary width → nonzero row padding, bottom-up
+    BGR storage) must decode to exactly the RGB array they encode."""
+    import struct
+
+    import numpy as np
+
+    from native_sql_engine_spark.operators.multimodal import _decode_bmp
+
+    for w, h, rnd in cases:
+        px = np.array(
+            [[[rnd.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)],
+            dtype=np.uint8,
+        )  # logical top-down RGB
+        stride = (w * 3 + 3) & ~3
+        rows = []
+        for r in range(h - 1, -1, -1):  # bottom-up storage
+            row = px[r][:, ::-1].tobytes()  # RGB→BGR
+            rows.append(row + b"\x00" * (stride - len(row)))
+        payload = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+            + struct.pack("<Iii", 40, w, h)
+            + struct.pack("<HHI", 1, 24, 0)
+            + struct.pack("<IiiII", stride * h, 2835, 2835, 0, 0)
+            + b"".join(rows)
+        )
+        dh, dw, dc, out = _decode_bmp(payload)
+        assert (dh, dw, dc) == (h, w, 3)
+        assert np.array_equal(out, px)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),
+            st.integers(min_value=1, max_value=5),
+            st.randoms(use_true_random=False),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_ppm_encode_decode_roundtrip(cases):
+    import numpy as np
+
+    from native_sql_engine_spark.operators.multimodal import _decode_ppm
+
+    for w, h, rnd in cases:
+        px = np.array(
+            [[[rnd.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)],
+            dtype=np.uint8,
+        )
+        payload = f"P6\n# c\n{w} {h}\n255\n".encode() + px.tobytes()
+        dh, dw, dc, out = _decode_ppm(payload)
+        assert (dh, dw, dc) == (h, w, 3)
+        assert np.array_equal(out, px)
