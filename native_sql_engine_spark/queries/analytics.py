@@ -727,3 +727,70 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@q(
+    "graph_pagerank",
+    """
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    contrib AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS w
+                FROM edges e JOIN deg d ON e.src = d.src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    r1 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * coalesce(m.mass, 0.0) AS rank
+           FROM nodes LEFT JOIN (
+               SELECT c.dst, sum(r.rank * c.w) AS mass
+               FROM contrib c JOIN r0 r ON c.src = r.node GROUP BY c.dst
+           ) m ON nodes.node = m.dst),
+    r2 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * coalesce(m.mass, 0.0) AS rank
+           FROM nodes LEFT JOIN (
+               SELECT c.dst, sum(r.rank * c.w) AS mass
+               FROM contrib c JOIN r1 r ON c.src = r.node GROUP BY c.dst
+           ) m ON nodes.node = m.dst),
+    r3 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * coalesce(m.mass, 0.0) AS rank
+           FROM nodes LEFT JOIN (
+               SELECT c.dst, sum(r.rank * c.w) AS mass
+               FROM contrib c JOIN r2 r ON c.src = r.node GROUP BY c.dst
+           ) m ON nodes.node = m.dst)
+    SELECT cast(node AS bigint) AS node, round(rank * 1000, 8) AS rank_permille
+    FROM r3
+    ORDER BY round(rank * 1000, 8) DESC, node
+    LIMIT 20
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts sharing an order are
+    linked, both directions).  Each power iteration is one join-shuffle plus
+    one hash aggregate — the plan a Pregel engine lowers to — with edges,
+    degrees and per-edge contributions cached across iterations.  No graph
+    surface exists in the reference at all."""
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.dst))
+        .select(F.col("l_partkey").alias("src"), "dst")
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    scaled = F.round(F.col("rank") * 1000, 8).alias("rank_permille")
+    return (
+        ranks.select(F.col("node").cast("bigint").alias("node"), scaled)
+        .orderBy(F.col("rank_permille").desc(), "node")
+        .limit(20)
+    )

@@ -1979,3 +1979,78 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "expr_variant",
+    """
+    SELECT event_type,
+           cast(count(*) AS bigint)                              AS n,
+           cast(sum(cast(props->>'k' AS bigint)) AS bigint)      AS sum_k,
+           cast(min(cast(props->>'k' AS bigint)) AS bigint)      AS min_k,
+           cast(max(cast(props->>'k' AS bigint)) AS bigint)      AS max_k,
+           cast(count(cast(props->>'missing' AS bigint)) AS bigint) AS n_missing
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def expr_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): parse once into an open-schema
+    binary-encoded value, then typed path extraction with variant_get /
+    try_variant_get.  Beyond the reference's surface entirely (its JSON
+    handling is a row fallback, SURVEY §2.8); at 100 TB the win over
+    string re-parsing is that the shredded binary encoding is parsed once
+    per value, not once per extraction."""
+    ev = load_table(spark, sf_dir, "events").withColumn("v", F.parse_json("props"))
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    missing = F.expr("try_variant_get(v, '$.missing', 'bigint')")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(missing).alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "expr_recursive_cte",
+    """
+    WITH RECURSIVE chain (part, node, depth) AS (
+        SELECT p_partkey, p_partkey, 0 FROM part
+        UNION ALL
+        SELECT part, node // 2, depth + 1 FROM chain WHERE node > 1
+    )
+    SELECT depth,
+           cast(count(*) AS bigint) AS n_parts,
+           cast(min(part) AS bigint) AS min_part,
+           cast(max(part) AS bigint) AS max_part
+    FROM (SELECT part, max(depth) AS depth FROM chain GROUP BY part) d
+    GROUP BY depth ORDER BY depth
+    """,
+)
+def expr_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each part key up an
+    implicit binary tree (node -> node div 2) until the root, then histogram
+    parts by their tree depth.  Data-dependent termination, no driver loop —
+    the whole fixpoint runs as iterated UnionLoop steps inside the engine.
+    The reference has no recursion surface at all."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_rec_src")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain (part, node, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM part_rec_src
+            UNION ALL
+            SELECT part, node DIV 2, depth + 1 FROM chain WHERE node > 1
+        )
+        SELECT depth,
+               count(*)  AS n_parts,
+               min(part) AS min_part,
+               max(part) AS max_part
+        FROM (SELECT part, max(depth) AS depth FROM chain GROUP BY part) d
+        GROUP BY depth ORDER BY depth
+        """
+    )

@@ -61,3 +61,28 @@ def test_asof_forward_direction(spark):
     )
     got = {(r["k"], r["t"]): r["right_v"] for r in out.collect()}
     assert got == {(1, 10): "x", (1, 25): "y", (2, 5): None}
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    """pagerank() agrees with a dense numpy power iteration on an asymmetric
+    graph with a dangling-free node set (ground truth independent of both
+    Spark and DuckDB)."""
+    import numpy as np
+
+    from native_sql_engine_spark.operators.graph import pagerank
+
+    # 4 nodes, directed, every node has at least one outgoing edge
+    e = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 3)]
+    edges = spark.createDataFrame(e, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+
+    n, d = 4, 0.85
+    out = np.zeros((n, n))
+    for s, t in e:
+        out[s, t] = 1.0
+    p = out / out.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        r = (1 - d) / n + d * (p.T @ r)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])

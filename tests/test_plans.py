@@ -358,3 +358,33 @@ def test_salted_join_spreads_hot_key(spark, sf_small):
         .count()
     )
     assert spread > 1, "hot key's rows must land in multiple salt buckets"
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_small):
+    """A selectively-filtered dim side of a shuffle join injects a
+    bloom_filter_might_contain runtime filter on the fact side — at 100 TB
+    this drops most fact rows before the shuffle instead of after it.
+    Thresholds are lowered to make the sf0.001 harness eligible; on a real
+    cluster the defaults (10 MB creation side / 10 GB application side)
+    gate it to where it pays."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_small, "lineitem")
+        part = load_table(spark, sf_small, "part").filter(F.col("p_size") == 1)
+        j = li.join(part, F.col("l_partkey") == F.col("p_partkey")).groupBy("p_brand").count()
+        plan = P.executed_plan(j)
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

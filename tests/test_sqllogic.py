@@ -533,6 +533,101 @@ CASES: dict[str, str] = {
         HAVING count(*) > (SELECT count(*) FROM region) - 3
         ORDER BY n_regionkey
     """,
+    # -- modern standard surface (Spark 4 + DuckDB shared dialect) ----------
+    "group_by_all": """
+        SELECT n_regionkey, cast(count(*) AS bigint) AS n, cast(min(n_nationkey) AS bigint) AS mn
+        FROM nation GROUP BY ALL ORDER BY n_regionkey
+    """,
+    "order_by_all": """
+        SELECT r_regionkey, r_name FROM region ORDER BY ALL
+    """,
+    "recursive_cte_sequence": """
+        WITH RECURSIVE seq(n) AS (
+            SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 10
+        )
+        SELECT cast(sum(n) AS bigint) AS total, cast(count(*) AS bigint) AS cnt FROM seq
+    """,
+    "recursive_cte_join_step": """
+        WITH RECURSIVE walk(node, depth) AS (
+            SELECT cast(0 AS bigint), 0
+            UNION ALL
+            SELECT n.n_nationkey, w.depth + 1
+            FROM walk w JOIN nation n ON n.n_nationkey = w.node + 5
+            WHERE w.depth < 4
+        )
+        SELECT cast(node AS bigint) AS node, depth FROM walk ORDER BY depth
+    """,
+    "lateral_subquery_topk": """
+        SELECT r.r_name, t.n_name
+        FROM region r,
+        LATERAL (SELECT n_name FROM nation WHERE n_regionkey = r.r_regionkey
+                 ORDER BY n_name LIMIT 1) t
+        ORDER BY r.r_name
+    """,
+    "intersect_binds_tighter_than_union": """
+        SELECT 1 AS v UNION SELECT 2 INTERSECT SELECT 2
+    """,
+    "except_left_associative": """
+        SELECT n_nationkey AS v FROM nation
+        EXCEPT SELECT 1 EXCEPT SELECT 2
+        ORDER BY v LIMIT 5
+    """,
+    "order_by_nulls_first_last": """
+        SELECT v FROM (VALUES (1), (NULL), (3), (NULL), (2)) t(v)
+        ORDER BY v DESC NULLS LAST LIMIT 3
+    """,
+    "offset_without_limit": """
+        SELECT n_nationkey FROM nation ORDER BY n_nationkey OFFSET 20
+    """,
+    "nested_with_shadowing": """
+        WITH t AS (SELECT 1 AS v),
+             u AS (WITH t AS (SELECT 2 AS v) SELECT v FROM t)
+        SELECT t.v AS outer_v, u.v AS inner_v FROM t, u
+    """,
+    "ilike_case_insensitive": """
+        SELECT count(*) AS n FROM nation WHERE n_name ILIKE '%uni%'
+    """,
+    "date_plus_integer_days": """
+        SELECT cast(date '1995-02-27' + 3 AS string) AS d1,
+               cast(date '1996-01-01' - 1 AS string) AS d2
+    """,
+    "string_fn_pack": """
+        SELECT repeat('ab', 3) AS r, reverse('spark') AS rv,
+               lpad('7', 3, '0') AS lp, rpad('x', 4, '.') AS rp,
+               translate('abcba', 'ab', 'xy') AS tr,
+               ascii('A') AS asc_a, chr(66) AS chr_b
+    """,
+    "trim_standard_syntax": """
+        SELECT trim(BOTH 'x' FROM 'xxhixx') AS b,
+               trim(LEADING 'x' FROM 'xxhixx') AS l,
+               trim(TRAILING 'x' FROM 'xxhixx') AS t
+    """,
+    "split_part_indexing": """
+        SELECT split_part('a,b,c', ',', 2) AS mid, split_part('a,b,c', ',', 3) AS lst
+    """,
+    "position_in_syntax": """
+        SELECT position('dun' IN 'produndum') AS p, position('zz' IN 'abc') AS missing
+    """,
+    "levenshtein_distance": """
+        SELECT levenshtein('kitten', 'sitting') AS d1, levenshtein('abc', 'abc') AS d0
+    """,
+    "md5_hex_stable": """
+        SELECT md5('native sql engine') AS h, md5('') AS h_empty
+    """,
+    "exists_inside_case_branches": """
+        SELECT r_name,
+               CASE WHEN EXISTS (SELECT 1 FROM nation WHERE n_regionkey = r_regionkey
+                                 AND n_nationkey > 20)
+                    THEN 'high' ELSE 'low' END AS tier
+        FROM region ORDER BY r_name
+    """,
+    "union_in_subquery_with_agg": """
+        SELECT cast(sum(v) AS bigint) AS s FROM (
+            SELECT n_nationkey AS v FROM nation WHERE n_regionkey = 0
+            UNION ALL
+            SELECT r_regionkey FROM region
+        ) u
+    """,
 }
 
 #: Negative corpus (the reference's subquery/negative territory): SQL both
