@@ -84,3 +84,30 @@ def zscore_map(df: DataFrame, value_col: str, mean: float, std: float,
             yield pdf
 
     return df.mapInPandas(batches, schema)
+
+
+def charge_map_arrow(df: DataFrame) -> DataFrame:
+    """mapInArrow: per-batch pyarrow.compute pass with NO pandas detour —
+    the closest vanilla-Spark analog of the reference's native columnar
+    processing (batches stay Arrow end-to-end: JVM -> arrow IPC ->
+    pyarrow.compute kernels -> arrow IPC -> JVM).
+
+    Appends charge = extendedprice * (1 - discount) * (1 + tax).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = T.StructType(df.schema.fields + [T.StructField("charge", T.DoubleType())])
+
+    def batches(it):
+        for batch in it:
+            ep = batch.column(batch.schema.get_field_index("l_extendedprice"))
+            disc = batch.column(batch.schema.get_field_index("l_discount"))
+            tax = batch.column(batch.schema.get_field_index("l_tax"))
+            charge = pc.multiply(
+                pc.multiply(ep, pc.subtract(pa.scalar(1.0), disc)),
+                pc.add(pa.scalar(1.0), tax),
+            )
+            yield batch.append_column("charge", charge)
+
+    return df.mapInArrow(batches, schema)

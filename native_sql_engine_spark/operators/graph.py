@@ -35,19 +35,23 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> Da
 
     Returns (node, rank) with ranks summing to ~1 on symmetric graphs.
     """
-    edges = edges.select("src", "dst").distinct().cache()
+    # localCheckpoint (not cache): materializes once on the executors AND
+    # truncates lineage, so the per-iteration plan stays flat instead of
+    # re-expanding the whole upstream graph every power step — the standard
+    # iterative-algorithm discipline on Spark.
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
     deg = out_degrees(edges)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     n = nodes.count()
     # contribution edges: src -> dst carrying 1/outdeg, reused every iteration
     contrib = edges.join(deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
-    ).cache()
+    ).localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
     for _ in range(iterations):

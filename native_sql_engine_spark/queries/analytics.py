@@ -794,3 +794,193 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_permille").desc(), "node")
         .limit(20)
     )
+
+
+@q(
+    "profile_columns",
+    """
+    SELECT 'o_orderkey' AS col,
+           cast(count(o_orderkey) AS bigint) AS n_nonnull,
+           cast(count(*) - count(o_orderkey) AS bigint) AS n_null,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_distinct,
+           round(min(o_orderkey), 2) AS min_num, round(max(o_orderkey), 2) AS max_num,
+           cast(NULL AS varchar) AS min_str, cast(NULL AS varchar) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', cast(count(o_custkey) AS bigint),
+           cast(count(*) - count(o_custkey) AS bigint),
+           cast(count(DISTINCT o_custkey) AS bigint),
+           round(min(o_custkey), 2), round(max(o_custkey), 2), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', cast(count(o_totalprice) AS bigint),
+           cast(count(*) - count(o_totalprice) AS bigint),
+           cast(count(DISTINCT o_totalprice) AS bigint),
+           round(min(o_totalprice), 2), round(max(o_totalprice), 2), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', cast(count(o_orderstatus) AS bigint),
+           cast(count(*) - count(o_orderstatus) AS bigint),
+           cast(count(DISTINCT o_orderstatus) AS bigint),
+           NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', cast(count(o_orderpriority) AS bigint),
+           cast(count(*) - count(o_orderpriority) AS bigint),
+           cast(count(DISTINCT o_orderpriority) AS bigint),
+           NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (the ANALYZE TABLE / data-catalog stats
+    collector a 100 TB lakehouse runs before planning): per-column non-null /
+    null / exact-distinct counts and min-max, computed in a SINGLE scan with
+    multi-distinct Expand, then pivoted to long form with stack().  The
+    oracle pays five scans for the same answer — the one-pass shape is the
+    point at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count("*").alias("_n")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.countDistinct(c).alias(f"{c}_nd"),
+            F.min(c).alias(f"{c}_mn"),
+            F.max(c).alias(f"{c}_mx"),
+        ]
+    one = o.agg(*aggs)
+    parts = []
+    for c in num_cols:
+        parts.append(
+            f"'{c}', {c}_nn, _n - {c}_nn, {c}_nd, "
+            f"round(cast({c}_mn AS double), 2), round(cast({c}_mx AS double), 2), "
+            f"cast(NULL AS string), cast(NULL AS string)"
+        )
+    for c in str_cols:
+        parts.append(
+            f"'{c}', {c}_nn, _n - {c}_nn, {c}_nd, "
+            f"cast(NULL AS double), cast(NULL AS double), {c}_mn, {c}_mx"
+        )
+    stacked = one.selectExpr(
+        f"stack({len(parts)}, {', '.join(parts)}) AS "
+        "(col, n_nonnull, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+    return stacked.orderBy("col")
+
+
+@q(
+    "quality_expectations",
+    """
+    SELECT 'enum_orderstatus' AS check_name,
+           cast(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+                AS bigint) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'fk_orders_customer',
+           cast(count(*) AS bigint)
+    FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'null_orderdate',
+           cast(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS bigint)
+    FROM orders
+    UNION ALL
+    SELECT 'pk_orders_unique',
+           cast(count(*) - count(DISTINCT o_orderkey) AS bigint)
+    FROM orders
+    UNION ALL
+    SELECT 'range_totalprice_nonpositive',
+           cast(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bigint)
+    FROM orders
+    ORDER BY check_name
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (Deequ/GX-style expectations) compiled
+    to a minimal plan: the three row-level predicates fuse into ONE scan's
+    conditional aggregates, uniqueness is a distinct-count delta on the same
+    scan, and referential integrity is a broadcast left-anti probe — the
+    shape that still works when orders is 100 TB and customer is the only
+    thing small enough to ship."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    rowlevel = o.agg(
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("bigint")).alias(
+            "enum_orderstatus"
+        ),
+        F.sum(F.col("o_orderdate").isNull().cast("bigint")).alias("null_orderdate"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("pk_orders_unique"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias(
+            "range_totalprice_nonpositive"
+        ),
+    )
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("fk_orders_customer"))
+    )
+    long = rowlevel.selectExpr(
+        "stack(4, 'enum_orderstatus', enum_orderstatus, "
+        "'null_orderdate', null_orderdate, "
+        "'pk_orders_unique', pk_orders_unique, "
+        "'range_totalprice_nonpositive', range_totalprice_nonpositive) "
+        "AS (check_name, violations)"
+    ).unionAll(
+        fk.selectExpr("'fk_orders_customer' AS check_name", "fk_orders_customer AS violations")
+    )
+    return long.orderBy("check_name")
+
+
+@q(
+    "events_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, epoch(cast(ts AS timestamp)) AS es,
+             CASE WHEN epoch(cast(ts AS timestamp))
+                       - lag(epoch(cast(ts AS timestamp)), 1)
+                         OVER (PARTITION BY user_id ORDER BY ts)
+                       > 900
+                       OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (
+      SELECT user_id, es,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY es
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g)
+    SELECT user_id,
+           cast(count(DISTINCT sess_id) AS bigint) AS n_sessions,
+           cast(sum(span) AS bigint) AS total_span_s,
+           cast(max(cnt) AS bigint) AS max_events
+    FROM (SELECT user_id, sess_id, count(*) AS cnt,
+                 floor(max(es)) - floor(min(es)) AS span
+          FROM s GROUP BY user_id, sess_id) t
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window aggregation in BATCH mode (15-min gap):
+    Spark's native gap-merge operator, the same machinery the streaming
+    battery uses, cross-checked against the lag+cumsum island oracle.
+    One shuffle on user_id; session merge happens inside the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per_sess = (
+        ev.groupBy("user_id", F.session_window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            (
+                F.floor(F.unix_timestamp(F.max("ts")))
+                - F.floor(F.unix_timestamp(F.min("ts")))
+            ).alias("span"),
+        )
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("span").cast("bigint").alias("total_span_s"),
+            F.max("cnt").cast("bigint").alias("max_events"),
+        )
+        .orderBy("user_id")
+    )

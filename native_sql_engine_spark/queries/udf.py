@@ -162,3 +162,33 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id ORDER BY d.doc_id
         """
     )
+
+
+@q(
+    "udf_map_in_arrow",
+    """
+    SELECT l_returnflag,
+           cast(count(*) AS bigint) AS n,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge
+    FROM lineitem WHERE l_shipdate <= date '1998-09-02'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow charge computation (pure pyarrow.compute kernels, zero
+    pandas conversion) feeding a codegen'd hash aggregate — the vanilla-Spark
+    analog of the reference's ColumnarArrowEvalPythonExec batch path, minus
+    even the pandas materialization the other UDF entries pay."""
+    from ..functions.pandas_udfs import charge_map_arrow
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .select("l_returnflag", "l_extendedprice", "l_discount", "l_tax")
+    )
+    return (
+        charge_map_arrow(li)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("charge"), 2).alias("sum_charge"))
+        .orderBy("l_returnflag")
+    )
