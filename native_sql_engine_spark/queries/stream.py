@@ -247,3 +247,41 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="stream_sink_")
     SW.run_to_parquet(out, f"{base}/data", f"{base}/ckpt", state_partitions=8)
     return spark.read.parquet(f"{base}/data").orderBy("event_id")
+
+
+@q(
+    "stream_outer_join",
+    """
+    WITH c AS (SELECT user_id, event_id AS click_id, cast(ts AS timestamp) AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+                 cast(ts AS timestamp) AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                        (SELECT max(purchase_ts) FROM p))
+                  - INTERVAL 1 HOUR AS w)
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           p.purchase_id IS NOT NULL AS matched
+    FROM c
+    LEFT JOIN p
+      ON c.user_id = p.p_user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 600 SECONDS
+    CROSS JOIN wm
+    WHERE p.purchase_id IS NOT NULL
+       OR c.click_ts + INTERVAL 600 SECONDS < wm.w
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join with two-sided watermarks: matched rows
+    emit immediately; unmatched clicks emit NULL-purchase exactly when the
+    global watermark (min of both sides - 1h) proves the 10-min window
+    closed.  The oracle reproduces that emission rule in closed form, so the
+    drained append-mode output hash-matches including the withheld tail —
+    the watermark semantics themselves are under test."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    out = _drain(
+        SW.click_purchase_outer_join(ev), "q_stream_outer_join", "append"
+    )
+    return out.orderBy("click_id", "purchase_id")

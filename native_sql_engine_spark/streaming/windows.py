@@ -177,6 +177,50 @@ def click_purchase_join(
     )
 
 
+def click_purchase_outer_join(
+    events: DataFrame, watermark: str = "1 hour", within_secs: int = 600
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, with its matching
+    purchase when one lands within ``within_secs``, or NULL once the
+    watermark proves no match can still arrive.
+
+    Unmatched rows are held in the state store until the join window is
+    provably closed: with the default min multiple-watermark policy the
+    global watermark is min(max ts per side) - delay, so a click emits
+    NULL-matched exactly when click_ts + within < that watermark.  State
+    stays bounded (eviction at watermark + within) at any input rate; the
+    batch oracle reproduces the same cutoff in closed form."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within_secs} SECONDS"))
+    )
+    return clicks.join(purchases, cond, "leftOuter").select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("matched"),
+    )
+
+
 #: output schema of the stateful sessionizer
 SESSION_STATE_OUTPUT = T.StructType(
     [
