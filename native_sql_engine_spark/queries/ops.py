@@ -2054,3 +2054,34 @@ def expr_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY depth ORDER BY depth
         """
     )
+
+
+@q(
+    "agg_approx_percentile",
+    """
+    SELECT l_returnflag,
+           round(quantile_disc(l_quantity, 0.25), 2) AS q25,
+           round(quantile_disc(l_quantity, 0.50), 2) AS q50,
+           round(quantile_disc(l_quantity, 0.75), 2) AS q75,
+           cast(count(*) AS bigint) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (percentile_approx, the reference would row-
+    fallback): map-side partial sketches merge associatively, so a 100 TB
+    quantile is one combine tree, never a global sort.  At accuracy 10000 on
+    a discrete domain the sketch answer is EXACT — hash-checked against
+    DuckDB's quantile_disc, not a tolerance test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(q[0], 2).alias("q25"),
+            F.round(q[1], 2).alias("q50"),
+            F.round(q[2], 2).alias("q75"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
