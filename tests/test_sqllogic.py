@@ -628,6 +628,37 @@ CASES: dict[str, str] = {
             SELECT r_regionkey FROM region
         ) u
     """,
+    # -- postgreSQL-subtree territory: float/NaN/Inf, unicode, date bounds --
+    "float_inf_nan_casts": """
+        SELECT cast('Infinity' AS double) AS pinf, cast('-Infinity' AS double) AS ninf,
+               isnan(cast('NaN' AS double)) AS is_nan
+    """,
+    "float_overflow_to_inf": "SELECT 1e308 * 10 AS v, -1e308 * 10 AS nv",
+    "float_inf_ordering": """
+        SELECT cast('Infinity' AS double) > 1e308 AS inf_gt_max,
+               cast('NaN' AS double) > cast('Infinity' AS double) AS nan_gt_inf
+    """,
+    "float_nan_groups_as_one": """
+        SELECT isnan(v) AS is_nan, cast(count(*) AS bigint) AS n
+        FROM (SELECT cast('NaN' AS double) AS v UNION ALL SELECT cast('NaN' AS double)) t
+        GROUP BY v
+    """,
+    "float_nan_wins_max": """
+        SELECT isnan(max(v)) AS m
+        FROM (SELECT cast(1.0 AS double) AS v UNION ALL SELECT cast('NaN' AS double)) t
+    """,
+    "concat_ws_skips_nulls": "SELECT concat_ws('-', 'a', NULL, 'b') AS v",
+    "date_trunc_week_is_monday": """
+        SELECT cast(cast(date_trunc('week', date '2021-03-07') AS date) AS string) AS d
+    """,
+    "exp_ln_roundtrip": "SELECT round(exp(ln(7.5)), 6) AS v",
+    "power_zero_zero_is_one": "SELECT power(0, 0) AS v",
+    "mod_decimal_operands": "SELECT round(cast(mod(10.7, 3.0) AS double), 4) AS v",
+    "unicode_aware_strings": "SELECT length('héllo') AS n, upper('héllo') AS u",
+    "between_date_bounds": """
+        SELECT count(*) AS n FROM (SELECT date '2020-06-15' AS d) t
+        WHERE d BETWEEN date '2020-01-01' AND date '2020-12-31'
+    """,
 }
 
 #: Negative corpus (the reference's subquery/negative territory): SQL both
