@@ -5,17 +5,17 @@ because corpus-level analyses — link graphs for quality signals, co-occurrence
 graphs for dedup cluster ranking — are standard large-pipeline workloads.
 
 Scale design: an edge list is just a DataFrame partitioned by ``src``; every
-PageRank iteration is one shuffle (join on src, then hash-agg on dst), which
-is the same plan a dedicated Pregel engine would lower to for this workload.
-Edges and out-degrees are computed once and cached; the rank frontier (one
-row per node, two columns) is the only thing that changes between iterations,
-so executor memory per iteration is O(nodes/partitions), never O(edges).
+PageRank iteration is one shuffle of the small rank frontier (the edge table
+is hash-partitioned by src ONCE and reused), then one hash-agg on dst — the
+same plan a dedicated Pregel engine would lower to for this workload.
+Executor memory per iteration is O(nodes/partitions), never O(edges).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def out_degrees(edges: DataFrame) -> DataFrame:
@@ -23,7 +23,12 @@ def out_degrees(edges: DataFrame) -> DataFrame:
     return edges.groupBy("src").agg(F.count("*").alias("outdeg"))
 
 
-def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    symmetric: bool = False,
+) -> DataFrame:
     """PageRank by power iteration over a directed edge list (src, dst).
 
     Nodes are the union of sources and destinations.  Dangling nodes (no
@@ -33,25 +38,41 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> Da
     the input (oracle-checkable); callers wanting convergence can loop on the
     returned frontier.
 
+    ``symmetric=True`` declares every node has both in- and out-edges (true
+    for co-occurrence graphs by construction): the per-iteration
+    keep-isolated-nodes outer join is then provably a no-op and is skipped,
+    halving the work per power step.
+
     Returns (node, rank) with ranks summing to ~1 on symmetric graphs.
     """
-    # localCheckpoint (not cache): materializes once on the executors AND
-    # truncates lineage, so the per-iteration plan stays flat instead of
-    # re-expanding the whole upstream graph every power step — the standard
-    # iterative-algorithm discipline on Spark.
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
-    deg = out_degrees(edges)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+    # One shuffle builds the reusable edge state: hash-partition by src, a
+    # window count gives outdeg without a separate aggregate+join.
+    # localCheckpoint (not cache) materializes it on the executors AND
+    # truncates lineage, so per-iteration plans stay flat at any iteration
+    # count — the standard iterative-algorithm discipline on Spark.
+    dedup = edges.select("src", "dst").distinct()
+    contrib = (
+        dedup.repartition("src")
+        .select(
+            "src",
+            "dst",
+            (F.lit(1.0) / F.count("*").over(W.partitionBy("src"))).alias("w"),
+        )
         .localCheckpoint()
     )
-    n = nodes.count()
-    # contribution edges: src -> dst carrying 1/outdeg, reused every iteration
-    contrib = edges.join(deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
-    ).localCheckpoint()
+    if symmetric:
+        # nodes only seed the count and the uniform frontier; no need to
+        # materialize them — one distinct over the checkpointed edge state
+        nodes = contrib.select(F.col("src").alias("node")).distinct()
+        n = contrib.agg(F.countDistinct("src")).first()[0]
+    else:
+        nodes = (
+            contrib.select(F.col("src").alias("node"))
+            .union(contrib.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
@@ -60,9 +81,18 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> Da
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
         )
-        # left join keeps nodes with no inbound mass at the teleport floor
-        ranks = nodes.join(incoming, nodes.node == incoming.dst, "left").select(
-            "node",
-            (F.lit(teleport) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("rank"),
-        )
+        if symmetric:
+            # every node has inbound mass — no outer join needed
+            ranks = incoming.select(
+                F.col("dst").alias("node"),
+                (F.lit(teleport) + F.lit(damping) * F.col("mass")).alias("rank"),
+            )
+        else:
+            # left join keeps nodes with no inbound mass at the teleport floor
+            ranks = nodes.join(incoming, nodes.node == incoming.dst, "left").select(
+                "node",
+                (F.lit(teleport) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
     return ranks

@@ -736,6 +736,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        WHERE a.l_shipdate < date '1998-01-01' AND b.l_shipdate < date '1998-01-01'
     ),
     deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
     nodes AS (SELECT DISTINCT src AS node FROM edges
@@ -779,7 +780,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface exists in the reference at all."""
     from ..operators.graph import pagerank
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < "1998-01-01")
+        .select("l_orderkey", "l_partkey")
+    )
     other = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst")
     )
@@ -787,7 +792,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.dst))
         .select(F.col("l_partkey").alias("src"), "dst")
     )
-    ranks = pagerank(edges, iterations=3, damping=0.85)
+    ranks = pagerank(edges, iterations=3, damping=0.85, symmetric=True)
     scaled = F.round(F.col("rank") * 1000, 8).alias("rank_permille")
     return (
         ranks.select(F.col("node").cast("bigint").alias("node"), scaled)
