@@ -1245,3 +1245,35 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregates on one doc-key shuffle."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return X.char_entropy(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@q(
+    "source_python_datasource",
+    """
+    SELECT c_mktsegment,
+           cast(count(*) AS bigint) AS n,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 extension surface — the PySpark-
+    native analog of the reference's entire arrow-data-source module): one
+    InputPartition per parquet row group, pyarrow.RecordBatch yields on the
+    arrow-optimized read path, column pruning via option.  The aggregate
+    over the custom source hash-matches the oracle over the built-in scan,
+    proving the transport is lossless."""
+    from ..sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("pyarrow_parquet")
+        .option("path", f"{sf_dir}/customer.parquet")
+        .option("columns", "c_mktsegment,c_acctbal")
+        .load()
+    )
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .orderBy("c_mktsegment")
+    )

@@ -200,3 +200,29 @@ def test_readme_battery_count_matches_registry():
         f"README says {m.group(1)} queries; registry has {len(all_queries())} — "
         "update README.md"
     )
+
+
+def test_observe_metrics_piggyback_on_query(spark, sf_small):
+    """Observation metrics (accumulator-backed, zero extra pass) collected
+    during a normal aggregate — the production pattern for row-count /
+    checksum telemetry on 100 TB pipelines where a second counting scan
+    would double the cost."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from native_sql_engine_spark.catalog import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    obs = Observation("scan_stats")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum("l_quantity").alias("qty_sum"),
+    )
+    out = observed.groupBy("l_returnflag").count()
+    out.collect()
+    expected_rows = li.count()
+    expected_qty = li.agg(F.sum("l_quantity")).first()[0]
+    got = obs.get
+    assert got["rows_seen"] == expected_rows
+    assert abs(got["qty_sum"] - expected_qty) < 1e-6

@@ -252,3 +252,27 @@ def test_bucketed_aggregation_no_shuffle(spark, sf_small):
         assert agg.count() == orders.select("o_custkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_agg_b")
+
+
+def test_python_datasource_row_group_partitions(spark, tmp_path):
+    """The custom Python DataSource plans one InputPartition per parquet
+    row group (task granularity = row group, same as the built-in reader)
+    and round-trips values exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from native_sql_engine_spark.sources.pyds import register
+
+    path = str(tmp_path / "multi_rg.parquet")
+    tbl = pa.table({"k": list(range(3000)), "v": [float(i) * 0.5 for i in range(3000)]})
+    pq.write_table(tbl, path, row_group_size=1000)
+    assert pq.ParquetFile(path).num_row_groups == 3
+
+    register(spark)
+    df = spark.read.format("pyarrow_parquet").option("path", path).load()
+    assert df.rdd.getNumPartitions() == 3
+    got = df.agg(
+        F.count("*").alias("n"), F.sum("k").alias("sk"), F.sum("v").alias("sv")
+    ).first()
+    assert (got.n, got.sk, got.sv) == (3000, sum(range(3000)), sum(range(3000)) * 0.5)
