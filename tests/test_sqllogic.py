@@ -670,6 +670,16 @@ NEGATIVE_CASES: dict[str, str] = {
     "neg_agg_in_where": "SELECT n_name FROM nation WHERE count(*) > 1",
     "neg_groupby_missing_col": "SELECT n_name, count(*) FROM nation GROUP BY n_regionkey",
     "neg_union_arity_mismatch": "SELECT 1 UNION ALL SELECT 1, 2",
+    "neg_unknown_table": "SELECT * FROM table_that_does_not_exist",
+    "neg_window_in_where": """
+        SELECT n_name FROM nation WHERE rank() OVER (ORDER BY n_nationkey) = 1
+    """,
+    "neg_nested_aggregate": "SELECT sum(count(*)) FROM nation",
+    "neg_orderby_out_of_range_ordinal": "SELECT n_name FROM nation ORDER BY 99",
+    "neg_having_window": """
+        SELECT n_regionkey, count(*) FROM nation GROUP BY n_regionkey
+        HAVING rank() OVER (ORDER BY n_regionkey) = 1
+    """,
 }
 
 
