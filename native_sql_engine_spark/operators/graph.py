@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 
 def out_degrees(edges: DataFrame) -> DataFrame:
@@ -45,19 +44,18 @@ def pagerank(
 
     Returns (node, rank) with ranks summing to ~1 on symmetric graphs.
     """
-    # One shuffle builds the reusable edge state: hash-partition by src, a
-    # window count gives outdeg without a separate aggregate+join.
+    # Build the reusable edge state hash-partitioned by src.  outdeg comes
+    # from a map-side-combined aggregate joined back on src (NOT a window
+    # count: WindowExec would buffer a hub node's entire neighbor list in
+    # one task, while the join streams — skew-safe at power-law hubs).
     # localCheckpoint (not cache) materializes it on the executors AND
     # truncates lineage, so per-iteration plans stay flat at any iteration
     # count — the standard iterative-algorithm discipline on Spark.
     dedup = edges.select("src", "dst").distinct()
+    deg = out_degrees(dedup)
     contrib = (
-        dedup.repartition("src")
-        .select(
-            "src",
-            "dst",
-            (F.lit(1.0) / F.count("*").over(W.partitionBy("src"))).alias("w"),
-        )
+        dedup.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
         .localCheckpoint()
     )
     if symmetric:
