@@ -343,3 +343,51 @@ def test_ppm_encode_decode_roundtrip(cases):
         dh, dw, dc, out = _decode_ppm(payload)
         assert (dh, dw, dc) == (h, w, 3)
         assert np.array_equal(out, px)
+
+
+@given(
+    graphs=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    iters=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_pagerank_matches_dense_numpy(spark, graphs, iters):
+    """pagerank() on random directed graphs (disjoint id spaces batched into
+    one edge DataFrame) matches a dense numpy power iteration per graph."""
+    import numpy as np
+
+    from native_sql_engine_spark.operators.graph import pagerank
+
+    all_edges = []
+    per_graph = []
+    for gi, raw in enumerate(graphs):
+        base = gi * 100
+        edges = sorted({(base + a, base + b) for a, b in raw})
+        per_graph.append(edges)
+        all_edges.extend(edges)
+    df = spark.createDataFrame(all_edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=iters).collect()}
+
+    d = 0.85
+    # ground truth treats the batched graphs as ONE graph (shared N), which
+    # is exactly what pagerank() computes over the unioned edge list
+    nodes = sorted({x for e in all_edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros((n, n))
+    for a, b in all_edges:
+        out[idx[a], idx[b]] = 1.0
+    deg = out.sum(axis=1, keepdims=True)
+    p = np.divide(out, deg, out=np.zeros_like(out), where=deg > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - d) / n + d * (p.T @ r)
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-9, (node, got[node], r[idx[node]])
