@@ -1,8 +1,10 @@
 """Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API).
 
 The reference ships a whole module (`arrow-data-source`) whose job is a
-custom columnar DSv2 source feeding Arrow batches to the engine.  This is
-the PySpark-4-native expression of the same capability: a user-defined
+custom columnar DSv2 source feeding Arrow batches to the engine (parity:
+ArrowDataSourceV2.scala, ArrowScan.scala:33 partition planning,
+ArrowPartitionReaderFactory.scala batch reads).  This is the
+PySpark-4-native expression of the same capability: a user-defined
 source registered with ``spark.dataSource.register`` whose reader
 
 - plans one InputPartition per parquet ROW GROUP (distributed, no driver
