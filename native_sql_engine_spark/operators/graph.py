@@ -94,3 +94,36 @@ def pagerank(
                 ),
             )
     return ranks
+
+
+def shortest_paths(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """BFS hop distance from a source node set over a directed edge list.
+
+    Classic frontier expansion: each hop is ONE join-shuffle (frontier ⋈
+    edges, both sides keyed on the join column) plus a left-anti probe
+    against the visited set — the Pregel lowering of BFS.  Frontiers are
+    localCheckpoint'd so the per-hop plan never re-expands earlier hops,
+    and the visited set is a union of materialized frontiers (size bounded
+    by nodes, not paths — no combinatorial blowup at any depth).
+
+    ``sources`` must have a single ``node`` column.  Returns (node, dist)
+    for every node within ``max_hops``; unreached nodes are absent.
+    """
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    frontier = sources.select("node").distinct().withColumn("dist", F.lit(0)).localCheckpoint()
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        reached = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        visited = visited.union(frontier)
+    return visited

@@ -989,3 +989,62 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "graph_bfs_hops",
+    """
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        WHERE a.l_shipdate < date '1998-01-01' AND b.l_shipdate < date '1998-01-01'
+    ),
+    l0 AS (SELECT DISTINCT src AS node FROM edges WHERE src <= 10),
+    l1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN l0 ON e.src = l0.node
+           WHERE e.dst NOT IN (SELECT node FROM l0)),
+    l2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN l1 ON e.src = l1.node
+           WHERE e.dst NOT IN (SELECT node FROM l0 UNION ALL SELECT node FROM l1)),
+    l3 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN l2 ON e.src = l2.node
+           WHERE e.dst NOT IN (SELECT node FROM l0 UNION ALL SELECT node FROM l1
+                               UNION ALL SELECT node FROM l2)),
+    all_d AS (
+        SELECT node, 0 AS dist FROM l0
+        UNION ALL SELECT node, 1 FROM l1
+        UNION ALL SELECT node, 2 FROM l2
+        UNION ALL SELECT node, 3 FROM l3
+    )
+    SELECT dist, cast(count(*) AS bigint) AS n_nodes,
+           cast(min(node) AS bigint) AS min_node,
+           cast(max(node) AS bigint) AS max_node
+    FROM all_d GROUP BY dist ORDER BY dist
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances (≤3) from the low-key part hub set over the same
+    co-purchase graph as graph_pagerank: per hop one frontier⋈edges shuffle
+    plus a left-anti visited probe — node-bounded state, no path explosion.
+    Oracle unrolls the three levels with NOT-IN dedup."""
+    from ..operators.graph import shortest_paths
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < "1998-01-01")
+        .select("l_orderkey", "l_partkey")
+    )
+    other = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst"))
+    edges = (
+        li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.dst))
+        .select(F.col("l_partkey").alias("src"), "dst")
+    )
+    sources = edges.select(F.col("src").alias("node")).filter(F.col("node") <= 10)
+    d = shortest_paths(edges, sources, max_hops=3)
+    return (
+        d.groupBy("dist")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
