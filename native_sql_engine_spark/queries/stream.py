@@ -285,3 +285,76 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SW.click_purchase_outer_join(ev), "q_stream_outer_join", "append"
     )
     return out.orderBy("click_id", "purchase_id")
+
+
+@q(
+    "stream_python_source",
+    """
+    SELECT event_type,
+           cast(count(*) AS bigint) AS n,
+           cast(round(sum(cast(value AS decimal(38,9))), 2) AS double) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON streaming source (Spark 4 SimpleDataSourceStreamReader,
+    sources/pyds.py): replays the events table in offset-tracked 4096-row
+    chunks (sized to ~4 micro-batches) — the exactly-once offset/replay
+    contract of a Kafka-style source, implemented in Python.  The complete-mode aggregate over the
+    multi-micro-batch replay hash-matches the one-shot batch oracle,
+    proving no chunk is lost or double-counted across batches."""
+    import tempfile
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from ..sources.pyds import register
+
+    register(spark)
+    path = f"{sf_dir}/events.parquet"
+    expected = pq.ParquetFile(path).metadata.num_rows
+    # ~4 micro-batches at any scale factor (micro-batch count, not batch
+    # size, is what the replay contract needs exercised; per-batch overhead
+    # is fixed cost)
+    chunk = max(4096, -(-expected // 4))
+    stream = (
+        spark.readStream.format("pyarrow_chunks")
+        .option("path", path)
+        .option("columns", "event_id,event_type,value")
+        .option("chunk_rows", str(chunk))
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(38,9)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+    name = f"q_stream_pysource_{next(_SINK_SEQ)}"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=name))
+            .start()
+        )
+        try:
+            # drain until every source row is reflected in the sink
+            # (AvailableNow only covers the prefetched first chunk for
+            # Simple stream readers, so poll to the known row count)
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                got = spark.sql(f"SELECT sum(n) FROM {name}").first()[0]
+                if got == expected:
+                    break
+                _time.sleep(0.2)
+            else:
+                raise TimeoutError(f"stream drained {got}/{expected} rows")
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return spark.table(name).orderBy("event_type")
