@@ -2085,3 +2085,51 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@q(
+    "expr_higher_order",
+    """
+    SELECT l_returnflag,
+           round(sum(cast(list_aggregate(
+                 list_transform([l_quantity, l_extendedprice, l_discount], x -> x * 2),
+                 'sum') AS double)), 2)                                     AS doubled_sum,
+           cast(sum(len(list_filter([l_quantity, l_extendedprice, l_discount],
+                                    x -> x > 1))) AS bigint)               AS n_big,
+           round(sum(cast(list_aggregate(
+                 list_zip([l_quantity, l_discount],
+                          [l_extendedprice, l_tax]).apply(p -> p[1] * p[2]),
+                 'sum') AS double)), 2)                                     AS zip_dot
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def expr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions with lambda expressions — transform /
+    filter / aggregate / zip_with, all codegen'd JVM-side (the reference
+    row-fallbacks every array expression, SURVEY §2.8).  Arrays are staged
+    through a projection first: HOF lambdas re-evaluate captured
+    expressions per element, so building the array once is the difference
+    between O(cols) and O(cols x elements) work per row."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.array("l_quantity", "l_extendedprice", "l_discount").alias("arr"),
+        F.array("l_quantity", "l_discount").alias("lhs"),
+        F.array("l_extendedprice", "l_tax").alias("rhs"),
+    )
+    doubled = F.aggregate(
+        F.transform("arr", lambda x: x * 2), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n_big = F.size(F.filter("arr", lambda x: x > 1))
+    zip_dot = F.aggregate(
+        F.zip_with("lhs", "rhs", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(doubled), 2).alias("doubled_sum"),
+            F.sum(n_big).cast("bigint").alias("n_big"),
+            F.round(F.sum(zip_dot), 2).alias("zip_dot"),
+        )
+        .orderBy("l_returnflag")
+    )
