@@ -659,6 +659,34 @@ CASES: dict[str, str] = {
         SELECT count(*) AS n FROM (SELECT date '2020-06-15' AS d) t
         WHERE d BETWEEN date '2020-01-01' AND date '2020-12-31'
     """,
+    "make_date_fn": "SELECT cast(make_date(2021, 2, 28) AS string) AS d",
+    "last_day_fn": "SELECT cast(last_day(date '2021-02-05') AS string) AS d",
+    "quarter_extract": "SELECT extract(quarter FROM date '2021-08-15') AS q",
+    "greatest_least_strings": """
+        SELECT greatest('apple', 'pear', 'fig') AS g, least('apple', 'pear', 'fig') AS l
+    """,
+    "exists_over_setop": """
+        SELECT r_name FROM region r WHERE EXISTS (
+          SELECT n_regionkey FROM nation WHERE n_regionkey = r.r_regionkey
+          INTERSECT SELECT 0)
+        ORDER BY r_name
+    """,
+    "derived_orderby_limit_then_agg": """
+        SELECT cast(sum(v) AS bigint) AS s FROM (
+          SELECT n_nationkey AS v FROM nation ORDER BY n_name LIMIT 7) t
+    """,
+    "sign_all_cases": """
+        SELECT cast(sign(-3.2) AS double) AS a, cast(sign(0) AS double) AS b,
+               cast(sign(9) AS double) AS c
+    """,
+    "log_bases_agree": """
+        SELECT round(log(8.0) / log(2.0), 6) AS lb, round(log10(1000.0), 6) AS l10,
+               round(log2(8.0), 6) AS l2
+    """,
+    "pi_trig_agree": """
+        SELECT round(sin(pi() / 2), 6) AS s, round(cos(0), 6) AS c,
+               round(atan2(1, 1), 6) AS a
+    """,
 }
 
 #: Negative corpus (the reference's subquery/negative territory): SQL both
