@@ -53,6 +53,22 @@ def _group(name: str) -> str:
     return name.split("_", 1)[0]
 
 
+
+def _jvm_heap_peak_mb(spark) -> int | None:
+    """Peak JVM heap across all pools (the reference's benchmark suites
+    monitor RAM the same way — TPCHSuite RAM monitor)."""
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        peak = 0
+        it = mf.getMemoryPoolMXBeans().iterator()
+        while it.hasNext():
+            pool = it.next()
+            if pool.getType().toString() == "Heap memory":
+                peak += pool.getPeakUsage().getUsed()
+        return int(peak / (1024 * 1024))
+    except Exception:
+        return None
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from native_sql_engine_spark import get_spark
@@ -124,6 +140,7 @@ def main() -> None:
         "pass2_total_sec": round(sum(pass2.values()), 3),
         "pass3_total_sec": round(sum(pass3.values()), 3),
         "best_total_sec": round(sum(best.values()), 3),
+        "jvm_heap_peak_mb": _jvm_heap_peak_mb(spark),
         "sf": float(sf) if sf else None,
     }
     detail = {

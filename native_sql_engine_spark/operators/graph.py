@@ -127,3 +127,39 @@ def shortest_paths(
         )
         visited = visited.union(frontier)
     return visited
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count of an undirected graph (given as a symmetric
+    directed edge list) via degree-ordered orientation.
+
+    Each undirected edge is kept only in the direction from the lower
+    (degree, id) endpoint to the higher — so every triangle materializes as
+    exactly ONE wedge a→b→c plus a closing-edge lookup, and the wedge count
+    per node is bounded by its ORIENTED out-degree (≤ √(2·|E|) for any
+    graph), not its raw degree.  That bound is what keeps the intermediate
+    linear-ish on power-law graphs where the naive wedge join explodes on
+    hubs.  Three hash joins total, all on edge keys.
+
+    Returns a single row (n_triangles,).
+    """
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("d")).select(
+        F.col("src").alias("node"), "d"
+    )
+    oriented = (
+        e.join(deg.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
+        .filter(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    o2 = oriented.select(F.col("src").alias("mid"), F.col("dst").alias("far"))
+    wedges = oriented.join(o2, oriented.dst == o2.mid).select(
+        F.col("src").alias("a"), F.col("far").alias("c")
+    )
+    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return wedges.join(closing, ["a", "c"]).agg(F.count("*").alias("n_triangles"))

@@ -86,3 +86,16 @@ def test_pagerank_matches_dense_power_iteration(spark):
         r = (1 - d) / n + d * (p.T @ r)
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+
+
+def test_triangle_count_known_graph(spark):
+    """triangle_count on a hand-built graph: K4 (4 triangles) plus a
+    pendant vertex and an isolated edge (0 extra triangles)."""
+    from itertools import permutations
+
+    from native_sql_engine_spark.operators.graph import triangle_count
+
+    und = [(a, b) for a, b in permutations(range(4), 2)]  # K4, both directions
+    und += [(3, 4), (4, 3), (8, 9), (9, 8)]  # pendant + isolated edge
+    edges = spark.createDataFrame(und, ["src", "dst"])
+    assert triangle_count(edges).first()["n_triangles"] == 4
