@@ -436,3 +436,21 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .select(F.col("_id").alias(id_col), "entropy")
     )
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF (Spark has
+    no built-in normalizer; the kernel is pure per-value Python over Arrow
+    batches, embarrassingly parallel).  Web-scraped corpora mix composed
+    and decomposed forms of the same grapheme — normalizing before hashing
+    is what makes exact/near dedup see them as equal."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+    # explicit returnType (no type-hint inference: postponed annotations in
+    # this module would turn the pd.Series hints into unresolvable strings)
+    return pandas_udf(_nfc, "string")(col)

@@ -1277,3 +1277,48 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "text_unicode_normalize",
+    """
+    WITH decomposed AS (
+        SELECT doc_id, lang,
+               replace(substr(text, 1, 200), 'a', 'a' || chr(769)) AS dtext
+        FROM documents
+    )
+    SELECT lang,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(length(dtext)) AS bigint) AS decomposed_chars,
+           cast(sum(length(nfc_normalize(dtext))) AS bigint) AS nfc_chars,
+           cast(sum(CASE WHEN nfc_normalize(dtext) <> dtext THEN 1 ELSE 0 END)
+                AS bigint) AS n_changed
+    FROM decomposed GROUP BY lang ORDER BY lang
+    """,
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC hygiene pass: deterministically decompose the corpus
+    ('a' -> 'a' + U+0301 combining acute), then NFC-normalize with the
+    Arrow-batched kernel and account for the codepoint shrinkage.  The
+    oracle runs DuckDB's native nfc_normalize over the same derivation —
+    two independent Unicode implementations agreeing codepoint-for-
+    codepoint."""
+    from ..operators.text import nfc_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.replace(
+            F.substring("text", 1, 200), F.lit("a"), F.lit("a\u0301")
+        ).alias("dtext"),
+    )
+    normed = docs.withColumn("ntext", nfc_normalize(F.col("dtext")))
+    return (
+        normed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("dtext")).alias("decomposed_chars"),
+            F.sum(F.length("ntext")).alias("nfc_chars"),
+            F.sum((F.col("ntext") != F.col("dtext")).cast("bigint")).alias("n_changed"),
+        )
+        .orderBy("lang")
+    )

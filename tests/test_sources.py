@@ -301,3 +301,30 @@ def test_python_datasource_writer_commit_protocol(spark, sf_small, tmp_path):
     a = sorted(map(tuple, src.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_python_datasource_writer_abort_cleans_staging(spark, tmp_path):
+    """A failing write job must leave NO committed files: staged parts are
+    confined to _temporary/, abort removes them, and _SUCCESS is never
+    written — the commit protocol's whole point."""
+    import os
+
+    import pytest as _pytest
+
+    from native_sql_engine_spark.sources.pyds import register
+
+    register(spark)
+    out = str(tmp_path / "pyds_abort")
+
+    def boom(it):
+        for pdf in it:
+            raise RuntimeError("injected task failure")
+            yield pdf
+
+    src = spark.range(100).mapInPandas(boom, "id long")
+    with _pytest.raises(Exception):
+        src.write.format("pyarrow_parquet").option("path", out).mode("append").save()
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not any(
+        f.endswith(".parquet") for f in os.listdir(out)
+    ) if os.path.exists(out) else True
