@@ -236,3 +236,36 @@ class Engine:
         from .streaming.windows import read_events_stream
 
         return read_events_stream(self.spark, sf_dir or self.sf_dir)
+
+    # -- graph analytics ---------------------------------------------------
+
+    def pagerank(self, edges: DataFrame, iterations: int = 3,
+                 damping: float = 0.85, symmetric: bool = False) -> DataFrame:
+        from .operators.graph import pagerank
+
+        return pagerank(edges, iterations, damping, symmetric)
+
+    def shortest_paths(self, edges: DataFrame, sources: DataFrame,
+                       max_hops: int = 3) -> DataFrame:
+        from .operators.graph import shortest_paths
+
+        return shortest_paths(edges, sources, max_hops)
+
+    def triangle_count(self, edges: DataFrame) -> DataFrame:
+        from .operators.graph import triangle_count
+
+        return triangle_count(edges)
+
+    # -- custom Python data sources ---------------------------------------
+
+    def register_python_datasources(self) -> None:
+        """Register pyarrow_parquet (batch read/write) and pyarrow_chunks
+        (streaming) on this session."""
+        from .sources.pyds import register
+
+        register(self.spark)
+
+    def nfc_normalize(self, col):
+        from .operators.text import nfc_normalize
+
+        return nfc_normalize(col)

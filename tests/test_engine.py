@@ -226,3 +226,23 @@ def test_observe_metrics_piggyback_on_query(spark, sf_small):
     got = obs.get
     assert got["rows_seen"] == expected_rows
     assert abs(got["qty_sum"] - expected_qty) < 1e-6
+
+
+def test_graph_and_datasource_facade_methods(eng):
+    """Round-3 facade surface: graph ops, custom source registration, NFC."""
+    from pyspark.sql import functions as F
+
+    edges = eng.spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)], ["src", "dst"]
+    )
+    pr = {r["node"] for r in eng.pagerank(edges, iterations=2, symmetric=True).collect()}
+    assert pr == {1, 2, 3}
+    assert eng.triangle_count(edges).first()["n_triangles"] == 1
+    src = eng.spark.createDataFrame([(1,)], ["node"])
+    d = {r["node"]: r["dist"] for r in eng.shortest_paths(edges, src, 2).collect()}
+    assert d == {1: 0, 2: 1, 3: 1}
+    eng.register_python_datasources()
+    out = eng.spark.createDataFrame([("é",)], ["t"]).select(
+        F.length(eng.nfc_normalize(F.col("t"))).alias("n")
+    )
+    assert out.first()["n"] == 1
