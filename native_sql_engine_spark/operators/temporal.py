@@ -51,8 +51,10 @@ def asof_join(
     failing the predicate are nulled out (pandas ``merge_asof`` tolerance).
     State per key stays O(1) regardless of tolerance.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if direction == "nearest":
+        return _asof_nearest(left, right, key, left_ts, right_ts, value_cols, tie_break, tolerance)
     lt = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
@@ -93,6 +95,95 @@ def asof_join(
             *[F.when(ok, F.col(f"_r{c}")).alias(f"_r{c}") for c in carry_cols],
         )
     return carried.select(
+        *[F.col(f"_row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r_{c}").alias(f"right_{c}") for c in value_cols],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tie_break: str | None,
+    tolerance,
+) -> DataFrame:
+    """direction="nearest": whichever of the backward/forward candidates is
+    closer in time wins; exact ties prefer the backward (earlier) row — the
+    pandas merge_asof convention.  Both candidate carries run over the SAME
+    key-hash exchange (one shuffle, two sorted window passes) — still no
+    join product and O(1) state per key."""
+    from pyspark.sql import types as T
+
+    lt = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("double").alias("_tb"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r__ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*left.columns).alias("_row"),
+    )
+    rt = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        (F.col(tie_break) if tie_break else F.lit(0)).cast("double").alias("_tb"),
+        F.col(right_ts).alias("_r__ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(lt.schema["_row"].dataType).alias("_row"),
+    )
+    merged = lt.unionByName(rt)
+    w_b = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side").desc(), F.col("_tb").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_f = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_ts").desc(), F.col("_side").desc(), F.col("_tb").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carry = ["__ts"] + [f"_{c}" for c in value_cols]
+    carried = merged.select(
+        "_side",
+        "_row",
+        "_ts",
+        *[F.last(f"_r{c}", ignorenulls=True).over(w_b).alias(f"_b{c}") for c in carry],
+        *[F.last(f"_r{c}", ignorenulls=True).over(w_f).alias(f"_f{c}") for c in carry],
+    ).filter(F.col("_side") == 0)
+
+    ts_type = left.schema[left_ts].dataType
+    temporal = isinstance(ts_type, (T.TimestampType, T.TimestampNTZType, T.DateType))
+
+    def _dist(a: Column, b: Column) -> Column:
+        if temporal:
+            return F.abs(
+                F.unix_micros(a.cast("timestamp")) - F.unix_micros(b.cast("timestamp"))
+            )
+        return F.abs(a - b)
+
+    back_wins = F.col("_b__ts").isNotNull() & (
+        F.col("_f__ts").isNull()
+        | (_dist(F.col("_ts"), F.col("_b__ts")) <= _dist(F.col("_f__ts"), F.col("_ts")))
+    )
+    chosen = carried.select(
+        "_row",
+        "_ts",
+        *[
+            F.when(back_wins, F.col(f"_b{c}")).otherwise(F.col(f"_f{c}")).alias(f"_r{c}")
+            for c in carry
+        ],
+    )
+    if tolerance is not None:
+        ok = tolerance(F.col("_ts"), F.col("_r__ts"))
+        chosen = chosen.select(
+            "_row",
+            *[F.when(ok, F.col(f"_r{c}")).alias(f"_r{c}") for c in carry],
+        )
+    return chosen.select(
         *[F.col(f"_row.{c}").alias(c) for c in left.columns],
         *[F.col(f"_r_{c}").alias(f"right_{c}") for c in value_cols],
     )

@@ -277,3 +277,47 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         F.round("ewma", 4).alias("ewma"),
     )
+
+
+@q(
+    "join_asof_nearest",
+    """
+    SELECT c.event_id,
+           c.user_id,
+           (SELECT p.event_id FROM events p
+            WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+            ORDER BY abs(epoch_us(cast(p.ts AS timestamp))
+                         - epoch_us(cast(c.ts AS timestamp))) ASC,
+                     p.ts ASC, p.event_id DESC
+            LIMIT 1) AS nearest_purchase
+    FROM events c
+    WHERE c.event_type = 'click'
+    ORDER BY c.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest' (completes the backward/forward/
+    nearest family; pandas merge_asof semantics, ties prefer the earlier
+    row): each click matched to the temporally closest purchase of the
+    same user.  Both candidate carries share ONE user-hash exchange (two
+    sorted window passes) — no click x purchase product at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    out = asof_join(
+        clicks,
+        purchases.select(F.col("p_user").alias("user_id"), F.col("p_ts").alias("ts2"),
+                         F.col("p_id")),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts2",
+        value_cols=["p_id"],
+        tie_break="p_id",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("right_p_id").alias("nearest_purchase")
+    ).orderBy("event_id")

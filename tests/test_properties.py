@@ -185,7 +185,7 @@ def test_minhash_identical_docs_always_pair(spark, seed):
         ),
         min_size=1, max_size=30,
     ),
-    direction=st.sampled_from(["backward", "forward"]),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
     tol=st.sampled_from([None, 10, 30]),
 )
 def test_asof_join_matches_pandas_merge_asof(spark, data, rdata, direction, tol):
@@ -212,8 +212,10 @@ def test_asof_join_matches_pandas_merge_asof(spark, data, rdata, direction, tol)
     if tol is not None:
         if direction == "backward":
             tol_fn = lambda lt, rt: (lt - rt) <= tol
-        else:
+        elif direction == "forward":
             tol_fn = lambda lt, rt: (rt - lt) <= tol
+        else:
+            tol_fn = lambda lt, rt: F.abs(rt - lt) <= tol
     got = asof_join(
         left, right, key="k", left_ts="t", right_ts="t",
         value_cols=["v"], direction=direction, tolerance=tol_fn,
