@@ -2133,3 +2133,44 @@ def expr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@q(
+    "expr_try_arithmetic",
+    """
+    SELECT l_returnflag,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS bigint)
+               AS n_div_by_zero,
+           round(sum(CASE WHEN l_linenumber = 1 THEN NULL
+                          ELSE l_extendedprice / (l_linenumber - 1) END), 2)
+               AS sum_safe_div,
+           cast(count(CASE WHEN l_orderkey IN (0, 1) THEN 1 END) AS bigint)
+               AS n_mul_in_range,
+           cast(count(CASE WHEN l_orderkey < 1 THEN 1 END) AS bigint)
+               AS n_add_in_range
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def expr_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (try_divide / try_multiply / try_add, Spark 4):
+    division by zero and bigint overflow yield NULL instead of failing the
+    job — the semantics a 100 TB pipeline needs when one poisoned row must
+    not kill an hours-long stage.  The oracle reproduces each NULL domain
+    in closed form (DuckDB has no try_* family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    safe_div = F.try_divide("l_extendedprice", F.col("l_linenumber") - 1)
+    big = F.lit(9223372036854775807).cast("bigint")
+    safe_mul = F.try_multiply(F.col("l_orderkey").cast("bigint"), big)
+    safe_add = F.try_add(big, F.col("l_orderkey").cast("bigint"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(safe_div.isNull().cast("bigint")).alias("n_div_by_zero"),
+            F.round(F.sum(safe_div), 2).alias("sum_safe_div"),
+            F.count(safe_mul).alias("n_mul_in_range"),
+            F.count(safe_add).alias("n_add_in_range"),
+        )
+        .orderBy("l_returnflag")
+    )
