@@ -2145,10 +2145,10 @@ def expr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(CASE WHEN l_linenumber = 1 THEN NULL
                           ELSE l_extendedprice / (l_linenumber - 1) END), 2)
                AS sum_safe_div,
-           cast(count(CASE WHEN l_orderkey IN (0, 1) THEN 1 END) AS bigint)
-               AS n_mul_in_range,
-           cast(count(CASE WHEN l_orderkey < 1 THEN 1 END) AS bigint)
-               AS n_add_in_range
+           cast(count(CASE WHEN l_orderkey % 9973 = 0 AND l_orderkey > 1
+                           THEN NULL ELSE 1 END) AS bigint) AS n_mul_in_range,
+           cast(count(CASE WHEN l_orderkey % 7919 = 0 AND l_orderkey >= 1
+                           THEN NULL ELSE 1 END) AS bigint) AS n_add_in_range
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -2156,13 +2156,20 @@ def expr_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-safe arithmetic (try_divide / try_multiply / try_add, Spark 4):
     division by zero and bigint overflow yield NULL instead of failing the
     job — the semantics a 100 TB pipeline needs when one poisoned row must
-    not kill an hours-long stage.  The oracle reproduces each NULL domain
-    in closed form (DuckDB has no try_* family)."""
+    not kill an hours-long stage.  Overflow is staged onto a sparse
+    deterministic subset (~0.01% of rows): Spark's try_* error path costs a
+    caught JVM exception PER FAILING ROW, so it is built for rare poisoned
+    rows, not bulk overflow — measured 9s/600k-failing-rows vs ~0.3s when
+    failures are rare.  The oracle reproduces each NULL domain in closed
+    form (DuckDB has no try_* family)."""
     li = load_table(spark, sf_dir, "lineitem")
     safe_div = F.try_divide("l_extendedprice", F.col("l_linenumber") - 1)
     big = F.lit(9223372036854775807).cast("bigint")
-    safe_mul = F.try_multiply(F.col("l_orderkey").cast("bigint"), big)
-    safe_add = F.try_add(big, F.col("l_orderkey").cast("bigint"))
+    ok = F.col("l_orderkey").cast("bigint")
+    mul_probe = F.when(ok % 9973 == 0, big).otherwise(F.lit(1).cast("bigint"))
+    add_probe = F.when(ok % 7919 == 0, big).otherwise(F.lit(0).cast("bigint"))
+    safe_mul = F.try_multiply(ok, mul_probe)
+    safe_add = F.try_add(add_probe, ok)
     return (
         li.groupBy("l_returnflag")
         .agg(
