@@ -433,3 +433,58 @@ def frame_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema)
+
+
+def synthesize_pcm_corpus(df: DataFrame, id_col: str = "doc_id", n_samples: int = 1024) -> DataFrame:
+    """Deterministic fake 8-bit PCM audio payload per row: sample k of row
+    id is (id*37 + k) mod 256 — same closed-form convention as the BMP/Y4M
+    synthesizers, so byte-level kernels get an exact SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(df.schema.fields + [T.StructField("audio", T.BinaryType())])
+
+    def batches(it):
+        for pdf in it:
+            pdf["audio"] = [
+                (((int(i) * 37 + np.arange(n_samples, dtype=np.int64)) % 256)
+                 .astype(np.uint8).tobytes())
+                for i in pdf[id_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(batches, schema)
+
+
+def audio_stats(df: DataFrame, audio_col: str = "audio") -> DataFrame:
+    """Per-row PCM statistics (RMS, peak, mean) from the raw bytes — the
+    numpy kernel runs per Arrow batch (vectorized np.frombuffer, no Python
+    per-sample loop); appends rms/peak/mean_level columns."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("mean_level", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rms, peak, mean = [], [], []
+            for buf in pdf[audio_col]:
+                v = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+                rms.append(float(np.sqrt(np.mean(v * v))))
+                peak.append(int(v.max()))
+                mean.append(float(v.mean()))
+            pdf["rms"], pdf["peak"], pdf["mean_level"] = rms, peak, mean
+            yield pdf
+
+    return df.mapInPandas(batches, schema)

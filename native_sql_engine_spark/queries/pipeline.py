@@ -1322,3 +1322,47 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "multimodal_audio_stats",
+    """
+    WITH samples AS (
+        SELECT d.doc_id, d.lang, (d.doc_id * 37 + g.range) % 256 AS v
+        FROM documents d CROSS JOIN range(1024) g
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               sqrt(avg(v * v)) AS rms,
+               max(v) AS peak,
+               avg(v) AS mean_level
+        FROM samples GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           cast(count(*) AS bigint) AS n_docs,
+           round(avg(rms), 4) AS avg_rms,
+           cast(max(peak) AS bigint) AS max_peak,
+           round(avg(mean_level), 4) AS avg_level
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-as-binary-column: synthesize deterministic 8-bit PCM payloads
+    ((id*37+k) mod 256, 1024 samples), run the vectorized numpy RMS/peak
+    kernel per Arrow batch, aggregate per language.  The oracle recomputes
+    every sample in closed form with a range() cross join — byte-level
+    Python kernel vs pure-SQL reconstruction, digit-for-digit."""
+    from ..operators.multimodal import audio_stats, synthesize_pcm_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    stats = audio_stats(synthesize_pcm_corpus(docs))
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+            F.max("peak").cast("bigint").alias("max_peak"),
+            F.round(F.avg("mean_level"), 4).alias("avg_level"),
+        )
+        .orderBy("lang")
+    )
