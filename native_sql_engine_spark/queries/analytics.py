@@ -1093,3 +1093,58 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("src"), "dst")
     )
     return triangle_count(edges)
+
+
+@q(
+    "events_session_window_dynamic",
+    """
+    WITH g AS (
+      SELECT user_id, ts, epoch_us(cast(ts AS timestamp)) AS es,
+             CASE WHEN event_type = 'click' THEN 300000000
+                  ELSE 1800000000 END AS gap_us
+      FROM events),
+    marked AS (
+      SELECT user_id, es,
+             CASE WHEN max(es + gap_us) OVER (
+                        PARTITION BY user_id ORDER BY es
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    OR es >= max(es + gap_us) OVER (
+                        PARTITION BY user_id ORDER BY es
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM g),
+    s AS (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY es
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked)
+    SELECT user_id,
+           cast(count(DISTINCT sess_id) AS bigint) AS n_sessions,
+           cast(max(cnt) AS bigint) AS max_events
+    FROM (SELECT user_id, sess_id, count(*) AS cnt FROM s GROUP BY user_id, sess_id) t
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows (Spark's session_window with a per-event
+    gap expression: clicks cool off in 5 minutes, everything else in 30):
+    each event contributes [ts, ts+gap) and overlapping intervals merge
+    inside the native gap-merge aggregate.  The oracle is the interval-
+    union island formulation — a running max of interval ends over one
+    user-hash window."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    per_sess = ev.groupBy("user_id", F.session_window("ts", gap).alias("w")).agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("cnt").cast("bigint").alias("max_events"),
+        )
+        .orderBy("user_id")
+    )
