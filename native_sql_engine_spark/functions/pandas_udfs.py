@@ -111,3 +111,17 @@ def charge_map_arrow(df: DataFrame) -> DataFrame:
             yield batch.append_column("charge", charge)
 
     return df.mapInArrow(batches, schema)
+
+
+@pandas_udf(T.DoubleType())
+def pd_mean(values: pd.Series) -> float:
+    """Grouped-agg pandas UDF usable OVER a window (WindowInPandasExec —
+    reference operators.md row 27, a row-version fallback there)."""
+    return float(values.mean())
+
+
+@pandas_udf(T.DoubleType())
+def pd_stddev(values: pd.Series) -> float:
+    """Sample standard deviation (ddof=1, matches stddev_samp) as a
+    grouped-agg pandas UDF for window use."""
+    return float(values.std(ddof=1))

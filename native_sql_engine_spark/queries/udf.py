@@ -192,3 +192,49 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("charge"), 2).alias("sum_charge"))
         .orderBy("l_returnflag")
     )
+
+
+@q(
+    "udf_window_in_pandas",
+    """
+    WITH st AS (
+      SELECT event_type, value,
+             avg(value) OVER (PARTITION BY event_type) AS mu,
+             stddev_samp(value) OVER (PARTITION BY event_type) AS sd
+      FROM events)
+    SELECT event_type,
+           cast(sum(CASE WHEN abs((value - mu) / sd) > 2 THEN 1 ELSE 0 END)
+                AS bigint) AS n_outliers,
+           cast(count(*) AS bigint) AS n
+    FROM st GROUP BY event_type ORDER BY event_type
+    """,
+)
+def udf_window_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDF evaluated OVER a window partition (the reference's
+    operators.md row 27 WindowInPandasExec, a row-version fallback there;
+    Spark 4 plans it as ArrowWindowPython — fully Arrow-batched, asserted
+    in tests/test_plans.py): per-event-type mean/stddev computed by
+    grouped-agg pandas UDFs with a Window spec, feeding a codegen'd outlier
+    count that hash-matches the built-in window-function oracle."""
+    from pyspark.sql import Window as W
+
+    from ..functions.pandas_udfs import pd_mean, pd_stddev
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    st = ev.select(
+        "event_type",
+        "value",
+        pd_mean("value").over(w).alias("mu"),
+        pd_stddev("value").over(w).alias("sd"),
+    )
+    return (
+        st.groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 2).cast("bigint")
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

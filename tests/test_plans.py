@@ -388,3 +388,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pandas_window_udf_plans_arrow_native(spark, sf_small):
+    """A grouped-agg pandas UDF with a Window spec must plan as
+    ArrowWindowPython (Spark 4's Arrow-batched successor of
+    WindowInPandasExec, reference operators.md row 27) — not fall back to
+    a row-at-a-time python eval."""
+    from native_sql_engine_spark.queries.udf import QUERIES
+
+    df = QUERIES["udf_window_in_pandas"](spark, sf_small)
+    assert "ArrowWindowPython" in P.executed_plan(df)
