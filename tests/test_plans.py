@@ -399,3 +399,26 @@ def test_pandas_window_udf_plans_arrow_native(spark, sf_small):
 
     df = QUERIES["udf_window_in_pandas"](spark, sf_small)
     assert "ArrowWindowPython" in P.executed_plan(df)
+
+
+def test_sql_hints_reach_the_planner(spark, sf_small):
+    """Query hints must actually steer the physical plan: BROADCAST forces
+    a broadcast join on the hinted side, REPARTITION pins the output
+    partition count, and MERGE forces sort-merge — the knobs a user turns
+    when AQE's default choice is wrong for a known workload."""
+    from native_sql_engine_spark.catalog import register_tables
+
+    register_tables(spark, sf_small)
+    b = spark.sql(
+        "SELECT /*+ BROADCAST(n) */ r.r_name, count(*) AS c "
+        "FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name"
+    )
+    assert P.has_node(b, "BroadcastHashJoin")
+    m = spark.sql(
+        "SELECT /*+ MERGE(n) */ r.r_name, n.n_name "
+        "FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey"
+    )
+    assert P.has_node(m, "SortMergeJoin")
+    rep = spark.sql("SELECT /*+ REPARTITION(7) */ n_nationkey FROM nation")
+    assert rep.rdd.getNumPartitions() == 7
