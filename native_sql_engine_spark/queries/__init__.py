@@ -34,9 +34,9 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 
 
 def _modules():
-    from . import analytics, extra, ops, pipeline, ssb, stream, tpcds, tpch, udf
+    from . import advanced, analytics, extra, ops, pipeline, ssb, stream, tpcds, tpch, udf
 
-    return (tpch, tpcds, ssb, ops, pipeline, stream, udf, extra, analytics)
+    return (tpch, tpcds, ssb, ops, pipeline, stream, udf, extra, analytics, advanced)
 
 
 def _verification_history() -> dict[str, tuple[int, bool]]:
