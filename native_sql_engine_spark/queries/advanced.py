@@ -433,3 +433,449 @@ def profile_skew_topkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "user_id")
         .limit(5)
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join reduction, bitset-as-data (portable hashes).
+# --------------------------------------------------------------------------
+
+_BF_M = 65536
+_BF_P = 2_147_483_647  # 2^31 - 1, prime
+_BF_AB = ((2654435761, 1), (40503, 2017), (2246822519, 97))
+
+
+@q(
+    "join_bloom_bitset",
+    f"""
+    WITH params AS (
+      SELECT * FROM (VALUES (0, 2654435761, 1), (1, 40503, 2017),
+                            (2, 2246822519, 97)) AS t(i, a, b)),
+    build AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000),
+    bits AS (
+      SELECT DISTINCT ((d.k * p.a + p.b) % {_BF_P}) % {_BF_M} AS pos
+      FROM build d CROSS JOIN params p),
+    probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    cand AS (
+      SELECT pr.k
+      FROM probe pr CROSS JOIN params p
+      JOIN bits s ON s.pos = ((pr.k * p.a + p.b) % {_BF_P}) % {_BF_M}
+      GROUP BY pr.k HAVING count(*) = 3),
+    truek AS (SELECT k FROM cand WHERE k IN (SELECT k FROM build)),
+    res AS (
+      SELECT count(*) AS n_rows,
+             cast(round(sum(cast(l_quantity AS decimal(38,9))), 2) AS double)
+               AS sum_qty
+      FROM lineitem WHERE l_orderkey IN (SELECT k FROM truek))
+    SELECT (SELECT cast(count(*) AS bigint) FROM cand) AS n_candidates,
+           (SELECT cast(count(*) AS bigint) FROM truek) AS n_true_keys,
+           (SELECT cast(count(*) AS bigint) FROM cand)
+             - (SELECT cast(count(*) AS bigint) FROM truek)
+             AS n_false_positives,
+           cast(res.n_rows AS bigint) AS n_rows, res.sum_qty AS sum_qty
+    FROM res
+    """,
+)
+def join_bloom_bitset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction with the filter materialized AS DATA.
+
+    The build side's keys set k=3 portable hash positions in a 65536-slot
+    bitset (stored as the distinct-position table — ≤ m rows no matter how
+    many keys); the probe side keeps only keys whose 3 positions are all
+    set (broadcast join on position + HAVING count(*)=3), then an exact
+    semi join removes false positives, so the final answer is exact and
+    the oracle rebuilds the identical bitset to hash-match the candidate
+    and false-positive counts too.  This is the semi-join-reduction the
+    reference gets from its broadcast build side
+    (ColumnarBroadcastExchangeExec.scala:46) and Spark gets from runtime
+    bloom filters (plan-asserted in
+    tests/test_plans.py::test_runtime_bloom_filter_prunes_fact_scan) —
+    materializing it as data makes it shippable across queries/systems
+    (store it next to the table, reuse it for every probe).  At 100 TB the
+    bitset stays ≤ 65536 rows (or a scaled m) while pruning the probe's
+    shuffle before the expensive join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 300000)
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+
+    def positions(k):
+        return [((k * a + b) % _BF_P) % _BF_M for a, b in _BF_AB]
+
+    bits = (
+        build.select(
+            F.explode(F.array(*[p.alias("pos") for p in positions(F.col("k"))])).alias(
+                "pos"
+            )
+        )
+        .distinct()
+    )
+    probe = li.select(F.col("l_orderkey").alias("k")).distinct()
+    probed = probe.select(
+        "k", F.explode(F.array(*positions(F.col("k")))).alias("pos")
+    )
+    cand = (
+        probed.join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.count("*").alias("nhit"))
+        .filter(F.col("nhit") == len(_BF_AB))
+        .select("k")
+    )
+    truek = cand.join(F.broadcast(build), "k", "left_semi")
+    res = li.join(F.broadcast(truek), li.l_orderkey == truek.k, "left_semi").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(38,9)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+    counts = (
+        cand.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(truek.agg(F.count("*").alias("n_true_keys")))
+    )
+    return counts.crossJoin(res).select(
+        "n_candidates",
+        "n_true_keys",
+        (F.col("n_candidates") - F.col("n_true_keys")).alias("n_false_positives"),
+        "n_rows",
+        "sum_qty",
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear-counting distinct sketch (portable hash, closed-form estimator).
+# --------------------------------------------------------------------------
+
+_LC_M = 4096
+_LC_A, _LC_B = 48271, 11
+
+
+@q(
+    "sketch_linear_counting",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT ((o_custkey * {_LC_A} + {_LC_B}) % {_BF_P}) % {_LC_M}
+               AS bkt
+      FROM orders),
+    f AS (SELECT count(*) AS filled FROM h),
+    t AS (SELECT count(DISTINCT o_custkey) AS true_distinct FROM orders)
+    SELECT cast(f.filled AS bigint) AS n_buckets_filled,
+           cast(round(-{_LC_M} * ln(1.0 - f.filled / {_LC_M}.0), 2) AS double)
+             AS est_distinct,
+           cast(t.true_distinct AS bigint) AS true_distinct
+    FROM f, t
+    """,
+)
+def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct sketch: hash keys into a 4096-slot bitmap,
+    estimate distinct = -m·ln(1 - filled/m).
+
+    The sketch state is the set of filled buckets (≤ m rows), mergeable
+    across partitions/corpora by union — the same partial/final shape as
+    approx_count_distinct's HLL but with portable arithmetic the oracle
+    replays exactly, so the bucket count AND the closed-form estimate
+    hash-match DuckDB.  At 100 TB: one scan, map-side distinct on
+    (bucket), constant-size state; accuracy degrades predictably as
+    filled→m, at which point the same plan swaps in HLL
+    (`agg_hll_mergeable`).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    h = (
+        orders.select(
+            (((F.col("o_custkey") * _LC_A + _LC_B) % _BF_P) % _LC_M).alias("bkt")
+        )
+        .distinct()
+    )
+    f = h.agg(F.count("*").alias("filled"))
+    t = orders.agg(F.countDistinct("o_custkey").alias("true_distinct"))
+    return f.crossJoin(t).select(
+        F.col("filled").alias("n_buckets_filled"),
+        F.round(
+            -F.lit(float(_LC_M))
+            * F.log(F.lit(1.0) - F.col("filled") / F.lit(float(_LC_M))),
+            2,
+        )
+        .cast("double")
+        .alias("est_distinct"),
+        "true_distinct",
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear interpolation over a dense calendar grid (gap-fill's smooth twin).
+# --------------------------------------------------------------------------
+
+
+@q(
+    "timeseries_interpolate_linear",
+    """
+    WITH daily AS (
+      SELECT user_id, cast(cast(ts AS timestamp) AS date) AS d,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    grid AS (
+      SELECT u.user_id, g.d
+      FROM (SELECT DISTINCT user_id FROM daily) u
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::date
+                    AS d FROM span) g),
+    joined AS (
+      SELECT g.user_id, g.d, daily.v
+      FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id
+                                 AND daily.d = g.d),
+    anchored AS (
+      SELECT user_id, d, v,
+             last_value(v IGNORE NULLS) OVER w_prev AS v_prev,
+             last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER w_prev AS d_prev,
+             first_value(v IGNORE NULLS) OVER w_next AS v_next,
+             first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER w_next AS d_next
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT cast(user_id AS bigint) AS user_id, cast(d AS varchar) AS day,
+           cast(round(cast(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN v_prev IS NULL THEN v_next
+             WHEN v_next IS NULL THEN v_prev
+             ELSE v_prev + (v_next - v_prev)
+                  * (d - d_prev) * 1.0 / (d_next - d_prev)
+           END AS decimal(38,9)), 2) AS double) AS v_interp,
+           cast(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS bigint)
+             AS was_missing
+    FROM anchored
+    ORDER BY user_id, d
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a dense user×day grid — the smooth twin of
+    `timeseries_gapfill`'s LOCF.
+
+    One shuffle on user_id serves both window passes (prev/next non-null
+    anchor value AND anchor date via last/first IGNORE NULLS); missing
+    days get v_prev + slope·(d−d_prev), boundary gaps fall back to
+    nearest-anchor fill.  The calendar grid is |users|×|days| rows built
+    with `sequence()`; at 100 TB the grid explodes distributedly from the
+    per-user span (no driver materialization) and the plan stays two
+    window passes over one hash partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("d")
+    ).agg(F.sum("value").alias("v"))
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d"),
+        )
+    )
+    joined = grid.join(daily, ["user_id", "d"], "left")
+    from pyspark.sql import Window as W
+
+    w_prev = (
+        W.partitionBy("user_id").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("user_id").orderBy("d").rowsBetween(0, W.unboundedFollowing)
+    )
+    anchor_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    anchored = joined.select(
+        "user_id",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.last(anchor_d, ignorenulls=True).over(w_prev).alias("d_prev"),
+        F.first("v", ignorenulls=True).over(w_next).alias("v_next"),
+        F.first(anchor_d, ignorenulls=True).over(w_next).alias("d_next"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("v_prev").isNull(), F.col("v_next"))
+        .when(F.col("v_next").isNull(), F.col("v_prev"))
+        .otherwise(
+            F.col("v_prev")
+            + (F.col("v_next") - F.col("v_prev"))
+            * F.datediff("d", "d_prev")
+            / F.datediff("d_next", "d_prev")
+        )
+    )
+    return anchored.select(
+        "user_id",
+        F.col("d").cast("string").alias("day"),
+        F.round(interp.cast("decimal(38,9)"), 2).cast("double").alias("v_interp"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("long").alias("was_missing"),
+    ).orderBy("user_id", "day")
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance: apply CDC deltas to a materialized aggregate.
+# --------------------------------------------------------------------------
+
+_IVM_CUTOFF = "1998-01-01"
+
+
+@q(
+    "ivm_aggregate_deltas",
+    f"""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_orderdate < DATE '{_IVM_CUTOFF}'),
+    view_base AS (
+      SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+      FROM base GROUP BY o_orderpriority),
+    cdc AS (
+      SELECT o_orderpriority, -1 AS sign, o_totalprice
+      FROM base WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderpriority, 1 AS sign, o_totalprice
+      FROM orders WHERE o_orderdate >= DATE '{_IVM_CUTOFF}'),
+    delta AS (
+      SELECT o_orderpriority, sum(sign) AS dn,
+             sum(sign * o_totalprice) AS dtotal
+      FROM cdc GROUP BY o_orderpriority),
+    merged AS (
+      SELECT coalesce(v.o_orderpriority, d.o_orderpriority) AS o_orderpriority,
+             coalesce(v.n, 0) + coalesce(d.dn, 0) AS n,
+             coalesce(v.total, 0) + coalesce(d.dtotal, 0) AS total
+      FROM view_base v FULL OUTER JOIN delta d USING (o_orderpriority))
+    SELECT o_orderpriority, cast(n AS bigint) AS n_orders,
+           cast(round(cast(total AS decimal(38,9)), 2) AS double)
+             AS total_price
+    FROM merged WHERE n > 0
+    ORDER BY o_orderpriority
+    """,
+)
+def ivm_aggregate_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a materialized GROUP BY is updated
+    from a CDC delta stream (inserts +1 / deletes −1) WITHOUT rescanning
+    the base table.
+
+    The view stores (group, count, sum); the delta batch aggregates to
+    (group, Δcount, Δsum) and a full-outer merge adds them — groups
+    dropping to zero rows disappear.  The oracle recomputes the post-CDC
+    view directly, proving delta-application ≡ recomputation.  At 100 TB
+    the base is never re-read: maintenance cost scales with the delta
+    (the same partial/final agg mergeability the reference's
+    ColumnarHashAggregateExec partial pipelines rely on; avg/stddev extend
+    via (count, sum, m2) state like `rollup_incremental_merge`).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_IVM_CUTOFF).cast("date")
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    view_base = base.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("total")
+    )
+    deletes = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderpriority", F.lit(-1).alias("sign"), "o_totalprice"
+    )
+    inserts = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderpriority", F.lit(1).alias("sign"), "o_totalprice"
+    )
+    delta = (
+        deletes.unionAll(inserts)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("sign").alias("dn"),
+            F.sum(F.col("sign") * F.col("o_totalprice")).alias("dtotal"),
+        )
+    )
+    merged = view_base.join(delta, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+        (F.coalesce("total", F.lit(0.0)) + F.coalesce("dtotal", F.lit(0.0))).alias(
+            "total"
+        ),
+    )
+    return (
+        merged.filter(F.col("n") > 0)
+        .select(
+            "o_orderpriority",
+            F.col("n").alias("n_orders"),
+            F.round(F.col("total").cast("decimal(38,9)"), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Connected components as a first-class battery entry (recursive-CTE oracle).
+# --------------------------------------------------------------------------
+
+_CC_SUPP_OFFSET = 1_000_000
+_CC_MONTH_LO, _CC_MONTH_HI = "1995-03-01", "1995-03-31"
+_CC_MIN_QTY = 48
+
+
+@q(
+    "graph_connected_components",
+    f"""
+    WITH scoped AS (
+      SELECT DISTINCT o.o_custkey AS cust,
+                      l.l_suppkey + {_CC_SUPP_OFFSET} AS supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate BETWEEN DATE '{_CC_MONTH_LO}'
+                              AND DATE '{_CC_MONTH_HI}'
+        AND l.l_quantity >= {_CC_MIN_QTY}),
+    edges0 AS (
+      SELECT cust AS src, supp AS dst FROM scoped
+      UNION
+      SELECT supp AS src, cust AS dst FROM scoped),
+    nodes AS (SELECT DISTINCT src AS node FROM edges0),
+    reach AS (
+      WITH RECURSIVE r(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN edges0 e ON e.src = r.node)
+      SELECT * FROM r)
+    SELECT cast(node AS bigint) AS node,
+           cast(min(lbl) AS bigint) AS component
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a bipartite customer–supplier trade graph
+    (suppliers offset into their own id space), labels = min reachable id.
+
+    Runs `operators/dedup.py::connected_components` — driver union-find
+    under the documented SMALL_GRAPH_EDGES bound, distributed min-label
+    propagation with path halving (O(log diameter) rounds, two map-side-
+    combinable shuffle joins per round) beyond it.  The oracle is a
+    recursive-CTE transitive closure, tractable because the graph is
+    scoped (one month, high-quantity lineitems) — the same label
+    definition the distributed path computes on billions of edges.
+    """
+    from ..operators.dedup import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    scoped = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("o_orderdate").between(
+                F.lit(_CC_MONTH_LO).cast("date"), F.lit(_CC_MONTH_HI).cast("date")
+            )
+            & (F.col("l_quantity") >= _CC_MIN_QTY)
+        )
+        .select(
+            F.col("o_custkey").alias("a_id"),
+            (F.col("l_suppkey") + _CC_SUPP_OFFSET).alias("b_id"),
+        )
+        .distinct()
+    )
+    return connected_components(scoped, "a_id", "b_id").orderBy("node")

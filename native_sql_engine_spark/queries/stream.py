@@ -358,3 +358,86 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name).orderBy("event_type")
+
+
+@q(
+    "stream_foreach_batch_upsert",
+    """
+    WITH ranked AS (
+      SELECT user_id, epoch_us(cast(ts AS timestamp)) AS last_us,
+             event_id AS last_event_id, event_type AS last_event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT cast(user_id AS bigint) AS user_id,
+           cast(last_us AS bigint) AS last_us,
+           cast(last_event_id AS bigint) AS last_event_id,
+           last_event_type
+    FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink: keyed latest-state maintenance as
+    append-only deltas + merge-on-read compaction (the Delta/Iceberg MERGE
+    pattern built from primitives).
+
+    The event file is re-sharded into 4 files and streamed with
+    maxFilesPerTrigger=1, so foreachBatch runs per micro-batch; each batch
+    reduces to its per-user argmax (max over a (ts, event_id, ...) struct
+    — associative, so per-batch reduction then cross-batch reduction
+    equals the global argmax) and APPENDS that delta.  Reading the state
+    dir re-reduces across batch deltas — no rewrite of existing state at
+    write time, exactly how an upsert sink scales: delta size is bounded
+    by keys-per-batch, compaction is deferred to read (or a periodic
+    OPTIMIZE).  The oracle computes latest-per-user directly, proving
+    batch-order independence end-to-end."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_upsert_")
+    from ..catalog import load_table
+
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src.repartition(4, F.col("event_id") % 4).write.parquet(f"{base}/src")
+    schema = spark.read.parquet(f"{base}/src").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/src")
+    )
+    state_dir = f"{base}/state"
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
+            .select("user_id", "m.*")
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        qh = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    state = spark.read.parquet(state_dir)
+    return (
+        state.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("m.ts").cast("timestamp")).alias("last_us"),
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.event_type").alias("last_event_type"),
+        )
+        .orderBy("user_id")
+    )
