@@ -879,3 +879,236 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return connected_components(scoped, "a_id", "b_id").orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Exact mergeable distinct via RoaringBitmap-style bitmap aggregates
+# (Spark 3.5+ bitmap_construct_agg / bitmap_or_agg).
+# --------------------------------------------------------------------------
+
+
+@q(
+    "sketch_bitmap_distinct",
+    """
+    WITH direct AS (
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_direct
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority,
+           cast(n_distinct_direct AS bigint) AS n_distinct_direct,
+           cast(n_distinct_direct AS bigint) AS n_distinct_merged
+    FROM direct ORDER BY o_orderpriority
+    """,
+)
+def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting as a mergeable aggregation: keys become set
+    bits in fixed 4096-byte bitmap segments (Spark's bitmap_construct_agg,
+    segment = bitmap_bucket_number), counted with bitmap_count and merged
+    across sub-aggregations with bitmap_or_agg.
+
+    Two paths must agree: (a) direct — one bitmap per (priority, segment);
+    (b) merged — bitmaps built per (priority, month, segment), then OR-folded
+    over months.  (b) is the shape that makes exact distinct *incremental*
+    at 100 TB: daily/monthly partial bitmaps persist next to the data and a
+    rollup is a cheap OR, never a re-scan — the exact-math twin of
+    `agg_hll_mergeable`, with memory proportional to key range per segment
+    instead of a fixed sketch error.  COUNT(DISTINCT) forces Spark's
+    two-shuffle Expand plan; the bitmap path is one partial/final agg over
+    (group, segment), the same mergeable-partial-state discipline as the
+    reference's ColumnarHashAggregateExec partial pipelines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    seg = F.bitmap_bucket_number(F.col("o_custkey")).alias("seg")
+    pos = F.bitmap_bit_position(F.col("o_custkey"))
+    direct = (
+        orders.groupBy("o_orderpriority", seg)
+        .agg(F.bitmap_construct_agg(pos).alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_direct"))
+    )
+    merged = (
+        orders.groupBy(
+            "o_orderpriority", F.trunc("o_orderdate", "month").alias("mon"), seg
+        )
+        .agg(F.bitmap_construct_agg(pos).alias("bm"))
+        .groupBy("o_orderpriority", "seg")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_merged"))
+    )
+    return (
+        direct.join(merged, "o_orderpriority")
+        .select("o_orderpriority", "n_distinct_direct", "n_distinct_merged")
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — deterministic, oracle-replayable.
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_A, _KMV_B = 69621, 113
+
+
+@q(
+    "sketch_kmv_distinct",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority,
+             ((o_custkey * {_KMV_A} + {_KMV_B}) % {_BF_P}) AS hv
+      FROM orders),
+    ranked AS (
+      SELECT o_orderpriority, hv,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY hv)
+               AS rn
+      FROM h),
+    kth AS (
+      SELECT o_orderpriority, hv AS kth_hash FROM ranked
+      WHERE rn = {_KMV_K}),
+    t AS (
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS true_distinct
+      FROM orders GROUP BY o_orderpriority)
+    SELECT k.o_orderpriority, cast(k.kth_hash AS bigint) AS kth_hash,
+           cast(round(({_KMV_K} - 1) * {_BF_P}.0 / k.kth_hash, 2) AS double)
+             AS est_distinct,
+           cast(t.true_distinct AS bigint) AS true_distinct
+    FROM kth k JOIN t USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch per group: keep the K smallest
+    distinct hash values; estimate distinct ≈ (K−1)·P / kth_min.
+
+    The sketch state is K numbers per group — mergeable by "union, keep K
+    smallest", which is exactly a partial TopK/min-heap aggregation — and
+    because the hash is portable integer arithmetic the oracle replays the
+    identical sketch, so the kth hash AND the closed-form estimate
+    hash-match DuckDB (same IEEE-double division).  At 100 TB this is the
+    distinct sketch you pick when sketches must be *set-algebra composable*
+    (union = merge; intersection via inclusion–exclusion on the union
+    sketch), which HLL cannot do exactly; per-group state stays K·8 bytes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    h = orders.select(
+        "o_orderpriority",
+        ((F.col("o_custkey") * _KMV_A + _KMV_B) % _BF_P).alias("hv"),
+    ).distinct()
+    w = W.partitionBy("o_orderpriority").orderBy("hv")
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("o_orderpriority", F.col("hv").alias("kth_hash"))
+    )
+    t = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("true_distinct")
+    )
+    return (
+        kth.join(t, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "kth_hash",
+            F.round(F.lit(float(_KMV_K - 1)) * F.lit(float(_BF_P)) / F.col("kth_hash"), 2)
+            .cast("double")
+            .alias("est_distinct"),
+            "true_distinct",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# OHLC candlestick downsampling (time-series bar aggregation).
+# --------------------------------------------------------------------------
+
+
+@q(
+    "timeseries_ohlc_bars",
+    """
+    WITH base AS (
+      SELECT user_id, cast(date_trunc('week', cast(ts AS timestamp)) AS date)
+               AS wk,
+             value, ts, event_id
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    ranked AS (
+      SELECT user_id, wk, value,
+             row_number() OVER (PARTITION BY user_id, wk
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY user_id, wk
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM base)
+    SELECT cast(user_id AS bigint) AS user_id, cast(wk AS varchar) AS week,
+           cast(round(cast(max(CASE WHEN rn_open = 1 THEN value END)
+                 AS decimal(38,9)), 2) AS double) AS open,
+           cast(round(cast(max(value) AS decimal(38,9)), 2) AS double) AS high,
+           cast(round(cast(min(value) AS decimal(38,9)), 2) AS double) AS low,
+           cast(round(cast(max(CASE WHEN rn_close = 1 THEN value END)
+                 AS decimal(38,9)), 2) AS double) AS close,
+           cast(count(*) AS bigint) AS n_events
+    FROM ranked
+    GROUP BY user_id, wk
+    HAVING count(*) >= 3
+    ORDER BY user_id, wk
+    """,
+)
+def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsampling: per user×week bars with open (first
+    value by (ts, event_id)), high, low, close (last value) and the bar's
+    event count — the canonical tick→bar compaction every time-series store
+    (and the reference's window-agg surface) serves.
+
+    Both row_number passes and the final aggregation share ONE hash
+    partitioning on (user_id, week) — Spark plans a single Exchange
+    followed by two sorts and the agg, so at 100 TB the tick table moves
+    through the cluster exactly once.  Ties are broken by event_id, making
+    open/close deterministic under parallel replay (and oracle-replayable:
+    DuckDB runs the identical ranked CTE).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    base = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        F.date_trunc("week", F.col("ts").cast("timestamp")).cast("date").alias("wk"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_open = W.partitionBy("user_id", "wk").orderBy("ts", "event_id")
+    w_close = W.partitionBy("user_id", "wk").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = base.select(
+        "user_id",
+        "wk",
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+
+    def _r2(c):
+        return F.round(c.cast("decimal(38,9)"), 2).cast("double")
+
+    return (
+        ranked.groupBy("user_id", "wk")
+        .agg(
+            _r2(F.max(F.when(F.col("rn_open") == 1, F.col("value")))).alias("open"),
+            _r2(F.max("value")).alias("high"),
+            _r2(F.min("value")).alias("low"),
+            _r2(F.max(F.when(F.col("rn_close") == 1, F.col("value")))).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 3)
+        .select(
+            "user_id",
+            F.col("wk").cast("string").alias("week"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+        .orderBy("user_id", "week")
+    )

@@ -1366,3 +1366,223 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "source_bucketed_join",
+    """
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS n_items,
+           cast(round(sum(cast(l_extendedprice AS decimal(38,9))), 2)
+                AS double) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact–fact join via bucketed tables: orders and lineitem
+    are written bucketBy(8, orderkey) + sortBy, then joined — each task
+    reads bucket i of BOTH sides, so the sort-merge join runs with no
+    Exchange on either input (asserted on the executed plan; broadcast is
+    disabled to keep the strategy honest).
+
+    This is the co-location contract the reference builds its columnar
+    shuffle around (ColumnarShuffleExchangeExec): at 100 TB you pay the
+    partitioning shuffle ONCE at write time and every subsequent join/agg
+    on the bucket key is exchange-free.  The oracle joins the raw tables
+    directly, proving the bucketed layout changes the plan, not the answer.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..plans.inspect import executed_plan
+    from ..sources import io as IO
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    # A fresh session's in-memory catalog forgets managed tables, but their
+    # warehouse directories persist — clear both so overwrite can't hit
+    # LOCATION_ALREADY_EXISTS.
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bj_orders_b", "bj_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    IO.write_bucketed(orders, "bj_orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    IO.write_bucketed(li, "bj_lineitem_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bl = spark.table("bj_orders_b"), spark.table("bj_lineitem_b")
+        res = (
+            bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,9)")), 2)
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        plan = executed_plan(res)
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        res.collect()  # materialize under the no-broadcast conf
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    return res
+
+
+@q(
+    "source_dpp_partitioned",
+    """
+    WITH dim AS (
+      SELECT DISTINCT year(l_shipdate) AS d_year
+      FROM lineitem WHERE year(l_shipdate) % 3 = 0)
+    SELECT cast(year(l_shipdate) AS int) AS ship_year,
+           cast(count(*) AS bigint) AS n_items,
+           cast(round(sum(cast(l_extendedprice AS decimal(38,9))), 2)
+                AS double) AS revenue
+    FROM lineitem JOIN dim ON year(l_shipdate) = dim.d_year
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def source_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: lineitem is laid out
+    partitioned-by ship_year; a selective dimension filter (years divisible
+    by 3) prunes the fact scan AT RUNTIME via the broadcast join's keys —
+    the executed plan's PartitionFilters must carry a `dynamicpruning`
+    subquery (asserted), so only matching year directories are read.
+
+    At 100 TB this is the difference between scanning every partition and
+    scanning the 2 the dimension selects; it composes with the static
+    zone-map/row-group pruning of `index_zonemap_pruning` (partition dir →
+    row group → page).  The oracle computes the same join over the raw
+    table, proving pruning is lossless.
+    """
+    import re
+    import tempfile
+
+    from ..plans.inspect import executed_plan
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    base = tempfile.mkdtemp(prefix="src_dpp_")
+    (
+        li.withColumn("ship_year", F.year("l_shipdate"))
+        .write.partitionBy("ship_year")
+        .parquet(f"{base}/fact")
+    )
+    fact = spark.read.parquet(f"{base}/fact")
+    dim = (
+        fact.select(F.col("ship_year").alias("d_year"))
+        .distinct()
+        .filter(F.col("d_year") % 3 == 0)
+    )
+    res = (
+        fact.join(F.broadcast(dim), fact.ship_year == dim.d_year)
+        .groupBy(F.col("ship_year").cast("int").alias("ship_year"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,9)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("ship_year")
+    )
+    plan = executed_plan(res)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dynamicpruning" in m.group(1).lower(), plan
+    return res
+
+
+_MS_NQ = 4  # vec_id < 4 are the "queries"; the rest are the doc corpus
+
+
+@q(
+    "sim_maxsim_rerank",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {_MS_NQ}),
+    d AS (
+      SELECT vec_id AS doc_id, embedding AS d_emb FROM embeddings
+      WHERE vec_id >= {_MS_NQ}),
+    idx AS (SELECT unnest(generate_series(0, 7)) AS i),
+    ks AS (SELECT unnest(generate_series(1, 8)) AS k),
+    terms AS (
+      SELECT q.q_id, d.doc_id, qi.i AS qi, di.i AS di,
+             cast(q.q_emb[qi.i * 8 + ks.k] AS double)
+               * cast(d.d_emb[di.i * 8 + ks.k] AS double) AS t
+      FROM q, d, idx qi, idx di, ks),
+    dots AS (
+      SELECT q_id, doc_id, qi, di, sum(t) AS dot
+      FROM terms GROUP BY 1, 2, 3, 4),
+    mx AS (
+      SELECT q_id, doc_id, qi, max(dot) AS m FROM dots GROUP BY 1, 2, 3),
+    score AS (
+      SELECT q_id, doc_id, sum(m) AS maxsim FROM mx GROUP BY 1, 2),
+    ranked AS (
+      SELECT q_id, doc_id, maxsim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY maxsim DESC, doc_id) AS rank
+      FROM score)
+    SELECT cast(q_id AS bigint) AS q_id, cast(doc_id AS bigint) AS doc_id,
+           cast(rank AS bigint) AS rank,
+           cast(round(maxsim, 2) AS double) AS maxsim
+    FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+)
+def sim_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim scoring: each vector is
+    treated as 8 token-vectors of 8 dims; score(q, d) = Σ_qtoken max_dtoken
+    ⟨qtoken, dtoken⟩; top-5 docs per query.
+
+    The whole kernel is codegen'd higher-order functions — token split via
+    `transform`+`slice` STAGED THROUGH A PROJECTION (HOF lambdas re-run
+    captured expressions per element otherwise), dot products via
+    `zip_with`+`aggregate`, the token max via `array_max` — so scoring
+    never leaves the JVM.  Queries broadcast (q-side is per-request tiny);
+    the doc corpus streams through map-side only until the final top-k.
+    At 100 TB MaxSim is the RERANK stage: `sim_cosine_topk_lsh`/IVF prunes
+    to candidates, this scores candidates exactly — the composition is the
+    standard two-stage retrieval every vector store ships, here as two
+    battery entries sharing one DataFrame contract.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = F.expr(
+        "transform(sequence(0, 7), i -> "
+        "transform(slice(embedding, i * 8 + 1, 8), x -> cast(x AS double)))"
+    )
+    qs = emb.filter(F.col("vec_id") < _MS_NQ).select(
+        F.col("vec_id").alias("q_id"), toks.alias("q_toks")
+    )
+    docs = emb.filter(F.col("vec_id") >= _MS_NQ).select(
+        F.col("vec_id").alias("doc_id"), toks.alias("d_toks")
+    )
+    scored = docs.crossJoin(F.broadcast(qs)).select(
+        "q_id",
+        "doc_id",
+        F.expr(
+            "aggregate(q_toks, cast(0 AS double), (acc, qt) -> acc + "
+            "array_max(transform(d_toks, dt -> "
+            "aggregate(zip_with(qt, dt, (x, y) -> x * y), "
+            "cast(0 AS double), (a, v) -> a + v))))"
+        ).alias("maxsim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("maxsim"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("maxsim", 2).cast("double").alias("maxsim"),
+        )
+        .orderBy("q_id", "rank")
+    )
