@@ -335,6 +335,61 @@ def ngram_jaccard_pairs(
     return out.orderBy("a_id", "b_id") if sort else out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    ngram: int = 3,
+) -> DataFrame:
+    """Directional containment join: pairs (contained, container) where
+    |A∩B| / |A| ≥ threshold over word-``ngram`` shingles — catches a doc
+    whose content sits INSIDE a larger doc (quote farms, boilerplate
+    wrappers, truncated re-crawls), which symmetric Jaccard misses because
+    the union is dominated by the container.
+
+    Asymmetric prefix filter (the containment adaptation of PPJoin): only
+    the CONTAINED side indexes a prefix (|A| − ⌈t·|A|⌉ + 1 rarest-first
+    shingles — any pair with overlap ≥ ⌈t·|A|⌉ must collide there); the
+    container side streams ALL its shingles through the equi-join, with a
+    one-sided size filter |B| ≥ ⌈t·|A|⌉ (an intersection can't exceed |B|).
+    Candidates then verify exactly.  Same no-O(n²) guarantee as
+    ``ngram_jaccard_pairs``; both directions of a pair report separately.
+    """
+    t4 = int(round(threshold * 10000))
+    base = _shingle_base(df, id_col, text_col, ngram)
+    ex = base.select("_id", "_sz", F.explode("_sh").alias("_s"))
+    dfreq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
+    ranked = ex.join(dfreq, "_s").withColumn(
+        "_rn", F.row_number().over(W.partitionBy("_id").orderBy("_df", "_s"))
+    )
+    ceil_t_sz = ((F.lit(t4) * F.col("_sz") + 9999) / 10000).cast("long")
+    prefix_a = ranked.filter(F.col("_rn") <= F.col("_sz") - ceil_t_sz + 1).select(
+        F.col("_id").alias("a_id"), F.col("_sz").alias("a_sz"), "_s"
+    )
+    all_b = ex.select(F.col("_id").alias("b_id"), F.col("_sz").alias("b_sz"), "_s")
+    cand = (
+        prefix_a.join(all_b, "_s")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(F.col("b_sz") * 10000 >= ((F.lit(t4) * F.col("a_sz") + 9999) / 10000).cast("long") * 10000)
+        .select("a_id", "b_id")
+        .dropDuplicates()
+    )
+    pairs = cand.join(
+        base.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh")), "a_id"
+    ).join(base.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh")), "b_id")
+    out = pairs.select(
+        F.col("a_id").alias("contained_id"),
+        F.col("b_id").alias("container_id"),
+        F.round(
+            F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+            / F.size("a_sh"),
+            4,
+        ).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+    return out.orderBy("contained_id", "container_id")
+
+
 def minhash_signature(tokens_or_shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature (array<long>) of a token/shingle array, as a column
     expression: h_i(x) = (a_i · xxhash64(x) + b_i) mod M, min per row.

@@ -321,3 +321,124 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.col("right_p_id").alias("nearest_purchase")
     ).orderBy("event_id")
+
+
+_WS_A, _WS_B, _WS_P = 1103515245, 12345, 2_147_483_647
+_WS_N = 10
+
+
+@q(
+    "sample_weighted",
+    f"""
+    WITH k AS (
+      SELECT o_orderpriority, o_orderkey,
+             -ln((((o_orderkey * {_WS_A} + {_WS_B}) % {_WS_P}) + 1) * 1.0
+                 / (cast({_WS_P} AS bigint) + 1)) / o_totalprice AS skey
+      FROM orders),
+    r AS (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY skey, o_orderkey) AS rn
+      FROM k)
+    SELECT o_orderpriority, cast(rn AS bigint) AS rank,
+           cast(o_orderkey AS bigint) AS o_orderkey
+    FROM r WHERE rn <= {_WS_N}
+    ORDER BY o_orderpriority, rank
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, {n} per stratum
+    (Efraimidis–Spirakis A-Res): each row draws u ∈ (0,1] from a portable
+    integer hash of its key and scores −ln(u)/weight; the n smallest
+    scores per group are an exact weighted sample.
+
+    One scan + one TopK-per-group — selection probability ∝ o_totalprice
+    with NO global pass over the weights (the classic cumulative-sum
+    approach needs a prefix sum over all 100 TB; this needs per-group
+    heaps of n rows).  Deterministic: the oracle replays the identical
+    hash→u→score pipeline, so the sampled ids hash-match; swapping the
+    hash seed re-rolls the sample.  This is the sampler a training-data
+    pipeline uses for quality-weighted corpus subsampling.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    u = (((F.col("o_orderkey") * _WS_A + _WS_B) % _WS_P) + 1) / F.lit(
+        float(_WS_P + 1)
+    )
+    k = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        (-F.log(u) / F.col("o_totalprice")).alias("skey"),
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("skey", "o_orderkey")
+    return (
+        k.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WS_N)
+        .select(
+            "o_orderpriority",
+            F.col("rn").cast("long").alias("rank"),
+            "o_orderkey",
+        )
+        .orderBy("o_orderpriority", "rank")
+    )
+
+
+@q(
+    "timeseries_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT event_type, cast(cast(ts AS timestamp) AS date) AS d,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2),
+    trended AS (
+      SELECT event_type, d, v,
+             avg(v) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+      FROM daily),
+    detr AS (
+      SELECT event_type,
+             (datediff('day', DATE '1970-01-01', d) + 4) % 7 AS dow,
+             v - trend AS resid0
+      FROM trended)
+    SELECT event_type, cast(dow AS int) AS dow,
+           cast(round(cast(avg(resid0) AS decimal(38,9)), 2) AS double)
+             AS seasonal,
+           cast(count(*) AS bigint) AS n_days
+    FROM detr GROUP BY event_type, dow
+    ORDER BY event_type, dow
+    """,
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical (moving-average) seasonal decomposition: daily totals per
+    event_type → trend = centered 7-day rolling mean → seasonal index =
+    mean detrended value per day-of-week.
+
+    Day-of-week is computed portably as (days-since-1970 + 4) mod 7
+    (0 = Sunday) — engine dayofweek() conventions differ, integer date
+    arithmetic doesn't.  The rolling window and the final aggregate share
+    one event_type partitioning; at 100 TB the pre-aggregation to
+    |types|×|days| rows happens BEFORE any window work, so the window
+    pass is metadata-sized regardless of raw event volume (same pre-agg
+    discipline as `rollup_time_multigrain`).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("d")
+    ).agg(F.sum("value").alias("v"))
+    w = W.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    detr = daily.select(
+        "event_type",
+        ((F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) + 4) % 7).alias(
+            "dow"
+        ),
+        (F.col("v") - F.avg("v").over(w)).alias("resid0"),
+    )
+    return (
+        detr.groupBy("event_type", F.col("dow").cast("int").alias("dow"))
+        .agg(
+            F.round(F.avg("resid0").cast("decimal(38,9)"), 2)
+            .cast("double")
+            .alias("seasonal"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -1586,3 +1586,25 @@ def sim_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rank")
     )
+
+
+@q(
+    "dedup_containment",
+    f"""
+    WITH s AS ({_SHINGLE_SQL})
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 4)
+             AS containment
+    FROM s a, s b
+    WHERE a.doc_id <> b.doc_id
+      AND len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= 0.9
+    ORDER BY contained_id, container_id
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment dedup (|A∩B|/|A| ≥ 0.9): doc-inside-doc
+    detection via the asymmetric prefix-filtered similarity join
+    (operators/dedup.py::containment_pairs) — the oracle is the unblocked
+    all-pairs set, proving the prefix filter is lossless."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "doc_id", "text", threshold=0.9)
