@@ -488,3 +488,53 @@ def audio_stats(df: DataFrame, audio_col: str = "audio") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(batches, schema)
+
+
+#: schema of a perceptual-hash row
+IMAGE_AHASH = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over DECODED_IMAGE rows: block-mean
+    downsample to ``grid``×``grid``, one bit per cell = cell luma above the
+    image mean, packed row-major into a long.
+
+    All comparisons are INTEGER (cell byte-sum · n_cells > image byte-sum ·
+    cells-per-block ratio) — no float luma, so the hash is bit-reproducible
+    across numpy versions and replayable by an external oracle.  Near-dup
+    images (re-encodes, small edits, brightness shifts that don't wrap)
+    collapse to equal or near-equal hashes; dedup is then a hash-groupBy
+    (exact) or a banded hamming join (near), the same downstream shapes as
+    text MinHash.  Arrow-batched mapInPandas; ~1 long per image leaves the
+    Python boundary."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, w, h, c, raw in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["channels"], pdf["pixels"]
+            ):
+                g = min(grid, int(w), int(h))
+                px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+                    int(h), int(w), int(c)
+                )
+                # integer byte-sum per pixel, then block-sum to g×g cells
+                s = px.sum(axis=2, dtype=np.int64)
+                bh, bw = int(h) // g, int(w) // g
+                cells = s[: g * bh, : g * bw].reshape(g, bh, g, bw).sum(axis=(1, 3))
+                total = int(cells.sum())
+                # bit = cell mean > image mean  ⟺  cell_sum · g² > total
+                bits = (cells * (g * g) > total).astype(np.int64).ravel()
+                hashes.append(int((bits << np.arange(g * g, dtype=np.int64)).sum()))
+                ids.append(int(mid))
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+    return df.select("media_id", "width", "height", "channels", "pixels").mapInPandas(
+        batches, IMAGE_AHASH
+    )

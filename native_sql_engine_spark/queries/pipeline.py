@@ -1608,3 +1608,58 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs set, proving the prefix filter is lossless."""
     docs = load_table(spark, sf_dir, "documents")
     return D.containment_pairs(docs, "doc_id", "text", threshold=0.9)
+
+
+@q(
+    "multimodal_image_ahash",
+    """
+    WITH px AS (
+      SELECT d.doc_id, t.p,
+             ((d.doc_id * 37 + (3 - t.p // 4) * 12 + (t.p % 4) * 3) % 256
+              + (d.doc_id * 37 + (3 - t.p // 4) * 12 + (t.p % 4) * 3 + 1) % 256
+              + (d.doc_id * 37 + (3 - t.p // 4) * 12 + (t.p % 4) * 3 + 2) % 256)
+               AS s3
+      FROM documents d, range(16) t(p) WHERE d.doc_id < 300),
+    tot AS (SELECT doc_id, sum(s3) AS total FROM px GROUP BY doc_id),
+    bits AS (
+      SELECT px.doc_id,
+             sum(CASE WHEN px.s3 * 16 > tot.total
+                 THEN 1 << px.p ELSE 0 END) AS ahash
+      FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id),
+    g AS (SELECT ahash, count(*) AS group_size, min(doc_id) AS canon
+          FROM bits GROUP BY ahash)
+    SELECT b.doc_id, cast(b.ahash AS bigint) AS ahash,
+           cast(g.group_size AS bigint) AS group_size,
+           (b.doc_id = g.canon) AS is_canonical
+    FROM bits b JOIN g USING (ahash) ORDER BY b.doc_id
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual average-hash: decode (REAL pure-numpy BMP)
+    → integer-math aHash (operators/multimodal.py::image_ahash) →
+    hash-groupBy dup groups with a canonical representative — the image
+    twin of `dedup_exact`, and stage one of image near-dup (stage two = a
+    banded hamming join like `dedup_simhash`).
+
+    The oracle replays decode + hash from the synthesized closed form
+    ((id·37+k) mod 256 file bytes, bottom-up row flip, integer cell-sum
+    comparisons), so a wrong stride/flip/bit-order in EITHER kernel breaks
+    the hash match.  At 100 TB: one long per image crosses the Python
+    boundary; grouping shuffles 8-byte hashes, never pixels."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    payloads = M.synthesize_bmp_corpus(docs, "doc_id", width=4, height=4)
+    decoded = M.decode_image(payloads, "payload", "doc_id")
+    hashed = M.image_ahash(decoded, grid=4)
+    groups = hashed.groupBy("ahash").agg(
+        F.count("*").alias("group_size"), F.min("media_id").alias("canon")
+    )
+    return (
+        hashed.join(groups, "ahash")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "ahash",
+            "group_size",
+            (F.col("media_id") == F.col("canon")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
