@@ -687,6 +687,49 @@ CASES: dict[str, str] = {
         SELECT round(sin(pi() / 2), 6) AS s, round(cos(0), 6) AS c,
                round(atan2(1, 1), 6) AS a
     """,
+    # -- string builtin pack 2 (postgreSQL-input territory) ------------------
+    "str_repeat_lpad_rpad": """
+        SELECT repeat('ab', 3) AS r, lpad('7', 3, '0') AS l, rpad('7', 3, 'x') AS p
+    """,
+    "str_reverse_ascii_chr": "SELECT reverse('abc') AS r, ascii('A') AS a, chr(66) AS c",
+    "str_regexp_extract_group": "SELECT regexp_extract('foo123bar', '([0-9]+)', 1) AS v",
+    "str_translate_map": "SELECT translate('abcd', 'bd', 'xy') AS v",
+    "str_hex_of_int": "SELECT hex(255) AS h",
+    # -- math builtin pack 2 -------------------------------------------------
+    "math_degrees_radians": """
+        SELECT round(degrees(pi()), 6) AS d, round(radians(180.0), 6) AS r
+    """,
+    "math_log10_log2": "SELECT log10(1000.0) AS a, log2(8.0) AS b",
+    "math_factorial_cbrt": """
+        SELECT cast(factorial(5) AS bigint) AS f, round(cbrt(27.0), 6) AS c
+    """,
+    # -- bitwise / shift operators ------------------------------------------
+    "bitwise_and_or_not": "SELECT 5 & 3 AS a, 5 | 2 AS o, ~5 AS n",
+    "bitwise_shifts": "SELECT 1 << 10 AS s, 1024 >> 3 AS r",
+    # -- subquery corners (reference subquery/in,exists territory) -----------
+    "exists_over_aggregate_of_empty_is_true": """
+        SELECT CASE WHEN EXISTS
+          (SELECT max(o_totalprice) FROM orders WHERE 1 = 0)
+        THEN 1 ELSE 0 END AS v
+    """,
+    "not_in_empty_subquery_keeps_all": """
+        SELECT count(*) AS n FROM nation
+        WHERE n_nationkey NOT IN (SELECT o_custkey FROM orders WHERE 1 = 0)
+    """,
+    "case_simple_form": "SELECT CASE 3 WHEN 1 THEN 'a' WHEN 3 THEN 'c' ELSE 'z' END AS v",
+    # -- typeCoercion pack 2 -------------------------------------------------
+    "tc_join_on_int_vs_decimal": """
+        SELECT count(*) AS n FROM orders
+        JOIN customer ON o_custkey = cast(c_custkey AS decimal(18, 0))
+    """,
+    "tc_window_total_equals_group_total": """
+        SELECT DISTINCT o_orderpriority,
+               cast(count(*) OVER (PARTITION BY o_orderpriority) AS bigint) AS n_win
+        FROM orders
+    """,
+    "win_count_over_empty_spec": """
+        SELECT DISTINCT cast(count(*) OVER () AS bigint) AS n FROM nation
+    """,
 }
 
 #: Negative corpus (the reference's subquery/negative territory): SQL both
@@ -707,6 +750,14 @@ NEGATIVE_CASES: dict[str, str] = {
     "neg_having_window": """
         SELECT n_regionkey, count(*) FROM nation GROUP BY n_regionkey
         HAVING rank() OVER (ORDER BY n_regionkey) = 1
+    """,
+    "neg_ambiguous_column": """
+        SELECT n_nationkey FROM nation a
+        JOIN nation b ON a.n_nationkey = b.n_nationkey
+    """,
+    "neg_values_arity_mismatch": "SELECT * FROM (VALUES (1, 2), (3)) t(a, b)",
+    "neg_duplicate_cte_name": """
+        WITH x AS (SELECT 1 AS a), x AS (SELECT 2 AS a) SELECT * FROM x
     """,
 }
 
