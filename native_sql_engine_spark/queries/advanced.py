@@ -1112,3 +1112,264 @@ def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "week")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV sketch set algebra: union / intersection estimates by sketch merge.
+# --------------------------------------------------------------------------
+
+
+@q(
+    "sketch_kmv_setops",
+    f"""
+    WITH a AS (
+      SELECT DISTINCT ((o_custkey * {_KMV_A} + {_KMV_B}) % {_BF_P}) AS hv,
+             o_custkey
+      FROM orders WHERE o_orderpriority = '1-URGENT'),
+    b AS (
+      SELECT DISTINCT ((o_custkey * {_KMV_A} + {_KMV_B}) % {_BF_P}) AS hv,
+             o_custkey
+      FROM orders WHERE o_orderpriority = '5-LOW'),
+    ka AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) rn
+                           FROM (SELECT DISTINCT hv FROM a)) WHERE rn = {_KMV_K}),
+    kb AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) rn
+                           FROM (SELECT DISTINCT hv FROM b)) WHERE rn = {_KMV_K}),
+    ku AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) rn
+                           FROM (SELECT DISTINCT hv FROM
+                                 (SELECT hv FROM a UNION SELECT hv FROM b)))
+           WHERE rn = {_KMV_K}),
+    t AS (
+      SELECT count(DISTINCT x.o_custkey) AS true_union,
+             count(DISTINCT CASE WHEN ina AND inb THEN x.o_custkey END)
+               AS true_intersection
+      FROM (SELECT o_custkey,
+                   max(o_orderpriority = '1-URGENT') AS ina,
+                   max(o_orderpriority = '5-LOW') AS inb
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            GROUP BY o_custkey) x)
+    SELECT cast(ka.hv AS bigint) AS kth_a, cast(kb.hv AS bigint) AS kth_b,
+           cast(ku.hv AS bigint) AS kth_union,
+           cast(round(({_KMV_K} - 1) * {_BF_P}.0 / ku.hv, 2) AS double)
+             AS est_union,
+           cast(round(({_KMV_K} - 1) * {_BF_P}.0 / ka.hv
+                      + ({_KMV_K} - 1) * {_BF_P}.0 / kb.hv
+                      - ({_KMV_K} - 1) * {_BF_P}.0 / ku.hv, 2) AS double)
+             AS est_intersection,
+           cast(t.true_union AS bigint) AS true_union,
+           cast(t.true_intersection AS bigint) AS true_intersection
+    FROM ka, kb, ku, t
+    """,
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the property HLL doesn't have: two KMV
+    sketches merge by union-keep-K-smallest into a valid sketch of A∪B,
+    and |A∩B| follows by inclusion–exclusion on the three estimates.
+
+    At 100 TB this answers "how many users overlap between corpus X and
+    corpus Y" from two K·8-byte sketches computed independently (per
+    corpus, per day, per shard — merged later), never co-scanning the
+    corpora.  All three kth-hashes AND both estimates hash-match the
+    oracle's replay; the true union/intersection ride along to show the
+    error envelope."""
+    orders = load_table(spark, sf_dir, "orders")
+    hv = ((F.col("o_custkey") * _KMV_A + _KMV_B) % _BF_P).alias("hv")
+
+    def sketch_kth(prio: str):
+        return (
+            orders.filter(F.col("o_orderpriority") == prio)
+            .select(hv)
+            .distinct()
+            .orderBy("hv")
+            .limit(_KMV_K)
+            .agg(F.max("hv"))
+            .first()[0]
+        )
+
+    ha = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(hv).distinct()
+    hb = orders.filter(F.col("o_orderpriority") == "5-LOW").select(hv).distinct()
+    kth_a, kth_b = sketch_kth("1-URGENT"), sketch_kth("5-LOW")
+    kth_u = (
+        ha.union(hb).distinct().orderBy("hv").limit(_KMV_K).agg(F.max("hv")).first()[0]
+    )
+    est = lambda kth: float(_KMV_K - 1) * float(_BF_P) / kth  # noqa: E731
+    marks = (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderpriority") == "1-URGENT").alias("ina"),
+            F.max(F.col("o_orderpriority") == "5-LOW").alias("inb"),
+        )
+    )
+    t = marks.agg(
+        F.count("*").alias("true_union"),
+        F.sum((F.col("ina") & F.col("inb")).cast("long")).alias("true_intersection"),
+    )
+    return t.select(
+        F.lit(kth_a).cast("long").alias("kth_a"),
+        F.lit(kth_b).cast("long").alias("kth_b"),
+        F.lit(kth_u).cast("long").alias("kth_union"),
+        F.round(F.lit(est(kth_u)), 2).cast("double").alias("est_union"),
+        F.round(F.lit(est(kth_a) + est(kth_b) - est(kth_u)), 2)
+        .cast("double")
+        .alias("est_intersection"),
+        "true_union",
+        "true_intersection",
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN view (delta rules).
+# --------------------------------------------------------------------------
+
+_IVMJ_CUT = "1997-01-01"
+
+
+@q(
+    "ivm_join_view_deltas",
+    f"""
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS n_items,
+           cast(round(sum(cast(l_extendedprice AS decimal(38,9))), 2)
+                AS double) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def ivm_join_view_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: V = γ(A ⋈ B) kept current
+    under inserts to BOTH sides using the delta rule
+    ΔV = γ(ΔA⋈B₀) + γ(A₀⋈ΔB) + γ(ΔA⋈ΔB) — never re-joining A₀⋈B₀.
+
+    A = orders (Δ = orderdate ≥ {_IVMJ_CUT}), B = lineitem (Δ = shipdate ≥
+    {_IVMJ_CUT}); the view aggregates per priority.  Maintenance cost at
+    100 TB is |Δ|·(index probes into the other side) instead of a full
+    re-join: each delta term is a join of a SMALL delta against the stored
+    base (in a real deployment, against its join-key index/bucketed
+    layout, cf. `source_bucketed_join`).  The oracle computes the view
+    directly from the full tables, proving delta-merge ≡ recompute.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit(_IVMJ_CUT).cast("date")
+    a_old, a_new = (
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+    )
+    b_old, b_new = (
+        li.filter(F.col("l_shipdate") < cut),
+        li.filter(F.col("l_shipdate") >= cut),
+    )
+
+    def agg_join(a, b):
+        return (
+            a.select("o_orderkey", "o_orderpriority")
+            .join(b.select("l_orderkey", "l_extendedprice"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("l_extendedprice").alias("rev"),
+            )
+        )
+
+    v_base = agg_join(a_old, b_old)
+    deltas = (
+        agg_join(a_new, b_old)
+        .unionAll(agg_join(a_old, b_new))
+        .unionAll(agg_join(a_new, b_new))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("dn"), F.sum("rev").alias("drev"))
+    )
+    merged = v_base.join(deltas, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_items"),
+        (F.coalesce("rev", F.lit(0.0)) + F.coalesce("drev", F.lit(0.0))).alias("rev"),
+    )
+    return (
+        merged.filter(F.col("n_items") > 0)
+        .select(
+            "o_orderpriority",
+            "n_items",
+            F.round(F.col("rev").cast("decimal(38,9)"), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) locality: interleaved bits give every indexed column
+# narrow per-file ranges — the bounding boxes prove it.
+# --------------------------------------------------------------------------
+
+_ZO_BITS = 8
+_ZO_FILES = 16
+
+
+@q(
+    "layout_zorder_locality",
+    f"""
+    WITH binned AS (
+      SELECT l_orderkey, l_linenumber,
+             cast(l_quantity AS int) AS x,
+             cast(least(floor(l_extendedprice / 1000), 255) AS int) AS y
+      FROM lineitem),
+    z AS (
+      SELECT l_orderkey, l_linenumber, x, y,
+             (SELECT sum((( x >> b.b) & 1) * power(2, 2 * b.b)
+                       + ((y >> b.b) & 1) * power(2, 2 * b.b + 1))
+              FROM range({_ZO_BITS}) b(b)) AS zval
+      FROM binned),
+    filed AS (
+      SELECT x, y, cast(zval AS bigint) >> (2 * {_ZO_BITS} - 4) AS file_id
+      FROM z)
+    SELECT cast(file_id AS int) AS file_id, cast(count(*) AS bigint) AS n_rows,
+           cast(min(x) AS int) AS x_min, cast(max(x) AS int) AS x_max,
+           cast(min(y) AS int) AS y_min, cast(max(y) AS int) AS y_max
+    FROM filed GROUP BY file_id ORDER BY file_id
+    """,
+)
+def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering's locality, measured: lineitem rows binned on
+    (quantity, price/1000) get Morton z-values (bit interleave, the same
+    shift/or fold as operators/layout.py::zorder_value), are packed into
+    16 z-range files, and the per-file bounding boxes come
+    back — BOTH dimensions stay narrow per file, which is why selective
+    filters on EITHER column prune most files (single-column sort narrows
+    one dimension only; `tests/test_sources.py::
+    test_zorder_write_narrows_per_file_ranges` asserts the write path).
+    Integer bins + integer interleave keep the oracle replay exact; file
+    assignment is the TOP 4 BITS of z (16 disjoint z-ranges) — the
+    embarrassingly-parallel stand-in for repartitionByRange(z), no global
+    window anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    binned = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("x"),
+        F.least(F.floor(F.col("l_extendedprice") / 1000), F.lit(255))
+        .cast("int")
+        .alias("y"),
+    )
+    z = F.lit(0).cast("long")
+    for b in range(_ZO_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("x"), b).bitwiseAND(F.lit(1)), 2 * b)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("y"), b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    filed = binned.withColumn("zval", z).select(
+        "x", "y", F.shiftright("zval", 2 * _ZO_BITS - 4).alias("file_id")
+    )
+    return (
+        filed.groupBy(F.col("file_id").cast("int").alias("file_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").cast("int").alias("x_min"),
+            F.max("x").cast("int").alias("x_max"),
+            F.min("y").cast("int").alias("y_min"),
+            F.max("y").cast("int").alias("y_max"),
+        )
+        .orderBy("file_id")
+    )
