@@ -1373,3 +1373,91 @@ def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-size estimation from two count-min sketches (inner product).
+# --------------------------------------------------------------------------
+
+
+@q(
+    "sketch_cms_join_size",
+    f"""
+    WITH params AS (
+      SELECT * FROM (VALUES (0, 31, 7), (1, 131, 101),
+                            (2, 523, 1009), (3, 2053, 10007)) AS t(d, a, b)),
+    ska AS (
+      SELECT p.d, ((e.user_id * p.a + p.b) % {_CMS_P}) % {_CMS_W} AS bkt,
+             count(*) AS c
+      FROM events e CROSS JOIN params p GROUP BY p.d, bkt),
+    skb AS (
+      SELECT p.d, ((o.o_custkey * p.a + p.b) % {_CMS_P}) % {_CMS_W} AS bkt,
+             count(*) AS c
+      FROM orders o CROSS JOIN params p GROUP BY p.d, bkt),
+    per_depth AS (
+      SELECT a.d, sum(a.c * b.c) AS dot
+      FROM ska a JOIN skb b ON a.d = b.d AND a.bkt = b.bkt
+      GROUP BY a.d),
+    est AS (SELECT min(dot) AS est_join FROM per_depth),
+    t AS (
+      SELECT count(*) AS true_join
+      FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+    SELECT cast(est.est_join AS bigint) AS est_join_size,
+           cast(t.true_join AS bigint) AS true_join_size,
+           cast(est.est_join - t.true_join AS bigint) AS overestimate
+    FROM est, t
+    """,
+)
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join CARDINALITY estimation from two count-min sketches: |A⋈B|
+    = Σ_k f_A(k)·f_B(k) is estimated by min-over-depths of the sketch
+    row inner products Σ_b cms_A[d][b]·cms_B[d][b] (always ≥ true — hash
+    collisions only add).
+
+    This is what a cost-based planner (or `salted_join`'s sizing pass)
+    wants BEFORE running a 100 TB join: both sketches are 512-row
+    aggregates computed independently per table (mergeable per partition/
+    epoch like `sketch_count_min`), and the estimate is a 512-row join —
+    no contact with the data itself.  The oracle rebuilds both sketches
+    and the true join count, so estimate AND overestimate hash-match.
+    """
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+
+    def sketch(df):
+        hashed = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            (((F.col("k") * a + b) % _CMS_P) % _CMS_W).alias("bkt"),
+                        )
+                        for d, (a, b) in enumerate(_CMS_AB)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.d", "e.bkt")
+        return hashed.groupBy("d", "bkt").agg(F.count("*").alias("c"))
+
+    ska, skb = sketch(ev), sketch(orders)
+    per_depth = (
+        ska.alias("a")
+        .join(skb.alias("b"), ["d", "bkt"])
+        .groupBy("d")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    est = per_depth.agg(F.min("dot").alias("est_join_size"))
+    true = (
+        load_table(spark, sf_dir, "events")
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("user_id") == F.col("o_custkey"),
+        )
+        .agg(F.count("*").alias("true_join_size"))
+    )
+    return est.crossJoin(true).select(
+        "est_join_size",
+        "true_join_size",
+        (F.col("est_join_size") - F.col("true_join_size")).alias("overestimate"),
+    )

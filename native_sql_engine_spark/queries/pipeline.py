@@ -1663,3 +1663,84 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "sim_tfidf_doc_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM tok WHERE token <> '' GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    nd AS (SELECT count(*) AS n FROM documents),
+    kept AS (
+      SELECT tf.doc_id, tf.token, tf.tf
+      FROM tf JOIN dfreq USING (token), nd
+      WHERE dfreq.df * 20 <= nd.n),
+    nrm AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM kept GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.tf * b.tf) AS dot
+      FROM kept a JOIN kept b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    cos AS (
+      SELECT d.a_id, d.b_id, d.dot / (na.nrm * nb.nrm) AS c
+      FROM dots d JOIN nrm na ON na.doc_id = d.a_id
+                  JOIN nrm nb ON nb.doc_id = d.b_id)
+    SELECT a_id, b_id, cast(round(c, 4) AS double) AS cosine
+    FROM cos WHERE c >= 0.5 ORDER BY a_id, b_id
+    """,
+)
+def sim_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector document similarity join (the IR twin of the dense
+    `sim_cosine_topk`): docs as term-frequency vectors over a PRUNED
+    vocabulary (df·20 ≤ N drops stop-ish terms — at scale they both
+    dominate the inverted-index join's fanout and carry no signal), dot
+    products via the inverted-index self-join on token, cosine ≥ 0.5.
+
+    Every arithmetic step is integer (tf products, tf² norms) up to one
+    sqrt and one division of exactly-representable values, so the cosine
+    — and therefore the threshold cut — is bit-identical across engines;
+    no float-accumulation-order hazard.  Shuffles carry (token, doc, tf)
+    postings, never document bodies; candidate volume is bounded by
+    shared-rare-token pairs (same discipline as `dedup_containment`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n"))
+    kept = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 20 <= F.col("n"))
+        .select("doc_id", "token", "tf")
+    )
+    nrm = kept.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
+    )
+    a = kept.select(
+        F.col("doc_id").alias("a_id"), "token", F.col("tf").alias("tf_a")
+    )
+    b = kept.select(
+        F.col("doc_id").alias("b_id"), "token", F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn("c", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("c") >= 0.5)
+        .select("a_id", "b_id", F.round("c", 4).cast("double").alias("cosine"))
+        .orderBy("a_id", "b_id")
+    )
