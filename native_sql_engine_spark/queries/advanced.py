@@ -1461,3 +1461,238 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_join_size",
         (F.col("est_join_size") - F.col("true_join_size")).alias("overestimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# 2D grid-blocked spatial join (point-in-box) — the spatial analog of the
+# binned interval-overlap join.
+# --------------------------------------------------------------------------
+
+_SP_W = 64  # grid cell width
+_SP_OFF = 256  # domain offset keeps all coordinates positive
+_SP_VALUE = 300.0
+
+
+@q(
+    "join_spatial_grid",
+    f"""
+    WITH pts AS (
+      SELECT event_id,
+             (event_id * 48271) % 1000 + {_SP_OFF} AS px,
+             (event_id * 16807) % 1000 + {_SP_OFF} AS py
+      FROM events),
+    boxes AS (
+      SELECT event_id AS box_id,
+             (event_id * 31) % 1000 + {_SP_OFF} AS cx,
+             (event_id * 37) % 1000 + {_SP_OFF} AS cy,
+             25 + (event_id % 4) * 25 AS half
+      FROM events WHERE event_type = 'purchase' AND value > {_SP_VALUE})
+    SELECT b.box_id, cast(count(p.event_id) AS bigint) AS n_points
+    FROM boxes b LEFT JOIN pts p
+      ON p.px BETWEEN b.cx - b.half AND b.cx + b.half
+     AND p.py BETWEEN b.cy - b.half AND b.cy + b.half
+    GROUP BY b.box_id ORDER BY b.box_id
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-box spatial join via GRID BLOCKING (the 2D generalization
+    of `join_interval_overlap`'s bin blocking): points land in exactly one
+    {_SP_W}-unit grid cell; each query box explodes into the cells it
+    covers; the theta join becomes an equi-join on cell id with the exact
+    containment predicate as residual.  Coordinates are synthesized from
+    event ids with portable integer arithmetic (same discipline as the
+    multimodal closed-form payloads) so the naive-inequality oracle
+    replays exactly.
+
+    At 100 TB: candidate pairs ∝ points-per-covered-cell, never |points|×
+    |boxes|; a point is in ONE cell so no post-join dedup is needed; the
+    grid id is a plain integer pair, so the blocking join is a standard
+    hash shuffle — the same pattern every geospatial engine (GeoSpark/
+    Sedona's grid partitioner) uses under its R-tree sugar.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 48271) % 1000 + _SP_OFF).alias("px"),
+        ((F.col("event_id") * 16807) % 1000 + _SP_OFF).alias("py"),
+    ).withColumn("cell_x", F.floor(F.col("px") / _SP_W)).withColumn(
+        "cell_y", F.floor(F.col("py") / _SP_W)
+    )
+    boxes = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > _SP_VALUE))
+        .select(
+            F.col("event_id").alias("box_id"),
+            ((F.col("event_id") * 31) % 1000 + _SP_OFF).alias("cx"),
+            ((F.col("event_id") * 37) % 1000 + _SP_OFF).alias("cy"),
+            (25 + (F.col("event_id") % 4) * 25).alias("half"),
+        )
+        .withColumn("lo_x", F.col("cx") - F.col("half"))
+        .withColumn("hi_x", F.col("cx") + F.col("half"))
+        .withColumn("lo_y", F.col("cy") - F.col("half"))
+        .withColumn("hi_y", F.col("cy") + F.col("half"))
+    )
+    cells = boxes.select(
+        "box_id",
+        "lo_x",
+        "hi_x",
+        "lo_y",
+        "hi_y",
+        F.explode(
+            F.sequence(F.floor(F.col("lo_x") / _SP_W), F.floor(F.col("hi_x") / _SP_W))
+        ).alias("cell_x"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("lo_y") / _SP_W), F.floor(F.col("hi_y") / _SP_W))
+        ).alias("cell_y"),
+    )
+    matched = (
+        cells.join(pts, ["cell_x", "cell_y"])
+        .filter(
+            F.col("px").between(F.col("lo_x"), F.col("hi_x"))
+            & F.col("py").between(F.col("lo_y"), F.col("hi_y"))
+        )
+        .groupBy("box_id")
+        .agg(F.count("*").alias("n_points"))
+    )
+    return (
+        boxes.select("box_id")
+        .join(matched, "box_id", "left")
+        .select("box_id", F.coalesce("n_points", F.lit(0)).alias("n_points"))
+        .orderBy("box_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch hopping (overlapping) windows — window(ts, size, hop) outside
+# streaming, with an arithmetic oracle.
+# --------------------------------------------------------------------------
+
+_HOP_US = 900 * 1_000_000  # 15-minute hop
+_HOP_K = 4  # 1-hour window = 4 hops
+
+
+@q(
+    "events_hopping_window",
+    f"""
+    WITH e AS (
+      SELECT epoch_us(cast(ts AS timestamp)) AS us, value
+      FROM events WHERE event_type = 'click'),
+    hops AS (
+      SELECT (us - (us % {_HOP_US})) - k.k * {_HOP_US} AS win_start_us,
+             value
+      FROM e, range({_HOP_K}) k(k))
+    SELECT cast(win_start_us AS bigint) AS win_start_us,
+           cast(count(*) AS bigint) AS n,
+           cast(round(sum(cast(value AS decimal(38,9))), 2) AS double)
+             AS total
+    FROM hops GROUP BY win_start_us
+    HAVING count(*) >= 5
+    ORDER BY win_start_us
+    """,
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding-by-fixed-hop) windows in BATCH mode: Spark's
+    `window(ts, '1 hour', '15 minutes')` TVF assigns each click to its 4
+    overlapping hour windows; counts/sums per window.  The batch twin of
+    `stream_sliding` — same grouping function, provable against an
+    arithmetic oracle (window_start = epoch-aligned 15-min floor minus
+    k·hop, k<4), which pins Spark's epoch alignment exactly.
+
+    The Expand (×4 per row) happens BEFORE the shuffle but the shuffle
+    carries (window, partial-agg) rows thanks to map-side combine — at
+    100 TB the network moves |windows| rows, not 4×|events|."""
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,9)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    return win.select(
+        F.unix_micros(F.col("window.start")).alias("win_start_us"), "n", "total"
+    ).orderBy("win_start_us")
+
+
+# --------------------------------------------------------------------------
+# Population-stability-index drift detection between two epochs.
+# --------------------------------------------------------------------------
+
+_PSI_BIN = 50_000.0
+_PSI_NBINS = 9
+_PSI_YEAR_A, _PSI_YEAR_B = 1995, 1997
+
+
+@q(
+    "quality_psi_drift",
+    f"""
+    WITH binned AS (
+      SELECT least(cast(floor(o_totalprice / {_PSI_BIN}) AS int),
+                   {_PSI_NBINS} - 1) AS bin,
+             year(o_orderdate) AS yr
+      FROM orders
+      WHERE year(o_orderdate) IN ({_PSI_YEAR_A}, {_PSI_YEAR_B})),
+    counts AS (
+      SELECT b.bin,
+             count(CASE WHEN yr = {_PSI_YEAR_A} THEN 1 END) AS n_a,
+             count(CASE WHEN yr = {_PSI_YEAR_B} THEN 1 END) AS n_b
+      FROM binned b GROUP BY b.bin),
+    tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM counts),
+    scored AS (
+      SELECT c.bin, c.n_a, c.n_b,
+             ((c.n_a + 1.0) / (t.ta + {_PSI_NBINS})
+              - (c.n_b + 1.0) / (t.tb + {_PSI_NBINS}))
+             * ln(((c.n_a + 1.0) / (t.ta + {_PSI_NBINS}))
+                  / ((c.n_b + 1.0) / (t.tb + {_PSI_NBINS}))) AS contrib
+      FROM counts c, tot t)
+    SELECT cast(bin AS int) AS bin, cast(n_a AS bigint) AS n_a,
+           cast(n_b AS bigint) AS n_b,
+           cast(round(contrib, 6) AS double) AS psi_contrib
+    FROM scored ORDER BY bin
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between two data epochs via the
+    population stability index: fixed price bins, Laplace-smoothed shares
+    per epoch, per-bin contribution (pA−pB)·ln(pA/pB) — the standard
+    ingest-quality gate ("did this month's data shift?") a 100 TB
+    pipeline runs before training on a new snapshot.
+
+    One scan, one hash agg over ≤{_PSI_NBINS} bins (both epochs counted in
+    the same pass via conditional counts), broadcast totals — cost is
+    O(scan), state is O(bins).  Fixed integer bin edges (not quantiles)
+    keep the replay exact across engines; companions: `profile_columns`
+    for per-column stats, `feature_binning_deciles` for quantile bins."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    binned = orders.filter(yr.isin(_PSI_YEAR_A, _PSI_YEAR_B)).select(
+        F.least(
+            F.floor(F.col("o_totalprice") / _PSI_BIN).cast("int"),
+            F.lit(_PSI_NBINS - 1),
+        ).alias("bin"),
+        yr.alias("yr"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("yr") == _PSI_YEAR_A, 1)).alias("n_a"),
+        F.count(F.when(F.col("yr") == _PSI_YEAR_B, 1)).alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = (F.col("n_a") + 1.0) / (F.col("ta") + _PSI_NBINS)
+    pb = (F.col("n_b") + 1.0) / (F.col("tb") + _PSI_NBINS)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n_a",
+            "n_b",
+            F.round((pa - pb) * F.log(pa / pb), 6)
+            .cast("double")
+            .alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
