@@ -1744,3 +1744,166 @@ def sim_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.round("c", 4).cast("double").alias("cosine"))
         .orderBy("a_id", "b_id")
     )
+
+
+@q(
+    "multimodal_image_phash_near",
+    """
+    WITH px AS (
+      SELECT d.doc_id, t.p,
+             ((d.doc_id * 37 + (3 - t.p // 4) * 12 + (t.p % 4) * 3) % 256
+              + (d.doc_id * 37 + (3 - t.p // 4) * 12 + (t.p % 4) * 3 + 1) % 256
+              + (d.doc_id * 37 + (3 - t.p // 4) * 12 + (t.p % 4) * 3 + 2) % 256)
+               AS s3
+      FROM documents d, range(16) t(p) WHERE d.doc_id < 300),
+    tot AS (SELECT doc_id, sum(s3) AS total FROM px GROUP BY doc_id),
+    bits AS (
+      SELECT px.doc_id,
+             cast(sum(CASE WHEN px.s3 * 16 > tot.total
+                      THEN 1 << px.p ELSE 0 END) AS bigint) AS ahash
+      FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           cast(bit_count(xor(a.ahash, b.ahash)) AS int) AS hamming
+    FROM bits a, bits b
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.ahash, b.ahash)) <= 3
+    ORDER BY a_id, b_id
+    """,
+)
+def multimodal_image_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup pairs — stage two of the perceptual-hash pipeline
+    promised by `multimodal_image_ahash`: 16-bit aHashes band into 4×4-bit
+    blocks; by pigeonhole any pair with hamming ≤ 3 shares at least one
+    identical band, so candidates are a band-value equi-join (the SimHash
+    trick, `dedup_simhash`), verified exactly with bit_count(a XOR b).
+
+    The oracle is the UNBLOCKED all-pairs hamming join over the
+    closed-form hashes, proving the banding is lossless at this radius.
+    At 100 TB: candidates ∝ hash-collision volume, never |images|²; the
+    shuffle carries (band, 8-byte hash) — pixels never move after the
+    one decode pass."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    payloads = M.synthesize_bmp_corpus(docs, "doc_id", width=4, height=4)
+    hashed = M.image_ahash(M.decode_image(payloads, "payload", "doc_id"), grid=4)
+    bands = hashed.select(
+        F.col("media_id").alias("doc_id"),
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("ahash", i * 4).bitwiseAND(F.lit(15)).alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "ahash", "e.band", "e.bv")
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("ahash").alias("a_hash"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("ahash").alias("b_hash"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_hash", "b_hash")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    )
+
+
+@q(
+    "dedup_url_canonicalize",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://www.' || source || '.example.com/doc/'
+                           || cast(doc_id // 4 AS varchar)
+               WHEN 1 THEN 'https://' || source || '.example.com/doc/'
+                           || cast(doc_id // 4 AS varchar) || '/'
+               WHEN 2 THEN 'HTTPS://www.' || source || '.example.com/doc/'
+                           || cast(doc_id // 4 AS varchar) || '?utm_source=feed'
+               ELSE 'http://' || source || '.example.com/doc/'
+                    || cast(doc_id // 4 AS varchar)
+                    || '?ref=rss&utm_medium=email'
+             END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), '^https?://(www\\.)?', '', 'g'),
+                   '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+                 '[?&]$', '', 'g'),
+               '/$', '', 'g') AS curl
+      FROM urls),
+    g AS (
+      SELECT curl, count(*) AS n_variants, min(doc_id) AS canonical_doc
+      FROM canon GROUP BY curl)
+    SELECT curl AS canonical_url, cast(n_variants AS bigint) AS n_variants,
+           cast(canonical_doc AS bigint) AS canonical_doc
+    FROM g WHERE n_variants >= 2
+    ORDER BY canonical_url
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first dedup pass of every web-crawl
+    corpus: scheme/case/www/trailing-slash/tracking-param variants of the
+    same resource collapse to one canonical key (lowercase → strip scheme
+    + www → drop utm_*/ref params → strip dangling ?/& and trailing /),
+    then a hash-groupBy yields duplicate groups with a canonical
+    representative.
+
+    Pure codegen'd regexp chain — no UDF, no shuffle until the final
+    8-byte-key groupBy (same discipline as `dedup_exact`: bodies never
+    move).  URL variants are synthesized deterministically from doc ids
+    (the multimodal closed-form pattern) so the oracle replays the exact
+    same canonicalization in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.concat(
+        F.col("source"), F.lit(".example.com/doc/"), (F.col("doc_id") / 4).cast("long").cast("string")
+    )
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://www."), base))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("https://"), base, F.lit("/")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("HTTPS://www."), base, F.lit("?utm_source=feed")),
+        )
+        .otherwise(F.concat(F.lit("http://"), base, F.lit("?ref=rss&utm_medium=email")))
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), r"^https?://(www\.)?", ""),
+                r"(utm_[a-z]+|ref)=[^&]*&?",
+                "",
+            ),
+            r"[?&]$",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    return (
+        docs.select("doc_id", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_variants") >= 2)
+        .orderBy("canonical_url")
+    )
