@@ -538,3 +538,65 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
     return df.select("media_id", "width", "height", "channels", "pixels").mapInPandas(
         batches, IMAGE_AHASH
     )
+
+
+#: schema of a voice-activity-detection summary row
+AUDIO_VAD = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_voiced_frames", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("longest_segment", T.LongType()),
+    ]
+)
+
+
+def audio_vad(
+    df: DataFrame,
+    audio_col: str = "audio",
+    id_col: str = "doc_id",
+    frame: int = 128,
+    threshold: float = 64.0,
+) -> DataFrame:
+    """Energy-based voice-activity detection over raw PCM: fixed frames,
+    frame energy = mean |sample − 128| (deviation from 8-bit midline), a
+    frame is voiced if energy > threshold, and contiguous voiced frames
+    merge into segments (islands).  Emits per-track segment statistics —
+    the speech-pipeline pre-filter that decides which audio is worth
+    sending to an (expensive) ASR stage.
+
+    numpy end-to-end per Arrow batch: reshape → mean per frame → boolean
+    run-length via diff on the voiced mask; four longs per track leave
+    Python.  frame=2^k keeps the energy division exact, so the threshold
+    comparison replays bit-identically in the SQL oracle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nv, ns, ls = [], [], [], []
+            for mid, buf in zip(pdf[id_col], pdf[audio_col]):
+                v = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
+                n_frames = len(v) // frame
+                e = np.abs(v[: n_frames * frame] - 128.0).reshape(n_frames, frame).mean(axis=1)
+                voiced = e > threshold
+                # island boundaries: a voiced frame whose predecessor is not
+                starts = int(voiced[0]) + int(np.sum(voiced[1:] & ~voiced[:-1]))
+                longest = 0
+                run = 0
+                for b in voiced:
+                    run = run + 1 if b else 0
+                    longest = max(longest, run)
+                ids.append(int(mid))
+                nv.append(int(voiced.sum()))
+                ns.append(starts)
+                ls.append(longest)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_voiced_frames": nv,
+                    "n_segments": ns,
+                    "longest_segment": ls,
+                }
+            )
+
+    return df.select(id_col, audio_col).mapInPandas(batches, AUDIO_VAD)

@@ -1907,3 +1907,131 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_variants") >= 2)
         .orderBy("canonical_url")
     )
+
+
+@q(
+    "text_bigram_perplexity",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents),
+    bi AS (
+      SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM tok WHERE len(toks) >= 2),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+    v AS (SELECT count(DISTINCT w2) AS v FROM bi),
+    scored AS (
+      SELECT bi.doc_id,
+             -ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS nll
+      FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
+    SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+           cast(round(avg(nll), 4) AS double) AS avg_nll
+    FROM scored WHERE doc_id < 200
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring (the CCNet-style quality filter): a
+    corpus-trained add-1-smoothed bigram model scores every document by
+    average negative log-likelihood — low = fluent/common phrasing, high
+    = gibberish or boilerplate-saturated; downstream, `corpus_pipeline`
+    thresholds on exactly this kind of signal.
+
+    Plan shape at 100 TB: tokenize→bigram explode (map-side), TWO hash
+    aggs build the model (c2, c1 — both shuffles carry (gram, count)
+    partials, never text), the vocab size broadcasts, scoring is a
+    re-join of the bigram stream against the model keyed by gram.
+    Self-contained: train and score in one job; in production the model
+    aggs persist and re-score new shards incrementally (the
+    `ivm_aggregate_deltas` pattern applies verbatim to c1/c2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    tok = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    n = F.size("toks")
+    bi = tok.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("w1"),
+                F.slice("toks", 2, n - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = bi.agg(F.countDistinct("w2").alias("v"))
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (-F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))).alias("nll"),
+        )
+    )
+    return (
+        scored.filter(F.col("doc_id") < 200)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).cast("double").alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "multimodal_audio_vad",
+    """
+    WITH samples AS (
+      SELECT d.doc_id, g.range // 128 AS frame,
+             abs(((d.doc_id * 37 + g.range) % 256) - 128.0) AS dev
+      FROM documents d CROSS JOIN range(1024) g
+      WHERE d.doc_id < 150),
+    frames AS (
+      SELECT doc_id, frame, avg(dev) AS energy
+      FROM samples GROUP BY doc_id, frame),
+    voiced AS (
+      SELECT doc_id, frame,
+             frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame)
+               AS island
+      FROM frames WHERE energy > 64.0),
+    segs AS (
+      SELECT doc_id, island, count(*) AS seg_len
+      FROM voiced GROUP BY doc_id, island)
+    SELECT d.doc_id,
+           cast(coalesce(sum(s.seg_len), 0) AS bigint) AS n_voiced_frames,
+           cast(count(s.island) AS bigint) AS n_segments,
+           cast(coalesce(max(s.seg_len), 0) AS bigint) AS longest_segment
+    FROM (SELECT DISTINCT doc_id FROM samples) d
+    LEFT JOIN segs s USING (doc_id)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over PCM audio columns
+    (operators/multimodal.py::audio_vad): 128-sample frame energies,
+    energy>64 voiced, contiguous voiced frames merge to segments; per
+    track the voiced-frame count, segment count and longest segment —
+    the pre-filter that routes only speech-bearing audio into an
+    expensive ASR stage.
+
+    The numpy run-length kernel is checked against a pure-SQL
+    gaps-and-islands oracle over the closed-form samples ((id·37+k) mod
+    256): frame grouping, exact power-of-two energy division, and the
+    island arithmetic must all agree for the hashes to match.  At 100 TB:
+    4 longs per track cross the Python boundary; audio bytes never
+    shuffle."""
+    from ..operators.multimodal import audio_vad, synthesize_pcm_corpus
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    vad = audio_vad(synthesize_pcm_corpus(docs.select("doc_id")))
+    return vad.select(
+        F.col("media_id").alias("doc_id"),
+        "n_voiced_frames",
+        "n_segments",
+        "longest_segment",
+    ).orderBy("doc_id")
