@@ -1148,3 +1148,120 @@ def events_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type AS src, next_type AS dst, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT src, sum(n) AS t FROM pairs GROUP BY src)
+    SELECT p.src, p.dst, cast(p.n AS bigint) AS n,
+           cast(round(p.n * 1.0 / t.t, 4) AS double) AS prob
+    FROM pairs p JOIN tot t USING (src)
+    ORDER BY src, dst
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences
+    (click→purchase probability etc.) — the user-journey model behind
+    next-action prediction and anomalous-flow detection.
+
+    One (user) shuffle serves the sequencing window; the transition
+    counts are a hash agg over ≤|types|² rows, so the matrix costs one
+    pass at any scale (same partition-sharing discipline as
+    `timeseries_ohlc_bars`).  Probabilities are exact-integer ratios —
+    deterministic across engines.  Ties in the event order break on
+    event_id, making the sequence (and the matrix) replay-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(tot, "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n") / F.col("t"), 4).cast("double").alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@q(
+    "analytics_pareto_abc",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             sum(cast(l.l_extendedprice AS decimal(38,9))) AS revenue
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey),
+    ranked AS (
+      SELECT s_nationkey, l_suppkey, revenue,
+             sum(revenue) OVER (PARTITION BY s_nationkey
+                                ORDER BY revenue DESC, l_suppkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+             sum(revenue) OVER (PARTITION BY s_nationkey) AS tot
+      FROM rev)
+    SELECT cast(s_nationkey AS bigint) AS nationkey,
+           cast(l_suppkey AS bigint) AS suppkey,
+           cast(round(revenue, 2) AS double) AS revenue,
+           CASE WHEN cum * 2 <= tot THEN 'A'
+                WHEN cum * 5 <= tot * 4 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked ORDER BY nationkey, suppkey
+    """,
+)
+def analytics_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: per nation, suppliers ranked by
+    revenue get class A (first half of cumulative revenue), B (to 80%),
+    C (tail) — the inventory-analytics classic.
+
+    The ranking window, cumulative sum, and per-group total share ONE
+    (nationkey) hash partitioning; classification thresholds are
+    EXACT-DECIMAL integer comparisons (cum·2 ≤ tot, cum·5 ≤ 4·tot) on
+    decimal(38,9) sums, so the class boundaries are bit-identical across
+    engines — no float cumulative-share hazard.  Partitioning by nation
+    keeps every window bounded; there is no global ordering anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,9)")).alias("revenue"))
+    )
+    w_cum = (
+        W.partitionBy("s_nationkey")
+        .orderBy(F.desc("revenue"), "l_suppkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_tot = W.partitionBy("s_nationkey")
+    ranked = rev.select(
+        "s_nationkey",
+        "l_suppkey",
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum"),
+        F.sum("revenue").over(w_tot).alias("tot"),
+    )
+    return ranked.select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        F.when(F.col("cum") * 2 <= F.col("tot"), "A")
+        .when(F.col("cum") * 5 <= F.col("tot") * 4, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    ).orderBy("nationkey", "suppkey")

@@ -328,3 +328,36 @@ def test_python_datasource_writer_abort_cleans_staging(spark, tmp_path):
     assert not any(
         f.endswith(".parquet") for f in os.listdir(out)
     ) if os.path.exists(out) else True
+
+
+def test_bucket_pruning_point_lookup(spark, sf_small):
+    """A point predicate on the bucket column must scan ONE bucket
+    (SelectedBucketsCount 1 out of N) — at 100 TB a keyed lookup on a
+    bucketed table reads 1/N of the files before any row-group pruning."""
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    from native_sql_engine_spark.plans.inspect import executed_plan
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql("DROP TABLE IF EXISTS t_orders_bp")
+    shutil.rmtree(f"{warehouse}/t_orders_bp", ignore_errors=True)
+    orders = load_table(spark, sf_small, "orders").select("o_orderkey", "o_totalprice")
+    S.write_bucketed(orders, "t_orders_bp", ["o_orderkey"], 8)
+    # autoBucketedScan drops the bucketed layout for scan-only plans (no
+    # join/agg wants the distribution) and with it the bucket PRUNE — pin
+    # it off so the filter-driven prune is visible.
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df = spark.table("t_orders_bp").filter(F.col("o_orderkey") == 7)
+        plan = executed_plan(df)
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, f"no bucket pruning in plan:\n{plan}"
+        assert m.group(1) == "1" and m.group(2) == "8", plan
+        assert df.count() == orders.filter(F.col("o_orderkey") == 7).count()
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bp")
+        shutil.rmtree(f"{warehouse}/t_orders_bp", ignore_errors=True)
