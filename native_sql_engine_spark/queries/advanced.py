@@ -1696,3 +1696,72 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 SQL surface: pipe syntax, session variables, parameterized SQL.
+# --------------------------------------------------------------------------
+
+
+@q(
+    "expr_sql_pipe_syntax",
+    """
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+           cast(round(sum(cast(o_totalprice AS decimal(38,9))), 2) AS double)
+             AS total
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def expr_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (SPARK-49555, `FROM t |> WHERE … |>
+    AGGREGATE …`): the linear query form lands in the SAME Catalyst plan
+    as the nested SELECT — proven by hash-matching the classic-SQL oracle.
+    Surface parity matters for migration: a user of the reference can
+    bring pipe-style queries (ZetaSQL/BigQuery dialect) unchanged."""
+    from ..catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 100000
+        |> AGGREGATE count(*) AS n,
+                     cast(round(sum(cast(o_totalprice AS decimal(38,9))), 2)
+                          AS double) AS total
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, total
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@q(
+    "expr_sql_variables",
+    """
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS n
+    FROM orders
+    WHERE o_totalprice > 150000 AND year(o_orderdate) = 1996
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def expr_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (DECLARE / SET VAR) + named-parameter
+    SQL (`spark.sql(..., args=...)`): the threshold lives in a session
+    variable, the year arrives as a bound :param — no string interpolation
+    anywhere (the injection-safe pattern for templated 100 TB jobs).  The
+    oracle inlines both constants, proving binding semantics."""
+    from ..catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE v_price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR v_price_floor = 150000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > v_price_floor AND year(o_orderdate) = :yr
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"yr": 1996},
+    )

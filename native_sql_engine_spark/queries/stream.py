@@ -441,3 +441,50 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "stream_state_store_read",
+    """
+    SELECT event_type, cast(count(*) AS bigint) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 state-store DATA SOURCE (`spark.read.format("statestore")`):
+    after a stateful streaming aggregation drains, its checkpoint's state
+    store is read back as a DataFrame — the observability surface for
+    100 TB streaming ops (state-size audits, key-skew checks, debugging a
+    wedged aggregation WITHOUT replaying the stream).  The state rows
+    (key struct, value struct with the running count) must equal the
+    batch aggregation of the same input — streaming state ≡ batch truth,
+    checked by the oracle."""
+    import tempfile
+
+    from ..catalog import load_table
+
+    base = tempfile.mkdtemp(prefix="stream_sst_")
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    ev.write.parquet(f"{base}/src")
+    schema = spark.read.parquet(f"{base}/src").schema
+    stream = spark.readStream.schema(schema).parquet(f"{base}/src")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        qh = (
+            stream.groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    state = spark.read.format("statestore").load(f"{base}/ckpt")
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    ).orderBy("event_type")
