@@ -269,3 +269,38 @@ class Engine:
         from .operators.text import nfc_normalize
 
         return nfc_normalize(col)
+
+    def dedup_containment(self, df: DataFrame, id_col: str, text_col: str,
+                          threshold: float = 0.9, ngram: int = 3) -> DataFrame:
+        """Directional doc-inside-doc pairs, |A∩B|/|A| ≥ threshold."""
+        from .operators.dedup import containment_pairs
+
+        return containment_pairs(df, id_col, text_col, threshold, ngram)
+
+    def connected_components(self, edges: DataFrame, src: str, dst: str) -> DataFrame:
+        """(node, component) labels — driver union-find on small graphs,
+        distributed min-label propagation beyond."""
+        from .operators.dedup import connected_components
+
+        return connected_components(edges, src, dst)
+
+    def image_ahash(self, decoded: DataFrame, grid: int = 8) -> DataFrame:
+        """Perceptual average-hash per DECODED_IMAGE row (integer math)."""
+        from .operators.multimodal import image_ahash
+
+        return image_ahash(decoded, grid)
+
+    def audio_vad(self, df: DataFrame, audio_col: str = "audio",
+                  id_col: str = "doc_id", frame: int = 128,
+                  threshold: float = 64.0) -> DataFrame:
+        """Voice-activity segments per PCM track (frame energy islands)."""
+        from .operators.multimodal import audio_vad
+
+        return audio_vad(df, audio_col, id_col, frame, threshold)
+
+    def write_bucketed(self, df: DataFrame, table: str, bucket_cols: list[str],
+                       n_buckets: int, sort_cols: list[str] | None = None) -> None:
+        """Hash-clustered managed table; same-key joins run shuffle-free."""
+        from .sources.io import write_bucketed
+
+        write_bucketed(df, table, bucket_cols, n_buckets, sort_cols)

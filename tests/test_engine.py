@@ -246,3 +246,39 @@ def test_graph_and_datasource_facade_methods(eng):
         F.length(eng.nfc_normalize(F.col("t"))).alias("n")
     )
     assert out.first()["n"] == 1
+
+
+def test_round3b_facade_methods(eng):
+    """Round-3 session-3 facade surface: containment, components, aHash,
+    VAD, bucketed writes."""
+    from pyspark.sql import functions as F
+
+    docs = eng.spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different words here now okay"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = eng.dedup_containment(docs, "doc_id", "text", threshold=0.9)
+    assert {(r["contained_id"], r["container_id"]) for r in pairs.collect()} == {(1, 2)}
+
+    edges = eng.spark.createDataFrame([(1, 2), (3, 4)], ["a", "b"])
+    comp = {r["node"]: r["component"] for r in
+            eng.connected_components(edges, "a", "b").collect()}
+    assert comp[2] == comp[1] and comp[4] == comp[3] and comp[1] != comp[3]
+
+    from native_sql_engine_spark.operators.multimodal import (
+        decode_image,
+        synthesize_bmp_corpus,
+        synthesize_pcm_corpus,
+    )
+
+    ids = eng.spark.createDataFrame([(7,), (7 + 0,)], ["doc_id"]).distinct()
+    decoded = decode_image(synthesize_bmp_corpus(ids, "doc_id", 4, 4), "payload", "doc_id")
+    h = eng.image_ahash(decoded, grid=4).collect()
+    assert len(h) == 1 and 0 <= h[0]["ahash"] < (1 << 16)
+
+    vad = eng.audio_vad(synthesize_pcm_corpus(ids, "doc_id")).first()
+    assert vad["n_segments"] >= 1 and vad["longest_segment"] <= 8
