@@ -35,3 +35,27 @@ class SplitTokens:
 def register_udtfs(spark) -> None:
     """Register all engine UDTFs for SQL/LATERAL use (idempotent)."""
     spark.udtf.register("split_tokens", SplitTokens)
+    spark.udtf.register("scale_numeric", ScaleNumeric)
+
+
+@udtf
+class ScaleNumeric:
+    """POLYMORPHIC UDTF (PySpark 4 `analyze()` API): the output schema is
+    computed at PLAN TIME from the input struct's fields — one doubled
+    column per numeric input field, names derived from the argument.  The
+    reference has nothing like plan-time-polymorphic table functions; this
+    is the Spark-4 surface that makes generic row transformers (pivot
+    helpers, schema-driven parsers) first-class without codegen per schema."""
+
+    @staticmethod
+    def analyze(arg):  # noqa: D102 — UDTF contract (AnalyzeArgument → AnalyzeResult)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        fields = [
+            StructField(f"{f.name}_x2", DoubleType()) for f in arg.dataType.fields
+        ]
+        return AnalyzeResult(StructType(fields))
+
+    def eval(self, row):  # noqa: D102 — UDTF contract method
+        yield tuple(float(v) * 2.0 for v in row)

@@ -2035,3 +2035,49 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_segments",
         "longest_segment",
     ).orderBy("doc_id")
+
+
+@q(
+    "multimodal_video_scene_cuts",
+    """
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id < 100),
+    diffs AS (
+      SELECT d.doc_id, f.range AS f,
+             avg(abs(((d.doc_id + 7 * f.range + p.range) % 256)
+                     - ((d.doc_id + 7 * (f.range - 1) + p.range) % 256)))
+               AS mean_diff
+      FROM d CROSS JOIN range(1, 61) f CROSS JOIN range(16) p
+      GROUP BY d.doc_id, f.range),
+    cuts AS (
+      SELECT doc_id, f FROM diffs WHERE mean_diff > 50.0)
+    SELECT d.doc_id, cast(61 AS bigint) AS n_frames,
+           cast(count(c.f) AS bigint) AS n_cuts,
+           cast(coalesce(min(c.f), -1) AS bigint) AS first_cut_frame
+    FROM d LEFT JOIN cuts c USING (doc_id)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection (operators/multimodal.py::video_scene_cuts) on
+    synthesized Y4M streams: consecutive-frame mean |Δluma| > 50 starts a
+    shot.  The closed-form luma ((id+7f+p) mod 256) makes cut positions a
+    pure arithmetic fact the oracle recomputes — the wrap-around frames
+    are exactly the high-diff ones, so a parser that misaligned frame
+    boundaries or planes would move the cuts and break the hash.  At
+    100 TB: one parse pass, 4 longs per video cross the Python boundary;
+    pair with `multimodal_frame_sample` to sample one keyframe per shot."""
+    from ..operators.multimodal import synthesize_y4m_corpus, video_scene_cuts
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    vids = synthesize_y4m_corpus(docs.select("doc_id"), "doc_id", 4, 4, 61)
+    return (
+        video_scene_cuts(vids, "payload", "doc_id")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "n_frames",
+            "n_cuts",
+            "first_cut_frame",
+        )
+        .orderBy("doc_id")
+    )

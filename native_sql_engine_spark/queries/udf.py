@@ -280,3 +280,39 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@q(
+    "udf_python_udtf_polymorphic",
+    """
+    SELECT l_returnflag,
+           cast(round(avg(l_quantity * 2.0), 4) AS double) AS avg_qty_x2,
+           cast(round(avg(l_discount * 2.0), 4) AS double) AS avg_disc_x2,
+           cast(count(*) AS bigint) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def udf_python_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (PySpark 4 `analyze()`): the UDTF's OUTPUT
+    SCHEMA is computed at plan time from the input struct — column names
+    and arity derive from whatever the caller passes (here the schema
+    resolves to l_quantity_x2/l_discount_x2 without any static
+    declaration).  The LATERAL join + downstream codegen'd aggregation
+    prove the dynamic schema flows through Catalyst like a static one;
+    the oracle recomputes the doubled averages directly."""
+    from ..catalog import register_tables
+    from ..functions.udtfs import register_udtfs
+
+    register_tables(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT l.l_returnflag,
+               cast(round(avg(s.l_quantity_x2), 4) AS double) AS avg_qty_x2,
+               cast(round(avg(s.l_discount_x2), 4) AS double) AS avg_disc_x2,
+               count(*) AS n
+        FROM lineitem l,
+             LATERAL scale_numeric(struct(l.l_quantity, l.l_discount)) s
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+        """
+    )
