@@ -289,7 +289,9 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(round(avg(l_quantity * 2.0), 4) AS double) AS avg_qty_x2,
            cast(round(avg(l_discount * 2.0), 4) AS double) AS avg_disc_x2,
            cast(count(*) AS bigint) AS n
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    FROM lineitem
+    WHERE l_shipdate BETWEEN DATE '1995-06-01' AND DATE '1995-06-30'
+    GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def udf_python_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,7 +301,10 @@ def udf_python_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolves to l_quantity_x2/l_discount_x2 without any static
     declaration).  The LATERAL join + downstream codegen'd aggregation
     prove the dynamic schema flows through Catalyst like a static one;
-    the oracle recomputes the doubled averages directly."""
+    the oracle recomputes the doubled averages directly.  Scoped to one
+    ship-month: a per-row Python UDTF is the SLOW path by design (use
+    `udf_scalar_pandas`/`mapInPandas` for bulk math); the entry exists
+    for the plan-time-polymorphism surface, not throughput."""
     from ..catalog import register_tables
     from ..functions.udtfs import register_udtfs
 
@@ -311,7 +316,9 @@ def udf_python_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
                cast(round(avg(s.l_quantity_x2), 4) AS double) AS avg_qty_x2,
                cast(round(avg(s.l_discount_x2), 4) AS double) AS avg_disc_x2,
                count(*) AS n
-        FROM lineitem l,
+        FROM (SELECT l_returnflag, l_quantity, l_discount FROM lineitem
+              WHERE l_shipdate BETWEEN DATE '1995-06-01'
+                                   AND DATE '1995-06-30') l,
              LATERAL scale_numeric(struct(l.l_quantity, l.l_discount)) s
         GROUP BY l.l_returnflag ORDER BY l.l_returnflag
         """
