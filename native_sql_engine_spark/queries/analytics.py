@@ -1265,3 +1265,160 @@ def analytics_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     ).orderBy("nationkey", "suppkey")
+
+
+@q(
+    "events_pmi_cooccurrence",
+    """
+    WITH grp AS (
+      SELECT DISTINCT user_id, cast(cast(ts AS timestamp) AS date) AS d,
+             event_type
+      FROM events),
+    n AS (
+      SELECT count(DISTINCT (user_id, d)) AS n_groups FROM grp),
+    singles AS (
+      SELECT event_type, count(*) AS c FROM grp GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS t_a, b.event_type AS t_b, count(*) AS c_ab
+      FROM grp a JOIN grp b
+        ON a.user_id = b.user_id AND a.d = b.d AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.t_a, p.t_b, cast(p.c_ab AS bigint) AS c_ab,
+           cast(round(ln(p.c_ab * 1.0 * n.n_groups / (sa.c * 1.0 * sb.c)), 4)
+                AS double) AS pmi
+    FROM pairs p JOIN singles sa ON sa.event_type = p.t_a
+                 JOIN singles sb ON sb.event_type = p.t_b
+                 CROSS JOIN n
+    ORDER BY t_a, t_b
+    """,
+)
+def events_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over event-type co-occurrence (per
+    user×day context): PMI = ln(c_ab·N / (c_a·c_b)) — the statistic
+    behind item2vec-style negative sampling tables and co-occurrence
+    embeddings, computed exactly.
+
+    Contexts dedupe first (DISTINCT on (user, day, type)); the pair join
+    is per-context only (≤|types|² pairs per context, never a corpus
+    cross join); counts are exact integers, so the single ln is the only
+    float op.  At 100 TB the shuffles carry (type, count) and
+    (type-pair, count) rows — vocabulary-sized, not corpus-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.select(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+        "event_type",
+    ).distinct()
+    n = grp.select("user_id", "d").distinct().agg(F.count("*").alias("n_groups"))
+    singles = grp.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = grp.select("user_id", "d", F.col("event_type").alias("t_a"))
+    b = grp.select("user_id", "d", F.col("event_type").alias("t_b"))
+    pairs = (
+        a.join(b, ["user_id", "d"])
+        .filter(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("t_a"), F.col("c").alias("c_a"))
+    sb = singles.select(F.col("event_type").alias("t_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(sa), "t_a")
+        .join(F.broadcast(sb), "t_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "t_a",
+            "t_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab") * F.col("n_groups")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("pmi"),
+        )
+        .orderBy("t_a", "t_b")
+    )
+
+
+@q(
+    "timeseries_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, cast(cast(ts AS timestamp) AS date) AS d,
+             sum(cast(value AS decimal(38,9))) AS v
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, sum(v) AS total, count(*) AS n
+      FROM daily GROUP BY event_type),
+    cum AS (
+      SELECT d.event_type, d.d,
+             sum(d.v) OVER (PARTITION BY d.event_type ORDER BY d.d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cv,
+             row_number() OVER (PARTITION BY d.event_type ORDER BY d.d) AS t
+      FROM daily d),
+    scored AS (
+      SELECT c.event_type, c.d,
+             s.n * c.cv - c.t * s.total AS tstat, s.n
+      FROM cum c JOIN stats s USING (event_type)),
+    ranked AS (
+      SELECT event_type, d, tstat, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(tstat) DESC, d) AS rk
+      FROM scored)
+    SELECT event_type, cast(d AS varchar) AS changepoint_day,
+           cast(round(cast(abs(tstat) AS double) / n, 2) AS double)
+             AS max_cusum_dev
+    FROM ranked WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the day where the
+    cumulative deviation from the series mean peaks — the standard
+    drift/level-shift detector a monitoring pipeline runs over daily
+    rollups.
+
+    EXACT arithmetic throughout the argmax: the test statistic is scaled
+    to integers/decimals (n·cumsum − t·total, all decimal(38,9)) so the
+    peak day is bit-identical across engines — no float cumulative-sum
+    association hazard; the single double division happens only on the
+    already-selected row.  One (event_type) partitioning serves the
+    cumsum window, the rank, and the stats join."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(38,9)")).alias("v"))
+    stats = daily.groupBy("event_type").agg(
+        F.sum("v").alias("total"), F.count("*").alias("n")
+    )
+    w_cum = (
+        W.partitionBy("event_type").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("v").over(w_cum).alias("cv"),
+        F.row_number().over(W.partitionBy("event_type").orderBy("d")).alias("t"),
+    )
+    scored = cum.join(stats, "event_type").select(
+        "event_type",
+        "d",
+        (F.col("n") * F.col("cv") - F.col("t") * F.col("total")).alias("tstat"),
+        "n",
+    )
+    w_rk = W.partitionBy("event_type").orderBy(F.abs(F.col("tstat")).desc(), "d")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("changepoint_day"),
+            F.round(F.abs(F.col("tstat")).cast("double") / F.col("n"), 2)
+            .cast("double")
+            .alias("max_cusum_dev"),
+        )
+        .orderBy("event_type")
+    )
