@@ -2081,3 +2081,86 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "sim_nearest_centroid",
+    """
+    WITH dims AS (
+      SELECT vec_id, label, k.k AS i,
+             cast(floor(embedding[k.k] * 64) AS bigint) AS q
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS k) k),
+    cent AS (
+      SELECT label AS c_label, i, sum(q) AS s, count(*) AS n
+      FROM dims GROUP BY label, i),
+    scored AS (
+      SELECT d.vec_id, d.label AS true_label, c.c_label,
+             sum((c.n * d.q - c.s) * (c.n * d.q - c.s)) * 1.0
+               / (max(c.n) * max(c.n)) AS dist2
+      FROM dims d JOIN cent c ON c.i = d.i
+      GROUP BY d.vec_id, d.label, c.c_label),
+    ranked AS (
+      SELECT vec_id, true_label, c_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, c_label) AS rk
+      FROM scored)
+    SELECT cast(true_label AS int) AS true_label,
+           cast(c_label AS int) AS pred_label,
+           cast(count(*) AS bigint) AS n
+    FROM ranked WHERE rk = 1
+    GROUP BY true_label, c_label ORDER BY true_label, pred_label
+    """,
+)
+def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification over the embedding corpus with a
+    fully EXACT argmin: vectors quantize by ⌊64·x⌋ (multiplying a float
+    by a power of two is exact in IEEE, so both engines floor the same
+    value), centroids stay as integer (sum, count) pairs, and the
+    scaled squared distance Σ(n·q − S)² is pure integer arithmetic —
+    the only division is one exact-integer ratio per (vec, candidate).
+    No float-accumulation hazard anywhere in the decision.
+
+    Scale shape: centroids are |labels|×64 rows → broadcast; scoring is
+    a map-side join + hash agg keyed by (vec, candidate); the corpus
+    shuffles once on vec_id for the final argmin.  This is the
+    cheap-classifier stage of a labeling pipeline (route to the
+    expensive model only when the margin is small), and the evaluation
+    output is the confusion matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("i0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x") * 64).cast("long").alias("q"),
+    )
+    cent = dims.groupBy(F.col("label").alias("c_label"), "i").agg(
+        F.sum("q").alias("s"), F.count("*").alias("n")
+    )
+    scored = (
+        dims.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
+        .agg(
+            (
+                F.sum(
+                    (F.col("n") * F.col("q") - F.col("s"))
+                    * (F.col("n") * F.col("q") - F.col("s"))
+                )
+                / (F.max("n") * F.max("n"))
+            ).alias("dist2")
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy("dist2", "c_label")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy(
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("c_label").cast("int").alias("pred_label"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
