@@ -1422,3 +1422,679 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "cdc_snapshot_diff",
+    """
+    WITH snap_a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 4000
+    ),
+    snap_b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 5000
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'deleted'
+                WHEN a.o_totalprice <> b.o_totalprice
+                     OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(coalesce(a.o_orderkey, b.o_orderkey)) AS bigint) AS key_sum
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    GROUP BY 1 ORDER BY change_type
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff audit between two table versions — the change-data
+    report a pipeline runs after every load when the source has no CDC feed
+    (the reference's sinks are append-only file writes, SURVEY §2.1, so
+    version diffing is always an external query there).  One co-partitioned
+    FULL OUTER join on the key classifies every row added / deleted /
+    changed / unchanged; at 100 TB both snapshots hash-shuffle once on the
+    same key (AQE-coalesced), and the value compare happens post-join
+    without materializing row fingerprints."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") < 4000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = (
+        orders.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 5000))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice") + 10.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("deleted"))
+        .when(
+            (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            change.alias("change_type"),
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("k"),
+        )
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n"), F.sum("k").cast("bigint").alias("key_sum"))
+        .orderBy("change_type")
+    )
+
+
+@q(
+    "cdc_gdpr_erasure",
+    """
+    WITH erased AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    surv_cust AS (
+      SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM erased)
+    ),
+    surv_orders AS (
+      SELECT o.* FROM orders o
+      WHERE o.o_custkey NOT IN (SELECT c_custkey FROM erased)
+    ),
+    surv_line AS (
+      SELECT l.* FROM lineitem l
+      WHERE l.l_orderkey IN (SELECT o_orderkey FROM surv_orders)
+    )
+    SELECT cast((SELECT count(*) FROM surv_cust) AS bigint)  AS n_customers,
+           cast((SELECT count(*) FROM surv_orders) AS bigint) AS n_orders,
+           cast((SELECT count(*) FROM surv_line) AS bigint)   AS n_lineitems,
+           cast((SELECT sum(o_orderkey) FROM surv_orders) AS bigint) AS order_key_sum
+    """,
+)
+def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade: given a deletion-request set of customer
+    keys, remove the customers, their orders, and those orders' line items,
+    and emit the surviving-row audit counts.  The erasure list is tiny
+    relative to the corpus, so both anti-joins BROADCAST it (plan:
+    BroadcastHashJoin LeftAnti); the lineitem cascade semi-joins on the
+    surviving orders' keys — the one shuffle in the plan, on the natural
+    l_orderkey/o_orderkey co-partitioning.  At 100 TB nothing but key
+    columns moves: no fact-table rewrite happens until the audit is
+    approved (the merge itself is cdc_merge_orders' territory)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    erased = (
+        cust.filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("erased_key"))
+    )
+    surv_cust = cust.join(
+        F.broadcast(erased), cust["c_custkey"] == erased["erased_key"], "left_anti"
+    )
+    surv_orders = orders.join(
+        F.broadcast(erased), orders["o_custkey"] == erased["erased_key"], "left_anti"
+    )
+    surv_line = li.join(
+        surv_orders.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    nc = surv_cust.agg(F.count("*").alias("n_customers"))
+    no = surv_orders.agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("order_key_sum"),
+    )
+    nl = surv_line.agg(F.count("*").alias("n_lineitems"))
+    return nc.crossJoin(no).crossJoin(nl).select(
+        "n_customers", "n_orders", "n_lineitems", "order_key_sum"
+    )
+
+
+@q(
+    "events_rfm_segmentation",
+    """
+    WITH anchor AS (SELECT max(ts) AS mx FROM events),
+    u AS (
+      SELECT user_id,
+             date_diff('day', cast(max(ts) AS date), cast((SELECT mx FROM anchor) AS date)) AS recency,
+             cast(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS bigint) AS frequency,
+             cast(sum(CASE WHEN event_type = 'purchase'
+                           THEN cast(floor(value * 100) AS bigint) ELSE 0 END) AS bigint) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rq,
+             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+      FROM u
+    ),
+    scored AS (
+      SELECT user_id, monetary,
+             1 + cast(recency < rq[3] AS int) + cast(recency < rq[2] AS int)
+               + cast(recency < rq[1] AS int) AS r_score,
+             1 + cast(frequency > fq[1] AS int) + cast(frequency > fq[2] AS int)
+               + cast(frequency > fq[3] AS int) AS f_score,
+             1 + cast(monetary > mq[1] AS int) + cast(monetary > mq[2] AS int)
+               + cast(monetary > mq[3] AS int) AS m_score
+      FROM u, cuts
+    )
+    SELECT concat('R', r_score, 'F', f_score, 'M', m_score) AS segment,
+           cast(count(*) AS bigint) AS n_users,
+           cast(sum(user_id) AS bigint) AS user_key_sum,
+           cast(sum(monetary) AS bigint) AS monetary_cents
+    FROM scored GROUP BY 1 ORDER BY segment
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    EXACT quartile cut-points — scale-correctly: instead of a global
+    ``ntile(4)`` window (single-partition sort at 100 TB), the three cut
+    values per dimension come from one distributed exact ``percentile``
+    aggregate and are broadcast back, so scoring is a map-side comparison.
+    Monetary sums integer cents (floor(value*100)) so the quartile
+    interpolation is exact-portable across engines; user-level rollup
+    shuffles once on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    u = ev.groupBy("user_id").agg(
+        F.max("ts").alias("mx_ts"),
+        F.count(F.when(is_p, 1)).alias("frequency"),
+        F.sum(
+            F.when(is_p, F.floor(F.col("value") * 100).cast("bigint")).otherwise(F.lit(0))
+        ).alias("monetary"),
+    )
+    anchor = ev.agg(F.max("ts").alias("gmx"))
+    u = u.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.to_date("gmx"), F.to_date("mx_ts")).alias("recency"),
+        "frequency",
+        "monetary",
+    )
+    qs = [0.25, 0.5, 0.75]
+    cuts = u.agg(
+        F.percentile("recency", F.array(*[F.lit(x) for x in qs])).alias("rq"),
+        F.percentile("frequency", F.array(*[F.lit(x) for x in qs])).alias("fq"),
+        F.percentile("monetary", F.array(*[F.lit(x) for x in qs])).alias("mq"),
+    )
+    s = u.crossJoin(F.broadcast(cuts))
+    r_score = (
+        F.lit(1)
+        + (F.col("recency") < F.col("rq")[2]).cast("int")
+        + (F.col("recency") < F.col("rq")[1]).cast("int")
+        + (F.col("recency") < F.col("rq")[0]).cast("int")
+    )
+    f_score = (
+        F.lit(1)
+        + (F.col("frequency") > F.col("fq")[0]).cast("int")
+        + (F.col("frequency") > F.col("fq")[1]).cast("int")
+        + (F.col("frequency") > F.col("fq")[2]).cast("int")
+    )
+    m_score = (
+        F.lit(1)
+        + (F.col("monetary") > F.col("mq")[0]).cast("int")
+        + (F.col("monetary") > F.col("mq")[1]).cast("int")
+        + (F.col("monetary") > F.col("mq")[2]).cast("int")
+    )
+    return (
+        s.select(
+            F.concat(
+                F.lit("R"), r_score.cast("string"),
+                F.lit("F"), f_score.cast("string"),
+                F.lit("M"), m_score.cast("string"),
+            ).alias("segment"),
+            "user_id",
+            "monetary",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("user_id").cast("bigint").alias("user_key_sum"),
+            F.sum("monetary").cast("bigint").alias("monetary_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+@q(
+    "analytics_groupwise_ols",
+    """
+    WITH monthly AS (
+      SELECT c_mktsegment,
+             (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS mi,
+             sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100) AS bigint)) AS cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT c_mktsegment,
+             cast(count(*) AS bigint)        AS n,
+             cast(sum(mi) AS bigint)         AS sx,
+             cast(sum(cents) AS bigint)      AS sy,
+             cast(sum(mi * mi) AS bigint)    AS sxx,
+             cast(sum(mi * cents) AS bigint) AS sxy
+      FROM monthly GROUP BY 1
+    )
+    SELECT c_mktsegment, n AS n_months,
+           round(cast(n * sxy - sx * sy AS double)
+                 / cast(n * sxx - sx * sx AS double) / 100.0, 4) AS slope_per_month,
+           round((cast(sy AS double) / cast(n AS double)
+                  - cast(n * sxy - sx * sy AS double) / cast(n * sxx - sx * sx AS double)
+                    * cast(sx AS double) / cast(n AS double)) / 100.0, 4) AS intercept
+    FROM sums ORDER BY c_mktsegment
+    """,
+)
+def analytics_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise least-squares trend (revenue slope per market segment):
+    the closed-form OLS slope computed from EXACT integer sums — n, Σx, Σy,
+    Σx², Σxy accumulate as bigints over (month-index, revenue-cents), so
+    the result is bit-reproducible regardless of partitioning / combine
+    order, unlike ``regr_slope`` whose float accumulation is
+    order-dependent across engines.  Two-level aggregation: month-grain
+    pre-agg (map-side combine over the natural date clustering), then the
+    tiny per-segment closed form.  At 100 TB only (segment × month) rows —
+    thousands — reach the second agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_mktsegment",
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1).alias("mi"),
+            F.floor(F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("c_mktsegment", "mi")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    sums = monthly.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("mi").cast("bigint").alias("sx"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.sum(F.col("mi") * F.col("mi")).cast("bigint").alias("sxx"),
+        F.sum(F.col("mi") * F.col("cents")).cast("bigint").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") / F.col("n").cast("double")
+        - slope * F.col("sx").cast("double") / F.col("n").cast("double")
+    )
+    return sums.select(
+        "c_mktsegment",
+        F.col("n").alias("n_months"),
+        F.round(slope / 100.0, 4).alias("slope_per_month"),
+        F.round(intercept / 100.0, 4).alias("intercept"),
+    ).orderBy("c_mktsegment")
+
+
+@q(
+    "analytics_skyline",
+    """
+    WITH stair AS (
+      SELECT p_size, min(p_retailprice) AS mn
+      FROM part GROUP BY p_size
+    ),
+    sky_sizes AS (
+      SELECT p_size, mn FROM (
+        SELECT p_size, mn,
+               min(mn) OVER (ORDER BY p_size
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM stair
+      ) WHERE pm IS NULL OR mn < pm
+    )
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p JOIN sky_sizes s
+      ON p.p_size = s.p_size AND p.p_retailprice = s.mn
+    ORDER BY p.p_size, p.p_partkey
+    """,
+)
+def analytics_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-dominance) query — minimize (p_size, p_retailprice)
+    jointly; a part survives iff no other part is <= on both dimensions and
+    < on at least one.  The naive formulation is an O(n^2) NOT-EXISTS
+    self-join (that IS the DuckDB oracle); the engine instead exploits the
+    2-D staircase structure: one hash agg to per-size minima, a running
+    strict-prefix min over the SIZE DOMAIN (window input is the distinct-
+    value grain — ~50 rows regardless of corpus size, the classic
+    sort-filter skyline of Borzsony et al.), then a broadcast semi join
+    back to the fact.  At 100 TB: one shuffle on p_size, a dim-sized
+    window, zero all-pairs work."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    stair = p.groupBy("p_size").agg(F.min("p_retailprice").alias("mn"))
+    w = W.orderBy("p_size").rowsBetween(W.unboundedPreceding, -1)
+    sky_sizes = (
+        stair.withColumn("pm", F.min("mn").over(w))
+        .filter(F.col("pm").isNull() | (F.col("mn") < F.col("pm")))
+        .select(F.col("p_size").alias("s_size"), F.col("mn"))
+    )
+    return (
+        p.join(
+            F.broadcast(sky_sizes),
+            (p["p_size"] == F.col("s_size")) & (p["p_retailprice"] == F.col("mn")),
+            "left_semi",
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_size", "p_partkey")
+    )
+
+
+@q(
+    "analytics_ab_test",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT cast(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS bigint) AS n_a,
+             cast(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS bigint) AS c_a,
+             cast(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS bigint) AS n_b,
+             cast(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS bigint) AS c_b
+      FROM per_user
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           round(cast(c_a AS double) / cast(n_a AS double), 6) AS rate_a,
+           round(cast(c_b AS double) / cast(n_b AS double), 6) AS rate_b,
+           round((cast(c_a AS double) / cast(n_a AS double)
+                  - cast(c_b AS double) / cast(n_b AS double))
+                 / sqrt((cast(c_a + c_b AS double) / cast(n_a + n_b AS double))
+                        * (1.0 - cast(c_a + c_b AS double) / cast(n_a + n_b AS double))
+                        * (1.0 / cast(n_a AS double) + 1.0 / cast(n_b AS double))),
+                 6) AS z_score
+    FROM s
+    """,
+)
+def analytics_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment readout (variant =
+    deterministic hash split on user_id, conversion = any purchase event).
+    Counts accumulate as exact bigints in one hash agg over the user grain;
+    the z statistic is computed once, at the end, from those four integers
+    with an expression tree written IDENTICALLY on both engines — IEEE-754
+    doubles are deterministic given identical inputs and operation order,
+    so even the 6th decimal hash-matches.  At 100 TB: user-grain rollup
+    shuffles once on user_id; the final stats row is a single-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).alias("variant"), "conv")
+    s = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).cast("bigint").alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).cast("bigint").alias("c_b"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    pa = d(F.col("c_a")) / d(F.col("n_a"))
+    pb = d(F.col("c_b")) / d(F.col("n_b"))
+    pp = d(F.col("c_a") + F.col("c_b")) / d(F.col("n_a") + F.col("n_b"))
+    z = (pa - pb) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / d(F.col("n_a")) + F.lit(1.0) / d(F.col("n_b")))
+    )
+    return s.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@q(
+    "analytics_gini",
+    """
+    WITH u AS (
+      SELECT o_custkey,
+             sum(cast(round(o_totalprice * 100) AS bigint)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents,
+             cast(row_number() OVER (ORDER BY cents, o_custkey) AS bigint) AS rn
+      FROM u
+    )
+    SELECT cast(count(*) AS bigint) AS n_customers,
+           cast(sum(cents) AS bigint) AS total_cents,
+           round(cast(2 * sum(rn * cents) - (count(*) + 1) * sum(cents) AS double)
+                 / cast(count(*) * sum(cents) AS double), 6) AS gini
+    FROM r
+    """,
+)
+def analytics_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration.  The textbook
+    formula needs a GLOBAL rank over every customer — a single-partition
+    sort at scale.  The engine never ranks rows: revenue collapses to the
+    distinct-VALUE grain (cents -> count, one hash agg), and the global
+    prefix count is a TWO-LEVEL prefix sum — range-bucket the value domain
+    (fixed $10,486 buckets), prefix the per-bucket totals (a window over
+    only the bucket boundaries, thousands of rows at any corpus size),
+    broadcast the bucket bases back, and finish the prefix WITHIN each
+    bucket with a window PARTITIONED by bucket.  Within a tie block the
+    rank sum telescopes in closed form (ranks base+1..base+cnt over a
+    constant value x contribute x*(base*cnt + cnt*(cnt+1)/2)).  Every
+    accumulation is bigint-exact, so the result is bit-identical to the
+    oracle's row_number() formulation at any partitioning.  At 100 TB: two
+    hash aggs + partitioned windows; nothing single-partition but the
+    bucket-boundary ledger."""
+    o = load_table(spark, sf_dir, "orders")
+    u = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    t = (
+        u.groupBy("cents")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("bkt", F.expr(f"cents DIV {1 << 20}"))
+    )
+    bkt_tot = t.groupBy("bkt").agg(F.sum("cnt").alias("bcnt"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    bkt_base = bkt_tot.select(
+        "bkt", F.coalesce(F.sum("bcnt").over(wb), F.lit(0)).alias("bbase")
+    )
+    wi = (
+        W.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    t2 = t.join(F.broadcast(bkt_base), "bkt").withColumn(
+        "base",
+        F.col("bbase") + F.coalesce(F.sum("cnt").over(wi), F.lit(0)),
+    )
+    contrib = F.col("cents") * (
+        F.col("base") * F.col("cnt")
+        + F.expr("(cnt * (cnt + 1)) DIV 2")
+    )
+    s = t2.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cents") * F.col("cnt")).cast("bigint").alias("sx"),
+        F.sum(contrib).cast("bigint").alias("srx"),
+    )
+    num = (F.lit(2) * F.col("srx") - (F.col("n") + 1) * F.col("sx")).cast("double")
+    den = (F.col("n") * F.col("sx")).cast("double")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_cents"),
+        F.round(num / den, 6).alias("gini"),
+    )
+
+
+@q(
+    "analytics_basket_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+      SELECT cast(count(DISTINCT l_orderkey) AS bigint) AS n FROM b
+    ),
+    pairs AS (
+      SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+             cast(count(*) AS bigint) AS n_both
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+    ),
+    freq AS (
+      SELECT l_partkey, cast(count(*) AS bigint) AS n_item FROM b GROUP BY 1
+    )
+    SELECT p.part_a, p.part_b, p.n_both, fa.n_item AS n_a, fb.n_item AS n_b,
+           round(cast(p.n_both * o.n AS double)
+                 / cast(fa.n_item * fb.n_item AS double), 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON p.part_a = fa.l_partkey
+    JOIN freq fb ON p.part_b = fb.l_partkey
+    CROSS JOIN n_orders o
+    WHERE p.n_both >= 2
+    ORDER BY p.n_both DESC, p.part_a, p.part_b
+    LIMIT 100
+    """,
+)
+def analytics_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / lift) over order baskets.
+    Pair generation is a WITHIN-BASKET self-join on l_orderkey with
+    part_a < part_b — fan-out bounded by basket size squared (TPC-H
+    baskets hold <=7 items -> <=21 pairs), so the join is one co-partitioned
+    shuffle, never an all-pairs catalog product.  Item frequencies and the
+    basket count join back on the part key; lift = P(ab)/(P(a)P(b)) comes
+    out of exact bigint counts, rounded once.  At 100 TB the pair agg is
+    the only large shuffle and it map-side combines; the freq join is a
+    dim-sized shuffle join on partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = b.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    freq = b.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n_item"))
+    fa = freq.select(F.col("l_partkey").alias("ka"), F.col("n_item").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("kb"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(fa, pairs["part_a"] == fa["ka"])
+        .join(fb, pairs["part_b"] == fb["kb"])
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "n_both", "n_a", "n_b",
+            F.round(
+                (F.col("n_both") * F.col("n")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_both").desc(), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@q(
+    "analytics_cohort_ltv",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS mi,
+             cast(round(o_totalprice * 100) AS bigint) AS cents
+      FROM orders
+    ),
+    cohort AS (
+      SELECT o_custkey, min(mi) AS cohort_mi FROM o GROUP BY o_custkey
+    ),
+    size AS (
+      SELECT cohort_mi, cast(count(*) AS bigint) AS n_users
+      FROM cohort GROUP BY cohort_mi
+    ),
+    monthly AS (
+      SELECT o.o_custkey, c.cohort_mi, o.mi - c.cohort_mi AS age,
+             sum(o.cents) AS cents
+      FROM o JOIN cohort c ON o.o_custkey = c.o_custkey
+      GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT cohort_mi, age,
+             cast(count(*) AS bigint) AS n_active,
+             cast(sum(cents) AS bigint) AS cents
+      FROM monthly GROUP BY 1, 2
+    )
+    SELECT g.cohort_mi, g.age, g.n_active, s.n_users,
+           cast(sum(g.cents) OVER (PARTITION BY g.cohort_mi ORDER BY g.age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+             AS cum_cents,
+           (cast(sum(g.cents) OVER (PARTITION BY g.cohort_mi ORDER BY g.age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+                 * 100 // cast(s.n_users AS bigint)) / 10000.0 AS ltv_per_user
+    FROM g JOIN size s ON g.cohort_mi = s.cohort_mi
+    ORDER BY g.cohort_mi, g.age
+    """,
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by first-order
+    month, cumulative revenue per user tracked by cohort age.  Month
+    arithmetic uses an integer month index ((y-1992)*12 + m-1) so age is
+    exact on both engines (no months_between float).  The custkey-grain
+    cohort assignment and the monthly rollup co-partition on o_custkey
+    (one shuffle reused); the LTV cumsum is a window PARTITIONED by cohort
+    over the (cohort x age) aggregate — thousands of rows at any corpus
+    size, and revenue accumulates in bigint cents.  The per-user LTV is
+    floor-divided in integer micro-units (cents*100 div users) before one
+    float division, so no round-half tie can split the engines.  At 100 TB
+    nothing unpartitioned exists in the plan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1).alias("mi"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("mi").alias("cohort_mi"))
+    size = cohort.groupBy("cohort_mi").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    per_cust = (
+        o.join(cohort, "o_custkey")
+        .groupBy(
+            "o_custkey", "cohort_mi", (F.col("mi") - F.col("cohort_mi")).alias("age")
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    monthly = per_cust.groupBy("cohort_mi", "age").agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum("cents").alias("cents"),
+    )
+    w = (
+        W.partitionBy("cohort_mi")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("cents").over(w).cast("bigint")
+    return (
+        monthly.withColumn("cum_cents", cum)
+        .join(size, "cohort_mi")
+        .select(
+            "cohort_mi", "age", "n_active", "n_users", "cum_cents",
+            (F.expr("cum_cents * 100L div n_users") / 10000.0).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_mi", "age")
+    )

@@ -2181,3 +2181,53 @@ def expr_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@q(
+    "window_rolling_median",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             cast(round(o_totalprice * 100) AS bigint) AS cents
+      FROM orders WHERE o_orderkey < 20000
+    )
+    SELECT o_custkey, o_orderkey,
+           median(cents) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0 AS roll_median
+    FROM o
+    ORDER BY o_custkey, o_orderkey
+    LIMIT 500
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over a 5-row sliding frame per customer — the
+    order-statistic the reference's window kernels cannot express at all
+    (its WindowFunctionKernel.cc covers sum/avg/rank family only; a frame'd
+    percentile falls back to row-based Spark there).  Spark computes it as
+    ``percentile(x, 0.5)`` over a ROWS frame — per-frame exact selection,
+    partitioned by customer so the state parallelizes by key at 100 TB.
+    Portability: the median interpolates the two middle elements; on
+    doubles the engines' ``a + 0.5*(b-a)`` vs ``(a+b)/2`` differ in the
+    last ulp, so the median runs over integer CENTS (exact at both) and
+    divides back once."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 20000)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    frame = (
+        "percentile(cents, 0.5D) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        o.withColumn("roll_median", F.expr(frame) / 100.0)
+        .select("o_custkey", "o_orderkey", "roll_median")
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(500)
+    )

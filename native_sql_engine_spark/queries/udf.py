@@ -323,3 +323,55 @@ def udf_python_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l.l_returnflag ORDER BY l.l_returnflag
         """
     )
+
+
+@q(
+    "udf_sql_function",
+    """
+    WITH big AS (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0
+    )
+    SELECT l_returnflag,
+           cast(count(*) AS bigint) AS n,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS disc_revenue,
+           round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+             AS charged
+    FROM lineitem JOIN big ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (Spark 4: CREATE FUNCTION ... RETURN <expr>) —
+    the zero-cost UDF path the reference cannot offer at all (its UDF story
+    is JNI-registered native kernels, ExpressionEvaluator.scala): a scalar
+    SQL function inlines into the Catalyst plan at analysis time, so it
+    codegens with the surrounding expressions — no Python worker, no Arrow
+    hop, no JNI.  A SQL *table* function (RETURNS TABLE) likewise inlines
+    as a correlated subplan.  Both stay whole-stage-codegen'd; the oracle
+    is the hand-inlined SQL."""
+    from ..catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_rev(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN disc_rev(p, d) * (1.0 + t)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION big_orders(lim DOUBLE) "
+        "RETURNS TABLE(o_orderkey BIGINT) "
+        "RETURN SELECT o_orderkey FROM orders WHERE o_totalprice > lim"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               cast(count(*) AS bigint) AS n,
+               round(sum(disc_rev(l_extendedprice, l_discount)), 2) AS disc_revenue,
+               round(sum(charged(l_extendedprice, l_discount, l_tax)), 2) AS charged
+        FROM lineitem JOIN big_orders(150000.0D) b ON l_orderkey = b.o_orderkey
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
