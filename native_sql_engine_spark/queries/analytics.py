@@ -2098,3 +2098,44 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_mi", "age")
     )
+
+
+@q(
+    "events_cumulative_distinct_users",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(cast(ts AS date)) AS d FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT d, cast(count(*) AS bigint) AS new_users FROM first_seen GROUP BY d
+    )
+    SELECT cast(d AS varchar) AS day, new_users,
+           cast(sum(new_users) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+             AS cum_users
+    FROM daily ORDER BY day
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users to date (the growth-dashboard staple).
+    ``count(DISTINCT user) OVER (ORDER BY day)`` is unevaluable at scale —
+    distinct state per window frame.  The identity that makes it linear:
+    a user counts on exactly one day, their FIRST.  So: first-touch dedup
+    (one user-grain hash agg, the only big shuffle), a day-grain count, and
+    a running sum over the DAY domain — bounded by the calendar (a few
+    thousand rows in any corpus), the one intentionally-global window.
+    At 100 TB the plan is two hash aggs + a dim-sized window."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = first_seen.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        daily.select(
+            F.col("d").cast("string").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+        )
+        .orderBy("day")
+    )

@@ -2231,3 +2231,96 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey", "o_orderkey")
         .limit(500)
     )
+
+
+@q(
+    "expr_group_by_all",
+    """
+    SELECT l_returnflag, l_linestatus,
+           year(l_shipdate) AS ship_year,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint)
+             AS price_cents
+    FROM lineitem
+    WHERE l_quantity > 45.0
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def expr_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 4 SQL surface, absent from
+    the reference's parser entirely — its grammar is Spark 3.0's,
+    ColumnarPlugin.scala operates below the parser): the analyzer infers the
+    grouping keys as every non-aggregate select item and the global order as
+    the full column list.  The plan that comes out is the same partial/final
+    hash aggregate as an explicit GROUP BY — the sugar costs nothing at any
+    scale."""
+    from ..catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               year(l_shipdate) AS ship_year,
+               cast(count(*) AS bigint) AS n,
+               cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint)
+                 AS price_cents
+        FROM lineitem
+        WHERE l_quantity > 45.0
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@q(
+    "expr_xml",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus,
+             cast(round(o_totalprice * 100) AS bigint) AS cents
+      FROM orders WHERE o_orderkey < 30000
+    )
+    SELECT o_orderstatus AS status,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS id_sum,
+           cast(sum(cents) AS bigint) AS cents_sum
+    FROM src GROUP BY 1 ORDER BY status
+    """,
+)
+def expr_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion expressions — ``from_xml`` (Spark 4 schema-projected
+    parse) plus the Hive ``xpath_long`` attribute extractor — over XML
+    payloads synthesized from the orders table.  The reference has no XML
+    surface at all (its expression converter whitelist,
+    ColumnarExpressionConverter.scala, covers arithmetic/string/date only).
+    Numeric content rides as integer cents inside the document so
+    parse(format(x)) == x exactly — no printf round-half-even vs round()
+    tie to split the engines.  The oracle replays the identity on the base
+    columns.  At 100 TB: pure map-side expression work, no shuffle beyond
+    the final rollup."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 30000)
+        .select(
+            F.format_string(
+                '<o id="%d"><s>%s</s><c>%d</c></o>',
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            ).alias("xml")
+        )
+    )
+    parsed = o.select(
+        F.expr("xpath_long(xml, 'o/@id')").alias("id"),
+        F.from_xml(F.col("xml"), "STRUCT<s: STRING, c: BIGINT>").alias("p"),
+    )
+    return (
+        parsed.groupBy(F.col("p.s").alias("status"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("id").cast("bigint").alias("id_sum"),
+            F.sum("p.c").cast("bigint").alias("cents_sum"),
+        )
+        .orderBy("status")
+    )

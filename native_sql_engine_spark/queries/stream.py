@@ -488,3 +488,32 @@ def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n"),
     ).orderBy("event_type")
+
+
+@q(
+    "stream_chained_window_agg",
+    """
+    WITH mx AS (SELECT max(cast(ts AS timestamp)) AS m FROM events),
+    l AS (
+      SELECT cast(to_timestamp(floor(epoch(cast(ts AS timestamp)) / 900) * 900)
+               AS timestamp) AS win_start,
+             event_type,
+             cast(count(*) AS bigint) AS n,
+             cast(sum(cast(floor(value * 100) AS bigint)) AS bigint) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT cast(win_start AS varchar) AS win_start, event_type, n, cents
+    FROM l, mx
+    WHERE win_start + INTERVAL 15 MINUTE <= mx.m
+    ORDER BY win_start, event_type
+    """,
+)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregations in one streaming query (5-min partials
+    -> 15-min finals through ``window_time``), Spark 3.5+ surface the
+    reference has no analog of.  Oracle: the 15-min rollup computed in
+    batch, cut at the final watermark (windows closing after max event time
+    never emit in append mode)."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    out = _drain(SW.chained_window_rollup(ev), "q_stream_chained", "append")
+    return out.orderBy("win_start", "event_type")

@@ -457,3 +457,35 @@ def transform_with_state_agg(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def chained_window_rollup(events: DataFrame) -> DataFrame:
+    """Two chained stateful window aggregations in ONE streaming query
+    (Spark 3.5+ multi-stateful-operator support): 5-minute partials per
+    event_type roll up into 15-minute finals via ``window_time`` — the
+    streaming analog of a partial/final aggregate tree.  At firehose scale
+    the first agg absorbs the event volume and the second only sees the
+    5-minute partial rows (3 per 15-min window per type), so the rollup
+    state is negligible.  Append mode is mandatory for chained stateful
+    ops; with a 0-second watermark every window whose end <= max event time
+    emits, which is what the batch oracle replays."""
+    lvl1 = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+    lvl2 = (
+        lvl1.groupBy(
+            F.window(F.window_time("w"), "15 minutes").alias("w2"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    return lvl2.select(
+        F.col("w2.start").cast("string").alias("win_start"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("cents").cast("bigint").alias("cents"),
+    )
