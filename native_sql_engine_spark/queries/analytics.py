@@ -2139,3 +2139,65 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("day")
     )
+
+
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@q(
+    "quality_benford",
+    f"""
+    WITH src AS (
+      SELECT cast(substr(cast(cast(floor(o_totalprice) AS bigint) AS varchar), 1, 1)
+                  AS int) AS digit
+      FROM orders
+    ),
+    counts AS (
+      SELECT digit, cast(count(*) AS bigint) AS n FROM src GROUP BY digit
+    ),
+    tot AS (SELECT cast(sum(n) AS bigint) AS total FROM counts)
+    SELECT digit, n,
+           round(cast(n AS double) / cast(total AS double), 6) AS freq,
+           round(
+             (cast(n AS double) - cast(total AS double) * ({_BENFORD_CASE}))
+             * (cast(n AS double) - cast(total AS double) * ({_BENFORD_CASE}))
+             / (cast(total AS double) * ({_BENFORD_CASE})), 6) AS chi2_term
+    FROM counts, tot ORDER BY digit
+    """,
+)
+def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit on order amounts — the
+    fraud/synthetic-data screen a quality pipeline runs over every numeric
+    ledger column: first-significant-digit frequencies against
+    log10(1+1/d), with per-digit chi-square contributions.  Counts are one
+    hash agg to a NINE-row table; the expected probabilities are shared
+    Python-float literals interpolated into BOTH engines' expressions, and
+    every division happens after aggregation, so the doubles agree bitwise.
+    At 100 TB: one map-side digit extraction + a 9-group agg; the stats
+    math runs on 9 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    p = F.when(F.col("digit") == 1, F.lit(_BENFORD_P[1]))
+    for d in range(2, 10):
+        p = p.when(F.col("digit") == d, F.lit(_BENFORD_P[d]))
+    nn, tt = F.col("n").cast("double"), F.col("total").cast("double")
+    dev = nn - tt * p
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(nn / tt, 6).alias("freq"),
+            F.round(dev * dev / (tt * p), 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -2324,3 +2324,46 @@ def expr_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@q(
+    "reshape_transpose",
+    """
+    WITH g AS (
+      SELECT o_orderstatus,
+             cast(count(*) AS bigint) AS n,
+             cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+               AS cents
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT 'cents' AS key,
+           cast(sum(CASE WHEN o_orderstatus = 'F' THEN cents END) AS bigint) AS "F",
+           cast(sum(CASE WHEN o_orderstatus = 'O' THEN cents END) AS bigint) AS "O",
+           cast(sum(CASE WHEN o_orderstatus = 'P' THEN cents END) AS bigint) AS "P"
+    FROM g
+    UNION ALL
+    SELECT 'n',
+           cast(sum(CASE WHEN o_orderstatus = 'F' THEN n END) AS bigint),
+           cast(sum(CASE WHEN o_orderstatus = 'O' THEN n END) AS bigint),
+           cast(sum(CASE WHEN o_orderstatus = 'P' THEN n END) AS bigint)
+    FROM g
+    ORDER BY key
+    """,
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4.0 relational transpose — rows become
+    columns keyed by the index column's values).  Meaningful only on
+    aggregate-sized frames (the output width = input row count), which is
+    exactly how it's used: pivot a small metrics rollup for report layout.
+    Here the 3-row order-status rollup transposes to metric-per-row /
+    status-per-column; the oracle states the transposed shape with
+    conditional aggregates.  The heavy work (the rollup) happened before
+    the transpose, distributed as usual."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return g.transpose().orderBy("key")

@@ -2164,3 +2164,192 @@ def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("true_label", "pred_label")
     )
+
+
+@q(
+    "source_schema_evolution",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, NULL AS cents
+      FROM orders WHERE o_orderkey < 1000
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             cast(round(o_totalprice * 100) AS bigint) AS cents
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    ),
+    merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT o_orderstatus AS status,
+           cast(count(*) AS bigint) AS n,
+           cast(count(cents) AS bigint) AS n_with_cents,
+           cast(sum(coalesce(cents, 0)) AS bigint) AS cents_sum
+    FROM merged GROUP BY 1 ORDER BY status
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches — the ingest reality the
+    reference's fixed-schema ArrowFileFormat scan cannot absorb (its reader
+    takes one schema for the whole dataset): batch 1 lands without the
+    `cents` column, batch 2 adds it, and a ``mergeSchema`` scan reads both
+    with the union schema, NULL-filling the old files.  Column pruning and
+    predicate pushdown still apply per-file against each file's own
+    physical schema.  The oracle replays the union semantics from the base
+    table.  At 100 TB schema merge is a footer-only planning cost —
+    data files are never rewritten."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="src_evo_")
+    (
+        o.filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderstatus")
+        .write.parquet(f"{base}/t/b1")
+    )
+    (
+        o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .write.parquet(f"{base}/t/b2")
+    )
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{base}/t")
+    )
+    return (
+        back.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("cents").cast("bigint").alias("n_with_cents"),
+            F.sum(F.coalesce(F.col("cents"), F.lit(0))).cast("bigint").alias("cents_sum"),
+        )
+        .orderBy("status")
+    )
+
+
+@q(
+    "source_dynamic_partition_overwrite",
+    """
+    WITH final AS (
+      SELECT year(o_orderdate) AS y, o_orderkey
+      FROM orders WHERE year(o_orderdate) <> 1995
+      UNION ALL
+      SELECT year(o_orderdate) AS y, o_orderkey
+      FROM orders WHERE year(o_orderdate) = 1995 AND o_orderstatus = 'F'
+    )
+    SELECT y, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum
+    FROM final GROUP BY y ORDER BY y
+    """,
+)
+def source_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill write mode
+    (re-run a day's job, replace exactly that day's directory, leave every
+    other partition untouched).  The reference's sink is append-only
+    (ArrowFileFormat write path has no overwrite semantics at partition
+    grain).  Here: full partitioned write, then an INSERT OVERWRITE
+    carrying only year=1995 rows with ``partitionOverwriteMode=dynamic`` —
+    committed partitions are discovered from the data, so only the 1995
+    directory is swapped.  The oracle states the final table contents
+    declaratively.  At 100 TB this is a metadata swap of one directory,
+    never a table rewrite."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"), "o_orderkey", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="src_dpo_")
+    o.write.partitionBy("y").parquet(f"{base}/t")
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            o.filter((F.col("y") == 1995) & (F.col("o_orderstatus") == "F"))
+            .write.mode("overwrite")
+            .partitionBy("y")
+            .parquet(f"{base}/t")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    back = spark.read.parquet(f"{base}/t")
+    return (
+        back.groupBy(F.col("y").cast("int").alias("y"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("y")
+    )
+
+
+@q(
+    "quality_observe_metrics",
+    """
+    SELECT cast(count(*) AS bigint) AS rows_kept,
+           cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint)
+             AS cents_sum,
+           cast(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS bigint)
+             AS n_discounted
+    FROM lineitem WHERE l_quantity >= 25.0
+    """,
+)
+def quality_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe`` — pipeline health metrics accumulated DURING
+    the main pass, not by a second scan: named aggregate observations ride
+    the executed plan as a zero-shuffle CollectMetrics node and surface on
+    the driver after the action.  This is how a 100 TB job audits
+    row-yield / value-conservation for free; the reference has no metric
+    surface beyond SQL metrics in the UI.  The observed values are emitted
+    here as the result row, so the oracle (the same aggregates as a
+    second query) proves observation == recomputation."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25.0)
+    obs = Observation("pipeline_audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents_sum"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real action
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["rows_kept"]), int(m["cents_sum"]), int(m["n_discounted"]))],
+        schema="rows_kept bigint, cents_sum bigint, n_discounted bigint",
+    )
+
+
+@q(
+    "profile_crosstab",
+    """
+    SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+           cast(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS bigint) AS "1-URGENT",
+           cast(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS bigint) AS "2-HIGH",
+           cast(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS bigint) AS "3-MEDIUM",
+           cast(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS bigint) AS "4-NOT SPECIFIED",
+           cast(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS bigint) AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    ORDER BY o_orderstatus_o_orderpriority
+    """,
+)
+def profile_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via ``df.stat.crosstab`` — the profiling primitive
+    for categorical-pair auditing (status × priority here).  Under the
+    hood it is one hash aggregate on the pair followed by a driver-side
+    pivot of the (|A| × |B|) count grid — distribution-safe as long as the
+    CATEGORY CARDINALITIES are bounded, which is the operator's contract
+    (Spark caps it at 1e4 distinct pairs).  The oracle is the conditional-
+    aggregate pivot written out longhand."""
+    o = load_table(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    cols = ["o_orderstatus_o_orderpriority"] + sorted(
+        c for c in ct.columns if c != "o_orderstatus_o_orderpriority"
+    )
+    return ct.select(
+        cols[0],
+        *[F.col(f"`{c}`").cast("bigint").alias(c) for c in cols[1:]],
+    ).orderBy("o_orderstatus_o_orderpriority")

@@ -375,3 +375,115 @@ def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag ORDER BY l_returnflag
         """
     )
+
+
+@q(
+    "udf_cogroup_apply",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             cast(count(*) AS bigint) AS n_orders,
+             cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey AS custkey,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.cents, 0) AS cents,
+           cast(round(c.c_acctbal * 100) AS bigint) AS acctbal_cents
+    FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey % 10 = 0
+    ORDER BY custkey
+    """,
+)
+def udf_cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` (FlatMapCoGroupsInPandas) — the two-sided
+    Arrow UDF surface: customer and orders groups co-shuffled on the key
+    arrive as a PAIR of pandas frames per key, the Python function merges
+    them (here: per-customer order rollup against the account balance).
+    The reference's columnar engine has no Python co-group at all — its
+    closest shape is the JNI hash join.  Arrow-batched both directions;
+    both sides hash-partition once on the key, exactly like a shuffle
+    join.  The oracle is the equivalent LEFT JOIN + GROUP BY."""
+    import pandas as pd
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+
+    def merge(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty:  # orders whose customer is filtered out: no output
+            return pd.DataFrame(
+                {"custkey": [], "n_orders": [], "cents": [], "acctbal_cents": []}
+            )
+        key = int(cust["c_custkey"].iloc[0])
+        bal = cust["c_acctbal"].iloc[0]
+        return pd.DataFrame(
+            {
+                "custkey": [key],
+                "n_orders": [len(orders)],
+                "cents": [int(orders["cents"].sum()) if len(orders) else 0],
+                "acctbal_cents": [int(round(bal * 100))],
+            }
+        )
+
+    out = c.groupBy("c_custkey").cogroup(o.groupBy("o_custkey")).applyInPandas(
+        merge,
+        schema="custkey bigint, n_orders bigint, cents bigint, acctbal_cents bigint",
+    )
+    return out.orderBy("custkey")
+
+
+@q(
+    "udf_apply_in_arrow",
+    """
+    SELECT l_returnflag,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(cast(round(l_quantity * 100) AS bigint)) AS bigint)
+             AS qty_cents
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInArrow`` (Spark 4, FlatMapGroupsInArrow): the group
+    arrives as a ``pyarrow.Table`` and the result returns as one — zero
+    pandas materialization on either side, the pure-Arrow twin of
+    ``applyInPandas`` and the closest Python analog of the reference's
+    columnar-batch operator ABI (its kernels also consume/produce Arrow
+    record batches, via JNI instead of IPC).  Aggregation inside the group
+    uses ``pyarrow.compute`` kernels (vectorized C++).  One hash shuffle on
+    the group key, same as any grouped agg."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_cents"),
+    )
+
+    def rollup(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": [tbl["l_returnflag"][0].as_py()],
+                "n": [tbl.num_rows],
+                "qty_cents": [pc.sum(tbl["qty_cents"]).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("l_returnflag", pa.string()),
+                    ("n", pa.int64()),
+                    ("qty_cents", pa.int64()),
+                ]
+            ),
+        )
+
+    out = li.groupBy("l_returnflag").applyInArrow(
+        rollup, schema="l_returnflag string, n bigint, qty_cents bigint"
+    )
+    return out.orderBy("l_returnflag")
