@@ -2201,3 +2201,141 @@ def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@q(
+    "events_stickiness_dau_mau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, cast(ts AS date) AS d FROM events
+    ),
+    m AS (
+      SELECT (year(d) - 1992) * 12 + month(d) - 1 AS mi,
+             cast(count(*) AS bigint) AS user_days,
+             cast(count(DISTINCT user_id) AS bigint) AS mau,
+             cast(count(DISTINCT d) AS bigint) AS days_obs
+      FROM ud GROUP BY 1
+    )
+    SELECT mi, mau, user_days, days_obs,
+           round(cast(user_days AS double) / cast(days_obs AS double)
+                 / cast(mau AS double), 6) AS stickiness
+    FROM m ORDER BY mi
+    """,
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio every growth
+    dashboard tracks.  avg-DAU/MAU = user_days / (days_observed × MAU),
+    all three EXACT integer counts off ONE distinct (user, day) grain —
+    the corpus shuffles once to that grain, the month rollup is hundreds
+    of rows, and the single float division happens post-agg with an
+    identical expression tree on both engines.  Never a per-day distinct
+    window.  At 100 TB: one dedup shuffle + a calendar-bounded agg."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    m = ud.groupBy(
+        ((F.year("d") - 1992) * 12 + F.month("d") - 1).alias("mi")
+    ).agg(
+        F.count("*").cast("bigint").alias("user_days"),
+        F.count_distinct("user_id").cast("bigint").alias("mau"),
+        F.count_distinct("d").cast("bigint").alias("days_obs"),
+    )
+    return (
+        m.select(
+            "mi", "mau", "user_days", "days_obs",
+            F.round(
+                F.col("user_days").cast("double")
+                / F.col("days_obs").cast("double")
+                / F.col("mau").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("mi")
+    )
+
+
+_HOLT_FOLD_SPARK = (
+    "aggregate(slice(vals, 2, size(vals) - 1), "
+    "named_struct('l', vals[0], 'b', cast(0.0 AS double)), "
+    "(acc, x) -> named_struct("
+    "'l', 0.5D * x + 0.5D * (acc.l + acc.b), "
+    "'b', 0.5D * ((0.5D * x + 0.5D * (acc.l + acc.b)) - acc.l) + 0.5D * acc.b))"
+)
+
+
+@q(
+    "analytics_holt_linear",
+    """
+    WITH monthly AS (
+      SELECT o_orderpriority AS pri,
+             (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS mi,
+             cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS double)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT pri, list(cents ORDER BY mi) AS vals FROM monthly GROUP BY pri
+    ),
+    fold AS (
+      WITH RECURSIVE f(pri, i, l, b) AS (
+        SELECT pri, 1, cast(vals[1] AS double), cast(0.0 AS double) FROM series
+        UNION ALL
+        SELECT f.pri, f.i + 1,
+               0.5 * s.vals[f.i + 1] + 0.5 * (f.l + f.b),
+               0.5 * ((0.5 * s.vals[f.i + 1] + 0.5 * (f.l + f.b)) - f.l)
+                 + 0.5 * f.b
+        FROM f JOIN series s ON f.pri = s.pri
+        WHERE f.i < len(s.vals)
+      )
+      SELECT * FROM f
+    )
+    SELECT s.pri, cast(len(s.vals) AS bigint) AS n_months,
+           round(f.l / 100.0, 4) AS level_dollars,
+           round(f.b / 100.0, 4) AS trend_dollars,
+           round((f.l + 3.0 * f.b) / 100.0, 4) AS forecast_3m
+    FROM series s JOIN fold f ON s.pri = f.pri AND f.i = len(s.vals)
+    ORDER BY s.pri
+    """,
+)
+def analytics_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per series (the standard
+    level+trend forecaster; one step beyond `timeseries_ewma`), fitted with
+    a HIGHER-ORDER-FUNCTION fold — no driver loop, no UDF: the monthly
+    series collects per key (bounded by the calendar), and ``aggregate()``
+    folds the (level, trend) struct left-to-right inside codegen.
+    Bit-portability: both engines run the IDENTICAL left fold from the
+    same first-element init (l0=y0, b0=0, alpha=beta=0.5 literals), so
+    every IEEE double matches exactly — the DuckDB oracle replays the fold
+    as a RECURSIVE CTE row-at-a-time (DuckDB's own ``list_reduce`` cannot
+    express it: it updates struct accumulators field-by-field IN PLACE, so
+    the 'b' formula would read the already-overwritten 'l').
+    At 100 TB: one (key, month) pre-agg shuffle,
+    then per-key folds over ≤ calendar-length arrays."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1).alias("mi"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("double")
+            .alias("cents")
+        )
+    )
+    series = monthly.groupBy("pri").agg(
+        F.array_sort(F.collect_list(F.struct("mi", "cents"))).alias("a")
+    )
+    st = (
+        series.withColumn("vals", F.expr("transform(a, s -> s.cents)"))
+        .withColumn("st", F.expr(_HOLT_FOLD_SPARK))
+        .select(
+            "pri",
+            F.size("vals").cast("bigint").alias("n_months"),
+            F.round(F.col("st.l") / 100.0, 4).alias("level_dollars"),
+            F.round(F.col("st.b") / 100.0, 4).alias("trend_dollars"),
+            F.round((F.col("st.l") + 3.0 * F.col("st.b")) / 100.0, 4).alias(
+                "forecast_3m"
+            ),
+        )
+    )
+    return st.orderBy("pri")
