@@ -2339,3 +2339,48 @@ def analytics_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return st.orderBy("pri")
+
+
+@q(
+    "events_rolling_7d_active",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, cast(ts AS date) AS d FROM events
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+    contrib AS (
+      SELECT DISTINCT ud.user_id, cast(ud.d + g.k * INTERVAL 1 DAY AS date) AS wd
+      FROM ud, unnest(generate_series(0, 6)) AS g(k)
+    )
+    SELECT cast(wd AS varchar) AS day,
+           cast(count(DISTINCT user_id) AS bigint) AS n_active_7d
+    FROM contrib, bounds
+    WHERE wd BETWEEN bounds.lo AND bounds.hi
+    GROUP BY wd ORDER BY day
+    """,
+)
+def events_rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU curve).  A sliding
+    `count(DISTINCT) OVER (RANGE 6 PRECEDING)` is unevaluable at scale —
+    distinct state per frame.  The linear identity: a user active on day d
+    contributes to exactly the 7 window-days d..d+6, so the (user, day)
+    grain explodes 7× and ONE distinct aggregate per window-day finishes
+    it.  At 100 TB: the dedup-to-(user, day) shuffle dominates (same grain
+    as DAU), the 7× fan-out rides map-side, and the per-day distinct agg
+    is Spark's standard two-phase distinct.  The window-day domain is
+    calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    lo, hi = ud.agg(F.min("d"), F.max("d")).first()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(0, 6)")).alias("k"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("k")).alias("wd"))
+    return (
+        contrib.filter((F.col("wd") >= F.lit(lo)) & (F.col("wd") <= F.lit(hi)))
+        .groupBy("wd")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active_7d"))
+        .select(F.col("wd").cast("string").alias("day"), "n_active_7d")
+        .orderBy("day")
+    )

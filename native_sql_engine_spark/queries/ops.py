@@ -2279,7 +2279,7 @@ def expr_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH src AS (
       SELECT o_orderkey, o_orderstatus,
              cast(round(o_totalprice * 100) AS bigint) AS cents
-      FROM orders WHERE o_orderkey < 30000
+      FROM orders WHERE o_orderkey < 8000
     )
     SELECT o_orderstatus AS status,
            cast(count(*) AS bigint) AS n,
@@ -2301,7 +2301,7 @@ def expr_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final rollup."""
     o = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") < 30000)
+        .filter(F.col("o_orderkey") < 8000)
         .select(
             F.format_string(
                 '<o id="%d"><s>%s</s><c>%d</c></o>',

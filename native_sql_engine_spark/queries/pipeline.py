@@ -2353,3 +2353,84 @@ def profile_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols[0],
         *[F.col(f"`{c}`").cast("bigint").alias(c) for c in cols[1:]],
     ).orderBy("o_orderstatus_o_orderpriority")
+
+
+@q(
+    "dedup_paragraph_exact",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, g.i AS pos,
+             array_to_string(toks[(g.i * 8 + 1):(g.i * 8 + 8)], ' ') AS chunk
+      FROM t, unnest(generate_series(0,
+               cast(ceil(len(toks) / 8.0) AS int) - 1)) AS g(i)
+    ),
+    r AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS n_chunks
+      FROM c
+    )
+    SELECT doc_id,
+           cast(max(n_chunks) AS bigint) AS n_chunks,
+           cast(count(CASE WHEN rn = 1 THEN 1 END) AS bigint) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos),
+                    '') AS kept_text
+    FROM r GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document REASSEMBLY — the C4-style
+    pipeline stage doc-level dedup cannot replace: boilerplate paragraphs
+    (headers, license blocks) repeat across distinct documents, so the
+    corpus chunks (8-word spans here), keeps each chunk's FIRST occurrence
+    by (doc_id, pos), and stitches every document back together from its
+    surviving chunks in order.  Plan: one explode (fan-out = chunks/doc,
+    bounded by doc length), ONE shuffle on the chunk text for the
+    first-occurrence window, then a doc-key shuffle to reassemble — at
+    100 TB the chunk shuffle moves hashes+positions-scale data and the
+    window state is one row per distinct chunk.  (Production variant:
+    shuffle a 128-bit chunk digest instead of the text, exactly like
+    `dedup_exact`.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = (
+        docs.withColumn("toks", F.split("text", " "))
+        .withColumn(
+            "chunks",
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(toks) / 8.0) AS int) - 1), "
+                "i -> array_join(slice(toks, i * 8 + 1, 8), ' '))"
+            ),
+        )
+        .select("doc_id", F.posexplode("chunks").alias("pos", "chunk"))
+    )
+    w_first = W.partitionBy("chunk").orderBy("doc_id", "pos")
+    w_doc = W.partitionBy("doc_id")
+    r = c.withColumn("rn", F.row_number().over(w_first)).withColumn(
+        "n_chunks", F.count("*").over(w_doc)
+    )
+    kept = F.when(F.col("rn") == 1, F.col("chunk"))
+    return (
+        r.groupBy("doc_id")
+        .agg(
+            F.max("n_chunks").cast("bigint").alias("n_chunks"),
+            F.count(kept).cast("bigint").alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("rn") == 1, F.struct("pos", "chunk"))
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -517,3 +517,97 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = SW.read_events_stream(spark, sf_dir)
     out = _drain(SW.chained_window_rollup(ev), "q_stream_chained", "append")
     return out.orderBy("win_start", "event_type")
+
+
+@q(
+    "stream_late_data_drop",
+    """
+    WITH cut AS (
+      SELECT to_timestamp(floor((min(epoch(cast(ts AS timestamp)))
+               + max(epoch(cast(ts AS timestamp)))) / 2)) AS c,
+             max(cast(ts AS timestamp)) AS mx
+      FROM events
+    ),
+    on_time AS (
+      SELECT cast(ts AS timestamp) AS ts, event_type FROM events, cut
+      WHERE cast(ts AS timestamp) >= cut.c
+    ),
+    w AS (
+      SELECT cast(to_timestamp(floor(epoch(ts) / 300) * 300) AS timestamp)
+               AS win_start,
+             event_type, cast(count(*) AS bigint) AS n
+      FROM on_time GROUP BY 1, 2
+    )
+    SELECT cast(win_start AS varchar) AS win_start, event_type, n
+    FROM w, cut
+    WHERE win_start + INTERVAL 5 MINUTE <= cut.mx
+    ORDER BY win_start, event_type
+    """,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data DROP semantics, deterministically replayed: the corpus
+    splits at its midpoint timestamp; the on-time half is present at query
+    start, the LATE half (strictly older timestamps) is delivered as a new
+    file only after the first micro-batch commits — so the watermark
+    already stands at the on-time max and the stateful aggregation drops
+    every late row (`numRowsDroppedByWatermark`, asserted in
+    tests/test_streaming.py).  The oracle aggregates the ON-TIME HALF ONLY,
+    cut at the final watermark.  This pins the semantic a 100 TB firehose
+    depends on: state stays bounded because too-late data is dropped, not
+    buffered.  (Engine note: the drop happens under a live trigger; the
+    AvailableNow wrapper in this Spark build plans all discovered files
+    with the restart-time watermark, which never filters within one run —
+    hence the two-phase file delivery here.)"""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if isinstance(batch.schema["ts"].dataType, T.LongType):
+        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        batch = batch.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    lo, hi = batch.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    cut = (lo + hi) // 2
+    base = tempfile.mkdtemp(prefix="late_drop_")
+    os.makedirs(f"{base}/in")
+    sel = batch.select("ts", "event_type")
+    sel.filter(F.unix_timestamp("ts") >= cut).coalesce(1).write.parquet(f"{base}/t0")
+    sel.filter(F.unix_timestamp("ts") < cut).coalesce(1).write.parquet(f"{base}/t1")
+    shutil.copy(glob.glob(f"{base}/t0/*.parquet")[0], f"{base}/in/a_ontime.parquet")
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .parquet(f"{base}/in")
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("win_start"), "event_type", "n"
+        )
+    )
+    name = f"q_stream_late_drop_{next(_SINK_SEQ)}"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        q.processAllAvailable()  # batch 0: on-time half -> watermark = its max
+        shutil.copy(glob.glob(f"{base}/t1/*.parquet")[0], f"{base}/in/b_late.parquet")
+        q.processAllAvailable()  # late half arrives entirely below the watermark
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return spark.table(name).orderBy("win_start", "event_type")

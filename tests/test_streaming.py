@@ -363,3 +363,54 @@ def test_python_stream_source_checkpoint_resume(spark, sf_small, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_late_rows_dropped_by_watermark_metric(spark, tmp_path):
+    """Pin the semantic stream_late_data_drop relies on: under a live
+    trigger, rows arriving entirely below the watermark are DROPPED at the
+    stateful aggregation (numRowsDroppedByWatermark > 0) and never emit."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    on_time = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, 0, 0, 0), "a"), (dt.datetime(2024, 1, 2, 1, 0, 0), "a")],
+        "ts timestamp, k string",
+    )
+    late = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 0, 0), "a"), (dt.datetime(2024, 1, 1, 0, 1, 0), "a")],
+        "ts timestamp, k string",
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    on_time.coalesce(1).write.parquet(str(tmp_path / "t0"))
+    late.coalesce(1).write.parquet(str(tmp_path / "t1"))
+    shutil.copy(glob.glob(str(tmp_path / "t0" / "*.parquet"))[0], indir / "a0.parquet")
+    stream = spark.readStream.schema("ts timestamp, k string").parquet(str(indir))
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "k")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        shutil.copy(glob.glob(str(tmp_path / "t1" / "*.parquet"))[0], indir / "b1.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped >= 1, [p["batchId"] for p in q.recentProgress]
+    wins = [r["w"]["start"] for r in spark.table("t_late_drop").collect()]
+    assert all(w.date() >= dt.date(2024, 1, 2) for w in wins), wins
