@@ -2384,3 +2384,95 @@ def events_rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("wd").cast("string").alias("day"), "n_active_7d")
         .orderBy("day")
     )
+
+
+@q(
+    "feature_pit_training_set",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, cast(ts AS timestamp) AS ts
+      FROM events WHERE event_type = 'click'
+    ),
+    status_at AS (
+      SELECT c.event_id,
+             (SELECT o.o_orderstatus FROM orders o
+              WHERE o.o_custkey = c.user_id
+                AND o.o_orderdate <= cast(c.ts AS date)
+              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS status
+      FROM clicks c
+    ),
+    lab AS (
+      SELECT c.event_id,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                 AND cast(p.ts AS timestamp) >= c.ts
+                 AND cast(p.ts AS timestamp) <= c.ts + INTERVAL 7 DAY)
+             THEN 1 ELSE 0 END AS label
+      FROM clicks c
+    )
+    SELECT c.event_id, c.user_id, cast(c.ts AS varchar) AS ts,
+           coalesce(s.status, 'NONE') AS status_at_event,
+           l.label
+    FROM clicks c
+    JOIN status_at s USING (event_id)
+    JOIN lab l USING (event_id)
+    ORDER BY c.event_id LIMIT 2000
+    """,
+)
+def feature_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly — the feature-store
+    operation that prevents label leakage: each click example gets (a) the
+    dimension attribute AS OF the event time (customer's order status from
+    the SCD2 history — never a value from the future) and (b) a label from
+    a bounded FUTURE window (purchase within 7 days).  Both sides are the
+    union-merge as-of join (operators/temporal.py): ONE shuffle per join,
+    O(1) state per key, no event×order or event×event product — the
+    oracle IS those quadratic correlated subqueries.  At 100 TB this is
+    the shape that makes backfilling a training set a linear scan."""
+    from ..operators.temporal import asof_join, scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").alias("k"), "ts", F.to_date("ts").alias("d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    changes = scd2_history(orders, "k", "o_orderstatus", "o_orderdate", "o_orderkey")
+    pit = asof_join(
+        clicks,
+        changes,
+        key="k",
+        left_ts="d",
+        right_ts="o_orderdate",
+        value_cols=["o_orderstatus"],
+        tie_break="o_orderkey",
+        direction="backward",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("p_ts")
+    )
+    labeled = asof_join(
+        pit,
+        purchases,
+        key="k",
+        left_ts="ts",
+        right_ts="p_ts",
+        value_cols=["p_ts"],
+        direction="forward",
+        tolerance=lambda l, r: r <= l + F.expr("INTERVAL 7 DAYS"),
+    )
+    return (
+        labeled.select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("ts").cast("string").alias("ts"),
+            F.coalesce(F.col("right_o_orderstatus"), F.lit("NONE")).alias(
+                "status_at_event"
+            ),
+            F.when(F.col("right_p_ts").isNotNull(), 1).otherwise(0).alias("label"),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )
