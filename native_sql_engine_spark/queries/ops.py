@@ -2367,3 +2367,51 @@ def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     return g.transpose().orderBy("key")
+
+
+@q(
+    "expr_csv",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+             cast(round(o_totalprice * 100) AS bigint) AS c
+      FROM orders
+    )
+    SELECT s AS status,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(k) AS bigint) AS key_sum,
+           cast(sum(c) AS bigint) AS cents_sum
+    FROM src GROUP BY 1 ORDER BY status
+    """,
+)
+def expr_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV expression surface — ``to_csv(struct)`` to serialize and
+    ``from_csv`` with an explicit schema + custom separator to parse back
+    (the embedded-record twin of `expr_xml`; the reference's CSV support
+    is file-scan-only, arrow-data-source csv).  Numeric content rides as
+    integer cents so parse(format(x)) == x exactly.  The oracle replays
+    the identity on the base columns.  Pure map-side expression work."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_csv(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+            ),
+            {"sep": "|"},
+        ).alias("line")
+    )
+    parsed = o.select(
+        F.from_csv(
+            F.col("line"), "k BIGINT, s STRING, c BIGINT", {"sep": "|"}
+        ).alias("p")
+    )
+    return (
+        parsed.groupBy(F.col("p.s").alias("status"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("p.k").cast("bigint").alias("key_sum"),
+            F.sum("p.c").cast("bigint").alias("cents_sum"),
+        )
+        .orderBy("status")
+    )

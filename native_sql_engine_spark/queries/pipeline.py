@@ -2434,3 +2434,74 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "quality_bot_regularity",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(cast(ts AS timestamp)) // 1000000
+               - lag(epoch_us(cast(ts AS timestamp)) // 1000000)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             cast(count(gap_s) AS bigint) AS n_gaps,
+             cast(sum(gap_s) AS bigint) AS sum_g,
+             cast(sum(gap_s * gap_s) AS bigint) AS sum_g2
+      FROM g WHERE gap_s IS NOT NULL
+      GROUP BY user_id HAVING count(gap_s) >= 5 AND sum(gap_s) > 0
+    )
+    SELECT user_id, n_gaps,
+           sum_g // n_gaps AS mean_gap_s,
+           round(cast(n_gaps * sum_g2 - sum_g * sum_g AS double)
+                 / cast(sum_g * sum_g AS double), 6) AS cv2
+    FROM s
+    ORDER BY cv2, user_id LIMIT 50
+    """,
+)
+def quality_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/scripted-traffic screen by inter-event regularity — humans have
+    bursty gaps, schedulers fire like clockwork, and squared coefficient
+    of variation CV² = (nΣg² − (Σg)²)/(Σg)² separates them with EXACT
+    bigint sums (gaps in whole seconds keep nΣg² < 2⁶³ for any plausible
+    per-user history).  One lag window + one hash agg, both partitioned by
+    user; the single float division happens on the user-grain rollup.
+    The most-regular users surface first.  For an LLM data pipeline this
+    is the upstream filter that keeps machine-generated interaction logs
+    out of training corpora."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.lag(F.unix_timestamp("ts")).over(w)
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("bigint").alias("n_gaps"),
+            F.sum("gap_s").cast("bigint").alias("sum_g"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("sum_g2"),
+        )
+        .filter((F.col("n_gaps") >= 5) & (F.col("sum_g") > 0))
+    )
+    cv2 = (
+        (F.col("n_gaps") * F.col("sum_g2") - F.col("sum_g") * F.col("sum_g"))
+        .cast("double")
+        / (F.col("sum_g") * F.col("sum_g")).cast("double")
+    )
+    return (
+        s.select(
+            "user_id",
+            "n_gaps",
+            F.expr("sum_g div n_gaps").alias("mean_gap_s"),
+            F.round(cv2, 6).alias("cv2"),
+        )
+        .orderBy("cv2", "user_id")
+        .limit(50)
+    )
