@@ -2415,3 +2415,41 @@ def expr_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@q(
+    "agg_histogram_log2",
+    """
+    WITH b AS (
+      SELECT length(bin(cast(round(o_totalprice * 100) AS bigint))) - 1 AS bucket,
+             cast(round(o_totalprice * 100) AS bigint) AS cents
+      FROM orders
+    )
+    SELECT bucket,
+           cast(count(*) AS bigint) AS n,
+           cast(min(cents) AS bigint) AS min_cents,
+           cast(max(cents) AS bigint) AS max_cents
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-bucketed histogram — the right shape for long-tailed monetary /
+    latency distributions where fixed-width bins waste 90% of their range.
+    The bucket is floor(log2(x)) computed EXACTLY as integer bit-length
+    (``length(bin(x)) - 1``) — no float log whose last-ulp could flip a
+    power-of-two boundary value between engines.  Map-side bucket
+    assignment, one ≤64-group hash agg: the histogram of a 100 TB column
+    costs one scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    return (
+        o.select("cents", (F.length(F.bin("cents")) - 1).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("bucket")
+    )

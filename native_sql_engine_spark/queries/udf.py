@@ -496,3 +496,55 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup, schema="l_returnflag string, n bigint, qty_cents bigint"
     )
     return out.orderBy("l_returnflag")
+
+
+@q(
+    "udf_scalar_iter",
+    """
+    SELECT l_linestatus,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(cast(round(l_extendedprice * (1.0 - l_discount) * 100)
+                         AS bigint)) AS bigint) AS disc_cents
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form scalar pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``, SCALAR_ITER) — the variant built for expensive
+    per-worker initialization (model weights, codec tables): setup runs
+    ONCE per Python worker, then streams every Arrow batch through, unlike
+    the plain scalar form which has no init hook.  Here the 'expensive
+    init' is a trivial constant to keep the oracle exact; the mechanics —
+    one worker-lifetime generator wrapping the batch stream — are the
+    production shape for UDF-side model scoring over 100 TB."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType is explicit because this module's `from __future__ import
+    # annotations` turns type hints into strings the UDF registry can't
+    # resolve against function-local imports
+    @pandas_udf("double", PandasUDFType.SCALAR_ITER)
+    def disc_price_iter(it):
+        one = 1.0  # stands in for per-worker init (loaded once)
+        for price, disc in it:
+            yield price * (one - disc)
+
+    # rounding happens JVM-side: pandas .round() is half-even, SQL round is
+    # half-up — keep the tie-breaking convention in one engine
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_linestatus",
+            F.round(
+                disc_price_iter(F.col("l_extendedprice"), F.col("l_discount"))
+                * 100
+            )
+            .cast("bigint")
+            .alias("dc"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("dc").cast("bigint").alias("disc_cents"),
+        )
+        .orderBy("l_linestatus")
+    )
