@@ -454,3 +454,67 @@ def nfc_normalize(col: Column) -> Column:
     # explicit returnType (no type-hint inference: postponed annotations in
     # this module would turn the pd.Series hints into unresolvable strings)
     return pandas_udf(_nfc, "string")(col)
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Chunk-level exact dedup with ordered document reassembly (the
+    C4-style boilerplate-removal stage; battery `dedup_paragraph_exact`).
+
+    Splits each document into ``chunk_words``-word spans, keeps each
+    distinct chunk's FIRST occurrence ordered by (id, position), and
+    stitches every document back together from its surviving chunks.
+    Plan: one explode (fan-out = chunks/doc), ONE shuffle on the chunk
+    text for the first-occurrence window (state: one row per distinct
+    chunk), one id-key shuffle to reassemble.  Production variant
+    shuffles a 128-bit chunk digest instead of the text (``dedup_exact``
+    discipline).
+
+    Returns (id, n_chunks, n_kept, kept_text).
+    """
+    c = (
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .withColumn("_toks", F.split("_text", " "))
+        .withColumn(
+            "_chunks",
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(_toks) / {chunk_words}.0) "
+                f"AS int) - 1), i -> array_join(slice(_toks, i * {chunk_words} + 1, "
+                f"{chunk_words}), ' '))"
+            ),
+        )
+        .select("_id", F.posexplode("_chunks").alias("_pos", "_chunk"))
+    )
+    w_first = W.partitionBy("_chunk").orderBy("_id", "_pos")
+    w_doc = W.partitionBy("_id")
+    r = c.withColumn("_rn", F.row_number().over(w_first)).withColumn(
+        "_n_chunks", F.count("*").over(w_doc)
+    )
+    return (
+        r.groupBy("_id")
+        .agg(
+            F.max("_n_chunks").cast("bigint").alias("n_chunks"),
+            F.count(F.when(F.col("_rn") == 1, 1)).cast("bigint").alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_rn") == 1, F.struct("_pos", "_chunk")
+                                )
+                            )
+                        ),
+                        lambda s: s["_chunk"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

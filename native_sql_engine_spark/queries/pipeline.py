@@ -2394,46 +2394,10 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     window state is one row per distinct chunk.  (Production variant:
     shuffle a 128-bit chunk digest instead of the text, exactly like
     `dedup_exact`.)"""
+    from ..operators.text import paragraph_dedup
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    c = (
-        docs.withColumn("toks", F.split("text", " "))
-        .withColumn(
-            "chunks",
-            F.expr(
-                "transform(sequence(0, cast(ceil(size(toks) / 8.0) AS int) - 1), "
-                "i -> array_join(slice(toks, i * 8 + 1, 8), ' '))"
-            ),
-        )
-        .select("doc_id", F.posexplode("chunks").alias("pos", "chunk"))
-    )
-    w_first = W.partitionBy("chunk").orderBy("doc_id", "pos")
-    w_doc = W.partitionBy("doc_id")
-    r = c.withColumn("rn", F.row_number().over(w_first)).withColumn(
-        "n_chunks", F.count("*").over(w_doc)
-    )
-    kept = F.when(F.col("rn") == 1, F.col("chunk"))
-    return (
-        r.groupBy("doc_id")
-        .agg(
-            F.max("n_chunks").cast("bigint").alias("n_chunks"),
-            F.count(kept).cast("bigint").alias("n_kept"),
-            F.coalesce(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(F.col("rn") == 1, F.struct("pos", "chunk"))
-                            )
-                        ),
-                        lambda s: s["chunk"],
-                    ),
-                    " ",
-                ),
-                F.lit(""),
-            ).alias("kept_text"),
-        )
-        .orderBy("doc_id")
-    )
+    return paragraph_dedup(docs, "doc_id", "text", chunk_words=8).orderBy("doc_id")
 
 
 @q(

@@ -393,3 +393,71 @@ def test_pagerank_matches_dense_numpy(spark, graphs, iters):
         r = (1 - d) / n + d * (p.T @ r)
     for node in nodes:
         assert abs(got[node] - r[idx[node]]) < 1e-9, (node, got[node], r[idx[node]])
+
+
+def _py_paragraph_dedup(docs: list[tuple[int, str]], w: int = 8):
+    """Sequential reference: first occurrence by (id, pos) wins."""
+    seen = {}
+    out = {}
+    for did, text in sorted(docs):
+        toks = text.split(" ")
+        chunks = [" ".join(toks[i : i + w]) for i in range(0, len(toks), w)]
+        kept = []
+        for pos, ch in enumerate(chunks):
+            if ch not in seen:
+                seen[ch] = (did, pos)
+                kept.append(ch)
+        out[did] = (len(chunks), len(kept), " ".join(kept))
+    return out
+
+
+@given(
+    cases=st.lists(
+        st.lists(
+            st.integers(0, 6),  # tiny token alphabet -> frequent chunk collisions
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_paragraph_dedup_matches_sequential(spark, cases):
+    from native_sql_engine_spark.operators.text import paragraph_dedup
+
+    docs = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(cases)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_text"])
+        for r in paragraph_dedup(df, chunk_words=8).collect()
+    }
+    assert got == _py_paragraph_dedup(docs)
+
+
+@given(
+    cases=st.lists(
+        st.lists(st.integers(0, 10**6), min_size=1, max_size=30),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_holt_fold_matches_sequential(spark, cases):
+    """The HOF aggregate() fold (analytics_holt_linear) equals the obvious
+    sequential Holt recursion bit-for-bit."""
+    rows = [(i, [float(v) for v in vals]) for i, vals in enumerate(cases)]
+    df = spark.createDataFrame(rows, "k bigint, vals array<double>")
+    from native_sql_engine_spark.queries.analytics import _HOLT_FOLD_SPARK
+
+    got = {
+        r["k"]: (r["st"]["l"], r["st"]["b"])
+        for r in df.selectExpr("k", f"{_HOLT_FOLD_SPARK} AS st").collect()
+    }
+    for i, vals in enumerate(cases):
+        l, b = float(vals[0]), 0.0
+        for y in vals[1:]:
+            nl = 0.5 * float(y) + 0.5 * (l + b)
+            b = 0.5 * ((0.5 * float(y) + 0.5 * (l + b)) - l) + 0.5 * b
+            l = nl
+        assert got[i] == (l, b), (i, got[i], (l, b))
