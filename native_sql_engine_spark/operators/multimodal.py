@@ -678,3 +678,54 @@ def _y4m_lumas(buf: bytes):
         out.append(np.frombuffer(buf, np.uint8, width * height, start))
         pos = start + frame_bytes
     return out
+
+
+#: schema of per-patch intensity rows (one row per image patch)
+IMAGE_PATCH = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("patch_row", T.IntegerType()),
+        T.StructField("patch_col", T.IntegerType()),
+        T.StructField("psum", T.LongType()),
+    ]
+)
+
+
+def image_patch_stats(df: DataFrame, patch: int = 4) -> DataFrame:
+    """Patch-grid intensity statistics over DECODED_IMAGE rows — the
+    tiling step every vision pipeline runs before patch embedding (ViT
+    tokenization, tiled OCR, saliency crops): the image splits into
+    ``patch``×``patch`` pixel tiles and each tile reduces to its INTEGER
+    byte-sum (bit-reproducible, oracle-replayable — same discipline as
+    ``image_ahash``).  One row per (image, tile) crosses the Arrow
+    boundary; at 100 TB the downstream joins/aggs see tile-grain scalars,
+    never pixels."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, prs, pcs, sums = [], [], [], []
+            for mid, w, h, c, raw in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["channels"], pdf["pixels"]
+            ):
+                px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+                    int(h), int(w), int(c)
+                )
+                s = px.sum(axis=2, dtype=np.int64)
+                gr, gc = int(h) // patch, int(w) // patch
+                tiles = s[: gr * patch, : gc * patch].reshape(
+                    gr, patch, gc, patch
+                ).sum(axis=(1, 3))
+                for pr in range(gr):
+                    for pc in range(gc):
+                        ids.append(int(mid))
+                        prs.append(pr)
+                        pcs.append(pc)
+                        sums.append(int(tiles[pr, pc]))
+            yield pd.DataFrame(
+                {"media_id": ids, "patch_row": prs, "patch_col": pcs, "psum": sums}
+            )
+
+    return df.select("media_id", "width", "height", "channels", "pixels").mapInPandas(
+        batches, IMAGE_PATCH
+    )

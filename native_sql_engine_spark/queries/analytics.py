@@ -2476,3 +2476,86 @@ def feature_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(2000)
     )
+
+
+@q(
+    "analytics_conversion_lag",
+    """
+    WITH clicks AS (
+      SELECT user_id, epoch_us(cast(ts AS timestamp)) // 1000000 AS cs
+      FROM events WHERE event_type = 'click'
+    ),
+    lagged AS (
+      SELECT c.user_id,
+             (SELECT min(epoch_us(cast(p.ts AS timestamp)) // 1000000)
+              FROM events p
+              WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                AND epoch_us(cast(p.ts AS timestamp)) // 1000000 >= c.cs)
+               - c.cs AS lag_s
+      FROM clicks c
+    ),
+    conv AS (
+      SELECT l.user_id, l.lag_s FROM lagged l
+      WHERE l.lag_s IS NOT NULL AND l.lag_s <= 604800
+    )
+    SELECT c_mktsegment AS segment,
+           cast(count(*) AS bigint) AS n_conversions,
+           round(quantile_cont(lag_s, 0.25), 2) AS p25_s,
+           round(quantile_cont(lag_s, 0.5), 2) AS p50_s,
+           round(quantile_cont(lag_s, 0.75), 2) AS p75_s
+    FROM conv JOIN customer ON user_id = c_custkey
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def analytics_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase latency distribution per market segment — the
+    product-analytics readout behind 'how fast do users convert'.  Each
+    click pairs with the NEXT purchase via the union-merge forward as-of
+    join bounded to 7 days (one shuffle, O(1) state; the oracle is the
+    quadratic correlated min-subquery), lags accumulate as exact integer
+    seconds, and the quartiles are one distributed exact ``percentile``
+    per segment (integer inputs keep the two-point interpolation
+    bit-portable, the `events_rfm_segmentation` discipline).  Segment
+    enrichment broadcasts the customer dim."""
+    from ..operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"), F.unix_timestamp("ts").alias("cs")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), F.unix_timestamp("ts").alias("ps")
+    )
+    matched = asof_join(
+        clicks,
+        purchases,
+        key="k",
+        left_ts="cs",
+        right_ts="ps",
+        value_cols=["ps"],
+        direction="forward",
+    )
+    conv = (
+        matched.withColumn("lag_s", F.col("right_ps") - F.col("cs"))
+        .filter(F.col("lag_s").isNotNull() & (F.col("lag_s") <= 604800))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    return (
+        conv.join(F.broadcast(cust), "k")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.percentile("lag_s", qs).alias("q"),
+        )
+        .select(
+            "segment",
+            "n_conversions",
+            F.round(F.col("q")[0], 2).alias("p25_s"),
+            F.round(F.col("q")[1], 2).alias("p50_s"),
+            F.round(F.col("q")[2], 2).alias("p75_s"),
+        )
+        .orderBy("segment")
+    )

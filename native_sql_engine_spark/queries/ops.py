@@ -2453,3 +2453,50 @@ def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@q(
+    "agg_grouping_id",
+    """
+    SELECT * FROM (
+      SELECT cast(grouping_id(l_returnflag, l_linestatus) AS bigint) AS gid,
+             cast(grouping(l_returnflag) AS int) AS g_flag,
+             coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             cast(count(*) AS bigint) AS n,
+             cast(sum(cast(round(l_quantity * 100) AS bigint)) AS bigint)
+               AS qty_cents
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ) WHERE gid <> 1
+    ORDER BY gid, flag, status
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grouping()`` / ``grouping_id()`` as first-class output and HAVING
+    predicate — how a report distinguishes a real NULL group from a
+    rollup subtotal (the reference executes the Expand but the grouping
+    bitmask functions are Spark expression surface on top,
+    ColumnarExpressionConverter has no entry for them).  Filtering on the
+    gid drops one subtotal LEVEL right after the same aggregate — no
+    second pass over the data.  Plan: one Expand + partial/final hash
+    agg, same as any rollup."""
+    from ..catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT cast(grouping_id(l_returnflag, l_linestatus) AS bigint) AS gid,
+                 cast(grouping(l_returnflag) AS int) AS g_flag,
+                 coalesce(l_returnflag, 'ALL') AS flag,
+                 coalesce(l_linestatus, 'ALL') AS status,
+                 cast(count(*) AS bigint) AS n,
+                 cast(sum(cast(round(l_quantity * 100) AS bigint)) AS bigint)
+                   AS qty_cents
+          FROM lineitem
+          GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ) WHERE gid <> 1
+        ORDER BY gid, flag, status
+        """
+    )

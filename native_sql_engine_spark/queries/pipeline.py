@@ -2469,3 +2469,62 @@ def quality_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cv2", "user_id")
         .limit(50)
     )
+
+
+@q(
+    "multimodal_image_patches",
+    """
+    WITH px AS (
+      SELECT d.doc_id, t.p,
+             (d.doc_id * 37 + (7 - t.p // 8) * 24 + (t.p % 8) * 3) % 256
+             + (d.doc_id * 37 + (7 - t.p // 8) * 24 + (t.p % 8) * 3 + 1) % 256
+             + (d.doc_id * 37 + (7 - t.p // 8) * 24 + (t.p % 8) * 3 + 2) % 256
+               AS s3,
+             (t.p // 8 // 4) * 2 + (t.p % 8 // 4) AS patch
+      FROM documents d, range(64) t(p) WHERE d.doc_id < 200),
+    sums AS (
+      SELECT doc_id, patch, cast(sum(s3) AS bigint) AS s
+      FROM px GROUP BY doc_id, patch),
+    m AS (
+      SELECT doc_id, max(s) AS mx, cast(sum(s) AS bigint) AS total
+      FROM sums GROUP BY doc_id),
+    best AS (
+      SELECT s.doc_id, cast(min(s.patch) AS int) AS best_patch
+      FROM sums s JOIN m ON s.doc_id = m.doc_id AND s.s = m.mx
+      GROUP BY s.doc_id)
+    SELECT b.doc_id, b.best_patch, m.mx AS best_psum, m.total AS total_psum
+    FROM best b JOIN m USING (doc_id) ORDER BY b.doc_id
+    """,
+)
+def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch tiling + per-tile intensity stats (the ViT-tokenization /
+    saliency-crop precursor): decode real 8×8 BMPs, tile into 2×2 grid of
+    4×4-pixel patches (operators/multimodal.py::image_patch_stats), pick
+    each image's brightest patch (ties → lowest index) plus the total.
+    The oracle replays the synthesized byte closed form ((id·37+offset)
+    mod 256, bottom-up rows, 24-byte stride) through the same tiling —
+    a wrong stride, flip, or tile boundary in the numpy kernel breaks the
+    match.  Tile-grain scalars cross the Arrow boundary, never pixels."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = M.synthesize_bmp_corpus(docs, "doc_id", width=8, height=8)
+    decoded = M.decode_image(payloads, "payload", "doc_id")
+    patches = M.image_patch_stats(decoded, patch=4)
+    per = patches.select(
+        "media_id",
+        (F.col("patch_row") * 2 + F.col("patch_col")).alias("patch"),
+        "psum",
+    )
+    # argmax with ties broken toward the lowest patch index
+    pick = per.groupBy("media_id").agg(
+        F.max(F.struct(F.col("psum"), (-F.col("patch")).alias("np"))).alias("m"),
+        F.sum("psum").cast("bigint").alias("total_psum"),
+    )
+    return (
+        pick.select(
+            F.col("media_id").alias("doc_id"),
+            (-F.col("m.np")).cast("int").alias("best_patch"),
+            F.col("m.psum").cast("bigint").alias("best_psum"),
+            "total_psum",
+        )
+        .orderBy("doc_id")
+    )
