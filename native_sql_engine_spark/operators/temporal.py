@@ -291,3 +291,109 @@ def ewma(
         return pdf
 
     return df.groupBy(key_col).applyInPandas(smooth, schema=schema)
+
+
+def lttb_downsample(
+    pts: DataFrame,
+    series_col: str,
+    t_col: str,
+    v_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """LTTB (Largest-Triangle-Three-Buckets, Steinarsson 2013) downsample
+    to ``k`` points per series (battery `timeseries_lttb_downsample`).
+
+    Input: one row per (series, t, v) with INTEGER t and v (exactness
+    contract: every triangle-area comparison is bigint arithmetic — the
+    next-bucket centroid division is multiplied through by the bucket
+    size, so the selection is bit-reproducible and oracle-replayable).
+    Series shorter than max(k, 12) points are dropped (nothing to thin).
+
+    Plan: one series-key shuffle assembles per-bucket point arrays +
+    next-bucket centroid sums; an ``aggregate()`` HOF walks the k-2
+    buckets per series inside codegen, carrying the previously chosen
+    point — the sequential recursion never leaves the executor.  Returns
+    (series, idx, t, v), idx 0..k-1 (first and last points always kept).
+    """
+    nb = k - 2
+    p = pts.select(
+        F.col(series_col).alias("_s"),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    w = W.partitionBy("_s").orderBy("t")
+    num = (
+        p.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(W.partitionBy("_s")))
+        .filter(F.col("n") >= max(k, 12))
+    )
+    interior = num.filter((F.col("rn") > 1) & (F.col("rn") < F.col("n"))).withColumn(
+        "b", F.expr(f"((rn - 2) * {nb}) div (n - 2)")
+    )
+    firsts = num.filter(F.col("rn") == 1).select(
+        "_s", F.col("t").alias("ft"), F.col("v").alias("fv")
+    )
+    lasts = num.filter(F.col("rn") == F.col("n")).select(
+        "_s", F.col("t").alias("lt"), F.col("v").alias("lv")
+    )
+    cent = interior.groupBy("_s", "b").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("t").cast("bigint").alias("St"),
+        F.sum("v").cast("bigint").alias("Sv"),
+    )
+    nextc = cent.filter(F.col("b") >= 1).select(
+        "_s", (F.col("b") - 1).alias("b"), "m", "St", "Sv"
+    ).unionByName(
+        lasts.select(
+            "_s",
+            F.lit(nb - 1).alias("b"),
+            F.lit(1).cast("bigint").alias("m"),
+            F.col("lt").alias("St"),
+            F.col("lv").alias("Sv"),
+        )
+    )
+    bucket_pts = interior.groupBy("_s", "b").agg(
+        F.array_sort(F.collect_list(F.struct("t", "v"))).alias("pts")
+    )
+    buckets = (
+        bucket_pts.join(nextc, ["_s", "b"])
+        .groupBy("_s")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("b", "pts", "m", "St", "Sv"))
+            ).alias("bks")
+        )
+    )
+    # the argmax sub-expression repeats because HOF lambdas cannot bind a
+    # local; it re-evaluates per bucket (<= k-2 times per series), not per
+    # point, so the recompute is noise
+    argmax = (
+        "array_max(transform(bk.pts, p -> named_struct("
+        "'metric', abs((p.t - acc.pt) * (bk.Sv - bk.m * acc.pv)"
+        "             - (bk.St - bk.m * acc.pt) * (p.v - acc.pv)),"
+        "'nt', -p.t, 'vv', p.v)))"
+    )
+    fold = (
+        "aggregate(bks, "
+        "named_struct('pt', ft, 'pv', fv, 'out', array(named_struct('t', ft, 'v', fv))), "
+        f"(acc, bk) -> named_struct("
+        f"'pt', -{argmax}.nt, "
+        f"'pv', {argmax}.vv, "
+        f"'out', array_append(acc.out, named_struct('t', -{argmax}.nt, 'v', {argmax}.vv)))"
+        ")"
+    )
+    return (
+        buckets.join(firsts, "_s")
+        .join(lasts, "_s")
+        .withColumn("st", F.expr(fold))
+        .withColumn(
+            "all_pts", F.expr("array_append(st.out, named_struct('t', lt, 'v', lv))")
+        )
+        .select("_s", F.posexplode("all_pts").alias("idx", "p"))
+        .select(
+            F.col("_s").alias(series_col),
+            "idx",
+            F.col("p.t").alias(t_col),
+            F.col("p.v").alias(v_col),
+        )
+    )

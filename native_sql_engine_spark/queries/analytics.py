@@ -2559,3 +2559,97 @@ def analytics_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_LTTB_K = 10  # output points per series: first + 8 chosen + last
+
+
+def _lttb_oracle_sql(k: int = _LTTB_K) -> str:
+    """Unrolled-CTE LTTB replay (the `graph_pagerank` oracle discipline:
+    the sequential dependency unrolls into k-2 chained CTEs, each picking
+    its bucket's max-triangle point against the previous choice)."""
+    nb = k - 2
+    steps = []
+    prev = "ch0"
+    for b in range(nb):
+        steps.append(f"""
+    ch{b + 1} AS (
+      SELECT event_type, t, v FROM (
+        SELECT i.event_type, i.t, i.v,
+               row_number() OVER (PARTITION BY i.event_type ORDER BY
+                 abs((i.t - c.t) * (nc.Sv - nc.m * c.v)
+                     - (nc.St - nc.m * c.t) * (i.v - c.v)) DESC, i.t ASC) AS r
+        FROM interior i
+        JOIN {prev} c ON i.event_type = c.event_type
+        JOIN nextc nc ON nc.event_type = i.event_type AND nc.b = {b}
+        WHERE i.b = {b}) WHERE r = 1
+    )""")
+        prev = f"ch{b + 1}"
+    selects = ["SELECT event_type, 0 AS idx, t, v FROM ch0"]
+    selects += [
+        f"SELECT event_type, {b + 1} AS idx, t, v FROM ch{b + 1}" for b in range(nb)
+    ]
+    selects.append(f"SELECT event_type, {k - 1} AS idx, t, v FROM lasts")
+    union = "\n    UNION ALL ".join(selects)
+    return f"""
+    WITH pts0 AS (
+      SELECT event_type,
+             cast(epoch_us(cast(ts AS timestamp)) // 60000000 AS bigint) AS t,
+             cast(sum(cast(floor(value * 100) AS bigint)) AS bigint) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    num AS (
+      SELECT event_type, t, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM pts0
+    ),
+    keep AS (SELECT * FROM num WHERE n >= 12),
+    interior AS (
+      SELECT event_type, t, v,
+             ((rn - 2) * {nb}) // (n - 2) AS b
+      FROM keep WHERE rn > 1 AND rn < n
+    ),
+    firsts AS (SELECT event_type, t, v FROM keep WHERE rn = 1),
+    lasts AS (SELECT event_type, t, v FROM keep WHERE rn = n),
+    cent AS (
+      SELECT event_type, b, cast(count(*) AS bigint) AS m,
+             cast(sum(t) AS bigint) AS St, cast(sum(v) AS bigint) AS Sv
+      FROM interior GROUP BY 1, 2
+    ),
+    nextc AS (
+      SELECT c.event_type, c.b - 1 AS b, c.m, c.St, c.Sv FROM cent c WHERE c.b >= 1
+      UNION ALL
+      SELECT l.event_type, {nb - 1}, 1, l.t, l.v FROM lasts l
+    ),
+    ch0 AS (SELECT event_type, t, v FROM firsts),{",".join(steps)}
+    SELECT event_type, idx, t, v FROM ({union})
+    ORDER BY event_type, idx
+    """
+
+
+@q("timeseries_lttb_downsample", _lttb_oracle_sql())
+def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB (Largest-Triangle-Three-Buckets, Steinarsson 2013) — THE
+    standard time-series downsampler for dashboards: keep the k points
+    that preserve the line's visual shape, not every k-th point.  The
+    choice in bucket i depends on the choice in bucket i-1 (triangle
+    against the next bucket's centroid), so it folds like Holt: bucket
+    arrays assemble in DataFrame land (minute pre-agg, one series-key
+    shuffle), then ``aggregate()`` walks the ≤k-element bucket list
+    per series inside codegen — no driver loop, no UDF.  Every area
+    comparison is EXACT bigint (the centroid division multiplies through
+    by the bucket size), so the oracle — the same recursion unrolled into
+    chained CTEs — matches bit-for-bit.  At 100 TB: the minute pre-agg
+    absorbs the event volume; the fold sees k·bucket-width structs per
+    series."""
+    from ..operators.temporal import lttb_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 60").cast("bigint").alias("t"),
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")).cast("bigint").alias("v"))
+    return lttb_downsample(pts, "event_type", "t", "v", k=_LTTB_K).orderBy(
+        "event_type", "idx"
+    )

@@ -2528,3 +2528,50 @@ def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "dedup_incremental_batch",
+    """
+    WITH idx AS (
+      SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id < 300
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS dg, lang, n_chars
+      FROM documents WHERE doc_id >= 300
+    ),
+    first_in_batch AS (
+      SELECT min(doc_id) AS doc_id FROM batch GROUP BY dg
+    )
+    SELECT b.doc_id, b.lang, cast(b.n_chars AS bigint) AS n_chars
+    FROM batch b
+    JOIN first_in_batch f USING (doc_id)
+    WHERE b.dg NOT IN (SELECT dg FROM idx)
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the loop a production corpus actually
+    runs: each NEW batch dedups (a) against the accumulated fingerprint
+    INDEX of everything already ingested, and (b) within itself.  The
+    index holds 128-bit content digests, never text, so at 100 TB the
+    anti-join ships digest keys only (and broadcasts whenever the daily
+    index delta is dim-sized); the in-batch pass is the `dedup_exact`
+    min-id groupBy.  Full-corpus re-dedup never happens — cost scales
+    with the batch, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = (
+        docs.filter(F.col("doc_id") < 300)
+        .select(F.md5("text").alias("dg"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= 300).select(
+        "doc_id", F.md5("text").alias("dg"), "lang", "n_chars"
+    )
+    first = batch.groupBy("dg").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        batch.join(first, ["dg", "doc_id"], "left_semi")
+        .join(F.broadcast(idx), "dg", "left_anti")
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("doc_id")
+    )

@@ -461,3 +461,59 @@ def test_holt_fold_matches_sequential(spark, cases):
             b = 0.5 * ((0.5 * float(y) + 0.5 * (l + b)) - l) + 0.5 * b
             l = nl
         assert got[i] == (l, b), (i, got[i], (l, b))
+
+
+def _py_lttb(p: list[tuple[int, int]], k: int = 10):
+    n = len(p)
+    out = [p[0]]
+    interior, ni = p[1:-1], n - 2
+    buckets = [[] for _ in range(k - 2)]
+    for j, pt in enumerate(interior):
+        buckets[j * (k - 2) // ni].append(pt)
+    prev = p[0]
+    for b in range(k - 2):
+        if b < k - 3:
+            nxt = buckets[b + 1]
+            m, St, Sv = len(nxt), sum(q[0] for q in nxt), sum(q[1] for q in nxt)
+        else:
+            m, St, Sv = 1, p[-1][0], p[-1][1]
+        best = None
+        for q in buckets[b]:
+            metric = abs(
+                (q[0] - prev[0]) * (Sv - m * prev[1])
+                - (St - m * prev[0]) * (q[1] - prev[1])
+            )
+            key = (metric, -q[0])
+            if best is None or key > best[0]:
+                best = (key, q)
+        out.append(best[1])
+        prev = best[1]
+    out.append(p[-1])
+    return out
+
+
+@given(
+    cases=st.lists(
+        st.lists(st.integers(-10**6, 10**6), min_size=12, max_size=60, unique=True),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_lttb_matches_sequential(spark, cases):
+    from native_sql_engine_spark.operators.temporal import lttb_downsample
+
+    rows = []
+    expected = {}
+    for s, vals in enumerate(cases):
+        pts = sorted((t, v) for t, v in zip(range(len(vals)), vals))
+        rows += [(s, t, v) for t, v in pts]
+        expected[s] = _py_lttb(pts, k=10)
+    df = spark.createDataFrame(rows, "s bigint, t bigint, v bigint")
+    out = lttb_downsample(df, "s", "t", "v", k=10).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["s"], []).append((r["idx"], r["t"], r["v"]))
+    for s in expected:
+        pts = [(t, v) for _, t, v in sorted(got[s])]
+        assert pts == expected[s], (s, pts, expected[s])
