@@ -2500,3 +2500,134 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, flag, status
         """
     )
+
+
+@q(
+    "expr_aes_roundtrip",
+    """
+    SELECT c_mktsegment AS segment,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(length(c_name)) AS bigint) AS name_chars,
+           cast(sum(c_custkey) AS bigint) AS key_sum
+    FROM customer GROUP BY 1 ORDER BY segment
+    """,
+)
+def expr_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface — ``aes_encrypt``/``aes_decrypt``
+    (ECB for deterministic ciphertext; GCM salts an IV per call) over the
+    PII column, with the aggregate computed on the DECRYPTED round-trip.
+    This is the at-rest pattern for restricted columns: the engine never
+    plans differently, encryption is just an expression pair.  The oracle
+    aggregates the plaintext directly — equality proves the round-trip is
+    the identity.  The reference has no crypto expressions at all.  Pure
+    map-side; key distribution is the deployment's concern (here a
+    literal)."""
+    key = "0123456789abcdef"
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr(
+            f"cast(aes_decrypt(aes_encrypt(c_name, '{key}', 'ECB'), "
+            f"'{key}', 'ECB') AS string)"
+        ).alias("name_rt"),
+    )
+    return (
+        c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.length("name_rt")).cast("bigint").alias("name_chars"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("segment")
+    )
+
+
+@q(
+    "expr_url_functions",
+    """
+    WITH u AS (
+      SELECT o_orderkey,
+             'https://shop-' || (o_orderkey % 5) || '.example.com/cat/'
+               || o_orderstatus || '/item?id=' || o_orderkey || '&pri='
+               || replace(o_orderpriority, ' ', '+') AS url
+      FROM orders WHERE o_orderkey < 20000
+    )
+    SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+           regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(cast(regexp_extract(url, 'id=(\\d+)', 1) AS bigint))
+                AS bigint) AS id_sum
+    FROM u GROUP BY 1, 2 ORDER BY host, path
+    """,
+)
+def expr_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_url`` component extraction (HOST / PATH / QUERY-parameter) —
+    the clickstream-ingest workhorse; the reference's expression
+    whitelist has no URL functions.  URLs synthesize from order columns,
+    Spark parses with the dedicated expression, and the oracle replays
+    the extraction with regexes — agreement proves parse_url's component
+    semantics on these shapes.  Pure map-side expression work feeding a
+    host/path rollup."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 20000)
+    u = o.select(
+        F.concat(
+            F.lit("https://shop-"),
+            (F.col("o_orderkey") % 5).cast("string"),
+            F.lit(".example.com/cat/"),
+            F.col("o_orderstatus"),
+            F.lit("/item?id="),
+            F.col("o_orderkey").cast("string"),
+            F.lit("&pri="),
+            F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("+")),
+        ).alias("url")
+    )
+    return (
+        u.select(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id"))
+            .cast("bigint")
+            .alias("id"),
+        )
+        .groupBy("host", "path")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("host", "path")
+    )
+
+
+@q(
+    "analytics_heatmap_bins",
+    """
+    SELECT cast(round(o_totalprice * 100) AS bigint) // 5000000 AS price_bin,
+           year(o_orderdate) - 1992 AS year_bin,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum
+    FROM orders
+    GROUP BY 1, 2 ORDER BY price_bin, year_bin
+    """,
+)
+def analytics_heatmap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D density grid (price × year) — the binning behind every scatter
+    heatmap: both axes bucket with INTEGER division (no float width
+    arithmetic at bucket boundaries), one hash agg produces the grid.
+    At 100 TB the grid is axis₁×axis₂ cells regardless of row count —
+    the classic server-side reduction before any plotting client."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr(
+                "cast(round(o_totalprice * 100) AS bigint) div 5000000"
+            ).alias("price_bin"),
+            (F.year("o_orderdate") - 1992).alias("year_bin"),
+            "o_orderkey",
+        )
+        .groupBy("price_bin", "year_bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("price_bin", "year_bin")
+    )
