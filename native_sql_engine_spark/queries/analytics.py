@@ -2653,3 +2653,68 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb_downsample(pts, "event_type", "t", "v", k=_LTTB_K).orderBy(
         "event_type", "idx"
     )
+
+
+@q(
+    "timeseries_autocorrelation",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             cast(ts AS date) AS d,
+             sum(cast(floor(value * 100) AS bigint)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT event_type, cents AS y,
+             lag(cents, 1) OVER (PARTITION BY event_type ORDER BY d) AS x
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type,
+             cast(count(*) AS bigint) AS n,
+             cast(sum(x) AS bigint) AS sx,
+             cast(sum(y) AS bigint) AS sy,
+             cast(sum(x * x) AS bigint) AS sxx,
+             cast(sum(y * y) AS bigint) AS syy,
+             cast(sum(x * y) AS bigint) AS sxy
+      FROM paired WHERE x IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(cast(n * sxy - sx * sy AS double)
+                 / sqrt(cast(n * sxx - sx * sx AS double))
+                 / sqrt(cast(n * syy - sy * sy AS double)), 6) AS acf_lag1
+    FROM s ORDER BY event_type
+    """,
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per series (seasonality / trend-persistence
+    screen: ACF near 0 = noise, near 1 = momentum — the test run before
+    fitting any forecaster like `analytics_holt_linear`).  Pearson r over
+    (xₜ₋₁, xₜ) pairs computed from EXACT bigint sums (n, Σx, Σy, Σx²,
+    Σy², Σxy) — combine-order-independent, unlike float `corr` — with the
+    float expression evaluated once per series on the day-grain rollup.
+    One lag window + one agg, both partitioned by series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    paired = daily.select(
+        "event_type",
+        F.col("cents").alias("y"),
+        F.lag("cents", 1).over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    s = paired.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        "event_type", "n", F.round(num / dx / dy, 6).alias("acf_lag1")
+    ).orderBy("event_type")

@@ -2631,3 +2631,50 @@ def analytics_heatmap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_bin", "year_bin")
     )
+
+
+@q(
+    "expr_luhn_pii",
+    """
+    WITH cand AS (
+      SELECT o_orderkey,
+             lpad(cast(o_orderkey * 37 AS varchar), 16, '2') AS num
+      FROM orders WHERE o_orderkey < 40000
+    ),
+    checked AS (
+      SELECT o_orderkey,
+             (list_sum(list_transform(string_split(reverse(num), ''), (c, i) ->
+               CASE WHEN i % 2 = 0 THEN
+                      CASE WHEN cast(c AS int) * 2 > 9 THEN cast(c AS int) * 2 - 9
+                           ELSE cast(c AS int) * 2 END
+                    ELSE cast(c AS int) END)) % 10 = 0) AS valid
+      FROM cand
+    )
+    SELECT valid,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum
+    FROM checked GROUP BY valid ORDER BY valid
+    """,
+)
+def expr_luhn_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``luhn_check`` — the checksum behind payment-card PII detection: a
+    16-digit string that passes Luhn is a redaction candidate, one that
+    fails is noise (this is how `text_redact`-style scrubbing cuts its
+    false-positive rate).  Spark evaluates the builtin; the oracle
+    re-implements Luhn longhand (reversed digits, double-every-second,
+    subtract 9 over 9) — agreement on thousands of synthesized numbers
+    pins the builtin's semantics.  Map-side expression + a 2-group agg."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 40000)
+    cand = o.select(
+        "o_orderkey",
+        F.lpad((F.col("o_orderkey") * 37).cast("string"), 16, "2").alias("num"),
+    )
+    return (
+        cand.select("o_orderkey", F.expr("luhn_check(num)").alias("valid"))
+        .groupBy("valid")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("valid")
+    )
