@@ -8,6 +8,7 @@ Modeled on the reference's checkAnswer-style golden testing
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 from typing import Any
@@ -60,10 +61,43 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+def _rendering_drift(a: Any, b: Any) -> str | None:
+    """Detect decimal-scale rendering drift the numeric compare is blind to.
+
+    The driver hashes *rendered* values, so ``Decimal('25.5100')`` vs
+    ``Decimal('25.51')`` is a hash mismatch even though they compare equal
+    numerically (the tpcds_q18a round-3 red row). Mirror that: two Decimals
+    must render identically, and a Decimal paired with a float is an
+    uncast-decimal output whose driver-side rendering we can't trust —
+    cast it to double in both the Spark query and the oracle SQL.
+    """
+    a_dec = isinstance(a, decimal.Decimal)
+    b_dec = isinstance(b, decimal.Decimal)
+    if a_dec and b_dec:
+        if str(a) != str(b):
+            return f"decimal scale drift: spark renders {a!r}, oracle renders {b!r}"
+        return None
+    if a_dec or b_dec:
+        return (
+            f"uncast decimal output: spark={a!r} vs oracle={b!r} — "
+            "cast to double on both sides for driver hash stability"
+        )
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        for x, y in zip(a, b):
+            msg = _rendering_drift(x, y)
+            if msg:
+                return msg
+    return None
+
+
 def assert_matches_oracle(
     spark_df, duck_sql: str, sf_dir: str, name: str = "query"
 ) -> None:
-    """Raise AssertionError unless Spark result ≡ DuckDB result."""
+    """Raise AssertionError unless Spark result ≡ DuckDB result.
+
+    Checks numeric equality first, then a driver-faithful canonical-rendering
+    pass (decimal scale must match exactly — see _rendering_drift).
+    """
     got = spark_df.toPandas()
     con = duck_connection(sf_dir)
     try:
@@ -78,3 +112,5 @@ def assert_matches_oracle(
     g, w = normalize(got), normalize(want)
     for i, (a, b) in enumerate(zip(g, w)):
         assert a == b, f"{name}: row {i} differs\n  spark={a}\n  duck ={b}"
+        drift = _rendering_drift(a, b)
+        assert drift is None, f"{name}: row {i} {drift}\n  spark={a}\n  duck ={b}"

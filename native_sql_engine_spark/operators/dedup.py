@@ -580,15 +580,20 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     max_broadcast_rows: int = EMBED_BROADCAST_ROWS,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold.
 
     Dispatch: corpora up to ``max_broadcast_rows`` use the exact broadcast
     block-matmul (below); larger corpora use the distributed LSH-bucketed
     path (``embedding_neardup_pairs_lsh``) — approximate, never collects
-    the corpus anywhere.
+    the corpus anywhere.  Path choice costs at most a ``max_broadcast_rows
+    + 1``-row probe (or nothing, given ``approx_rows`` / catalog stats) —
+    never a full-corpus count().
     """
-    if df.count() <= max_broadcast_rows:
+    from .stats import exceeds_rows
+
+    if not exceeds_rows(df, max_broadcast_rows, approx_rows):
         return _embedding_pairs_broadcast(df, id_col, vec_col, threshold)
     return embedding_neardup_pairs_lsh(df, id_col, vec_col, threshold)
 

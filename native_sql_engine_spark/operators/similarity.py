@@ -255,12 +255,15 @@ def knn_join_exact(
 
     Blocked brute force — correct for dim-table-sized ``right`` only, and
     the contract is ENFORCED: ``right`` larger than ``max_right_rows``
-    raises (pass None to opt out) with a pointer to ``knn_join_lsh``."""
+    raises (pass None to opt out) with a pointer to ``knn_join_lsh``.
+    The guard costs at most a ``max_right_rows + 1``-row probe, never a
+    full count()."""
     if max_right_rows is not None:
-        n_right = right.count()
-        if n_right > max_right_rows:
+        from .stats import exceeds_rows
+
+        if exceeds_rows(right, max_right_rows):
             raise ValueError(
-                f"knn_join_exact: right side has {n_right} rows > "
+                f"knn_join_exact: right side exceeds "
                 f"max_right_rows={max_right_rows}; use knn_join_lsh (bucketed, "
                 "no cross product) or pass max_right_rows=None to force."
             )
@@ -296,12 +299,17 @@ def knn_join(
     right_id: str,
     vec_col: str = "embedding",
     max_exact_rows: int = KNN_BRUTE_FORCE_ROWS,
+    approx_right_rows: int | None = None,
 ) -> DataFrame:
     """k-NN join with size-based dispatch (same contract as
     ``embedding_neardup_pairs``): a right side up to ``max_exact_rows``
     gets the exact brute-force join; a larger one gets the LSH-bucketed
-    approximate path.  Output schema is identical either way."""
-    if right.count() <= max_exact_rows:
+    approximate path.  Output schema is identical either way.  Dispatch
+    costs at most a ``max_exact_rows + 1``-row probe (or nothing, given
+    ``approx_right_rows`` / catalog stats), never a full count()."""
+    from .stats import exceeds_rows
+
+    if not exceeds_rows(right, max_exact_rows, approx_right_rows):
         return knn_join_exact(
             left, right, k, left_id, right_id, vec_col, max_right_rows=None
         )

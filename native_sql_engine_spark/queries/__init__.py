@@ -69,19 +69,44 @@ def _verification_history() -> dict[str, tuple[int, bool]]:
     return history
 
 
+def _priority_names() -> set[str]:
+    """Benchmark-suite + §2 micro-battery entries: drained first within the
+    never-checked bucket (operator-level driver proofs for the coverage table)."""
+    from . import ops, ssb, tpcds, tpch
+
+    out: set[str] = set()
+    for mod in (tpch, tpcds, ssb, ops):
+        out.update(mod.QUERIES)
+    return out
+
+
 def _ordered(names: list[str]) -> list[str]:
     hist = _verification_history()
+    priority = _priority_names()
 
-    def key(item: tuple[int, str]) -> tuple[int, int, int]:
+    # Family-interleave rank for non-priority never-checked entries: the k-th
+    # entry of each family (prefix before the first '_') gets rank k, so each
+    # 50-entry driver window spans many operator families instead of draining
+    # one module at a time.
+    fam_counts: dict[str, int] = {}
+    interleave_rank: dict[str, int] = {}
+    for name in names:
+        if name in hist or name in priority:
+            continue
+        fam = name.split("_", 1)[0]
+        interleave_rank[name] = fam_counts.get(fam, 0)
+        fam_counts[fam] = interleave_rank[name] + 1
+
+    def key(item: tuple[int, str]) -> tuple[int, int, int, int]:
         pos, name = item
         rec = hist.get(name)
         if rec is None:
-            bucket, rnd = 1, 0  # never checked
-        elif not rec[1]:
-            bucket, rnd = 0, 0  # failed last check — front of the line
-        else:
-            bucket, rnd = 2, rec[0]  # passed; least-recently-verified first
-        return (bucket, rnd, pos)
+            if name in priority:
+                return (1, 0, 0, pos)  # never checked, priority: module order
+            return (1, 1, interleave_rank[name], pos)  # never checked: interleaved
+        if not rec[1]:
+            return (0, 0, 0, pos)  # failed last check — front of the line
+        return (2, rec[0], 0, pos)  # passed; least-recently-verified first
 
     return [name for _, name in sorted(enumerate(names), key=lambda it: key(it))]
 

@@ -2958,9 +2958,9 @@ _SQL_V27["tpcds_q18a"] = """
              sum(cnt), sum(sq), sum(sp), sum(sd), sum(st)
       FROM pre)
     SELECT r_name, n_name, c_mktsegment,
-           round(sq / cnt, 4) AS avg_qty,
+           cast(round(sq / cnt, 4) AS double) AS avg_qty,
            cast(round(sp / cnt, 2) AS double) AS avg_price,
-           round(sd / cnt, 6) AS avg_disc,
+           cast(round(sd / cnt, 6) AS double) AS avg_disc,
            cast(round(st / cnt, 2) AS double) AS avg_total,
            cnt AS n_rows
     FROM lv

@@ -302,3 +302,19 @@ def test_knn_join_dispatch(spark, sf_small):
     plan = approx._jdf.queryExecution().analyzed().toString()
     assert "MapInPandas" in plan
     assert "Join Cross" not in plan
+
+
+def test_exceeds_rows_bounded_probe(spark):
+    """Dispatch probes answer the threshold question without a full count."""
+    from native_sql_engine_spark.operators.stats import exceeds_rows, plan_row_count
+
+    df = spark.range(100)
+    assert exceeds_rows(df, 50)
+    assert not exceeds_rows(df, 100)
+    assert not exceeds_rows(df, 1000)
+    # caller hint short-circuits (even when contradicting the data: the
+    # hint is authoritative, no job runs)
+    assert exceeds_rows(df, 1000, approx_rows=5000)
+    assert not exceeds_rows(df, 1000, approx_rows=10)
+    # spark.range carries an exact planner row count — stat path is free
+    assert plan_row_count(spark.range(77)) == 77
