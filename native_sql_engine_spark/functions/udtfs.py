@@ -14,7 +14,17 @@ with state, protocol decoders).
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql.functions import udtf
+from pyspark.sql.udtf import AnalyzeResult
+
+
+@dataclass
+class _ScaleNumericAnalyzeResult(AnalyzeResult):
+    """AnalyzeResult + the numeric field names the plan-time schema kept."""
+
+    numeric_fields: tuple = field(default_factory=tuple)
 
 
 @udtf(returnType="pos int, tok string")
@@ -47,15 +57,26 @@ class ScaleNumeric:
     is the Spark-4 surface that makes generic row transformers (pivot
     helpers, schema-driven parsers) first-class without codegen per schema."""
 
+    def __init__(self, analyze_result=None):
+        # Spark passes the AnalyzeResult to __init__ (plan-time → run-time
+        # state hand-off); the numeric field list rides along so eval()
+        # selects exactly the fields analyze() projected.
+        self._numeric = getattr(analyze_result, "numeric_fields", None)
+
     @staticmethod
     def analyze(arg):  # noqa: D102 — UDTF contract (AnalyzeArgument → AnalyzeResult)
-        from pyspark.sql.types import DoubleType, StructField, StructType
-        from pyspark.sql.udtf import AnalyzeResult
+        from pyspark.sql.types import DoubleType, NumericType, StructField, StructType
 
-        fields = [
-            StructField(f"{f.name}_x2", DoubleType()) for f in arg.dataType.fields
+        numeric = [
+            f.name for f in arg.dataType.fields if isinstance(f.dataType, NumericType)
         ]
-        return AnalyzeResult(StructType(fields))
+        return _ScaleNumericAnalyzeResult(
+            StructType([StructField(f"{n}_x2", DoubleType()) for n in numeric]),
+            numeric_fields=tuple(numeric),
+        )
 
     def eval(self, row):  # noqa: D102 — UDTF contract method
-        yield tuple(float(v) * 2.0 for v in row)
+        # only the numeric fields analyze() kept; NULLs propagate as NULL
+        names = self._numeric if self._numeric is not None else row.__fields__
+        d = row.asDict()
+        yield tuple(None if d[n] is None else float(d[n]) * 2.0 for n in names)

@@ -658,21 +658,38 @@ def video_scene_cuts(
 
 def _y4m_lumas(buf: bytes):
     """All luma planes of a YUV4MPEG2 stream as a list of uint8 arrays
-    (shared parse with ``sample_frames``, which yields a stride)."""
+    (same header/marker discipline as ``sample_frames``: the C tag sets the
+    chroma stride — 4:2:0/4:2:2/4:4:4 — and every frame boundary must carry
+    a FRAME marker, so a mis-strided or truncated stream raises instead of
+    silently yielding garbage luma diffs)."""
     import numpy as np
 
     if not buf.startswith(b"YUV4MPEG2"):
         raise NotImplementedError("compressed video requires ffmpeg")
     nl = buf.index(b"\n")
     width = height = None
+    subsamp = "420"
     for tok in buf[9:nl].split():
         if tok[:1] == b"W":
             width = int(tok[1:])
         elif tok[:1] == b"H":
             height = int(tok[1:])
-    frame_bytes = width * height * 3 // 2
+        elif tok[:1] == b"C":
+            subsamp = tok[1:].decode()
+    if not width or not height:
+        raise ValueError("y4m header missing W/H")
+    if subsamp.startswith("420"):
+        frame_bytes = width * height * 3 // 2
+    elif subsamp.startswith("422"):
+        frame_bytes = width * height * 2
+    elif subsamp.startswith("444"):
+        frame_bytes = width * height * 3
+    else:
+        raise NotImplementedError(f"y4m chroma mode {subsamp}")
     out, pos = [], nl + 1
     while pos < len(buf):
+        if buf[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed y4m frame marker")
         fnl = buf.index(b"\n", pos)
         start = fnl + 1
         out.append(np.frombuffer(buf, np.uint8, width * height, start))

@@ -29,12 +29,21 @@ def salted_join(
     replicated).  Build-side replication costs |build|×salt rows — use for
     large-probe ∙ modest-build joins where one probe key is hot; result is
     row-identical to the unsalted join."""
-    # deterministic salt from the WHOLE probe row, not rand(): a task retry
-    # must salt identically or a recomputed partition joins differently
-    # mid-query; and not from the key alone — a key-derived salt would put
-    # every row of the hot key in ONE bucket, defeating the spread
+    # deterministic salt from the WHOLE probe row + input partition id, not
+    # rand(): a task retry must salt identically or a recomputed partition
+    # joins differently mid-query; and not from the key alone — a key-derived
+    # salt would put every row of the hot key in ONE bucket, defeating the
+    # spread.  spark_partition_id() disambiguates EXACT-duplicate rows (same
+    # row-hash) that live in different input partitions, so a hot key made of
+    # identical rows still spreads; identical duplicates inside a single
+    # input partition share a bucket, but that residue is bounded by the
+    # input partition size (~one split), not by the key's global row count —
+    # pre-aggregate duplicates first if even that matters.
     p = probe.withColumn(
-        "_salt_p", F.pmod(F.hash(*probe.columns, F.lit("salt")), F.lit(salt)).cast("int")
+        "_salt_p",
+        F.pmod(
+            F.hash(*probe.columns, F.spark_partition_id(), F.lit("salt")), F.lit(salt)
+        ).cast("int"),
     )
     b = build.withColumn("_salt_b", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = p.join(

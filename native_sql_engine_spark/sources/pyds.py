@@ -85,8 +85,9 @@ class PyArrowParquetWriter(DataSourceArrowWriter):
     removes the staging dir.  On object stores swap the rename for a
     manifest commit — the protocol is identical."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import uuid
@@ -104,6 +105,15 @@ class PyArrowParquetWriter(DataSourceArrowWriter):
         return _Committed("", "")
 
     def commit(self, messages):
+        if self.overwrite:
+            # mode("overwrite") contract: the committed result is ONLY this
+            # write's files.  Clear pre-existing data files before renaming
+            # staged ones in, so old+new rows can never be read merged.
+            for old in glob.glob(os.path.join(self.path, "*.parquet")):
+                os.remove(old)
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                os.remove(success)
         for m in messages:
             if m.staged:
                 os.replace(m.staged, m.final)
@@ -147,7 +157,7 @@ class PyArrowParquetDataSource(DataSource):
         return PyArrowParquetReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> PyArrowParquetWriter:
-        return PyArrowParquetWriter(self.options)
+        return PyArrowParquetWriter(self.options, overwrite=overwrite)
 
 
 class PyArrowChunkStreamReader(SimpleDataSourceStreamReader):
@@ -221,9 +231,16 @@ class PyArrowStreamDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register both custom sources on the session."""
+    """Idempotently register both custom sources on the session.
+
+    Only the specific already-registered collision is swallowed; any other
+    failure (API change, import error) propagates instead of surfacing
+    later as a confusing "source not found" at read time.
+    """
     for src in (PyArrowParquetDataSource, PyArrowStreamDataSource):
         try:
             spark.dataSource.register(src)
-        except Exception:
-            pass  # already registered
+        except Exception as exc:
+            if "already" in str(exc).lower() and "register" in str(exc).lower():
+                continue
+            raise

@@ -318,3 +318,26 @@ def test_exceeds_rows_bounded_probe(spark):
     assert not exceeds_rows(df, 1000, approx_rows=10)
     # spark.range carries an exact planner row count — stat path is free
     assert plan_row_count(spark.range(77)) == 77
+
+
+def test_y4m_lumas_chroma_modes_and_marker_check(spark):
+    """_y4m_lumas must honor the C tag's chroma stride (422/444, not just
+    420) and reject a stream whose frame boundary lacks the FRAME marker —
+    a mis-stride otherwise silently yields garbage luma diffs."""
+    import pytest as _pytest
+
+    from native_sql_engine_spark.operators.multimodal import _y4m_lumas
+
+    luma = [bytes([f] * 4) for f in range(3)]  # 2x2, 3 frames
+    for ctag, chroma_len in (("C420", 2), ("C422", 4), ("C444", 8)):
+        stream = f"YUV4MPEG2 W2 H2 F30:1 {ctag}\n".encode() + b"".join(
+            b"FRAME\n" + l + bytes(chroma_len) for l in luma
+        )
+        out = _y4m_lumas(stream)
+        assert [bytes(a) for a in out] == luma, ctag
+    # 422 payload declared as 420: stride lands mid-frame, marker check fires
+    bad = b"YUV4MPEG2 W2 H2 F30:1 C420\n" + b"".join(
+        b"FRAME\n" + l + bytes(4) for l in luma
+    )
+    with _pytest.raises(ValueError, match="frame marker"):
+        _y4m_lumas(bad)

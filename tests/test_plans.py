@@ -422,3 +422,31 @@ def test_sql_hints_reach_the_planner(spark, sf_small):
     assert P.has_node(m, "SortMergeJoin")
     rep = spark.sql("SELECT /*+ REPARTITION(7) */ n_nationkey FROM nation")
     assert rep.rdd.getNumPartitions() == 7
+
+
+def test_salted_join_spreads_duplicate_probe_rows(spark):
+    """Exact-duplicate probe rows (same row hash) must still spread across
+    salt buckets when they span input partitions — the hot-key-of-identical-
+    rows case a pure row-hash salt cannot spread."""
+    from pyspark.sql import functions as F
+
+    from native_sql_engine_spark.operators.skew import salted_join
+
+    # 4000 IDENTICAL rows of one hot key, spread over 8 input partitions
+    probe = (
+        spark.range(4000)
+        .repartition(8)
+        .select(F.lit(7).alias("k"), F.lit("same").alias("payload"))
+    )
+    build = spark.createDataFrame([(7, "dim")], ["bk", "attr"])
+    out = salted_join(probe, build, "k", "bk", salt=8)
+    assert out.count() == 4000  # row-identical to the unsalted join
+
+    salted = probe.withColumn(
+        "_salt_p",
+        F.pmod(
+            F.hash(*probe.columns, F.spark_partition_id(), F.lit("salt")), F.lit(8)
+        ).cast("int"),
+    )
+    n_buckets = salted.select("_salt_p").distinct().count()
+    assert n_buckets > 1, "identical duplicate rows all landed in one salt bucket"

@@ -361,3 +361,27 @@ def test_bucket_pruning_point_lookup(spark, sf_small):
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_bp")
         shutil.rmtree(f"{warehouse}/t_orders_bp", ignore_errors=True)
+
+
+def test_python_datasource_overwrite_replaces(spark, tmp_path):
+    """mode('overwrite') must leave ONLY the new write's rows — pre-existing
+    part files are cleared in commit(), never merged with the new data."""
+    from native_sql_engine_spark.sources.pyds import register
+
+    register(spark)
+    out = str(tmp_path / "pyds_overwrite")
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.format(
+        "pyarrow_parquet"
+    ).option("path", out).mode("append").save()
+    spark.range(3).selectExpr("id", "id * 10 AS v").write.format(
+        "pyarrow_parquet"
+    ).option("path", out).mode("overwrite").save()
+
+    back = spark.read.format("pyarrow_parquet").option("path", out).load()
+    assert back.count() == 3
+    assert back.agg({"v": "max"}).collect()[0][0] == 20
+    # append after overwrite composes
+    spark.range(2).selectExpr("id + 100 AS id", "id AS v").write.format(
+        "pyarrow_parquet"
+    ).option("path", out).mode("append").save()
+    assert spark.read.format("pyarrow_parquet").option("path", out).load().count() == 5
