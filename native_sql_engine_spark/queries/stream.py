@@ -611,3 +611,34 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name).orderBy("win_start", "event_type")
+
+
+@q(
+    "stream_transform_with_state",
+    """
+    SELECT user_id,
+           cast(count(*) AS bigint) AS n_events,
+           round(sum(value), 2) AS total_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 transformWithStateInPandas: per-user running aggregate held in
+    typed ValueState behind the state-server protocol (RocksDB provider —
+    column families).  The driver events table is one file → one
+    AvailableNow micro-batch → the update-mode memory sink holds exactly
+    one final row per user, which equals the batch GROUP BY (replay
+    equivalence).  Runs on the real protobuf wheel or the vendored pbshim
+    runtime (vendor/pbshim — session.py enables it before the JVM starts)."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    out = SW.run_to_memory(
+        SW.transform_with_state_agg(ev),
+        f"q_stream_tws_{next(_SINK_SEQ)}",
+        output_mode="update",
+        state_partitions=8,
+        extra_confs=SW.TWS_RUN_CONFS,
+    )
+    return out.orderBy("user_id")

@@ -69,6 +69,14 @@ def get_spark(app_name: str = "native_sql_engine_spark", **overrides: str) -> Sp
     ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
     defaults to all cores.  ``overrides`` are extra conf pairs.
     """
+    # transformWithState's state-server protocol needs google.protobuf in
+    # the executor Python workers; when the real wheel is absent, the
+    # vendored pbshim runtime fills in.  Must run before the JVM launches
+    # so workers inherit the PYTHONPATH entry.
+    from .vendor import enable_protobuf_shim
+
+    enable_protobuf_shim()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     conf = {**ENGINE_CONF, **{str(k): str(v) for k, v in overrides.items()}}

@@ -289,9 +289,15 @@ def run_to_memory(
     name: str,
     output_mode: str = "append",
     state_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Drain a finite stream into an in-memory table (test/dev sink) with
     Trigger.AvailableNow — processes all available input then stops.
+
+    ``extra_confs`` are session confs pinned for THIS query only (read at
+    query start, restored afterwards) — e.g. ``TWS_RUN_CONFS`` selects the
+    RocksDB state-store provider transformWithState's column families need
+    without switching every later stream query onto RocksDB.
 
     ``state_partitions`` sizes the stateful-operator partitioning (stream
     aggregation / join state stores are created one per shuffle partition
@@ -305,6 +311,14 @@ def run_to_memory(
     the query plan is identical."""
     spark = stream_df.sparkSession
     saved = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_extra = {}
+    if extra_confs:
+        for k, v in extra_confs.items():
+            try:
+                saved_extra[k] = spark.conf.get(k)
+            except Exception:
+                saved_extra[k] = None
+            spark.conf.set(k, v)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -319,6 +333,11 @@ def run_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
+        for k, v in saved_extra.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return spark.table(name)
 
 
@@ -424,21 +443,35 @@ def tws_available() -> bool:
     protocol needs ``google.protobuf``, which not every runtime ships (this
     container does not — the operator is plumbing-complete and gated, per
     the stub-don't-install environment rule)."""
-    import importlib.util
+    from ..vendor import enable_protobuf_shim
 
-    try:
-        # find_spec on a dotted name imports the parent package — absent
-        # parent raises instead of returning None
-        return importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:
-        return False
+    # real wheel, or the vendored pbshim minimal runtime — either satisfies
+    # the state-server protocol (ship_protobuf_shim handles worker delivery
+    # for sessions whose JVM predates the PYTHONPATH hook)
+    return enable_protobuf_shim()
+
+
+#: Session confs a transformWithState query needs at START: its state lives
+#: in named column families, which only the RocksDB provider supports
+#: (HDFSBackedStateStoreProvider raises STATE_STORE_MULTIPLE_COLUMN_FAMILIES).
+#: Pass to run_to_memory(extra_confs=...) so the provider switch is scoped
+#: to the tws query instead of every stream that starts afterwards.
+TWS_RUN_CONFS: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
 
 
 def transform_with_state_agg(events: DataFrame) -> DataFrame:
     """Per-user running aggregate via the Spark-4 transformWithStateInPandas
     API (typed ValueState, update mode, no timers).
 
-    Raises ``RuntimeError`` when the runtime lacks the protobuf dependency
+    Run with ``run_to_memory(..., extra_confs=TWS_RUN_CONFS)`` — the state
+    server needs the RocksDB provider (see TWS_RUN_CONFS).  The Python side
+    of the protocol needs ``google.protobuf``; environments without the
+    wheel get the vendored pbshim runtime (session.py enables it before the
+    JVM starts).  Raises ``RuntimeError`` when neither is available
     (check ``tws_available()`` first)."""
     if not tws_available():
         raise RuntimeError(
@@ -446,6 +479,11 @@ def transform_with_state_agg(events: DataFrame) -> DataFrame:
             "runtime; unavailable here — use stateful_sessionize "
             "(applyInPandasWithState) instead."
         )
+    # the session may predate enable_protobuf_shim (a caller-owned builder);
+    # ship the shim to this session's workers as a pyFile in that case
+    from ..vendor import ship_protobuf_shim
+
+    ship_protobuf_shim(events.sparkSession)
     proc = _RunningUserAgg()
     return (
         events.select("user_id", "value")

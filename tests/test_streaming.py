@@ -148,7 +148,7 @@ def test_transform_with_state_running_agg(spark, sf_small):
         pytest.skip("google.protobuf not in runtime; gated operator")
     out = SW.run_to_memory(
         SW.transform_with_state_agg(ev), "t_tws", output_mode="update",
-        state_partitions=8,
+        state_partitions=8, extra_confs=SW.TWS_RUN_CONFS,
     )
     import pyspark.sql.functions as F
 
