@@ -24,27 +24,48 @@ def salted_join(
     build_key: str,
     salt: int = 8,
     how: str = "inner",
+    spread_duplicates: bool = False,
 ) -> DataFrame:
     """Equi-join with ``salt``-way key salting (probe scattered, build
     replicated).  Build-side replication costs |build|×salt rows — use for
     large-probe ∙ modest-build joins where one probe key is hot; result is
     row-identical to the unsalted join."""
-    # deterministic salt from the WHOLE probe row + input partition id, not
-    # rand(): a task retry must salt identically or a recomputed partition
-    # joins differently mid-query; and not from the key alone — a key-derived
-    # salt would put every row of the hot key in ONE bucket, defeating the
-    # spread.  spark_partition_id() disambiguates EXACT-duplicate rows (same
-    # row-hash) that live in different input partitions, so a hot key made of
-    # identical rows still spreads; identical duplicates inside a single
-    # input partition share a bucket, but that residue is bounded by the
-    # input partition size (~one split), not by the key's global row count —
-    # pre-aggregate duplicates first if even that matters.
-    p = probe.withColumn(
-        "_salt_p",
-        F.pmod(
-            F.hash(*probe.columns, F.spark_partition_id(), F.lit("salt")), F.lit(salt)
-        ).cast("int"),
-    )
+    # deterministic salt from the WHOLE probe row content, not rand() and not
+    # spark_partition_id(): a fetch-failure partial recompute must salt every
+    # row identically or rows move between reducers mid-query
+    # (SPARK-23207-style duplicates/losses).  A content-only hash is stable
+    # even when the upstream partitioning is order/placement-nondeterministic
+    # (round-robin repartition, unordered shuffle reads), where a
+    # partition-id-seeded salt is not.  Not from the key alone either — a
+    # key-derived salt would put every row of the hot key in ONE bucket,
+    # defeating the spread.
+    #
+    # Residue: EXACT-duplicate probe rows share a salt bucket.  A hot key made
+    # of identical rows therefore does not spread — that case needs
+    # ``spread_duplicates=True``, which pre-aggregates duplicates (one groupBy
+    # shuffle over row content, uniformly distributed by construction), salts
+    # each (row, i<count) pair with a deterministic per-duplicate index, and
+    # is retry-safe because the index derives from the aggregated count, not
+    # from physical placement.
+    if spread_duplicates:
+        cols = probe.columns
+        p = (
+            probe.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("_dup_n"))
+            .withColumn("_dup_i", F.explode(F.sequence(F.lit(0), F.col("_dup_n") - 1)))
+            .withColumn(
+                "_salt_p",
+                F.pmod(F.hash(*cols, F.col("_dup_i"), F.lit("salt")), F.lit(salt)).cast(
+                    "int"
+                ),
+            )
+            .drop("_dup_n", "_dup_i")
+        )
+    else:
+        p = probe.withColumn(
+            "_salt_p",
+            F.pmod(F.hash(*probe.columns, F.lit("salt")), F.lit(salt)).cast("int"),
+        )
     b = build.withColumn("_salt_b", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = p.join(
         b,

