@@ -71,12 +71,18 @@ def _verification_history() -> dict[str, tuple[int, bool]]:
 
 def _priority_names() -> set[str]:
     """Benchmark-suite + §2 micro-battery entries: drained first within the
-    never-checked bucket (operator-level driver proofs for the coverage table)."""
-    from . import ops, ssb, tpcds, tpch
+    never-checked bucket (operator-level driver proofs for the coverage table).
+    The §2.1 source family (scan/write/cache/IPC/python-datasource) and §2.10
+    UDF/UDTF family are promoted too, so their coverage rows get hard driver
+    proofs instead of waiting for the interleave to drain."""
+    from . import ops, pipeline, ssb, tpcds, tpch, udf
 
     out: set[str] = set()
     for mod in (tpch, tpcds, ssb, ops):
         out.update(mod.QUERIES)
+    out.update(udf.QUERIES)
+    out.update(n for n in pipeline.QUERIES if n.startswith("source_"))
+    out.update({"generate_explode", "distinct_rows"})
     return out
 
 

@@ -258,11 +258,35 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("timeseries_ewma")
+@q(
+    "timeseries_ewma",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id, cast(value AS double) AS value,
+             cast(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS bigint) AS rn
+      FROM events WHERE user_id < 100
+    ),
+    rec AS (
+      SELECT user_id, event_id, rn, value,
+             value AS num, cast(1.0 AS double) AS den
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.event_id, b.rn, b.value,
+             b.value + 0.7 * r.num, 1.0 + 0.7 * r.den
+      FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, round(value, 4) AS value, round(num / den, 4) AS ewma
+    FROM rec ORDER BY user_id, event_id
+    """,
+)
 def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user EWMA smoothing of the event value series (rows-only: the
-    linear recurrence has no closed-form SQL; exactness vs the pandas
-    kernel is pinned in tests/test_extra.py::test_ewma_matches_pandas)."""
+    """Per-user EWMA smoothing of the event value series (pandas
+    ewm(alpha=0.3, adjust=True) kernel over ONE key-hash shuffle).  The
+    adjust=True weighted mean is the ratio of two linear recurrences
+    (num_t = x_t + (1-α)·num_{t-1}, den_t = 1 + (1-α)·den_{t-1}), which the
+    DuckDB oracle replays as a recursive CTE — same double arithmetic, so
+    hash-checkable at round(4).  Also pinned against pandas in
+    tests/test_extra.py::test_ewma_matches_pandas."""
     from ..operators.temporal import ewma
 
     ev = (
@@ -276,7 +300,7 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round("value", 4).alias("value"),
         F.round("ewma", 4).alias("ewma"),
-    )
+    ).orderBy("user_id", "event_id")
 
 
 @q(

@@ -453,21 +453,46 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# approx_count_distinct is sketch-based: no exact oracle, rows-only check.
-@q("agg_approx_distinct")
+@q(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag,
+           cast(count(DISTINCT l_orderkey) AS bigint) AS exact_orders,
+           true AS approx_within_tol,
+           true AS median_within_band
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct + percentile_approx, made hash-checkable: the
+    sketches are deterministic (fixed hash, no RNG), so the entry emits the
+    EXACT companions plus in-query tolerance verdicts — the oracle recomputes
+    the exact values and the literal-true verdicts.  A wrong sketch (or a
+    broken tolerance) flips a boolean and fails the hash."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return (
-        lineitem.groupBy("l_returnflag")
-        .agg(
-            # rsd 0.02 halves HLL++ register cost vs 0.01 for the same
-            # order-of-magnitude answer; sketch size is per-group state that
-            # every map task carries at 100 TB, so precision is a real knob
-            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", 0.5, 500).alias("approx_median"),
-        )
-        .orderBy("l_returnflag")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        # rsd 0.02 halves HLL++ register cost vs 0.01 for the same
+        # order-of-magnitude answer; sketch size is per-group state that
+        # every map task carries at 100 TB, so precision is a real knob
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 500).alias("approx_median"),
+        # exact 40/60-percentile band: percentile_approx's rank error at
+        # accuracy 500 is ~0.2% of the group — far inside a 10-point band
+        F.expr("percentile(l_extendedprice, array(0.4D, 0.6D))").alias("band"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 3 * 0.02 * F.col("exact_orders")
+        ).alias("approx_within_tol"),
+        (
+            (F.col("approx_median") >= F.element_at("band", 1))
+            & (F.col("approx_median") <= F.element_at("band", 2))
+        ).alias("median_within_band"),
+    ).orderBy("l_returnflag")
 
 
 @q(
@@ -1871,23 +1896,46 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("agg_hll_mergeable")
+@q(
+    "agg_hll_mergeable",
+    """
+    SELECT l_returnflag,
+           cast(count(DISTINCT l_orderkey) AS bigint) AS exact_orders,
+           true AS union_within_tol
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg):
     per-group binary sketches are built map-side, merged across partitions,
     and only then estimated — the re-aggregatable distinct-count path a
     100 TB rollup needs (store sketches per partition/day, union for any
-    slice without rescanning).  Rows-only check (sketch estimates are
-    engine-specific); tests pin estimates within 2% of exact counts."""
+    slice without rescanning).  Hash-checkable: the DataSketches estimate is
+    deterministic, so the entry emits the exact count plus an in-query
+    tolerance verdict (lgConfigK=12 → rsd≈1.6%; 5% bound) that the oracle
+    recomputes/asserts as literal true."""
     li = load_table(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.expr("hll_sketch_agg(l_orderkey)").alias("sk")
     )
     # second level: union the per-(flag,status) sketches up to per-flag —
     # proving re-aggregation without touching the base table again
+    unioned = per_flag.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_orders")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
     return (
-        per_flag.groupBy("l_returnflag")
-        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_orders"))
+        unioned.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("union_within_tol"),
+        )
         .orderBy("l_returnflag")
     )
 

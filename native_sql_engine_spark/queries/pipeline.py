@@ -682,18 +682,52 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@q("multimodal_features")
+@q(
+    "multimodal_features",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), ch -> ascii(ch) % 8) AS m,
+             length(text) AS n
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           cast(n AS bigint) AS n_bytes,
+           cast(len(list_filter(m, x -> x = 0)) AS bigint) AS h0,
+           cast(len(list_filter(m, x -> x = 1)) AS bigint) AS h1,
+           1.0 AS fsum
+    FROM c ORDER BY doc_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched fake decode → fixed-dim features via mapInPandas —
-    rows-only (numpy inner kernel; determinism asserted in tests)."""
+    """Arrow-batched fake decode → fixed-dim features via mapInPandas.
+    The fake decode is a byte-histogram (byte % 8) over the UTF-8 payload;
+    payloads here are ASCII text, so the DuckDB oracle recomputes the exact
+    bucket counts from character codes.  The entry de-normalizes the kernel's
+    rounded fractions back to integer counts (round(f·n) is exact while
+    n < 10^6, i.e. n·5e-7 < ½) — integers hash identically across engines,
+    sidestepping numpy half-even vs SQL half-away rounding at decimal ties
+    like 17/128 = 0.1328125."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    feats = M.fake_decode_features(M.attach_payload(docs), "payload", "doc_id")
-    return feats.select(
-        "doc_id",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 2), 6).alias("f1"),
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("fsum"),
-    ).orderBy("doc_id")
+    wp = M.attach_payload(docs)
+    feats = M.fake_decode_features(wp, "payload", "doc_id")
+    n = wp.select("doc_id", F.col("meta.byte_len").alias("n_bytes"))
+    return (
+        feats.join(n, "doc_id")
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.round(F.element_at("features", 1) * F.col("n_bytes"))
+            .cast("bigint")
+            .alias("h0"),
+            F.round(F.element_at("features", 2) * F.col("n_bytes"))
+            .cast("bigint")
+            .alias("h1"),
+            F.round(
+                F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4
+            ).alias("fsum"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @q(

@@ -141,11 +141,38 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("click_id", "purchase_id")
 
 
-@q("stream_stateful_sessionize")
+@q(
+    "stream_stateful_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, cast(ts AS timestamp) AS t, event_id,
+             lag(cast(ts AS timestamp))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    s AS (
+      SELECT user_id,
+             sum(CASE WHEN prev IS NULL
+                        OR epoch_us(t) - epoch_us(prev) > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e),
+    per AS (SELECT user_id, sid, cast(count(*) AS bigint) AS n
+            FROM s GROUP BY user_id, sid)
+    SELECT user_id,
+           cast(max(sid) AS bigint) AS n_sessions,
+           max(n) AS max_session_events
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+)
 def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful sessionization via applyInPandasWithState — rows-only
-    (update-mode emissions aren't SQL-expressible; final-state equivalence to
-    the batch twin is asserted in tests/test_streaming.py)."""
+    """Custom stateful sessionization via applyInPandasWithState (30-min gap,
+    update mode).  Hash-checkable against the batch twin: the file source is
+    a single parquet file with maxFilesPerTrigger=1, so the drained update
+    stream's final per-user state equals batch sessionization over the global
+    (ts, event_id) order — which the DuckDB oracle computes with a gap-flag
+    running sum.  Update emissions are monotone in both outputs, so max()
+    over emissions IS the final state."""
     ev = SW.read_events_stream(spark, sf_dir)
     out = _drain(SW.stateful_sessionize(ev), "q_stream_state", "update")
     return (
