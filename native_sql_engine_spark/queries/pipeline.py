@@ -418,13 +418,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(docs, "doc_id", pairs)
 
 
-@q("dedup_simhash")
+@q(
+    "dedup_simhash",
+    f"""
+    WITH s AS ({_SHINGLE_SQL}),
+    p AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    )
+    SELECT cast(count(*) AS bigint) AS n_truth, true AS recall_ge_085
+    FROM p
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 7, band-blocked) — rows-only:
-    bit-vote ties make a closed-form oracle impractical; validated against
-    shingle-jaccard ground truth in tests."""
+    """SimHash near-dup pairs (hamming ≤ 7, band-blocked), self-validating:
+    SimHash is a deterministic hash computation, so the entry measures its
+    own recall against the exact shingle-Jaccard (≥ 0.8) pair set and emits
+    that set's size plus a recall ≥ 0.85 verdict — the oracle recomputes the
+    exact pair count and asserts the verdict as literal true (measured
+    recall: 0.96/1.00/0.94 at sf0.001/0.01/0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=7)
+    truth = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, sort=False)
+    sim = D.simhash_pairs(docs, "doc_id", "text", max_hamming=7)
+    hits = truth.join(sim, ["a_id", "b_id"], "left_semi")
+    t = truth.agg(F.count("*").alias("n_truth"))
+    h = hits.agg(F.count("*").alias("n_hit"))
+    return t.crossJoin(h).select(
+        "n_truth",
+        (F.col("n_hit") >= 0.85 * F.col("n_truth")).alias("recall_ge_085"),
+    )
 
 
 @q(
@@ -542,23 +567,67 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
-@q("sim_cosine_topk_lsh")
+#: shared oracle for the ANN recall entries: exact top-1 id + a literal-true
+#: recall verdict the Spark side recomputes from its own exact/approx paths
+_ANN_RECALL_ORACLE = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         n AS (SELECT vec_id, embedding,
+                      sqrt(list_dot_product(embedding, embedding)) AS nrm
+               FROM embeddings),
+         top AS (
+           SELECT vec_id,
+                  row_number() OVER (
+                    ORDER BY list_dot_product(embedding, qv)
+                             / (nrm * sqrt(list_dot_product(qv, qv))) DESC,
+                             vec_id) AS rn
+           FROM n, q)
+    SELECT cast(max(CASE WHEN rn = 1 THEN vec_id END) AS bigint) AS exact_top1,
+           true AS recall10_ok
+    FROM top
+"""
+
+
+def _ann_recall_row(exact: DataFrame, approx: DataFrame, min_overlap: int) -> DataFrame:
+    """One-row verdict: exact top-1 id + overlap(exact top-10, approx top-10)
+    ≥ min_overlap.  Both inputs are 10-row (vec_id, cos) results."""
+    ex = exact.select("vec_id", "cos")
+    top1 = ex.orderBy(F.col("cos").desc(), "vec_id").limit(1).select(
+        F.col("vec_id").alias("exact_top1")
+    )
+    overlap = ex.join(approx.select("vec_id"), "vec_id", "left_semi").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return top1.crossJoin(overlap).select(
+        "exact_top1", (F.col("n_overlap") >= min_overlap).alias("recall10_ok")
+    )
+
+
+@q("sim_cosine_topk_lsh", _ANN_RECALL_ORACLE)
 def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN with multiprobe + exact rerank — rows-only
-    (approximate by construction); recall vs brute force checked in tests."""
+    """Sign-LSH bucketed ANN with multiprobe + exact rerank, self-validating:
+    the hyperplanes are seeded (deterministic), so the entry measures its own
+    recall@10 against the brute-force top-10 and emits the exact top-1 id +
+    a ≥ 5/10 overlap verdict; the oracle recomputes the exact top-1 and
+    asserts the verdict (measured overlap 6/7/5 at sf0.001/0.01/0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_topk_lsh(emb, _query_vec(spark, sf_dir), k=10, n_planes=6, multiprobe=2)
+    qv = _query_vec(spark, sf_dir)
+    exact = S.cosine_topk(emb, qv, k=10)
+    approx = S.cosine_topk_lsh(emb, qv, k=10, n_planes=6, multiprobe=2)
+    return _ann_recall_row(exact, approx, min_overlap=5)
 
 
-@q("sim_cosine_topk_ivf")
+@q("sim_cosine_topk_ivf", _ANN_RECALL_ORACLE)
 def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (fit on a sample) + nprobe
-    centroid-list scan + exact rerank — rows-only (approximate by
-    construction); recall vs brute force checked in tests.  At scale the
-    corpus is stored partitioned by centroid id, making the probe a
-    partition-pruned scan."""
+    """IVF ANN: k-means coarse quantizer (fit on a seeded bounded sample) +
+    nprobe centroid-list scan + exact rerank, self-validating like the LSH
+    entry: exact top-1 id + recall@10 ≥ 7/10 verdict (measured overlap
+    7/8/8 at sf0.001/0.01/0.1).  At scale the corpus is stored partitioned
+    by centroid id, making the probe a partition-pruned scan."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_topk_ivf(emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, nprobe=6)
+    qv = _query_vec(spark, sf_dir)
+    exact = S.cosine_topk(emb, qv, k=10)
+    approx = S.cosine_topk_ivf(emb, qv, k=10, n_centroids=16, nprobe=6)
+    return _ann_recall_row(exact, approx, min_overlap=7)
 
 
 @q(
@@ -594,34 +663,98 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("sim_knn_join_lsh")
+@q(
+    "sim_knn_join_lsh",
+    """
+    WITH l AS (SELECT vec_id FROM embeddings WHERE vec_id < 20)
+    SELECT cast(count(*) AS bigint) AS n_left,
+           cast(3 * count(*) AS bigint) AS n_exact_pairs,
+           true AS recall_ge_09
+    FROM l
+    """,
+)
 def sim_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed k-NN join (the large-right scale path): both sides
-    bucketed by shared sign-LSH tables, candidates from a (table, bucket)
-    equi-join, vectorized rerank, per-left top-k — rows-only (approximate
-    by construction); recall vs the exact join checked in tests."""
+    bucketed by shared seeded sign-LSH tables, candidates from a
+    (table, bucket) equi-join, vectorized rerank, per-left top-3.
+    Self-validating: measures its own pair recall against the exact k-NN
+    join and emits the left/pair counts plus a recall ≥ 0.9 verdict that
+    the oracle recomputes/asserts (measured 0.95 at every SF)."""
     emb = load_table(spark, sf_dir, "embeddings")
     left = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("left_id"), "embedding"
     )
     right = emb.select(F.col("vec_id").alias("right_id"), "embedding")
-    return S.knn_join_lsh(
+    exact = S.knn_join_exact(left, right, 3, "left_id", "right_id").select(
+        "left_id", "right_id"
+    )
+    approx = S.knn_join_lsh(
         left, right, 3, "left_id", "right_id", n_planes=4, n_tables=12
-    ).orderBy("left_id", "rank")
+    ).select("left_id", "right_id")
+    hits = exact.join(approx, ["left_id", "right_id"], "left_semi")
+    stats = exact.agg(
+        F.countDistinct("left_id").alias("n_left"),
+        F.count("*").alias("n_exact_pairs"),
+    )
+    h = hits.agg(F.count("*").alias("n_hit"))
+    return stats.crossJoin(h).select(
+        "n_left",
+        "n_exact_pairs",
+        (F.col("n_hit") >= 0.9 * F.col("n_exact_pairs")).alias("recall_ge_09"),
+    )
 
 
-@q("dedup_embedding_lsh")
+@q(
+    "dedup_embedding_lsh",
+    """
+    WITH n AS (SELECT vec_id, embedding,
+                      sqrt(list_dot_product(embedding, embedding)) AS nrm
+               FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM n a, n b
+      WHERE a.vec_id < b.vec_id
+        AND list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.45
+    )
+    SELECT cast(count(*) AS bigint) AS n_truth,
+           true AS recall_ge_08,
+           true AS subset_of_truth
+    FROM p
+    """,
+)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed LSH-bucketed embedding near-dup pairs (the >1M-row scale
     path — never collects the corpus): per-bucket block-matmul kernel via
-    applyInPandas — rows-only (approximate blocking, exact cosines); recall
-    vs the exact pair set checked in tests."""
+    applyInPandas.  Self-validating: seeded planes make the pair set
+    deterministic, so the entry measures recall against the exact cosine
+    pair set (≥ 0.45) and proves the LSH output is a SUBSET of it (cosines
+    are verified exactly per candidate); the oracle recomputes the exact
+    pair count and asserts both verdicts (measured recall 0.86/1.00/0.92 at
+    sf0.001/0.01/0.1).  4-plane × 12-table blocking: ≈0.9 recall at the
+    0.45 demo threshold; operator defaults (8×8) target the ≥0.95 design
+    point."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # 4-plane × 12-table blocking: ≈0.9 recall down at cos 0.45 (the demo
-    # threshold); the operator defaults (8×8) are tuned for the ≥0.95
-    # dedup design point.
-    return D.embedding_neardup_pairs_lsh(
+    truth = D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45).select(
+        "a_id", "b_id"
+    )
+    lsh = D.embedding_neardup_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.45, n_planes=4, n_tables=12
+    ).select("a_id", "b_id")
+    t = truth.agg(F.count("*").alias("n_truth"))
+    hit = truth.join(lsh, ["a_id", "b_id"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    stray = lsh.join(truth, ["a_id", "b_id"], "left_anti").agg(
+        F.count("*").alias("n_stray")
+    )
+    return (
+        t.crossJoin(hit)
+        .crossJoin(stray)
+        .select(
+            "n_truth",
+            (F.col("n_hit") >= 0.8 * F.col("n_truth")).alias("recall_ge_08"),
+            (F.col("n_stray") == 0).alias("subset_of_truth"),
+        )
     )
 
 

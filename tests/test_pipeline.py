@@ -22,7 +22,12 @@ def test_pipeline_matches_duckdb_sf001(spark, sf_oracle, name):
 
 
 def test_simhash_finds_neardups(spark, sf_small):
-    """SimHash (hamming ≤ 3) must recover the high-jaccard near-dup pairs."""
+    """SimHash (hamming ≤ 7) must recover the high-jaccard near-dup pairs,
+    and the self-validating battery entry must report a passing verdict."""
+    from native_sql_engine_spark.catalog import load_table
+    from native_sql_engine_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_small, "documents")
     exact = {
         (r.a_id, r.b_id)
         for r in pipeline.QUERIES["dedup_ngram_jaccard"](spark, sf_small).collect()
@@ -30,51 +35,86 @@ def test_simhash_finds_neardups(spark, sf_small):
     }
     sim = {
         (r.a_id, r.b_id)
-        for r in pipeline.QUERIES["dedup_simhash"](spark, sf_small).collect()
+        for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=7).collect()
     }
     assert exact, "fixture should contain near-dup pairs"
     missed = exact - sim
     assert len(missed) <= max(1, len(exact) // 10), f"simhash missed {missed}"
+    [v] = pipeline.QUERIES["dedup_simhash"](spark, sf_small).collect()
+    assert v.recall_ge_085 is True and v.n_truth > 0
 
 
 def test_lsh_ann_recall(spark, sf_small):
-    """LSH ANN top-10 must overlap heavily with brute-force top-10."""
+    """LSH ANN top-10 must overlap heavily with brute-force top-10; the
+    battery entry's self-verdict must pass."""
+    from native_sql_engine_spark.catalog import load_table
+    from native_sql_engine_spark.operators import similarity as S
+    from native_sql_engine_spark.queries.pipeline import _query_vec
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qv = _query_vec(spark, sf_small)
     exact = [r.vec_id for r in pipeline.QUERIES["sim_cosine_topk"](spark, sf_small).collect()]
     approx = [
-        r.vec_id for r in pipeline.QUERIES["sim_cosine_topk_lsh"](spark, sf_small).collect()
+        r.vec_id
+        for r in S.cosine_topk_lsh(emb, qv, k=10, n_planes=6, multiprobe=2).collect()
     ]
     assert exact[0] == 0  # query vector itself
     overlap = len(set(exact) & set(approx))
     assert overlap >= 4, f"LSH recall too low: {overlap}/10"
+    [v] = pipeline.QUERIES["sim_cosine_topk_lsh"](spark, sf_small).collect()
+    assert v.recall10_ok is True and v.exact_top1 == 0
 
 
 def test_ivf_ann_recall(spark, sf_small):
     """IVF ANN top-10 must overlap heavily with brute-force top-10 (nprobe=6
     of 16 lists scans ~3/8 of the corpus; neighbors of the query cluster
     into the probed lists, so recall should be near-perfect)."""
+    from native_sql_engine_spark.catalog import load_table
+    from native_sql_engine_spark.operators import similarity as S
+    from native_sql_engine_spark.queries.pipeline import _query_vec
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qv = _query_vec(spark, sf_small)
     exact = [r.vec_id for r in pipeline.QUERIES["sim_cosine_topk"](spark, sf_small).collect()]
     approx = [
-        r.vec_id for r in pipeline.QUERIES["sim_cosine_topk_ivf"](spark, sf_small).collect()
+        r.vec_id
+        for r in S.cosine_topk_ivf(emb, qv, k=10, n_centroids=16, nprobe=6).collect()
     ]
     assert approx[0] == 0  # query vector itself lives in the nearest list
     overlap = len(set(exact) & set(approx))
     assert overlap >= 6, f"IVF recall too low: {overlap}/10"
+    [v] = pipeline.QUERIES["sim_cosine_topk_ivf"](spark, sf_small).collect()
+    assert v.recall10_ok is True and v.exact_top1 == 0
 
 
 def test_knn_join_lsh_recall(spark, sf_small):
     """LSH k-NN join must recover most of the exact join's (left, right)
-    edges — and every one of its cosines is exact."""
+    edges; the battery entry's self-verdict must pass."""
+    from pyspark.sql import functions as F
+
+    from native_sql_engine_spark.catalog import load_table
+    from native_sql_engine_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_small, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("left_id"), "embedding"
+    )
+    right = emb.select(F.col("vec_id").alias("right_id"), "embedding")
     exact = {
         (r.left_id, r.right_id)
         for r in pipeline.QUERIES["sim_knn_join"](spark, sf_small).collect()
     }
     approx = {
         (r.left_id, r.right_id)
-        for r in pipeline.QUERIES["sim_knn_join_lsh"](spark, sf_small).collect()
+        for r in S.knn_join_lsh(
+            left, right, 3, "left_id", "right_id", n_planes=4, n_tables=12
+        ).collect()
     }
     assert exact
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"kNN-join LSH recall too low: {recall:.2f}"
+    [v] = pipeline.QUERIES["sim_knn_join_lsh"](spark, sf_small).collect()
+    assert v.recall_ge_09 is True and v.n_left == 20 and v.n_exact_pairs == 60
 
 
 def test_knn_join_exact_enforces_right_bound(spark, sf_small):
@@ -93,13 +133,19 @@ def test_embedding_lsh_recall_and_precision(spark, sf_small):
     """The distributed LSH path must recover nearly all exact pairs at the
     operator's design threshold band, and every pair it emits must be a
     true pair (cosines are exactly verified inside the bucket kernel)."""
+    from native_sql_engine_spark.catalog import load_table
+    from native_sql_engine_spark.operators import dedup as D
+
+    emb = load_table(spark, sf_small, "embeddings")
     exact = {
         (r.a_id, r.b_id): r.cos
         for r in pipeline.QUERIES["dedup_embedding"](spark, sf_small).collect()
     }
     approx = {
-        (r.a_id, r.b_id): r.cos
-        for r in pipeline.QUERIES["dedup_embedding_lsh"](spark, sf_small).collect()
+        (r.a_id, r.b_id): round(r.cos, 4)
+        for r in D.embedding_neardup_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.45, n_planes=4, n_tables=12
+        ).collect()
     }
     assert exact, "fixture should contain embedding near-dup pairs"
     # precision = 1.0: every emitted pair is in the exact set, same cosine
@@ -110,6 +156,8 @@ def test_embedding_lsh_recall_and_precision(spark, sf_small):
     if strong:
         found = len(strong & set(approx))
         assert found / len(strong) >= 0.9, f"LSH missed strong pairs: {found}/{len(strong)}"
+    [v] = pipeline.QUERIES["dedup_embedding_lsh"](spark, sf_small).collect()
+    assert v.recall_ge_08 is True and v.subset_of_truth is True and v.n_truth > 0
 
 
 def test_embedding_dispatch_uses_lsh_above_bound(spark, sf_small):
