@@ -4,7 +4,12 @@ Replicates the driver's t2 check: run the first N entries of all_queries()
 through both Spark and the DuckDB oracle and compare. Run before each round's
 driver pass so any env drift is caught here, not in CORRECTNESS_r{N}.json.
 
+Also sweeps the sqllogic corpus (tests/test_sqllogic.py) under the same
+rendering-strict comparison, so a harness change can never land with the
+battery green but the shared-SQL tests red (the round-4 failure mode).
+
 Usage: python scripts/preverify_window.py [N] [sf_dir]
+       N=0 skips the window and runs only the sqllogic sweep
 """
 
 from __future__ import annotations
@@ -46,7 +51,17 @@ def main() -> int:
     print(f"\n{len(window) - len(failed)}/{len(window)} green in {time.time() - t0:.0f}s")
     if failed:
         print("FAILED:", failed)
-    return 1 if failed else 0
+
+    # sqllogic corpus under the same strict harness (CI-style guard)
+    import subprocess
+
+    print("\nsqllogic corpus sweep:", flush=True)
+    rc = subprocess.call(
+        [sys.executable, "-m", "pytest", "tests/test_sqllogic.py", "-q", "--no-header"]
+    )
+    if rc != 0:
+        print("sqllogic corpus RED")
+    return 1 if (failed or rc != 0) else 0
 
 
 if __name__ == "__main__":
