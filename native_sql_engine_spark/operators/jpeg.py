@@ -1,0 +1,501 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) codec — pure numpy, no codec libraries.
+
+De-stubs the most common real-corpus image format behind
+``multimodal.decode_image`` (the reference's arrow-data-source reads media
+blobs as opaque binaries and leaves decoding to the application; SURVEY §2
+scopes decode as a Pandas-UDF kernel).  Scope:
+
+* **Decoder** (the deliverable): baseline sequential DCT, 8-bit samples,
+  SOF0, 1 or 3 components, arbitrary 1–2 sampling factors (4:4:4 / 4:2:2 /
+  4:2:0), Huffman tables read from the file's DHT segments.  Progressive
+  (SOF2), arithmetic coding, 12-bit, and restart intervals raise
+  ``NotImplementedError`` — honestly gated, not faked.
+* **Encoder** (test/synthesis harness): the matching baseline encoder used
+  to synthesize corpora with closed-form decodes and to property-test the
+  decoder round-trip.  Not a production encoder.
+
+Execution shape: both run inside Arrow-batched ``mapInPandas`` kernels
+(operators/multimodal.py).  Entropy decoding is inherently serial per image,
+so at 100 TB the parallelism axis is rows-per-partition, never intra-image;
+all pixel-domain math (dequant, IDCT, upsample, color convert) is vectorized
+numpy over whole blocks.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- shared constants ------------------------------------------------------
+
+#: raster index of each zigzag position (T.81 Figure A.6)
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Huffman tables in DHT form (bits[1..16], values) — T.81 Annex K.3 typical
+# tables.  Correctness does not hinge on these matching the spec byte-for-
+# byte: the encoder WRITES them into the file and the decoder READS whatever
+# DHT carries, so any valid prefix code round-trips; spec tables are used so
+# the output is what other decoders expect.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+#: flat quantization table (DC step 8 makes constant blocks decode EXACTLY:
+#: DC = 8·(v−128) quantizes losslessly, ACs of a constant block are 0)
+FLAT_Q = np.array([8] + [1] * 63, dtype=np.uint16)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A: forward C = A·X·Aᵀ, inverse
+    X = Aᵀ·C·A."""
+    n = np.arange(8)
+    a = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    a[0] *= np.sqrt(1 / 8)
+    a[1:] *= np.sqrt(2 / 8)
+    return a
+
+
+_A = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) by T.81 Annex C canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, for the bit-serial decoder."""
+    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+
+
+# -- bit I/O ---------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self._acc, self._n = 0, 0
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy-coded segment")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("unexpected marker inside scan")
+            self._acc, self._n = b, 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` magnitude bits to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+# -- encoder ---------------------------------------------------------------
+
+
+def _encode_blocks(
+    plane: np.ndarray, q: np.ndarray, bw: _BitWriter, dc_codes, ac_codes, pred: int
+) -> int:
+    """Forward-DCT, quantize and Huffman-encode every 8×8 block of a padded
+    single-component plane in raster order.  Returns the new DC predictor."""
+    h, w = plane.shape
+    qz = q.astype(np.float64)[ZIGZAG.argsort()].reshape(8, 8)  # raster-order q
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            blk = plane[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            # orthonormal 2-D DCT == T.81 A.3.3 scaling (constant block v−128
+            # yields F(0,0) = 8·(v−128))
+            coef = _A @ blk @ _A.T
+            zz = np.round(coef / qz).astype(np.int64).ravel()[ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s = _category(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for i in range(1, 64):
+                if i > last_nz:
+                    break
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+    return pred
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate to multiples of (mh, mw)."""
+    h, w = plane.shape
+    ph = (-h) % mh
+    pw = (-w) % mw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _dht_payload(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+
+
+def encode_gray(img: np.ndarray, q: np.ndarray = FLAT_Q) -> bytes:
+    """Baseline-encode an 8-bit grayscale image (single component, 4:4:4)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    dc = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    bw = _BitWriter()
+    _encode_blocks(_pad_to(img, 8, 8), q, bw, dc, ac, 0)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))  # DQT slot 0
+    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))  # SOF0
+    out += _seg(0xC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += _seg(0xC4, _dht_payload(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_ycbcr420(img: np.ndarray, q: np.ndarray = FLAT_Q) -> bytes:
+    """Baseline-encode an 8-bit RGB image as YCbCr 4:2:0 (2×2 luma blocks +
+    one Cb + one Cr block per MCU, chroma box-averaged)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    yp = _pad_to(np.clip(np.round(y), 0, 255).astype(np.uint8), 16, 16)
+    cbp = _pad_to(np.clip(np.round(cb), 0, 255).astype(np.uint8), 16, 16)
+    crp = _pad_to(np.clip(np.round(cr), 0, 255).astype(np.uint8), 16, 16)
+    # 2×2 box average then round — the common subsampler
+    def sub(p: np.ndarray) -> np.ndarray:
+        ph, pw = p.shape
+        q4 = p.reshape(ph // 2, 2, pw // 2, 2).astype(np.float64).mean(axis=(1, 3))
+        return np.clip(np.round(q4), 0, 255).astype(np.uint8)
+
+    cbs, crs = sub(cbp), sub(crp)
+    dcl = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    acl = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dcc = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    acc = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    bw = _BitWriter()
+    qz = q.astype(np.float64)
+    preds = [0, 0, 0]
+    mh, mw = yp.shape[0] // 16, yp.shape[1] // 16
+    for my in range(mh):
+        for mx in range(mw):
+            for dy in range(2):
+                for dx in range(2):
+                    blk = yp[
+                        my * 16 + dy * 8 : my * 16 + dy * 8 + 8,
+                        mx * 16 + dx * 8 : mx * 16 + dx * 8 + 8,
+                    ]
+                    preds[0] = _encode_blocks(blk, qz, bw, dcl, acl, preds[0])
+            cbb = cbs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            preds[1] = _encode_blocks(cbb, qz, bw, dcc, acc, preds[1])
+            crb = crs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            preds[2] = _encode_blocks(crb, qz, bw, dcc, acc, preds[2])
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
+    out += _seg(0xDB, bytes([0x01]) + bytes(int(x) for x in q))
+    out += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(0xC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += _seg(0xC4, _dht_payload(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    out += _seg(0xC4, _dht_payload(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    out += _seg(0xC4, _dht_payload(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# -- decoder ---------------------------------------------------------------
+
+
+def decode_jpeg(buf: bytes):
+    """Decode a baseline-sequential JPEG.  Returns (height, width, channels,
+    uint8 array of shape (h, w) or (h, w, 3) in RGB).
+
+    Supports: SOF0, 8-bit precision, 1 or 3 components, sampling factors
+    1–2, Huffman tables from DHT.  Raises NotImplementedError for
+    progressive/arithmetic/12-bit/restart-interval streams.
+    """
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
+    scan = None
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"marker expected at offset {pos}")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        ln = struct.unpack_from(">H", buf, pos)[0]
+        payload = buf[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT (may hold several tables)
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                qtables[tq] = np.frombuffer(
+                    payload, dtype=np.uint8, count=64, offset=off + 1
+                ).astype(np.float64)
+                off += 65
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            off = 0
+            while off < len(payload):
+                tc, th = payload[off] >> 4, payload[off] & 0x0F
+                bits = list(payload[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(payload[off + 17 : off + 17 + nv])
+                htables[(tc, th)] = _decode_table(bits, vals)
+                off += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline frame (SOF marker 0x{marker:02X}): progressive/"
+                "extended/arithmetic JPEG not supported by the numpy decoder"
+            )
+        elif marker == 0xDD:  # DRI
+            if struct.unpack_from(">H", payload, 0)[0] != 0:
+                raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS — entropy data follows until next marker
+            ns = payload[0]
+            sel = [(payload[1 + 2 * i], payload[2 + 2 * i]) for i in range(ns)]
+            end = pos
+            while end < len(buf) - 1:
+                if buf[end] == 0xFF and buf[end + 1] not in (0x00,) and not (
+                    0xD0 <= buf[end + 1] <= 0xD7
+                ):
+                    break
+                end += 1
+            scan = (sel, buf[pos:end])
+            pos = end
+        # other segments (APPn, COM) are skipped
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0/SOS segment")
+    h, w, comps = frame
+    sel, data = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcuy * 8 * vs, mcux * 8 * hs), dtype=np.float64)
+        for cid, hs, vs, _ in comps
+    }
+    table_for = {scid: (tt >> 4, tt & 0x0F) for scid, tt in sel}
+    br = _BitReader(data)
+    preds = {cid: 0 for cid, _, _, _ in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hs, vs, tq in comps:
+                td, ta = table_for[cid]
+                dct = htables[(0, td)]
+                act = htables[(1, ta)]
+                q = qtables[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.float64)
+                        s = br.read_symbol(dct)
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        preds[cid] += diff
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_symbol(act)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0x0F
+                            if k > 63:
+                                raise ValueError("AC index overflow in scan")
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * q
+                        blk = _A.T @ coef.reshape(8, 8) @ _A + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+    # upsample to full resolution and crop
+    full = []
+    for cid, hs, vs, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return h, w, 1, gray
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return h, w, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)

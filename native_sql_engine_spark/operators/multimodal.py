@@ -157,14 +157,26 @@ def _decode_ppm(buf: bytes):
     return height, width, 3, px.reshape(height, width, 3)
 
 
+def _decode_jpeg(buf: bytes):
+    """Baseline JPEG via the from-scratch numpy codec (operators/jpeg.py).
+    Returns (height, width, channels, uint8 array, RGB for color)."""
+    from .jpeg import decode_jpeg
+
+    h, w, c, px = decode_jpeg(buf)
+    return h, w, c, px
+
+
 def _decode_any(buf: bytes):
     if buf[:2] == b"BM":
         return _decode_bmp(buf)
     if buf[:2] == b"P6":
         return _decode_ppm(buf)
+    if buf[:2] == b"\xff\xd8":
+        return _decode_jpeg(buf)
     raise NotImplementedError(
-        "compressed image formats (JPEG/PNG/...) require PIL/opencv "
-        "(not in this container); BMP and PPM decode natively"
+        "compressed image formats beyond baseline JPEG (PNG/webp/...) "
+        "require PIL/opencv (not in this container); BMP, PPM and baseline "
+        "JPEG decode natively"
     )
 
 
@@ -331,6 +343,41 @@ def synthesize_bmp_corpus(
                 .tobytes()
                 for i in pdf[id_col]
             ]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+def synthesize_jpeg_corpus(
+    df: DataFrame, id_col: str = "doc_id", blocks: int = 2
+) -> DataFrame:
+    """Deterministic baseline-JPEG payload per row: a (blocks·8)² grayscale
+    image of constant 8×8 blocks with value (id·37 + b·17) mod 256 for block
+    b in raster order, encoded by the from-scratch codec (operators/jpeg.py)
+    with the flat quantization table.  Constant blocks survive the DCT→
+    quantize→Huffman→IDCT round trip EXACTLY (DC step 8 divides 8·(v−128);
+    ACs are zero), so decode statistics have the closed form the DuckDB
+    oracle reproduces."""
+    import numpy as np
+
+    from .jpeg import encode_gray
+
+    side = blocks * 8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                img = np.zeros((side, side), dtype=np.uint8)
+                for b in range(blocks * blocks):
+                    by, bx = divmod(b, blocks)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        int(i) * 37 + b * 17
+                    ) % 256
+                payloads.append(encode_gray(img))
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
     schema = T.StructType(

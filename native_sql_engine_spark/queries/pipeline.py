@@ -890,6 +890,34 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_jpeg_decode",
+    """
+    SELECT d.doc_id, 16 AS width, 16 AS height,
+           round(avg(cast((d.doc_id * 37 + t.b * 17) % 256 AS double)), 4) AS mean_px
+    FROM documents d, range(4) t(b)
+    WHERE d.doc_id < 200
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode — the from-scratch numpy codec (Huffman
+    entropy decode, dequantize, IDCT) in operators/jpeg.py — with an exact
+    oracle: the synthesized images are constant 8×8 blocks valued
+    (id·37 + b·17) mod 256, which round-trip the flat-table encode EXACTLY,
+    so DuckDB recomputes each decoded mean from first principles.  A broken
+    Huffman table, DC predictor, dequant or IDCT shifts the mean and fails
+    the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = M.synthesize_jpeg_corpus(docs, "doc_id", blocks=2)
+    decoded = M.decode_image(payloads, "payload", "doc_id")
+    return (
+        M.image_stats(decoded)
+        .select(F.col("media_id").alias("doc_id"), "width", "height", "mean_px")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "multimodal_frame_sample",
     """
     SELECT d.doc_id, f.f AS frame_idx,

@@ -1,0 +1,130 @@
+"""From-scratch baseline JPEG codec (operators/jpeg.py): round-trip,
+exactness, format-surface and gating tests.  Pure numpy — no Spark needed
+except the battery-entry check."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from native_sql_engine_spark.operators.jpeg import (
+    FLAT_Q,
+    ZIGZAG,
+    decode_jpeg,
+    encode_gray,
+    encode_ycbcr420,
+)
+
+
+def _block_image(vals: list[int], blocks: int = 2) -> np.ndarray:
+    side = blocks * 8
+    img = np.zeros((side, side), dtype=np.uint8)
+    for b, v in enumerate(vals):
+        by, bx = divmod(b, blocks)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    return img
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # spec anchors: first diagonal and the tail
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+    assert ZIGZAG[-1] == 63
+
+
+def test_constant_blocks_roundtrip_exactly():
+    """DC step 8 divides 8·(v−128) for every v, ACs of constant blocks are
+    zero — the decode must be bit-exact, including the DC predictor chain
+    across blocks (values chosen to exercise positive AND negative diffs)."""
+    img = _block_image([0, 255, 7, 200])
+    h, w, c, out = decode_jpeg(encode_gray(img))
+    assert (h, w, c) == (16, 16, 1)
+    assert np.array_equal(out, img)
+
+
+def test_random_gray_roundtrip_within_quant_error():
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    q = FLAT_Q.copy()
+    q[1:] = 2
+    h, w, c, out = decode_jpeg(encode_gray(img, q))
+    assert (h, w, c) == (24, 40, 1)
+    # error bound: |Δcoef| ≤ q/2 per coefficient; empirically ≤ 2 at q=2
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_odd_dimensions_pad_and_crop():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    q = FLAT_Q.copy()
+    q[1:] = 2
+    h, w, c, out = decode_jpeg(encode_gray(img, q))
+    assert out.shape == (13, 21)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_color_420_constant_exact():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 100, 50
+    h, w, c, out = decode_jpeg(encode_ycbcr420(img))
+    assert (h, w, c) == (16, 16, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1  # color rounding
+
+
+def test_color_420_random_luma():
+    """Gray-valued RGB exercises the full 4:2:0 MCU interleave (4 Y + Cb +
+    Cr per MCU) with non-trivial luma while chroma stays flat."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(60, 196, size=(32, 48, 1), dtype=np.uint8)
+    img = np.repeat(base, 3, axis=2)
+    q = FLAT_Q.copy()
+    q[1:] = 2
+    h, w, c, out = decode_jpeg(encode_ycbcr420(img, q))
+    assert (h, w, c) == (32, 48, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_entropy_stream_has_stuffed_bytes_and_decodes():
+    """0xFF bytes inside the entropy stream must be stuffed (FF 00) and the
+    reader must unstuff them — cover it by brute-forcing an image whose
+    stream contains FF."""
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        q = FLAT_Q.copy()
+        q[1:] = 2
+        buf = encode_gray(img, q)
+        body = buf[2:-2]
+        if b"\xff\x00" in body:
+            _, _, _, out = decode_jpeg(buf)
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+            return
+    pytest.skip("no stuffed byte produced in 20 seeded images")
+
+
+def test_non_baseline_rejected():
+    img = _block_image([1, 2, 3, 4])
+    buf = bytearray(encode_gray(img))
+    sof = buf.find(b"\xff\xc0")
+    buf[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(buf))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n")
+
+
+def test_decode_image_dispatches_jpeg(spark, sf_small):
+    """The multimodal decode kernel must route FFD8 payloads through the
+    JPEG codec end-to-end (mapInPandas batch shape included)."""
+    from pyspark.sql import functions as F
+
+    from native_sql_engine_spark.catalog import load_table
+    from native_sql_engine_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_small, "documents").filter(F.col("doc_id") < 8)
+    payloads = M.synthesize_jpeg_corpus(docs, "doc_id", blocks=2)
+    stats = M.image_stats(M.decode_image(payloads, "payload", "doc_id"))
+    for r in stats.collect():
+        expected = sum((r.media_id * 37 + b * 17) % 256 for b in range(4)) / 4
+        assert (r.width, r.height) == (16, 16)
+        assert abs(r.mean_px - expected) < 1e-9, (r.media_id, r.mean_px, expected)
