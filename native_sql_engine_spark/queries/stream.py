@@ -669,3 +669,38 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_confs=SW.TWS_RUN_CONFS,
     )
     return out.orderBy("user_id")
+
+
+@q(
+    "stream_tws_typed_states",
+    """
+    SELECT user_id,
+           cast(count(*) AS bigint) AS n_events,
+           round(sum(value), 2) AS total_value,
+           cast(count(DISTINCT event_type) AS bigint) AS n_types,
+           cast(count(*) FILTER (WHERE event_type = 'purchase') AS bigint)
+             AS n_purchases
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_tws_typed_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas over the WIDER typed-state surface:
+    ListState (per-batch subtotals) and MapState (per-event-type counts) —
+    the appendValue/get and updateValue/iterator protocol paths beyond the
+    ValueState entry.  One-file AvailableNow replay → the update-mode final
+    rows equal the batch GROUP BY twin (hash-deterministic).  The TTL
+    protocol path (the pbshim ``ttl.durationMs`` auto-vivify surface) is
+    exercised by the live-trigger test in tests/test_streaming.py — TTL
+    states force ProcessingTime mode, whose eviction micro-batches make an
+    AvailableNow drain non-terminating."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    out = SW.run_to_memory(
+        SW.transform_with_state_typed(ev),
+        f"q_stream_tws_typed_{next(_SINK_SEQ)}",
+        output_mode="update",
+        state_partitions=8,
+        extra_confs=SW.TWS_RUN_CONFS,
+    )
+    return out.orderBy("user_id")

@@ -438,6 +438,91 @@ class _RunningUserAgg(StatefulProcessor):
         pass
 
 
+#: output schema of the typed-states (list/map/TTL) transformWithState entry
+TWS_TYPED_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("n_purchases", T.LongType()),
+    ]
+)
+
+
+class _TypedStatesAgg(StatefulProcessor):
+    """StatefulProcessor exercising the WIDER typed-state surface: ListState
+    (per-batch subtotals) and MapState (per-event-type counts).  No TTL
+    here: TTL states require ProcessingTime time mode, under which an
+    AvailableNow replay schedules open-ended eviction micro-batches and the
+    drain never terminates deterministically — the TTL protocol path is
+    covered by the live-trigger test
+    (tests/test_streaming.py::test_tws_ttl_accepted_by_state_server) and the
+    pbshim wire tests instead."""
+
+    def init(self, handle) -> None:
+        self._subs = handle.getListState("subs", "n BIGINT, total DOUBLE")
+        self._counts = handle.getMapState("counts", "et STRING", "n BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        for pdf in rows:
+            self._subs.appendValue((len(pdf), float(pdf["value"].sum())))
+            for et, n in pdf["event_type"].value_counts().items():
+                base = (
+                    int(self._counts.getValue((et,))[0])
+                    if self._counts.containsKey((et,))
+                    else 0
+                )
+                self._counts.updateValue((et,), (base + int(n),))
+        n_events, total = 0, 0.0
+        for row in self._subs.get():
+            n_events += int(row[0])
+            total += float(row[1])
+        n_types, n_purch = 0, 0
+        for k, v in self._counts.iterator():
+            n_types += 1
+            if k[0] == "purchase":
+                n_purch = int(v[0])
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "total_value": [round(total, 2)],
+                "n_types": [n_types],
+                "n_purchases": [n_purch],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def transform_with_state_typed(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas with ListState + MapState (see
+    ``_TypedStatesAgg``); same RocksDB-provider requirement as the
+    ValueState form."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf in the Python "
+            "runtime; unavailable here."
+        )
+    from ..vendor import ship_protobuf_shim
+
+    ship_protobuf_shim(events.sparkSession)
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_TypedStatesAgg(),
+            outputStructType=TWS_TYPED_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def tws_available() -> bool:
     """True when the transformWithState runtime can start: its state-server
     protocol needs ``google.protobuf``, which not every runtime ships (this

@@ -166,6 +166,145 @@ def test_transform_with_state_running_agg(spark, sf_small):
     assert got == exp
 
 
+def test_tws_typed_states_equal_batch_twin(spark, sf_small):
+    """ListState + MapState transformWithState (the typed-state surface
+    beyond ValueState) equals the batch GROUP BY twin."""
+    import pytest
+
+    if not SW.tws_available():
+        pytest.skip("google.protobuf not in runtime; gated operator")
+    import pyspark.sql.functions as F
+
+    ev = SW.read_events_stream(spark, sf_small)
+    out = SW.run_to_memory(
+        SW.transform_with_state_typed(ev), "t_tws_typed", output_mode="update",
+        state_partitions=8, extra_confs=SW.TWS_RUN_CONFS,
+    )
+    want = (
+        load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        )
+    )
+    got = {r.user_id: (r.n_events, r.total_value, r.n_types, r.n_purchases)
+           for r in out.collect()}
+    exp = {r.user_id: (r.n_events, r.total_value, r.n_types, r.n_purchases)
+           for r in want.collect()}
+    assert got == exp
+
+
+def test_tws_ttl_accepted_by_state_server(spark, sf_small):
+    """A TTL-configured ValueState must ride the state-server protocol
+    intact — PySpark's client writes it as the nested `ttl.durationMs`
+    assignment, the exact pbshim auto-vivify surface: with the pre-fix shim
+    the write was silently dropped; a malformed TTLConfig fails query start.
+    Live trigger (TTL forces ProcessingTime mode, under which AvailableNow
+    never drains); the 1-hour TTL cannot expire mid-test, so emitted counts
+    still equal the batch twin."""
+    import pandas as pd
+    import pytest
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    if not SW.tws_available():
+        pytest.skip("google.protobuf not in runtime; gated operator")
+
+    class _TTLCount(StatefulProcessor):
+        def init(self, handle):
+            self._n = handle.getValueState("n", "n BIGINT", ttlDurationMs=3_600_000)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self):
+            pass
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    ev = SW.read_events_stream(spark, sf_small)
+    tws = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_TTLCount(),
+            outputStructType=schema,
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+    )
+    saved = {}
+    for k, v in SW.TWS_RUN_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        q = (
+            tws.writeStream.format("memory")
+            .queryName("t_tws_ttl")
+            .outputMode("update")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            # processAllAvailable() never returns in ProcessingTime mode with
+            # TTL states (continuous eviction batches) — poll until the file
+            # data has drained: ≥1 batch with input, then an idle batch.
+            import time
+
+            deadline = time.time() + 90
+            drained = False
+            while time.time() < deadline and not drained:
+                time.sleep(1.0)
+                if q.exception() is not None:
+                    raise q.exception()
+                prog = q.recentProgress
+                saw_input = any(p["numInputRows"] > 0 for p in prog)
+                idle_tail = bool(prog) and prog[-1]["numInputRows"] == 0
+                drained = saw_input and idle_tail
+            assert drained, "stream never drained the events file"
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    import pyspark.sql.functions as F
+
+    got = {
+        r.user_id: r.n_events
+        for r in spark.table("t_tws_ttl").groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    exp = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+
 def test_foreach_batch_parquet_sink(spark, sf_small, tmp_path):
     """Production sink path: drain the event stream through foreachBatch
     into parquet (idempotent per-batch-id subdirs — the exactly-once
