@@ -136,6 +136,20 @@ def test_autovivify_nested_singular_write(state_module):
     assert req.stateVariableRequest.valueStateCall.stateName == "deep"
 
 
+def test_oneof_vivify_clears_siblings(state_module):
+    """Vivifying a detached oneof child (write through a reference obtained
+    BEFORE a sibling was set) must clear the sibling — never two members of
+    one oneof present at once."""
+    ns = state_module
+    req = ns["StateRequest"]()
+    svr = req.stateVariableRequest  # detached child of the 'method' oneof
+    req.timerRequest = ns["TimerRequest"]()
+    assert req.WhichOneof("method") == "timerRequest"
+    svr.valueStateCall.stateName = "late"  # late write through the old ref
+    assert req.WhichOneof("method") == "stateVariableRequest"
+    assert not req.HasField("timerRequest")
+
+
 def test_copyfrom_deep_and_read_eq(state_module):
     """CopyFrom must deep-copy (no aliasing of nested/repeated state), and
     merely reading fields must not make a message compare unequal."""
