@@ -468,31 +468,52 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches are deterministic (fixed hash, no RNG), so the entry emits the
     EXACT companions plus in-query tolerance verdicts — the oracle recomputes
     the exact values and the literal-true verdicts.  A wrong sketch (or a
-    broken tolerance) flips a boolean and fails the hash."""
+    broken tolerance) flips a boolean and fails the hash.
+
+    The distinct aggregates and the percentile sketches run as SEPARATE
+    aggregations joined on the 3-row group key: mixing countDistinct with an
+    ObjectAggregate in one groupBy makes the two-phase distinct rewrite
+    carry a percentile buffer per (flag, orderkey) partial group — a
+    ~1 GiB shuffle at sf0.1 and unbounded at 100 TB.  Split, the distinct
+    path stays whole-stage-codegen HashAggregate and the percentile pass
+    holds one bounded sketch per flag."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    agg = lineitem.groupBy("l_returnflag").agg(
-        # rsd 0.02 halves HLL++ register cost vs 0.01 for the same
-        # order-of-magnitude answer; sketch size is per-group state that
-        # every map task carries at 100 TB, so precision is a real knob
+    # rsd 0.02 halves HLL++ register cost vs 0.01 for the same
+    # order-of-magnitude answer; sketch size is per-group state that
+    # every map task carries at 100 TB, so precision is a real knob.
+    # HLL is duplicate-insensitive, so the sketch and the exact count both
+    # ride ONE distinct-first aggregation (codegen HashAggregate) instead of
+    # the expand rewrite that would carry an HLL buffer per partial group.
+    dedup = lineitem.select("l_returnflag", "l_orderkey").distinct()
+    counts = dedup.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 500).alias("approx_median"),
-        # exact 40/60-percentile band: percentile_approx's rank error at
-        # accuracy 500 is ~0.2% of the group — far inside a 10-point band
-        F.expr("percentile(l_extendedprice, array(0.4D, 0.6D))").alias("band"),
+        F.count("*").alias("exact_orders"),
     )
-    return agg.select(
-        "l_returnflag",
-        "exact_orders",
-        (
-            F.abs(F.col("approx_orders") - F.col("exact_orders"))
-            <= 3 * 0.02 * F.col("exact_orders")
-        ).alias("approx_within_tol"),
-        (
-            (F.col("approx_median") >= F.element_at("band", 1))
-            & (F.col("approx_median") <= F.element_at("band", 2))
-        ).alias("median_within_band"),
-    ).orderBy("l_returnflag")
+    # coarse sketch validated against a fine sketch (accuracy 10000 → rank
+    # error ~0.01%): the 40/60 band is >100× wider, and both sketches stay
+    # bounded + mergeable — no exact-percentile full-group buffering
+    pcts = lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 500).alias("approx_median"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.4), F.lit(0.6)), 10000
+        ).alias("band"),
+    )
+    return (
+        counts.join(pcts, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= 3 * 0.02 * F.col("exact_orders")
+            ).alias("approx_within_tol"),
+            (
+                (F.col("approx_median") >= F.element_at("band", 1))
+                & (F.col("approx_median") <= F.element_at("band", 2))
+            ).alias("median_within_band"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 @q(
