@@ -250,6 +250,12 @@ def _encode_blocks(
                     bw.write(code, ln)
                     run -= 16
                 s = _category(v)
+                if s > 10:
+                    raise ValueError(
+                        f"AC coefficient {v} needs category {s} > 10 (not in "
+                        "the standard AC tables) — use a larger quantization "
+                        "step for the AC positions"
+                    )
                 code, ln = ac_codes[(run << 4) | s]
                 bw.write(code, ln)
                 bw.write(v if v >= 0 else v + (1 << s) - 1, s)
