@@ -378,6 +378,36 @@ def test_exceeds_rows_bounded_probe(spark):
     assert plan_row_count(spark.range(77)) == 77
 
 
+def test_exceeds_rows_distrusts_stale_low_estimate(spark, tmp_path):
+    """A stale catalog statistic (table appended since ANALYZE) must never
+    route an over-threshold corpus onto the broadcast/exact path: the
+    estimate is trusted only in the EXCEEDS direction; 'fits under n' is
+    always proven by the bounded probe."""
+    from native_sql_engine_spark.operators.stats import exceeds_rows, plan_row_count
+
+    path = str(tmp_path / "growing")
+    spark.range(10).write.parquet(path)
+    name = "t_stats_stale"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"CREATE TABLE {name} (id BIGINT) USING parquet LOCATION '{path}'")
+    try:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        spark.range(10, 1000).write.mode("append").parquet(path)
+        spark.sql(f"REFRESH TABLE {name}")
+        df = spark.table(name)
+        est = plan_row_count(df)
+        if est is not None and est > 100:
+            import pytest as _pytest
+
+            _pytest.skip("catalog stats refreshed with the append; no staleness")
+        # actual rows = 1000 > 100: the probe must overrule the stale est=10
+        assert exceeds_rows(df, 100)
+        # and the exceeds direction still answers from the estimate alone
+        assert exceeds_rows(df, 5)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_y4m_lumas_chroma_modes_and_marker_check(spark):
     """_y4m_lumas must honor the C tag's chroma stride (422/444, not just
     420) and reject a stream whose frame boundary lacks the FRAME marker —
