@@ -739,6 +739,137 @@ CASES: dict[str, str] = {
     "win_count_over_empty_spec": """
         SELECT DISTINCT cast(count(*) OVER () AS bigint) AS n FROM nation
     """,
+    # -- batch 5 (round 5): set-op null matching, correlated corners,
+    #    ANSI string/interval surface, window range-interval frames ---------
+    "setop_nulls_match_in_intersect": """
+        SELECT count(*) AS n FROM (
+          SELECT CASE WHEN n_nationkey > 30 THEN n_nationkey END AS v FROM nation
+          INTERSECT
+          SELECT cast(NULL AS bigint) AS v) t
+    """,
+    "setop_nulls_match_in_except": """
+        SELECT count(*) AS n FROM (
+          SELECT CASE WHEN n_nationkey > 30 THEN n_nationkey END AS v FROM nation
+          EXCEPT
+          SELECT cast(NULL AS bigint)) t
+    """,
+    "distinct_counts_null_group_once": """
+        SELECT count(*) AS n FROM (
+          SELECT DISTINCT CASE WHEN n_nationkey % 7 = 0 THEN NULL
+                               ELSE n_regionkey END AS g
+          FROM nation) t
+    """,
+    "group_by_null_key_groups_together": """
+        SELECT count(*) AS groups, max(members) AS biggest FROM (
+          SELECT CASE WHEN n_nationkey % 2 = 0 THEN NULL ELSE n_regionkey END AS g,
+                 cast(count(*) AS bigint) AS members
+          FROM nation GROUP BY 1) t
+    """,
+    "corr_constant_input_null": """
+        SELECT corr(cast(n_regionkey AS double), cast(1 AS double)) AS c FROM nation
+    """,
+    "var_pop_single_row_zero": """
+        SELECT cast(var_pop(cast(n_nationkey AS double)) AS double) AS v
+        FROM nation WHERE n_nationkey = 3
+    """,
+    "bool_and_or_aggregates": """
+        SELECT bool_and(n_nationkey >= 0) AS all_nonneg,
+               bool_or(n_nationkey > 23) AS any_big
+        FROM nation
+    """,
+    "correlated_scalar_subquery_empty_null": """
+        SELECT r_regionkey,
+               (SELECT max(n_name) FROM nation
+                WHERE n_regionkey = r_regionkey AND n_nationkey > 900) AS v
+        FROM region ORDER BY r_regionkey
+    """,
+    "correlated_exists_in_case": """
+        SELECT r_regionkey,
+               CASE WHEN EXISTS (SELECT 1 FROM nation
+                                 WHERE n_regionkey = r_regionkey
+                                   AND n_nationkey > 20)
+                    THEN 'yes' ELSE 'no' END AS has_big
+        FROM region ORDER BY r_regionkey
+    """,
+    "lateral_subquery_projection": """
+        SELECT n_nationkey, t.double_key
+        FROM nation, LATERAL (SELECT n_nationkey * 2 AS double_key) t
+        ORDER BY n_nationkey
+    """,
+    "values_inline_table": """
+        SELECT a, b FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) t(a, b)
+        WHERE a >= 2 ORDER BY a
+    """,
+    "group_by_ordinal": """
+        SELECT n_regionkey, cast(count(*) AS bigint) AS n
+        FROM nation GROUP BY 1 ORDER BY 1
+    """,
+    "ansi_substring_from_for": "SELECT substring('sparkling' FROM 2 FOR 4) AS v",
+    "ansi_trim_both_chars": "SELECT trim(BOTH 'x' FROM 'xxhixx') AS v",
+    "like_with_escape_char": """
+        SELECT count(*) AS n FROM (
+          SELECT '10% off' AS s UNION ALL SELECT '100 total') t
+        WHERE s LIKE '10!%%' ESCAPE '!'
+    """,
+    "ilike_case_insensitive": """
+        SELECT count(*) AS n FROM nation WHERE n_name ILIKE '%united%'
+    """,
+    "repeat_reverse_translate": """
+        SELECT repeat('ab', 3) AS r, reverse('spark') AS v,
+               translate('banana', 'an', 'om') AS t
+    """,
+    "two_arg_log": """
+        SELECT cast(round(log(2, 1024), 4) AS double) AS l2,
+               cast(round(log(10, 1000), 4) AS double) AS l10
+    """,
+    "date_plus_interval_arith": """
+        SELECT cast(cast(DATE '2021-02-27' + INTERVAL 2 DAY AS date)
+                    AS varchar(30)) AS d1,
+               cast(TIMESTAMP '2021-01-01 23:30:00' + INTERVAL 45 MINUTE
+                    AS varchar(30)) AS t1
+    """,
+    "order_by_nulls_first_last": """
+        SELECT v FROM (
+          SELECT CASE WHEN n_nationkey % 11 = 0 THEN NULL
+                      ELSE n_nationkey END AS v FROM nation) t
+        ORDER BY v DESC NULLS LAST
+    """,
+    "limit_offset_paging": """
+        SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 3 OFFSET 5
+    """,
+    "win_range_interval_frame": """
+        SELECT o_orderkey,
+               cast(count(*) OVER (
+                 ORDER BY cast(o_orderdate AS timestamp)
+                 RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+                 AS bigint) AS n_1d
+        FROM orders WHERE o_custkey < 50
+        ORDER BY o_orderkey
+    """,
+    "win_percent_rank_single_row_zero": """
+        SELECT percent_rank() OVER (ORDER BY n_nationkey) AS pr
+        FROM nation WHERE n_nationkey = 3
+    """,
+    "grouping_function_marks_totals": """
+        SELECT n_regionkey, cast(grouping(n_regionkey) AS int) AS is_total,
+               cast(count(*) AS bigint) AS n
+        FROM nation GROUP BY ROLLUP (n_regionkey)
+        ORDER BY is_total, n_regionkey
+    """,
+    "union_distinct_dedups_nulls": """
+        SELECT count(*) AS n FROM (
+          SELECT cast(NULL AS int) AS v UNION SELECT NULL UNION SELECT 1) t
+    """,
+    "cross_join_cardinality": """
+        SELECT cast(count(*) AS bigint) AS n FROM region a CROSS JOIN region b
+    """,
+    "full_outer_using_coalesces_key": """
+        SELECT count(*) AS n
+        FROM (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10) a
+        FULL OUTER JOIN
+             (SELECT n_nationkey AS k FROM nation WHERE n_nationkey >= 5) b
+        USING (k)
+    """,
 }
 
 #: Negative corpus (the reference's subquery/negative territory): SQL both
