@@ -162,6 +162,12 @@ class _BitWriter:
             self.write((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
         return bytes(self.out)
 
+    def pad_and_mark(self, marker_byte: int) -> None:
+        """Byte-align (1-padding) and emit a raw restart marker (unstuffed)."""
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)
+        self.out += bytes([0xFF, marker_byte])
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -184,6 +190,19 @@ class _BitReader:
             self._acc, self._n = b, 8
         self._n -= 1
         return (self._acc >> self._n) & 1
+
+    def expect_restart(self, n: int) -> None:
+        """Consume the byte-aligned RSTn marker between restart intervals
+        (T.81 E.1.4) and discard any partial padding bits before it."""
+        self._n = 0  # drop pad bits: restart markers are byte-aligned
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated scan: missing restart marker")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + (n & 7):
+            raise ValueError(
+                f"expected RST{n & 7} at scan offset {self.pos}, found "
+                f"{self.data[self.pos:self.pos + 2].hex()}"
+            )
+        self.pos += 2
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -282,19 +301,36 @@ def _dht_payload(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
 
 
-def encode_gray(img: np.ndarray, q: np.ndarray = FLAT_Q) -> bytes:
-    """Baseline-encode an 8-bit grayscale image (single component, 4:4:4)."""
+def encode_gray(
+    img: np.ndarray, q: np.ndarray = FLAT_Q, restart_interval: int = 0
+) -> bytes:
+    """Baseline-encode an 8-bit grayscale image (single component, 4:4:4).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker (with DC
+    predictor reset) every that-many MCUs, like camera JPEGs do."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape
     dc = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     bw = _BitWriter()
-    _encode_blocks(_pad_to(img, 8, 8), q, bw, dc, ac, 0)
+    padded = _pad_to(img, 8, 8)
+    pred, mcu, rst = 0, 0, 0
+    for by in range(0, padded.shape[0], 8):
+        for bx in range(0, padded.shape[1], 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.pad_and_mark(0xD0 + rst)
+                rst = (rst + 1) & 7
+                pred = 0
+            mcu += 1
+            pred = _encode_blocks(
+                padded[by : by + 8, bx : bx + 8], q, bw, dc, ac, pred
+            )
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))  # DQT slot 0
     out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))  # SOF0
     out += _seg(0xC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
     out += _seg(0xC4, _dht_payload(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
@@ -379,6 +415,7 @@ def decode_jpeg(buf: bytes):
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
     scan = None
+    restart_interval = 0
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
@@ -426,8 +463,7 @@ def decode_jpeg(buf: bytes):
                 "extended/arithmetic JPEG not supported by the numpy decoder"
             )
         elif marker == 0xDD:  # DRI
-            if struct.unpack_from(">H", payload, 0)[0] != 0:
-                raise NotImplementedError("restart intervals not supported")
+            restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows until next marker
             ns = payload[0]
             sel = [(payload[1 + 2 * i], payload[2 + 2 * i]) for i in range(ns)]
@@ -456,8 +492,17 @@ def decode_jpeg(buf: bytes):
     table_for = {scid: (tt >> 4, tt & 0x0F) for scid, tt in sel}
     br = _BitReader(data)
     preds = {cid: 0 for cid, _, _, _ in comps}
+    mcu_index = 0
+    rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                # restart boundary: byte-aligned RSTn marker, DC predictors
+                # reset (T.81 E.1.4 — what makes corrupt scans re-syncable)
+                br.expect_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = {cid: 0 for cid, _, _, _ in comps}
+            mcu_index += 1
             for cid, hs, vs, tq in comps:
                 td, ta = table_for[cid]
                 dct = htables[(0, td)]

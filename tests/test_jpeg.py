@@ -102,6 +102,32 @@ def test_entropy_stream_has_stuffed_bytes_and_decodes():
     pytest.skip("no stuffed byte produced in 20 seeded images")
 
 
+def test_restart_intervals_roundtrip():
+    """DRI/RSTn streams (camera JPEGs): byte-aligned markers, DC predictor
+    reset at every boundary, wrap-around past RST7 — exact on constant
+    blocks, quant-bounded on random."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(16, 80), dtype=np.uint8)  # 20 MCUs
+    q = FLAT_Q.copy()
+    q[1:] = 2
+    for interval in (1, 2, 7):  # interval 1 with 20 MCUs wraps RST0..7 twice
+        buf = encode_gray(img, q, restart_interval=interval)
+        assert bytes([0xFF, 0xD0]) in buf  # markers actually present
+        h, w, c, out = decode_jpeg(buf)
+        assert (h, w) == (16, 80)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4, interval
+    # constant blocks stay exact through restarts
+    cimg = _block_image([0, 255, 7, 200])
+    _, _, _, out2 = decode_jpeg(encode_gray(cimg, restart_interval=1))
+    assert np.array_equal(out2, cimg)
+    # a corrupted marker is a clear error, not silent garbage
+    buf = bytearray(encode_gray(cimg, restart_interval=1))
+    i = buf.find(b"\xff\xd0", buf.find(b"\xff\xda"))
+    buf[i + 1] = 0xD5  # wrong RST index
+    with pytest.raises(ValueError, match="expected RST"):
+        decode_jpeg(bytes(buf))
+
+
 def test_non_baseline_rejected():
     img = _block_image([1, 2, 3, 4])
     buf = bytearray(encode_gray(img))
