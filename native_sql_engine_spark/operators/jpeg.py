@@ -337,9 +337,16 @@ def encode_gray(
     return bytes(out)
 
 
-def encode_ycbcr420(img: np.ndarray, q: np.ndarray = FLAT_Q) -> bytes:
-    """Baseline-encode an 8-bit RGB image as YCbCr 4:2:0 (2×2 luma blocks +
-    one Cb + one Cr block per MCU, chroma box-averaged)."""
+def encode_ycbcr420(
+    img: np.ndarray, q: np.ndarray = FLAT_Q, subsample: str = "420"
+) -> bytes:
+    """Baseline-encode an 8-bit RGB image as YCbCr with 4:2:0 (2×2 luma
+    blocks + one Cb + one Cr per MCU) or 4:2:2 (2×1 luma blocks) chroma
+    subsampling, box-averaged."""
+    if subsample not in ("420", "422"):
+        raise ValueError("subsample must be '420' or '422'")
+    sv = 2 if subsample == "420" else 1  # vertical luma factor
+    mcu_h, mcu_w = 8 * sv, 16
     img = np.asarray(img, dtype=np.uint8)
     h, w, _ = img.shape
     r = img[:, :, 0].astype(np.float64)
@@ -348,13 +355,16 @@ def encode_ycbcr420(img: np.ndarray, q: np.ndarray = FLAT_Q) -> bytes:
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    yp = _pad_to(np.clip(np.round(y), 0, 255).astype(np.uint8), 16, 16)
-    cbp = _pad_to(np.clip(np.round(cb), 0, 255).astype(np.uint8), 16, 16)
-    crp = _pad_to(np.clip(np.round(cr), 0, 255).astype(np.uint8), 16, 16)
-    # 2×2 box average then round — the common subsampler
+    yp = _pad_to(np.clip(np.round(y), 0, 255).astype(np.uint8), mcu_h, mcu_w)
+    cbp = _pad_to(np.clip(np.round(cb), 0, 255).astype(np.uint8), mcu_h, mcu_w)
+    crp = _pad_to(np.clip(np.round(cr), 0, 255).astype(np.uint8), mcu_h, mcu_w)
+
+    # box average then round — the common subsampler (2×2 for 420, 1×2 for 422)
     def sub(p: np.ndarray) -> np.ndarray:
         ph, pw = p.shape
-        q4 = p.reshape(ph // 2, 2, pw // 2, 2).astype(np.float64).mean(axis=(1, 3))
+        q4 = (
+            p.reshape(ph // sv, sv, pw // 2, 2).astype(np.float64).mean(axis=(1, 3))
+        )
         return np.clip(np.round(q4), 0, 255).astype(np.uint8)
 
     cbs, crs = sub(cbp), sub(crp)
@@ -365,27 +375,28 @@ def encode_ycbcr420(img: np.ndarray, q: np.ndarray = FLAT_Q) -> bytes:
     bw = _BitWriter()
     qz = q.astype(np.float64)
     preds = [0, 0, 0]
-    mh, mw = yp.shape[0] // 16, yp.shape[1] // 16
+    mh, mw = yp.shape[0] // mcu_h, yp.shape[1] // mcu_w
     for my in range(mh):
         for mx in range(mw):
-            for dy in range(2):
+            for dy in range(sv):
                 for dx in range(2):
                     blk = yp[
-                        my * 16 + dy * 8 : my * 16 + dy * 8 + 8,
-                        mx * 16 + dx * 8 : mx * 16 + dx * 8 + 8,
+                        my * mcu_h + dy * 8 : my * mcu_h + dy * 8 + 8,
+                        mx * mcu_w + dx * 8 : mx * mcu_w + dx * 8 + 8,
                     ]
                     preds[0] = _encode_blocks(blk, qz, bw, dcl, acl, preds[0])
             cbb = cbs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
             preds[1] = _encode_blocks(cbb, qz, bw, dcc, acc, preds[1])
             crb = crs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
             preds[2] = _encode_blocks(crb, qz, bw, dcc, acc, preds[2])
+    luma_hv = 0x20 | sv  # 0x22 for 420, 0x21 for 422
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
     out += _seg(0xDB, bytes([0x01]) + bytes(int(x) for x in q))
     out += _seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, luma_hv, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     out += _seg(0xC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
     out += _seg(0xC4, _dht_payload(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))

@@ -102,6 +102,23 @@ def test_entropy_stream_has_stuffed_bytes_and_decodes():
     pytest.skip("no stuffed byte produced in 20 seeded images")
 
 
+def test_color_422_roundtrip():
+    """4:2:2 (2×1 luma sampling) completes the sampling-factor matrix the
+    decoder supports — constant color exact, gray-valued random bounded."""
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 30, 140, 250
+    h, w, c, out = decode_jpeg(encode_ycbcr420(img, subsample="422"))
+    assert (h, w, c) == (16, 32, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    rng = np.random.default_rng(13)
+    base = rng.integers(60, 196, size=(24, 48, 1), dtype=np.uint8)
+    img2 = np.repeat(base, 3, axis=2)
+    q = FLAT_Q.copy()
+    q[1:] = 2
+    _, _, _, out2 = decode_jpeg(encode_ycbcr420(img2, q, subsample="422"))
+    assert np.abs(out2.astype(int) - img2.astype(int)).max() <= 6
+
+
 def test_restart_intervals_roundtrip():
     """DRI/RSTn streams (camera JPEGs): byte-aligned markers, DC predictor
     reset at every boundary, wrap-around past RST7 — exact on constant
