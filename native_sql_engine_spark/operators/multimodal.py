@@ -173,10 +173,15 @@ def _decode_any(buf: bytes):
         return _decode_ppm(buf)
     if buf[:2] == b"\xff\xd8":
         return _decode_jpeg(buf)
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png
+
+        h, w, c, px = decode_png(buf)
+        return h, w, c, px
     raise NotImplementedError(
-        "compressed image formats beyond baseline JPEG (PNG/webp/...) "
-        "require PIL/opencv (not in this container); BMP, PPM and baseline "
-        "JPEG decode natively"
+        "image formats beyond baseline JPEG / 8-bit PNG / BMP / PPM "
+        "(webp, progressive JPEG, 16-bit PNG, ...) require PIL/opencv "
+        "(not in this container)"
     )
 
 
@@ -378,6 +383,35 @@ def synthesize_jpeg_corpus(
                         int(i) * 37 + b * 17
                     ) % 256
                 payloads.append(encode_gray(img))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+def synthesize_png_corpus(
+    df: DataFrame, id_col: str = "doc_id", width: int = 4, height: int = 4
+) -> DataFrame:
+    """Deterministic 8-bit RGB PNG payload per row: pixel byte k is
+    (id·37 + k) mod 256 (same closed form as the BMP corpus — PNG is
+    lossless, so the decode oracle is exact with zero tolerance).  Rows use
+    the Up filter so the unfilter path is actually exercised."""
+    import numpy as np
+
+    from .png import encode_png
+
+    npx = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                px = (
+                    (int(i) * 37 + np.arange(npx, dtype=np.int64)) % 256
+                ).astype(np.uint8).reshape(height, width, 3)
+                payloads.append(encode_png(px, filter_type=2))
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
     schema = T.StructType(

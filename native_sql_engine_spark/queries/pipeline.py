@@ -918,6 +918,33 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_png_decode",
+    """
+    SELECT d.doc_id, 4 AS width, 4 AS height,
+           round(avg(cast((d.doc_id * 37 + t.k) % 256 AS double)), 4) AS mean_px
+    FROM documents d, range(48) t(k)
+    WHERE d.doc_id < 200
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode — numpy + stdlib zlib (operators/png.py: DEFLATE,
+    scanline unfilter, Adam7) — with an exact oracle: PNG is lossless, so
+    the synthesized (id·37+k) mod 256 pixel bytes decode bit-identically
+    and DuckDB recomputes the mean from the closed form with zero
+    tolerance.  The corpus uses the Up filter, so a broken unfilter
+    recurrence (not just a zlib passthrough) fails the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = M.synthesize_png_corpus(docs, "doc_id", width=4, height=4)
+    decoded = M.decode_image(payloads, "payload", "doc_id")
+    return (
+        M.image_stats(decoded)
+        .select(F.col("media_id").alias("doc_id"), "width", "height", "mean_px")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "multimodal_frame_sample",
     """
     SELECT d.doc_id, f.f AS frame_idx,

@@ -258,17 +258,18 @@ def test_y4m_frame_sampling(spark):
 
 
 def test_compressed_formats_still_stubbed(spark):
-    """Formats beyond the native decoders (PNG, progressive JPEG, mp4)
-    genuinely need codec libraries — the kernel must say so.  Baseline JPEG
-    decodes natively since the from-scratch codec landed (test_jpeg.py), so
-    a truncated baseline stream is a parse error, not a format gate."""
+    """Formats beyond the native decoders (webp, progressive JPEG, mp4,
+    16-bit PNG) genuinely need codec libraries — the kernel must say so.
+    Baseline JPEG and 8-bit PNG decode natively since the from-scratch
+    codecs landed (test_jpeg.py / test_png.py)."""
     from native_sql_engine_spark.operators import multimodal as M
 
-    png = spark.createDataFrame(
-        [(1, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64))], "doc_id long, payload binary"
+    webp = spark.createDataFrame(
+        [(1, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 32))],
+        "doc_id long, payload binary",
     )
-    with pytest.raises(Exception, match="PIL|codec|NotImplemented|SOI"):
-        M.decode_image(png, "payload", "doc_id").collect()
+    with pytest.raises(Exception, match="PIL|codec|NotImplemented"):
+        M.decode_image(webp, "payload", "doc_id").collect()
     progressive = spark.createDataFrame(
         # SOI + SOF2 (progressive) header — the decoder must gate, not guess
         [(1, bytearray(b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"))],
