@@ -1,0 +1,244 @@
+"""GIF (87a/89a) codec — pure Python/numpy LZW, no external libraries.
+
+Completes the lossless-format pair next to PNG: GIF's LZW layer is ~80
+lines of plain Python, so the decode is real, not a stub.  Scope:
+
+* **Decoder**: single-image GIF87a/89a — global/local color tables,
+  variable-width LZW with dictionary reset, interlaced row order,
+  GIF89a transparency (GCE) → RGBA.  Animated GIFs decode their FIRST
+  frame (frame sampling belongs to the video path); malformed streams
+  raise positioned errors.
+* **Encoder** (test/synthesis harness): palette-quantized single-frame
+  writer with a real growing-dictionary LZW compressor.
+
+Lossless (palette-indexed), so decode oracles are exact.  Runs inside the
+``multimodal.decode_image`` Arrow-batched kernel like the other codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: interlace passes: (row_start, row_step)
+_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+# -- LZW -----------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader: GIF packs codes LSB-first
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def init_dict():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = init_dict()
+    width = min_code_size + 1
+    prev: bytes | None = None
+    next_code = eoi + 1
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = init_dict()
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"invalid LZW code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, width)
+    cur = b""
+    for b in indices:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# -- container -------------------------------------------------------------
+
+
+def decode_gif(buf: bytes):
+    """Decode the first frame of a GIF.  Returns (height, width, channels,
+    uint8 array) — RGB, or RGBA when the frame carries a transparency
+    index."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (missing GIF87a/89a signature)")
+    try:
+        return _decode_gif_body(buf)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or malformed GIF: {e}") from e
+
+
+def _decode_gif_body(buf: bytes):
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF contains no image descriptor")
+        if block == 0x21:  # extension
+            label = buf[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = buf[pos]
+                flags = buf[pos + 1]
+                if flags & 0x01:
+                    transparent = buf[pos + 4]
+                pos += 1 + size
+                assert buf[pos] == 0, "GCE missing terminator"
+                pos += 1
+            else:  # skip sub-blocks
+                while buf[pos] != 0:
+                    pos += 1 + buf[pos]
+                pos += 1
+            continue
+        if block == 0x2C:  # image descriptor — decode this frame
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos)
+            pos += 9
+            table = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(
+                    buf, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF frame without any color table")
+            interlaced = bool(ipacked & 0x40)
+            min_code_size = buf[pos]
+            pos += 1
+            data = bytearray()
+            while buf[pos] != 0:
+                n = buf[pos]
+                data += buf[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            idx = np.frombuffer(
+                _lzw_decode(bytes(data), min_code_size, w * h), dtype=np.uint8
+            ).reshape(h, w)
+            if interlaced:
+                de = np.zeros_like(idx)
+                src = 0
+                for start, step in _INTERLACE:
+                    n_rows = len(range(start, h, step))
+                    de[start::step] = idx[src : src + n_rows]
+                    src += n_rows
+                idx = de
+            rgb = table[idx]
+            if transparent is not None:
+                alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+                return h, w, 4, np.dstack([rgb, alpha])
+            return h, w, 3, rgb
+        raise ValueError(f"unknown GIF block 0x{block:02X} at offset {pos - 1}")
+    raise ValueError("truncated GIF (no trailer)")
+
+
+def encode_gif(
+    idx: np.ndarray, palette: np.ndarray, interlace: bool = False,
+    transparent: int | None = None,
+) -> bytes:
+    """Encode palette indices (h, w) + palette (n, 3) as a single-frame
+    GIF89a."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    bits = max(2, int(len(palette) - 1).bit_length())
+    n = 1 << bits
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    rows = idx
+    if interlace:
+        parts = [idx[start::step] for start, step in _INTERLACE]
+        rows = np.vstack([p for p in parts if p.size])
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    min_code = max(2, bits)
+    out += bytes([min_code])
+    z = _lzw_encode(rows.tobytes(), min_code)
+    for i in range(0, len(z), 255):
+        chunk = z[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)

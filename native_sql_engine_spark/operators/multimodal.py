@@ -178,6 +178,11 @@ def _decode_any(buf: bytes):
 
         h, w, c, px = decode_png(buf)
         return h, w, c, px
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        h, w, c, px = decode_gif(buf)
+        return h, w, c, px
     raise NotImplementedError(
         "image formats beyond baseline JPEG / 8-bit PNG / BMP / PPM "
         "(webp, progressive JPEG, 16-bit PNG, ...) require PIL/opencv "
@@ -412,6 +417,38 @@ def synthesize_png_corpus(
                     (int(i) * 37 + np.arange(npx, dtype=np.int64)) % 256
                 ).astype(np.uint8).reshape(height, width, 3)
                 payloads.append(encode_png(px, filter_type=2))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+def synthesize_gif_corpus(
+    df: DataFrame, id_col: str = "doc_id", width: int = 4, height: int = 4
+) -> DataFrame:
+    """Deterministic single-frame GIF payload per row: palette entry p is
+    (3p, 7p, 11p) mod 256 over a 16-color table, pixel k's index is
+    (id + k) mod 16, interlaced rows — GIF is palette-lossless, so the
+    decoded mean has the closed form the DuckDB oracle reproduces."""
+    import numpy as np
+
+    from .gif import encode_gif
+
+    pal = np.stack(
+        [(np.arange(16) * m) % 256 for m in (3, 7, 11)], axis=1
+    ).astype(np.uint8)
+    npx = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                idx = (
+                    (int(i) + np.arange(npx, dtype=np.int64)) % 16
+                ).astype(np.uint8).reshape(height, width)
+                payloads.append(encode_gif(idx, pal, interlace=True))
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
     schema = T.StructType(

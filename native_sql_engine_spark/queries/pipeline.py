@@ -945,6 +945,37 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_gif_decode",
+    """
+    SELECT d.doc_id, 4 AS width, 4 AS height,
+           round(avg(cast(((d.doc_id + t.k) % 16) * 3 % 256
+                        + ((d.doc_id + t.k) % 16) * 7 % 256
+                        + ((d.doc_id + t.k) % 16) * 11 % 256 AS double) / 3),
+                 4) AS mean_px
+    FROM documents d, range(16) t(k)
+    WHERE d.doc_id < 200
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode — pure-Python LZW + palette expansion + interlace
+    (operators/gif.py) — with an exact oracle: GIF is palette-lossless, so
+    DuckDB recomputes the decoded mean from the synthesis closed form
+    (palette entry p = (3p, 7p, 11p) mod 256, index k = (id+k) mod 16).
+    The corpus is interlaced so the four-pass path runs end-to-end here;
+    the mean is permutation-invariant, so PIXEL-exact interlace order is
+    pinned separately in tests/test_gif.py."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = M.synthesize_gif_corpus(docs, "doc_id", width=4, height=4)
+    decoded = M.decode_image(payloads, "payload", "doc_id")
+    return (
+        M.image_stats(decoded)
+        .select(F.col("media_id").alias("doc_id"), "width", "height", "mean_px")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "multimodal_frame_sample",
     """
     SELECT d.doc_id, f.f AS frame_idx,

@@ -1,0 +1,80 @@
+"""GIF codec (operators/gif.py): LZW round trips, interlace, transparency,
+dictionary-growth and reset paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from native_sql_engine_spark.operators.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+)
+
+
+def _pal(n, seed=1):
+    return np.random.default_rng(seed).integers(0, 256, size=(n, 3), dtype=np.uint8)
+
+
+def test_lzw_roundtrip_small_and_kwkwk():
+    # the KwKwK corner: repeated symbol runs force code == next_code
+    data = b"\x00\x00\x00\x01\x01\x01\x01\x02" * 10
+    enc = _lzw_encode(data, 2)
+    assert _lzw_decode(enc, 2, len(data)) == data
+
+
+def test_lzw_dictionary_growth_and_reset():
+    rng = np.random.default_rng(3)
+    data = bytes(rng.integers(0, 4, size=20000, dtype=np.uint8))  # grows past 12 bits
+    enc = _lzw_encode(data, 2)
+    assert _lzw_decode(enc, 2, len(data)) == data
+
+
+def test_gif_roundtrip_rgb():
+    rng = np.random.default_rng(7)
+    pal = _pal(16)
+    idx = rng.integers(0, 16, size=(13, 21), dtype=np.uint8)
+    h, w, c, out = decode_gif(encode_gif(idx, pal))
+    assert (h, w, c) == (13, 21, 3)
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_interlaced_roundtrip():
+    rng = np.random.default_rng(9)
+    pal = _pal(8)
+    idx = rng.integers(0, 8, size=(11, 5), dtype=np.uint8)
+    h, w, c, out = decode_gif(encode_gif(idx, pal, interlace=True))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_transparency_rgba():
+    pal = _pal(4)
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    h, w, c, out = decode_gif(encode_gif(idx, pal, transparent=2))
+    assert c == 4
+    assert out[1, 0, 3] == 0 and out[0, 0, 3] == 255
+    assert np.array_equal(out[..., :3], pal[idx])
+
+
+def test_gif_errors():
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF")
+    pal = _pal(4)
+    buf = bytearray(encode_gif(np.zeros((2, 2), dtype=np.uint8), pal))
+    trailer = buf.rindex(0x3B)
+    with pytest.raises(ValueError):
+        decode_gif(bytes(buf[: trailer - 4]))  # truncated mid-stream
+
+
+def test_decode_image_dispatches_gif(spark):
+    from native_sql_engine_spark.operators import multimodal as M
+
+    pal = _pal(4, seed=5)
+    idx = np.array([[0, 1, 2, 3]] * 4, dtype=np.uint8)
+    payload = encode_gif(idx, pal)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = M.image_stats(M.decode_image(df, "payload", "doc_id")).first()
+    assert (row.width, row.height) == (4, 4)
+    assert abs(row.mean_px - round(float(pal[idx].mean()), 4)) < 1e-9
