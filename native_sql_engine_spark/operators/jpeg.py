@@ -5,14 +5,16 @@ De-stubs the most common real-corpus image format behind
 blobs as opaque binaries and leaves decoding to the application; SURVEY §2
 scopes decode as a Pandas-UDF kernel).  Scope:
 
-* **Decoder** (the deliverable): baseline sequential DCT, 8-bit samples,
-  SOF0, 1 or 3 components, arbitrary 1–2 sampling factors (4:4:4 / 4:2:2 /
-  4:2:0), Huffman tables read from the file's DHT segments.  Progressive
-  (SOF2), arithmetic coding, 12-bit, and restart intervals raise
-  ``NotImplementedError`` — honestly gated, not faked.
-* **Encoder** (test/synthesis harness): the matching baseline encoder used
-  to synthesize corpora with closed-form decodes and to property-test the
-  decoder round-trip.  Not a production encoder.
+* **Decoder** (the deliverable): baseline sequential (SOF0) AND progressive
+  (SOF2, spectral selection + successive approximation, T.81 Annex G) DCT,
+  8-bit samples, 1 or 3 components, arbitrary 1–2 sampling factors
+  (4:4:4 / 4:2:2 / 4:2:0), restart intervals, Huffman tables read from the
+  file's DHT segments.  Arithmetic coding, 12-bit, lossless and
+  hierarchical variants raise ``NotImplementedError`` — honestly gated,
+  not faked.
+* **Encoders** (test/synthesis harness): matching baseline and progressive
+  writers used to synthesize corpora with closed-form decodes and to
+  property-test the decoder round-trips.  Not production encoders.
 
 Execution shape: both run inside Arrow-batched ``mapInPandas`` kernels
 (operators/multimodal.py).  Entropy decoding is inherently serial per image,
@@ -105,6 +107,15 @@ AC_CHROMA_VALS = [
 #: flat quantization table (DC step 8 makes constant blocks decode EXACTLY:
 #: DC = 8·(v−128) quantizes losslessly, ACs of a constant block are 0)
 FLAT_Q = np.array([8] + [1] * 63, dtype=np.uint16)
+
+# Progressive AC table: the Annex K baseline tables lack the EOBn symbols
+# (r<<4 | 0 for r in 1..14) progressive scans emit, so the progressive
+# encoder writes this complete 176-symbol table instead — every (run, size)
+# with size ≤ 10, all at 9 bits (canonical, max code 175 ≠ all-ones).  Real
+# progressive encoders optimize per-scan tables; the decoder reads whatever
+# DHT carries either way.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
 
 
 def _dct_matrix() -> np.ndarray:
@@ -412,12 +423,15 @@ def encode_ycbcr420(
 
 
 def decode_jpeg(buf: bytes):
-    """Decode a baseline-sequential JPEG.  Returns (height, width, channels,
-    uint8 array of shape (h, w) or (h, w, 3) in RGB).
+    """Decode a baseline-sequential (SOF0) or progressive (SOF2) JPEG.
+    Returns (height, width, channels, uint8 array of shape (h, w) or
+    (h, w, 3) in RGB).
 
-    Supports: SOF0, 8-bit precision, 1 or 3 components, sampling factors
-    1–2, Huffman tables from DHT.  Raises NotImplementedError for
-    progressive/arithmetic/12-bit/restart-interval streams.
+    Supports: 8-bit precision, 1 or 3 components, sampling factors 1–2,
+    Huffman tables from DHT, restart intervals; progressive streams with
+    spectral selection AND successive approximation (the libjpeg/mozjpeg
+    default scan scripts).  Raises NotImplementedError for
+    extended/lossless/arithmetic/12-bit variants.
     """
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -425,7 +439,8 @@ def decode_jpeg(buf: bytes):
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
-    scan = None
+    progressive = False
+    scans = []  # (sel, Ss, Se, Ah, Al, data, restart_interval)
     restart_interval = 0
     while pos < len(buf):
         if buf[pos] != 0xFF:
@@ -458,7 +473,8 @@ def decode_jpeg(buf: bytes):
                 vals = list(payload[off + 17 : off + 17 + nv])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 off += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -467,17 +483,20 @@ def decode_jpeg(buf: bytes):
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline frame (SOF marker 0x{marker:02X}): progressive/"
-                "extended/arithmetic JPEG not supported by the numpy decoder"
+                f"unsupported frame type (SOF marker 0x{marker:02X}): "
+                "extended/lossless/arithmetic JPEG not supported by the "
+                "numpy decoder"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows until next marker
             ns = payload[0]
             sel = [(payload[1 + 2 * i], payload[2 + 2 * i]) for i in range(ns)]
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
             end = pos
             while end < len(buf) - 1:
                 if buf[end] == 0xFF and buf[end + 1] not in (0x00,) and not (
@@ -485,13 +504,19 @@ def decode_jpeg(buf: bytes):
                 ):
                     break
                 end += 1
-            scan = (sel, buf[pos:end])
+            scans.append(
+                (sel, ss, se, ahal >> 4, ahal & 0x0F, buf[pos:end], restart_interval)
+            )
             pos = end
         # other segments (APPn, COM) are skipped
-    if frame is None or scan is None:
-        raise ValueError("missing SOF0/SOS segment")
+    if frame is None or not scans:
+        raise ValueError("missing SOF/SOS segment")
     h, w, comps = frame
-    sel, data = scan
+    if progressive:
+        return _decode_progressive(h, w, comps, scans, qtables, htables)
+    if len(scans) != 1:
+        raise NotImplementedError("multi-scan sequential JPEG not supported")
+    sel, _ss, _se, _ah, _al, data, restart_interval = scans[0]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -546,7 +571,13 @@ def decode_jpeg(buf: bytes):
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
-    # upsample to full resolution and crop
+    return _finish(h, w, comps, planes)
+
+
+def _finish(h: int, w: int, comps, planes):
+    """Upsample component planes to full resolution, crop, color-convert."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for cid, hs, vs, _ in comps:
         p = planes[cid]
@@ -561,3 +592,425 @@ def decode_jpeg(buf: bytes):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return h, w, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive(h, w, comps, scans, qtables, htables):
+    """Progressive (SOF2) decode: accumulate DCT coefficients across scans
+    (spectral selection bands × successive-approximation bit planes, T.81
+    Annex G), then dequantize + IDCT once at the end."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    # padded (MCU-aligned) block grid holds the coefficients; non-interleaved
+    # scans iterate only the component's natural (unpadded ceil) sub-grid
+    grid = {cid: (mcuy * vs, mcux * hs) for cid, hs, vs, _ in comps}
+    nat = {
+        cid: (-(-(-(-h * vs) // vmax) // 8), -(-(-(-w * hs) // hmax) // 8))
+        for cid, hs, vs, _ in comps
+    }
+    coefs = {
+        cid: np.zeros((gy, gx, 64), dtype=np.int64) for cid, (gy, gx) in grid.items()
+    }
+
+    for sel, ss, se, ah, al, data, rst_int in scans:
+        br = _BitReader(data)
+        table_for = {scid: (tt >> 4, tt & 0x0F) for scid, tt in sel}
+        if ss == 0:  # DC scan (interleaved when multi-component)
+            preds = {scid: 0 for scid, _ in sel}
+            unit = 0
+            rst_n = 0
+
+            def dc_block(cid, by, bx):
+                blk = coefs[cid][by, bx]
+                if ah == 0:  # first DC scan: diff-coded, point-transformed
+                    dct = htables[(0, table_for[cid][0])]
+                    s = br.read_symbol(dct)
+                    diff = _extend(br.read_bits(s), s) if s else 0
+                    preds[cid] += diff
+                    blk[0] = preds[cid] << al
+                else:  # refinement: one raw bit per block
+                    if br.read_bit():
+                        blk[0] |= 1 << al
+
+            if len(sel) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if rst_int and unit and unit % rst_int == 0:
+                            br.expect_restart(rst_n)
+                            rst_n = (rst_n + 1) & 7
+                            preds = {scid: 0 for scid, _ in sel}
+                        unit += 1
+                        for scid, _tt in sel:
+                            hs, vs, _ = by_id[scid]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    dc_block(scid, my * vs + by, mx * hs + bx)
+            else:
+                cid = sel[0][0]
+                ny, nx = nat[cid]
+                for by in range(ny):
+                    for bx in range(nx):
+                        if rst_int and unit and unit % rst_int == 0:
+                            br.expect_restart(rst_n)
+                            rst_n = (rst_n + 1) & 7
+                            preds = {cid: 0}
+                        unit += 1
+                        dc_block(cid, by, bx)
+        else:  # AC scan: always single-component, non-interleaved
+            if len(sel) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            cid = sel[0][0]
+            act = htables[(1, table_for[cid][1])]
+            ny, nx = nat[cid]
+            eobrun = 0
+            unit = 0
+            rst_n = 0
+            for by in range(ny):
+                for bx in range(nx):
+                    if rst_int and unit and unit % rst_int == 0:
+                        br.expect_restart(rst_n)
+                        rst_n = (rst_n + 1) & 7
+                        eobrun = 0
+                    unit += 1
+                    blk = coefs[cid][by, bx]
+                    if ah == 0:
+                        eobrun = _ac_first(br, act, blk, ss, se, al, eobrun)
+                    else:
+                        eobrun = _ac_refine(br, act, blk, ss, se, al, eobrun)
+
+    # reconstruct: dequantize accumulated coefficients and inverse-transform
+    planes = {
+        cid: np.zeros((gy * 8, gx * 8), dtype=np.float64)
+        for cid, (gy, gx) in grid.items()
+    }
+    for cid, hs, vs, tq in comps:
+        q = qtables[tq]
+        gy, gx = grid[cid]
+        for by in range(gy):
+            for bx in range(gx):
+                zz = coefs[cid][by, bx].astype(np.float64)
+                raster = np.zeros(64, dtype=np.float64)
+                raster[ZIGZAG] = zz * q
+                blk = _A.T @ raster.reshape(8, 8) @ _A + 128.0
+                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    return _finish(h, w, comps, planes)
+
+
+def _ac_first(br, act, blk, ss, se, al, eobrun):
+    """First AC scan for a band (Ah == 0): run-length + EOBRUN (G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.read_symbol(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, act, blk, ss, se, al, eobrun):
+    """AC refinement scan (Ah > 0): correction bits for history-nonzero
+    coefficients interleaved with newly-nonzero insertions (G.1.2.3)."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k_from: int) -> None:
+        # history-nonzero coefficients receive their correction bits even
+        # past the last newly-nonzero position / inside an EOB run
+        k2 = k_from
+        while k2 <= se:
+            if blk[k2] != 0:
+                if br.read_bit() and (blk[k2] & p1) == 0:
+                    blk[k2] += p1 if blk[k2] >= 0 else m1
+            k2 += 1
+
+    if eobrun > 0:  # this block lies entirely inside a pending EOB run
+        correct(ss)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.read_symbol(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOB run starts AT this block
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            val = 0  # ZRL: skip 16 zero-history positions
+        else:
+            if s != 1:
+                raise ValueError("refinement scan with magnitude > 1")
+            val = p1 if br.read_bit() else m1
+        while k <= se:
+            if blk[k] != 0:
+                if br.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            else:
+                if r == 0:
+                    if val:
+                        blk[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    correct(k)  # remaining positions of THIS block (no run decrement)
+    return eobrun
+
+
+# -- progressive encoder (test harness) -------------------------------------
+
+
+def _coef_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Forward-DCT + quantize every 8×8 block of a padded plane →
+    (by, bx, 64) int64 coefficients in ZIGZAG order."""
+    h, w = plane.shape
+    qz = q.astype(np.float64)[ZIGZAG.argsort()].reshape(8, 8)
+    out = np.zeros((h // 8, w // 8, 64), dtype=np.int64)
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            blk = plane[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = _A @ blk @ _A.T
+            out[by // 8, bx // 8] = (
+                np.round(coef / qz).astype(np.int64).ravel()[ZIGZAG]
+            )
+    return out
+
+
+def _emit_dc_first(bw, blocks_per_comp, codes_per_comp, al):
+    """Interleaved first DC scan: per-component diff coding of the
+    point-transformed (arithmetic >> al) DC values, block raster order with
+    components interleaved per position (4:4:4 / gray grids only)."""
+    preds = [0] * len(blocks_per_comp)
+    gy, gx, _ = blocks_per_comp[0].shape
+    for by in range(gy):
+        for bx in range(gx):
+            for ci, blocks in enumerate(blocks_per_comp):
+                v = int(blocks[by, bx, 0]) >> al  # arithmetic shift (floor)
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = _category(diff)
+                code, ln = codes_per_comp[ci][s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _emit_dc_refine(bw, blocks_per_comp, al):
+    gy, gx, _ = blocks_per_comp[0].shape
+    for by in range(gy):
+        for bx in range(gx):
+            for blocks in blocks_per_comp:
+                bw.write((int(blocks[by, bx, 0]) >> al) & 1, 1)
+
+
+def _emit_eobrun(bw, ac_codes, eobrun: int, be: list[int]) -> int:
+    """Emit a pending EOB-run symbol plus its buffered correction bits."""
+    if eobrun > 0:
+        nb = eobrun.bit_length() - 1
+        code, ln = ac_codes[nb << 4]
+        bw.write(code, ln)
+        if nb:
+            bw.write(eobrun - (1 << nb), nb)
+    for bit in be:
+        bw.write(bit, 1)
+    be.clear()
+    return 0
+
+
+def _emit_ac_first(bw, ac_codes, blocks, ss, se, al):
+    """First AC scan of a band: run-length coding of the point-transformed
+    (truncate-toward-zero) magnitudes with cross-block EOB runs."""
+    eobrun = 0
+    gy, gx, _ = blocks.shape
+    for by in range(gy):
+        for bx in range(gx):
+            zz = blocks[by, bx]
+            sv = [
+                (abs(int(zz[k])) >> al) * (1 if zz[k] >= 0 else -1)
+                for k in range(ss, se + 1)
+            ]
+            last = max((i for i, v in enumerate(sv) if v), default=-1)
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(bw, ac_codes, eobrun, [])
+                continue
+            if eobrun:
+                eobrun = _emit_eobrun(bw, ac_codes, eobrun, [])
+            r = 0
+            for v in sv[: last + 1]:
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                s = _category(v)
+                code, ln = ac_codes[(r << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if ss + last < se:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(bw, ac_codes, eobrun, [])
+    if eobrun:
+        _emit_eobrun(bw, ac_codes, eobrun, [])
+
+
+def _emit_ac_refine(bw, ac_codes, blocks, ss, se, al):
+    """AC refinement scan (Ah = al+1 → Al = al): newly-nonzero coefficients
+    as (run, 1)+sign symbols, history-nonzero coefficients as buffered
+    correction bits flushed after each symbol / EOB run (G.1.2.3 inverse)."""
+    eobrun = 0
+    be: list[int] = []
+    gy, gx, _ = blocks.shape
+    for by in range(gy):
+        for bx in range(gx):
+            zz = blocks[by, bx]
+            a = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            last_new = max((i for i, v in enumerate(a) if v == 1), default=-1)
+            if last_new >= 0 and eobrun:
+                eobrun = _emit_eobrun(bw, ac_codes, eobrun, be)
+            r = 0
+            for i in range(last_new + 1):
+                if a[i] == 0:
+                    r += 1
+                    continue
+                if a[i] > 1:  # history-nonzero: correction bit, run unbroken
+                    be.append(a[i] & 1)
+                    continue
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    for bit in be:
+                        bw.write(bit, 1)
+                    be.clear()
+                    r -= 16
+                code, ln = ac_codes[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if zz[ss + i] > 0 else 0, 1)
+                for bit in be:
+                    bw.write(bit, 1)
+                be.clear()
+                r = 0
+            # correction bits after the last newly-nonzero coefficient ride
+            # the EOB run
+            for i in range(last_new + 1, se - ss + 1):
+                if a[i] > 1:
+                    be.append(a[i] & 1)
+            if last_new < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF or len(be) > 900:
+                    eobrun = _emit_eobrun(bw, ac_codes, eobrun, be)
+    if eobrun or be:
+        _emit_eobrun(bw, ac_codes, eobrun, be)
+
+
+def _sos(comps_tables: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(comps_tables)])
+    for cid, tt in comps_tables:
+        body += bytes([cid, tt])
+    return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+def encode_progressive(img: np.ndarray, q: np.ndarray = FLAT_Q) -> bytes:
+    """Progressive-encode (SOF2) an 8-bit grayscale (h, w) or RGB
+    (h, w, 3 → YCbCr 4:4:4) image with the classic libjpeg-style script:
+    DC first (Al=1) → AC bands 1–5 / 6–63 (Al=2) → DC refine → AC refine
+    (Al=2→1) → AC refine (Al=1→0) — exercising spectral selection,
+    successive approximation, EOB runs and correction-bit buffering."""
+    img = np.asarray(img, dtype=np.uint8)
+    color = img.ndim == 3
+    if color:
+        h, w, _ = img.shape
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        planes = [
+            _pad_to(np.clip(np.round(p), 0, 255).astype(np.uint8), 8, 8)
+            for p in planes
+        ]
+        comp_hdr = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        dc_tables = [(0, 0), (0, 1), (0, 1)]  # (tc=0 slot) per comp
+        ac_slot = [0, 1, 1]
+    else:
+        h, w = img.shape
+        planes = [_pad_to(img, 8, 8)]
+        comp_hdr = bytes([1, 0x11, 0])
+        dc_tables = [(0, 0)]
+        ac_slot = [0]
+    blocks = [_coef_blocks(p, q) for p in planes]
+    dcl = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    dcc = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    pac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+    dc_codes = [dcl if th == 0 else dcc for _tc, th in dc_tables]
+    ac_codes = [pac for _ in ac_slot]  # shared progressive AC table (slot 0)
+    ac_slot = [0] * len(ac_slot)
+    ncomp = len(blocks)
+    cids = list(range(1, ncomp + 1))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
+    if color:
+        out += _seg(0xDB, bytes([0x01]) + bytes(int(x) for x in q))
+    out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, ncomp) + comp_hdr)  # SOF2
+    out += _seg(0xC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += _seg(0xC4, _dht_payload(1, 0, PROG_AC_BITS, PROG_AC_VALS))
+    if color:
+        out += _seg(0xC4, _dht_payload(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+
+    def scan(sel, ss, se, ah, al, emit):
+        nonlocal out
+        out += _sos(sel, ss, se, ah, al)
+        bw = _BitWriter()
+        emit(bw)
+        out += bw.flush()
+
+    # 1. DC first, all components interleaved, Al=1
+    scan(
+        [(cids[i], dc_tables[i][1] << 4) for i in range(ncomp)],
+        0, 0, 0, 1,
+        lambda bw: _emit_dc_first(bw, blocks, dc_codes, 1),
+    )
+    # 2./3. AC bands per component, Al=2
+    for i in range(ncomp):
+        scan([(cids[i], ac_slot[i])], 1, 5, 0, 2,
+             lambda bw, i=i: _emit_ac_first(bw, ac_codes[i], blocks[i], 1, 5, 2))
+        scan([(cids[i], ac_slot[i])], 6, 63, 0, 2,
+             lambda bw, i=i: _emit_ac_first(bw, ac_codes[i], blocks[i], 6, 63, 2))
+    # 4. DC refinement, Al=0 (raw bits, interleaved)
+    scan(
+        [(cids[i], dc_tables[i][1] << 4) for i in range(ncomp)],
+        0, 0, 1, 0,
+        lambda bw: _emit_dc_refine(bw, blocks, 0),
+    )
+    # 5./6. AC refinement passes Al 2→1 then 1→0, full band
+    for ah, al in ((2, 1), (1, 0)):
+        for i in range(ncomp):
+            scan([(cids[i], ac_slot[i])], 1, 63, ah, al,
+                 lambda bw, i=i, al=al: _emit_ac_refine(
+                     bw, ac_codes[i], blocks[i], 1, 63, al))
+    out += b"\xff\xd9"
+    return bytes(out)

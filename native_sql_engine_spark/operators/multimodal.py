@@ -362,19 +362,21 @@ def synthesize_bmp_corpus(
 
 
 def synthesize_jpeg_corpus(
-    df: DataFrame, id_col: str = "doc_id", blocks: int = 2
+    df: DataFrame, id_col: str = "doc_id", blocks: int = 2, progressive: bool = False
 ) -> DataFrame:
-    """Deterministic baseline-JPEG payload per row: a (blocks·8)² grayscale
-    image of constant 8×8 blocks with value (id·37 + b·17) mod 256 for block
-    b in raster order, encoded by the from-scratch codec (operators/jpeg.py)
-    with the flat quantization table.  Constant blocks survive the DCT→
+    """Deterministic JPEG payload per row: a (blocks·8)² grayscale image of
+    constant 8×8 blocks with value (id·37 + b·17) mod 256 for block b in
+    raster order, encoded by the from-scratch codec (operators/jpeg.py) with
+    the flat quantization table — baseline SOF0, or the 6-scan progressive
+    SOF2 script when ``progressive``.  Constant blocks survive the DCT→
     quantize→Huffman→IDCT round trip EXACTLY (DC step 8 divides 8·(v−128);
     ACs are zero), so decode statistics have the closed form the DuckDB
     oracle reproduces."""
     import numpy as np
 
-    from .jpeg import encode_gray
+    from .jpeg import encode_gray, encode_progressive
 
+    enc = encode_progressive if progressive else encode_gray
     side = blocks * 8
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -387,7 +389,7 @@ def synthesize_jpeg_corpus(
                     img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                         int(i) * 37 + b * 17
                     ) % 256
-                payloads.append(encode_gray(img))
+                payloads.append(enc(img))
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
     schema = T.StructType(

@@ -918,6 +918,33 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_jpeg_progressive",
+    """
+    SELECT d.doc_id, 16 AS width, 16 AS height,
+           round(avg(cast((d.doc_id * 37 + t.b * 17) % 256 AS double)), 4) AS mean_px
+    FROM documents d, range(4) t(b)
+    WHERE d.doc_id < 200
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode — spectral selection + successive
+    approximation across the 6-scan libjpeg-style script, coefficients
+    accumulated over scans then IDCT'd once (operators/jpeg.py Annex-G
+    path).  Same exact constant-block closed form as the baseline entry, so
+    a broken bit-plane merge, EOB-run bookkeeping or DC refinement flips
+    the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = M.synthesize_jpeg_corpus(docs, "doc_id", blocks=2, progressive=True)
+    decoded = M.decode_image(payloads, "payload", "doc_id")
+    return (
+        M.image_stats(decoded)
+        .select(F.col("media_id").alias("doc_id"), "width", "height", "mean_px")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "multimodal_png_decode",
     """
     SELECT d.doc_id, 4 AS width, 4 AS height,

@@ -145,15 +145,74 @@ def test_restart_intervals_roundtrip():
         decode_jpeg(bytes(buf))
 
 
-def test_non_baseline_rejected():
+def test_unsupported_variants_rejected():
     img = _block_image([1, 2, 3, 4])
     buf = bytearray(encode_gray(img))
     sof = buf.find(b"\xff\xc0")
-    buf[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    buf[sof + 1] = 0xC3  # rewrite SOF0 → SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="unsupported frame"):
         decode_jpeg(bytes(buf))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n")
+
+
+def test_progressive_constant_blocks_exact():
+    """SOF2 with the full 6-scan script (DC Al=1 → AC bands Al=2 → DC refine
+    → AC refine 2→1 → 1→0): constant blocks survive exactly, including
+    single-block EOB runs (EOB0) in the refinement scans."""
+    from native_sql_engine_spark.operators.jpeg import encode_progressive
+
+    img = _block_image([0, 255, 7, 200])
+    buf = encode_progressive(img)
+    assert b"\xff\xc2" in buf  # actually SOF2
+    assert buf.count(b"\xff\xda") == 6  # six scans
+    h, w, c, out = decode_jpeg(buf)
+    assert (h, w, c) == (16, 16, 1)
+    assert np.array_equal(out, img)
+
+
+def test_progressive_random_roundtrip_gray_and_color():
+    from native_sql_engine_spark.operators.jpeg import encode_progressive
+
+    rng = np.random.default_rng(42)
+    q = FLAT_Q.copy()
+    q[1:] = 2
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    _, _, _, out = decode_jpeg(encode_progressive(img, q))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+    cimg = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)  # odd dims
+    h, w, c, outc = decode_jpeg(encode_progressive(cimg, q))
+    assert (h, w, c) == (17, 19, 3)
+    assert np.abs(outc.astype(int) - cimg.astype(int)).max() <= 8
+
+
+def test_progressive_sparse_exercises_zrl_and_long_runs():
+    """A mostly-flat image with isolated hot pixels drives long zero runs
+    (ZRL) and deep-band coefficients through the refinement path."""
+    from native_sql_engine_spark.operators.jpeg import encode_progressive
+
+    img = np.full((16, 24), 128, dtype=np.uint8)
+    img[3, 5] = 255
+    img[12, 20] = 0
+    img[7, 7] = 17
+    q = FLAT_Q.copy()
+    q[1:] = 2
+    _, _, _, out = decode_jpeg(encode_progressive(img, q))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_progressive_equals_baseline_decode():
+    """The progressive and baseline encodings of the same image must decode
+    to (near-)identical pixels — same coefficients, different scan order."""
+    from native_sql_engine_spark.operators.jpeg import encode_progressive
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    q = FLAT_Q.copy()
+    q[1:] = 2
+    _, _, _, base = decode_jpeg(encode_gray(img, q))
+    _, _, _, prog = decode_jpeg(encode_progressive(img, q))
+    assert np.array_equal(base, prog)  # identical quantized coefficients
 
 
 def test_decode_image_dispatches_jpeg(spark, sf_small):
