@@ -270,13 +270,13 @@ def test_compressed_formats_still_stubbed(spark):
     )
     with pytest.raises(Exception, match="PIL|codec|NotImplemented"):
         M.decode_image(webp, "payload", "doc_id").collect()
-    progressive = spark.createDataFrame(
-        # SOI + SOF2 (progressive) header — the decoder must gate, not guess
-        [(1, bytearray(b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"))],
+    arith = spark.createDataFrame(
+        # SOI + SOF9 (arithmetic-coded) header — the decoder must gate
+        [(1, bytearray(b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"))],
         "doc_id long, payload binary",
     )
-    with pytest.raises(Exception, match="progressive|NotImplemented"):
-        M.decode_image(progressive, "payload", "doc_id").collect()
+    with pytest.raises(Exception, match="arithmetic|NotImplemented"):
+        M.decode_image(arith, "payload", "doc_id").collect()
     mp4 = spark.createDataFrame(
         [(1, bytearray(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32))],
         "doc_id long, payload binary",
