@@ -82,6 +82,18 @@ def _rendering_drift(a: Any, b: Any) -> str | None:
             f"uncast decimal output: spark={a!r} vs oracle={b!r} — "
             "cast to double on both sides for driver hash stability"
         )
+    # int-vs-float: DuckDB widens sum(BIGINT) to HUGEINT, which fetchdf()
+    # materializes as float64, so the driver renders `3754.0` against
+    # Spark's `3754` — a hash miss on every row while `3754 == 3754.0`
+    # sails through the numeric compare (the tpcds_q18a r3–r5 red row).
+    a_int = isinstance(a, int) and not isinstance(a, bool)
+    b_int = isinstance(b, int) and not isinstance(b, bool)
+    if (a_int and isinstance(b, float)) or (b_int and isinstance(a, float)):
+        return (
+            f"int-vs-float rendering drift: spark={a!r} vs oracle={b!r} — "
+            "cast the oracle column (HUGEINT from sum(BIGINT)?) to BIGINT, "
+            "or cast both sides to double"
+        )
     if isinstance(a, tuple) and isinstance(b, tuple):
         for x, y in zip(a, b):
             msg = _rendering_drift(x, y)

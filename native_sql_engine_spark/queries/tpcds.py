@@ -2962,7 +2962,7 @@ _SQL_V27["tpcds_q18a"] = """
            cast(round(sp / cnt, 2) AS double) AS avg_price,
            cast(round(sd / cnt, 6) AS double) AS avg_disc,
            cast(round(st / cnt, 2) AS double) AS avg_total,
-           cnt AS n_rows
+           cast(cnt AS bigint) AS n_rows
     FROM lv
     ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, c_mktsegment NULLS FIRST
     LIMIT 100

@@ -25,12 +25,46 @@ from native_sql_engine_spark.compare import assert_matches_oracle  # noqa: E402
 from native_sql_engine_spark.session import get_spark  # noqa: E402
 
 
+#: DuckDB output types whose pandas materialization renders differently
+#: than Spark's (the driver hashes RENDERED values). HUGEINT is the known
+#: case: sum(BIGINT) widens to HUGEINT, fetchdf() emits float64, and the
+#: driver sees `3754.0` vs Spark's `3754` (tpcds_q18a, red r3–r5).
+_DRIFT_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def type_drift_sweep(oracles: dict[str, str], sf_dir: str) -> list[str]:
+    """DESCRIBE every oracle; flag output columns with drift-prone types."""
+    from native_sql_engine_spark.compare import duck_connection
+
+    flagged = []
+    con = duck_connection(sf_dir)
+    try:
+        for name, sql in oracles.items():
+            try:
+                desc = con.execute(f"DESCRIBE {sql}").fetchall()
+            except Exception as exc:  # DESCRIBE can't see temp-table oracles etc.
+                print(f"  [describe-skip] {name}: {type(exc).__name__}")
+                continue
+            bad = [(c, t) for c, t, *_ in desc if any(d in t.upper() for d in _DRIFT_TYPES)]
+            if bad:
+                flagged.append(name)
+                print(f"  [TYPE-DRIFT] {name}: {bad}")
+    finally:
+        con.close()
+    return flagged
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     spark = get_spark()
     qs = queries()
     oracles = oracle_sql()
+
+    print("oracle type-drift sweep (all oracles):", flush=True)
+    drifted = type_drift_sweep(oracles, sf_dir)
+    print(f"  {len(drifted)} drift-prone oracle(s)\n", flush=True)
+
     window = list(qs)[:n]
     failed = []
     t0 = time.time()
@@ -61,7 +95,7 @@ def main() -> int:
     )
     if rc != 0:
         print("sqllogic corpus RED")
-    return 1 if (failed or rc != 0) else 0
+    return 1 if (failed or drifted or rc != 0) else 0
 
 
 if __name__ == "__main__":

@@ -301,3 +301,31 @@ def test_capabilities_registry_count_matches_doc():
         f"CAPABILITIES.md says {m.group(1)} scalar entries; registry has "
         f"{len(FUNCTIONS)} — update CAPABILITIES.md"
     )
+
+
+def test_harness_catches_int_vs_float_rendering_drift(spark, sf_oracle):
+    """The driver hashes RENDERED values, so DuckDB HUGEINT (sum over BIGINT)
+    materializing as float64 (`3754.0`) must FAIL against Spark's int
+    (`3754`) even though they compare numerically equal — the blind spot
+    that kept tpcds_q18a red for rounds 3–5."""
+    import pytest
+
+    from native_sql_engine_spark.compare import assert_matches_oracle
+    from native_sql_engine_spark.catalog import register_tables
+
+    register_tables(spark, sf_oracle)
+    # sum over a BIGINT count: Spark keeps BIGINT; DuckDB widens to HUGEINT,
+    # which fetchdf() renders as float64.
+    sql = (
+        "SELECT sum(cnt) AS total FROM "
+        "(SELECT count(*) AS cnt FROM lineitem GROUP BY l_returnflag) t"
+    )
+    df = spark.sql(sql)
+    with pytest.raises(AssertionError, match="int-vs-float"):
+        assert_matches_oracle(df, sql, sf_oracle, "hugeint_twin")
+    # and the cast fix makes the same shape green
+    fixed = (
+        "SELECT cast(sum(cnt) AS bigint) AS total FROM "
+        "(SELECT count(*) AS cnt FROM lineitem GROUP BY l_returnflag) t"
+    )
+    assert_matches_oracle(spark.sql(fixed), fixed, sf_oracle, "hugeint_fixed")
