@@ -133,14 +133,30 @@ def ivf_centroids(
     Index *build* runs Lloyd iterations in numpy on ≤ ``sample_rows`` rows
     pulled to the driver — the standard IVF recipe (train the coarse
     quantizer on a sample, assign the full corpus distributed).  The sample
-    bound keeps driver memory O(sample · dim) regardless of corpus size."""
+    bound keeps driver memory O(sample · dim) regardless of corpus size.
+
+    Sampling is a bounded per-partition head take (``mapInPandas`` stops
+    after ``sample_rows / n_partitions`` rows per partition): total read
+    cost ≤ ``sample_rows`` rows no matter the corpus size, spread across
+    every partition — no ``count()`` full scan to size a fraction (the
+    repo's bounded-probe discipline, stats.py)."""
     import numpy as np
 
     frac_df = df.select(_to_double(F.col(vec_col)).alias("_v"))
-    n = frac_df.count()
-    if n > sample_rows:
-        frac_df = frac_df.sample(fraction=min(1.0, 1.2 * sample_rows / n), seed=seed)
-    mat = np.array(frac_df.limit(sample_rows).toPandas()["_v"].tolist(), dtype="float64")
+    n_parts = max(1, frac_df.rdd.getNumPartitions())
+    per_part = max(1, -(-sample_rows // n_parts))
+
+    def _head(batches):
+        taken = 0
+        for pdf in batches:
+            if taken >= per_part:
+                break
+            out = pdf.iloc[: per_part - taken]
+            taken += len(out)
+            yield out
+
+    sampled = frac_df.mapInPandas(_head, frac_df.schema)
+    mat = np.array(sampled.limit(sample_rows).toPandas()["_v"].tolist(), dtype="float64")
     # L2-normalize so euclidean k-means ≈ spherical (cosine) k-means
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
