@@ -2747,3 +2747,136 @@ def expr_luhn_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("valid")
     )
+
+
+# =========================================================================
+# Exchange & cache plumbing (§2.2 coalesce, §2.9 range exchange, §2.1 cache)
+# — driver-visible entries for the three capability rows that previously
+# rested on test-only proof (round-5 VERDICT item 5).
+# =========================================================================
+
+
+@q(
+    "cache_columnar_reuse",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             cast(sum(cast(l_quantity AS decimal(38,9))) AS double) AS qty,
+             cast(count(*) AS bigint) AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT a.flag,
+           cast(round(a.qty / b.total_qty, 6) AS double) AS qty_share,
+           cast(a.n AS bigint) AS n
+    FROM base a CROSS JOIN (SELECT sum(qty) AS total_qty FROM base) b
+    ORDER BY a.flag
+    """,
+)
+def cache_columnar_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar in-memory cache reused by two consumers — the reference's
+    ArrowColumnarCachedBatchSerializer / InMemoryTableScan (SURVEY §2.1).
+    The aggregated base is persisted once and feeds BOTH the per-flag rows
+    and the grand-total scalar; without the cache the lineitem scan+agg
+    runs twice.  The cached subplan is 3 rows, so the persist is O(groups)
+    memory at any corpus size."""
+    from ..sources.io import cached
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    base = cached(
+        lineitem.groupBy(F.col("l_returnflag").alias("flag")).agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("qty"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    total = base.agg(F.sum("qty").alias("total_qty"))
+    return (
+        base.crossJoin(F.broadcast(total))
+        .select(
+            "flag",
+            F.round(F.col("qty") / F.col("total_qty"), 6).cast("double").alias("qty_share"),
+            "n",
+        )
+        .orderBy("flag")
+    )
+
+
+@q(
+    "exchange_coalesce",
+    """
+    WITH base AS (
+      SELECT n_regionkey,
+             cast(count(*) AS bigint) AS n,
+             cast(sum(n_nationkey) AS bigint) AS key_sum
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT cast(1 AS bigint) AS n_parts, n_regionkey, n, key_sum
+    FROM base ORDER BY n_regionkey
+    """,
+)
+def exchange_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``coalesce(n)`` partition merge without a shuffle — the reference's
+    ColumnarCoalesceExec (SURVEY §2.2).  A small aggregated result is
+    coalesced to one partition (the classic pre-write compaction); the
+    observable is ``spark_partition_id()`` distinct-count == 1, proving the
+    merge actually happened in-plan.  Coalesce runs on the 5-row aggregate,
+    never the raw corpus, so it is scale-neutral."""
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+        .coalesce(1)
+    )
+    return (
+        base.withColumn("pid", F.spark_partition_id())
+        .withColumn("n_parts", F.size(F.collect_set("pid").over(W.partitionBy())).cast("bigint"))
+        .select("n_parts", "n_regionkey", "n", "key_sum")
+        .orderBy("n_regionkey")
+    )
+
+
+@q(
+    "exchange_range_partition",
+    """
+    SELECT cast(count(*) AS bigint) AS n_rows,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           true AS ranges_monotonic,
+           true AS parts_bounded
+    FROM orders
+    """,
+)
+def exchange_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioning exchange — the reference's range scheme in
+    ColumnarShuffleExchangeExec.scala:360-390 (SURVEY §2.9).
+    ``repartitionByRange(8, o_orderkey)`` samples range boundaries and
+    routes rows so partition key-ranges are disjoint and ordered; the
+    entry verifies that property itself (per-partition [min,max] windows
+    are pairwise non-overlapping and monotone in partition id, partition
+    count ≤ 8) plus exact row/key preservation — self-validating verdicts,
+    same pattern as the approx entries."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_part = (
+        orders.select("o_orderkey")
+        .repartitionByRange(8, F.col("o_orderkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("s"),
+        )
+    )
+    w = W.orderBy("pid")
+    return per_part.select(
+        "pid", "n", "s", (F.col("lo") > F.lag("hi").over(w)).alias("mono")
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("s").cast("bigint").alias("key_sum"),
+        F.coalesce(F.bool_and("mono"), F.lit(True)).alias("ranges_monotonic"),
+        (F.count("*") <= 8).alias("parts_bounded"),
+    )
