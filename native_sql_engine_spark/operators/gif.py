@@ -132,7 +132,9 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 def decode_gif(buf: bytes):
     """Decode the first frame of a GIF.  Returns (height, width, channels,
     uint8 array) — RGB, or RGBA when the frame carries a transparency
-    index."""
+    index.  A frame offset within / smaller than the logical screen is
+    composited onto the screen (background color under it, alpha 0 outside
+    it) and returns the screen's dimensions."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (missing GIF87a/89a signature)")
     try:
@@ -164,7 +166,10 @@ def _decode_gif_body(buf: bytes):
                 if flags & 0x01:
                     transparent = buf[pos + 4]
                 pos += 1 + size
-                assert buf[pos] == 0, "GCE missing terminator"
+                if buf[pos] != 0:
+                    # explicit raise (not assert: stripped under -O, and
+                    # AssertionError would bypass the ValueError contract)
+                    raise ValueError(f"GCE missing terminator at offset {pos}")
                 pos += 1
             else:  # skip sub-blocks
                 while buf[pos] != 0:
@@ -203,6 +208,24 @@ def _decode_gif_body(buf: bytes):
                     src += n_rows
                 idx = de
             rgb = table[idx]
+            if (left, top) != (0, 0) or (w, h) != (sw, sh):
+                # Frame smaller than / offset within the logical screen
+                # (GIF89a image descriptor left/top): composite onto the
+                # screen — background color under the frame, alpha 0
+                # outside it (and at the transparent index inside it).
+                canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+                if gct is not None and _bg < len(gct):
+                    canvas[:] = gct[_bg]
+                alpha = np.zeros((sh, sw), dtype=np.uint8)
+                y1, x1 = min(top + h, sh), min(left + w, sw)
+                fh, fw = y1 - top, x1 - left
+                if fh > 0 and fw > 0:
+                    canvas[top:y1, left:x1] = rgb[:fh, :fw]
+                    fa = np.full((fh, fw), 255, dtype=np.uint8)
+                    if transparent is not None:
+                        fa[idx[:fh, :fw] == transparent] = 0
+                    alpha[top:y1, left:x1] = fa
+                return sh, sw, 4, np.dstack([canvas, alpha])
             if transparent is not None:
                 alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
                 return h, w, 4, np.dstack([rgb, alpha])

@@ -606,8 +606,12 @@ def _decode_progressive(h, w, comps, scans, qtables, htables):
     # padded (MCU-aligned) block grid holds the coefficients; non-interleaved
     # scans iterate only the component's natural (unpadded ceil) sub-grid
     grid = {cid: (mcuy * vs, mcux * hs) for cid, hs, vs, _ in comps}
+    # samples = ceil(dim·fs/fmax) (T.81 A.1.1), blocks = ceil(samples/8):
+    # ceil-of-ceil, NOT ceil-of-floor — with h=17, vs=1, vmax=2 the spec
+    # requires ceil(ceil(8.5)/8)=2 blocks, floor gives 1 and silently drops
+    # the last chroma block row in subsampled non-interleaved scans.
     nat = {
-        cid: (-(-(-(-h * vs) // vmax) // 8), -(-(-(-w * hs) // hmax) // 8))
+        cid: (-(-(-(-h * vs // vmax)) // 8), -(-(-(-w * hs // hmax)) // 8))
         for cid, hs, vs, _ in comps
     }
     coefs = {
@@ -930,14 +934,22 @@ def _sos(comps_tables: list[tuple[int, int]], ss: int, se: int, ah: int, al: int
     return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
 
-def encode_progressive(img: np.ndarray, q: np.ndarray = FLAT_Q) -> bytes:
+def encode_progressive(
+    img: np.ndarray, q: np.ndarray = FLAT_Q, subsample: str = "444"
+) -> bytes:
     """Progressive-encode (SOF2) an 8-bit grayscale (h, w) or RGB
-    (h, w, 3 → YCbCr 4:4:4) image with the classic libjpeg-style script:
-    DC first (Al=1) → AC bands 1–5 / 6–63 (Al=2) → DC refine → AC refine
-    (Al=2→1) → AC refine (Al=1→0) — exercising spectral selection,
-    successive approximation, EOB runs and correction-bit buffering."""
+    (h, w, 3 → YCbCr 4:4:4 or 4:2:0) image with the classic libjpeg-style
+    script: DC first (Al=1) → AC bands 1–5 / 6–63 (Al=2) → DC refine →
+    AC refine (Al=2→1) → AC refine (Al=1→0) — exercising spectral
+    selection, successive approximation, EOB runs and correction-bit
+    buffering.  With ``subsample='420'`` every scan (DC included) is
+    single-component non-interleaved, driving the decoder's natural
+    ceil(ceil(dim·fs/fmax)/8) sub-grids rather than the MCU interleave."""
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
     img = np.asarray(img, dtype=np.uint8)
     color = img.ndim == 3
+    sub420 = color and subsample == "420"
     if color:
         h, w, _ = img.shape
         r = img[:, :, 0].astype(np.float64)
@@ -948,11 +960,25 @@ def encode_progressive(img: np.ndarray, q: np.ndarray = FLAT_Q) -> bytes:
             128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
-        planes = [
-            _pad_to(np.clip(np.round(p), 0, 255).astype(np.uint8), 8, 8)
-            for p in planes
-        ]
-        comp_hdr = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        if sub420:
+            def _sub2(p: np.ndarray) -> np.ndarray:
+                p8 = _pad_to(np.clip(np.round(p), 0, 255).astype(np.uint8), 2, 2)
+                ph, pw = p8.shape
+                m = p8.reshape(ph // 2, 2, pw // 2, 2).astype(np.float64).mean(axis=(1, 3))
+                return np.clip(np.round(m), 0, 255).astype(np.uint8)
+
+            planes = [
+                _pad_to(np.clip(np.round(planes[0]), 0, 255).astype(np.uint8), 8, 8),
+                _pad_to(_sub2(planes[1]), 8, 8),
+                _pad_to(_sub2(planes[2]), 8, 8),
+            ]
+            comp_hdr = bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        else:
+            planes = [
+                _pad_to(np.clip(np.round(p), 0, 255).astype(np.uint8), 8, 8)
+                for p in planes
+            ]
+            comp_hdr = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
         dc_tables = [(0, 0), (0, 1), (0, 1)]  # (tc=0 slot) per comp
         ac_slot = [0, 1, 1]
     else:
@@ -988,24 +1014,35 @@ def encode_progressive(img: np.ndarray, q: np.ndarray = FLAT_Q) -> bytes:
         emit(bw)
         out += bw.flush()
 
-    # 1. DC first, all components interleaved, Al=1
-    scan(
-        [(cids[i], dc_tables[i][1] << 4) for i in range(ncomp)],
-        0, 0, 0, 1,
-        lambda bw: _emit_dc_first(bw, blocks, dc_codes, 1),
-    )
+    # 1. DC first, Al=1 — interleaved for 4:4:4/gray; per-component
+    # non-interleaved for 4:2:0 (raster over each natural sub-grid)
+    if sub420:
+        for i in range(ncomp):
+            scan([(cids[i], dc_tables[i][1] << 4)], 0, 0, 0, 1,
+                 lambda bw, i=i: _emit_dc_first(bw, [blocks[i]], [dc_codes[i]], 1))
+    else:
+        scan(
+            [(cids[i], dc_tables[i][1] << 4) for i in range(ncomp)],
+            0, 0, 0, 1,
+            lambda bw: _emit_dc_first(bw, blocks, dc_codes, 1),
+        )
     # 2./3. AC bands per component, Al=2
     for i in range(ncomp):
         scan([(cids[i], ac_slot[i])], 1, 5, 0, 2,
              lambda bw, i=i: _emit_ac_first(bw, ac_codes[i], blocks[i], 1, 5, 2))
         scan([(cids[i], ac_slot[i])], 6, 63, 0, 2,
              lambda bw, i=i: _emit_ac_first(bw, ac_codes[i], blocks[i], 6, 63, 2))
-    # 4. DC refinement, Al=0 (raw bits, interleaved)
-    scan(
-        [(cids[i], dc_tables[i][1] << 4) for i in range(ncomp)],
-        0, 0, 1, 0,
-        lambda bw: _emit_dc_refine(bw, blocks, 0),
-    )
+    # 4. DC refinement, Al=0 (raw bits; interleave mirrors scan 1)
+    if sub420:
+        for i in range(ncomp):
+            scan([(cids[i], dc_tables[i][1] << 4)], 0, 0, 1, 0,
+                 lambda bw, i=i: _emit_dc_refine(bw, [blocks[i]], 0))
+    else:
+        scan(
+            [(cids[i], dc_tables[i][1] << 4) for i in range(ncomp)],
+            0, 0, 1, 0,
+            lambda bw: _emit_dc_refine(bw, blocks, 0),
+        )
     # 5./6. AC refinement passes Al 2→1 then 1→0, full band
     for ah, al in ((2, 1), (1, 0)):
         for i in range(ncomp):

@@ -184,9 +184,9 @@ def _decode_any(buf: bytes):
         h, w, c, px = decode_gif(buf)
         return h, w, c, px
     raise NotImplementedError(
-        "image formats beyond baseline JPEG / 8-bit PNG / BMP / PPM "
-        "(webp, progressive JPEG, 16-bit PNG, ...) require PIL/opencv "
-        "(not in this container)"
+        "image formats beyond the native decoders (baseline+progressive "
+        "JPEG, 8-bit PNG, GIF, BMP, PPM) — webp, arithmetic-coded/12-bit "
+        "JPEG, 16-bit PNG, ... — require PIL/opencv (not in this container)"
     )
 
 

@@ -78,3 +78,37 @@ def test_decode_image_dispatches_gif(spark):
     row = M.image_stats(M.decode_image(df, "payload", "doc_id")).first()
     assert (row.width, row.height) == (4, 4)
     assert abs(row.mean_px - round(float(pal[idx].mean()), 4)) < 1e-9
+
+
+def test_gif_offset_frame_composited_onto_screen():
+    """An image descriptor with left/top offsets (or a frame smaller than
+    the logical screen) must composite onto the screen — background color
+    under the frame, alpha 0 outside it — instead of silently returning the
+    frame-local array (r5 ADVICE)."""
+    import struct
+
+    pal = _pal(4, seed=9)
+    idx = np.array([[1, 2], [3, 1]], dtype=np.uint8)
+    buf = bytearray(encode_gif(idx, pal))
+    struct.pack_into("<HH", buf, 6, 7, 5)  # logical screen 7x5
+    sig = struct.pack("<BHHHH", 0x2C, 0, 0, 2, 2)
+    p = buf.index(sig)
+    struct.pack_into("<HH", buf, p + 1, 3, 2)  # frame at left=3, top=2
+    h, w, c, px = decode_gif(bytes(buf))
+    assert (h, w, c) == (5, 7, 4)
+    assert (px[2:4, 3:5, :3] == pal[idx]).all()          # frame pixels
+    assert (px[2:4, 3:5, 3] == 255).all()                # opaque inside
+    assert (px[:2, :, 3] == 0).all() and (px[:, :3, 3] == 0).all()  # alpha 0 outside
+    assert (px[0, 0, :3] == pal[0]).all()                # bg color under canvas
+
+
+def test_gif_gce_missing_terminator_raises_valueerror():
+    """A corrupt GCE terminator must raise ValueError (positioned-error
+    contract), not AssertionError — and not pass silently under python -O."""
+    pal = _pal(4)
+    buf = bytearray(encode_gif(np.zeros((2, 2), dtype=np.uint8), pal, transparent=1))
+    gce = buf.index(bytes([0x21, 0xF9, 4]))
+    assert buf[gce + 7] == 0
+    buf[gce + 7] = 0xAA  # clobber the terminator
+    with pytest.raises(ValueError, match="terminator"):
+        decode_gif(bytes(buf))

@@ -230,3 +230,31 @@ def test_decode_image_dispatches_jpeg(spark, sf_small):
         expected = sum((r.media_id * 37 + b * 17) % 256 for b in range(4)) / 4
         assert (r.width, r.height) == (16, 16)
         assert abs(r.mean_px - expected) < 1e-9, (r.media_id, r.mean_px, expected)
+
+
+def test_progressive_420_subsampled_nat_grid():
+    """Subsampled progressive (SOF2 4:2:0) with h=w=17 — a dimension
+    ≡ 17 mod 16 makes the chroma natural grid ceil(ceil(17/2)/8) = 2
+    blocks per side; the r5-ADVICE bug (ceil-of-floor) computed 1 and
+    desynced every non-interleaved scan after the first chroma block.
+    All scans here are single-component, so DC, AC-first, and both
+    refinement passes each iterate the natural sub-grids."""
+    from native_sql_engine_spark.operators.jpeg import encode_progressive
+
+    img = np.zeros((17, 17, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 100, 50
+    h, w, c, out = decode_jpeg(encode_progressive(img, subsample="420"))
+    assert (h, w, c) == (17, 17, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    # gray-valued random luma (chroma flat) across several odd sizes —
+    # full-res Y and half-res chroma grids disagree in every dimension
+    rng = np.random.default_rng(7)
+    q = FLAT_Q.copy()
+    q[1:] = 2
+    for hh, ww in ((17, 33), (33, 49), (24, 17)):
+        base = rng.integers(60, 196, size=(hh, ww, 1), dtype=np.uint8)
+        img2 = np.repeat(base, 3, axis=2)
+        h2, w2, c2, out2 = decode_jpeg(encode_progressive(img2, q, subsample="420"))
+        assert (h2, w2, c2) == (hh, ww, 3)
+        assert np.abs(out2.astype(int) - img2.astype(int)).max() <= 6

@@ -207,3 +207,30 @@ def test_real_protobuf_wire_compat(state_module):
     real_back = real_pb2.StateRequest()
     real_back.ParseFromString(shim_wire)
     assert real_back.stateVariableRequest.valueStateCall.stateName == "compat"
+
+
+def test_copyfrom_into_detached_child_marks_present(state_module):
+    """`parent.sub.CopyFrom(x)` on a lazily-vivified child is a mutation:
+    the real runtime registers `sub` on the parent (HasField True, field
+    serialized) — even when x is empty.  The shim previously populated
+    _values without _mark_present, silently dropping the subtree."""
+    ns = state_module
+    src = ns["TTLConfig"]()
+    src.durationMs = 1234
+    cmd = ns["StateCallCommand"]()
+    cmd.ttl.CopyFrom(src)
+    assert cmd.HasField("ttl")
+    assert cmd.ttl.durationMs == 1234
+    back = ns["StateCallCommand"]()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.HasField("ttl") and back.ttl.durationMs == 1234
+
+    # MergeFromString through a detached child registers too
+    cmd2 = ns["StateCallCommand"]()
+    cmd2.ttl.MergeFromString(src.SerializeToString())
+    assert cmd2.HasField("ttl") and cmd2.ttl.durationMs == 1234
+
+    # CopyFrom of an EMPTY message still sets presence (real-runtime rule)
+    cmd3 = ns["StateCallCommand"]()
+    cmd3.ttl.CopyFrom(ns["TTLConfig"]())
+    assert cmd3.HasField("ttl")
