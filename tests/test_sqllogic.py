@@ -74,11 +74,11 @@ CASES: dict[str, str] = {
         SELECT (SELECT max(o_totalprice) FROM orders WHERE 1 = 0) AS v
     """,
     "having_without_group_by": """
-        SELECT sum(n_nationkey) AS s FROM nation HAVING sum(n_nationkey) > 0
+        SELECT cast(sum(n_nationkey) AS bigint) AS s FROM nation HAVING sum(n_nationkey) > 0
     """,
     "filter_clause_aggregates": """
         SELECT count(*) FILTER (WHERE n_nationkey % 2 = 0) AS n_even,
-               sum(n_nationkey) FILTER (WHERE n_nationkey > 10) AS s_big
+               cast(sum(n_nationkey) FILTER (WHERE n_nationkey > 10) AS bigint) AS s_big
         FROM nation
     """,
     "bool_and_or": """
@@ -132,15 +132,15 @@ CASES: dict[str, str] = {
     """,
     "window_range_frame_duplicates": """
         SELECT n_regionkey,
-               sum(n_nationkey) OVER (ORDER BY n_regionkey
+               cast(sum(n_nationkey) OVER (ORDER BY n_regionkey
                                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS running
+                 AS bigint) AS running
         FROM nation
     """,
     "window_rows_frame": """
         SELECT n_nationkey,
-               sum(n_nationkey) OVER (ORDER BY n_nationkey
-                                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s3
+               cast(sum(n_nationkey) OVER (ORDER BY n_nationkey
+                                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS bigint) AS s3
         FROM nation
     """,
     # -- grouping sets ------------------------------------------------------
@@ -421,7 +421,7 @@ CASES: dict[str, str] = {
         SELECT cast(count(DISTINCT n_regionkey) AS bigint) AS n FROM nation
     """,
     "case_no_else_null": """
-        SELECT sum(CASE WHEN n_regionkey = 0 THEN 1 END) AS s FROM nation
+        SELECT cast(sum(CASE WHEN n_regionkey = 0 THEN 1 END) AS bigint) AS s FROM nation
     """,
     # -- inline tables / set-op multiset semantics with NULL rows -----------
     "values_multicol_dups": """
