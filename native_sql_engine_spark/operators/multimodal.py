@@ -183,10 +183,16 @@ def _decode_any(buf: bytes):
 
         h, w, c, px = decode_gif(buf)
         return h, w, c, px
+    if buf[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from .tiff import decode_tiff
+
+        h, w, c, px = decode_tiff(buf)
+        return h, w, c, px
     raise NotImplementedError(
         "image formats beyond the native decoders (baseline+progressive "
-        "JPEG, 8-bit PNG, GIF, BMP, PPM) — webp, arithmetic-coded/12-bit "
-        "JPEG, 16-bit PNG, ... — require PIL/opencv (not in this container)"
+        "JPEG, 8-bit PNG, GIF, TIFF, BMP, PPM) — webp, arithmetic-coded/"
+        "12-bit JPEG, 16-bit PNG, ... — require PIL/opencv (not in this "
+        "container)"
     )
 
 
@@ -451,6 +457,45 @@ def synthesize_gif_corpus(
                     (int(i) + np.arange(npx, dtype=np.int64)) % 16
                 ).astype(np.uint8).reshape(height, width)
                 payloads.append(encode_gif(idx, pal, interlace=True))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+def synthesize_tiff_corpus(
+    df: DataFrame, id_col: str = "doc_id", width: int = 4, height: int = 4
+) -> DataFrame:
+    """Deterministic 8-bit RGB TIFF payload per row: pixel byte k is
+    (id·37 + k) mod 256 (the BMP/PNG closed form — TIFF is lossless, exact
+    oracle).  LZW-compressed with horizontal Predictor 2 over 2-row strips,
+    alternating II/MM byte order by id parity, so the variable-width
+    entropy decode, differencing undo, strip assembly, and both endian
+    paths are all exercised."""
+    import numpy as np
+
+    from .tiff import encode_tiff
+
+    npx = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                px = (
+                    (int(i) * 37 + np.arange(npx, dtype=np.int64)) % 256
+                ).astype(np.uint8).reshape(height, width, 3)
+                payloads.append(
+                    encode_tiff(
+                        px,
+                        compression=5,
+                        predictor=2,
+                        rows_per_strip=2,
+                        big_endian=bool(int(i) % 2),
+                    )
+                )
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
     schema = T.StructType(

@@ -1,0 +1,340 @@
+"""From-scratch TIFF codec — uncompressed + LZW, gray/RGB, strips,
+horizontal predictor, both byte orders.  numpy + stdlib only.
+
+Implements the baseline TIFF 6.0 subset a training-data pipeline actually
+meets in scanned-document corpora: 8-bit grayscale and RGB, strip layout
+(RowsPerStrip), Compression 1 (none) and 5 (LZW, TIFF variant: MSB-first
+variable-width codes, EarlyChange), Predictor 2 (horizontal differencing).
+Anything else (tiles, palette, 16-bit, PackBits, CCITT) raises a
+positioned NotImplementedError/ValueError — same honest-gate discipline as
+jpeg.py/png.py/gif.py.
+
+Reference parity note: the reference engine ships no media codecs; this
+extends the repo's real-corpus decode ledger (SCALE.md) on the same
+closed-form-oracle pattern as the JPEG/PNG/GIF entries.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- TIFF-variant LZW (spec ch. 13: MSB-first, EarlyChange) -----------------
+
+_CLEAR = 256
+_EOI = 257
+
+
+class _MSBWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _MSBReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated LZW stream")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= width
+        v = (self.acc >> self.nbits) & ((1 << width) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW: starts with ClearCode, ends with EOI, code width
+    9→12 bumping one code EARLY (when the next index to assign is
+    2^width − 1 — libtiff's default EarlyChange=1)."""
+    bw = _MSBWriter()
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    bw.write(_CLEAR, width)
+    w = b""
+    for b in data:
+        c = w + bytes([b])
+        if c in table:
+            w = c
+            continue
+        bw.write(table[w], width)
+        table[c] = nxt
+        nxt += 1
+        # EarlyChange: the width of the NEXT emitted code must cover the
+        # next index the decoder will assign
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt >= 4094:  # table nearly full: reset (spec-recommended)
+            bw.write(_CLEAR, width)
+            width = 9
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+        w = bytes([b])
+    if w:
+        bw.write(table[w], width)
+    bw.write(_EOI, width)
+    return bw.flush()
+
+
+def lzw_decode(data: bytes, expect: int | None = None) -> bytes:
+    """Decode a TIFF-variant LZW stream (EarlyChange width bumps)."""
+    br = _MSBReader(data)
+    out = bytearray()
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        code = br.read(width)
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            width = 9
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError(f"LZW: first code after clear not a literal: {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW: code {code} beyond table size {len(table)}")
+        out += entry
+        prev = entry
+        # mirror of the encoder's EarlyChange, minus the decoder's one-code
+        # table lag (the decoder assigns the entry for code k only upon
+        # reading code k+1): bump when the table is ONE BELOW the encoder's
+        # 2^width − 1 threshold — libtiff's maxcode = MAXCODE(n_bits) − 1.
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        if expect is not None and len(out) >= expect:
+            break
+    return bytes(out)
+
+
+# -- container ---------------------------------------------------------------
+
+_T_SHORT, _T_LONG = 3, 4
+
+# tag ids
+_W, _H, _BPS, _COMP, _PHOTO, _SO, _SPP, _RPS, _SBC, _PRED = (
+    256, 257, 258, 259, 262, 273, 277, 278, 279, 317,
+)
+
+
+def encode_tiff(
+    img: np.ndarray,
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Encode 8-bit grayscale (h, w) or RGB (h, w, 3) as baseline TIFF.
+
+    compression: 1 = none, 5 = LZW.  predictor 2 = horizontal differencing
+    (LZW only, per spec).  Strips of ``rows_per_strip`` rows (default: one
+    strip).  ``big_endian`` writes MM byte order."""
+    if compression not in (1, 5):
+        raise ValueError("compression must be 1 (none) or 5 (LZW)")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2")
+    if predictor == 2 and compression != 5:
+        raise ValueError("predictor 2 is defined for LZW compression")
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else img.shape[2]
+    if not gray and spp != 3:
+        raise ValueError("only grayscale or 3-sample RGB supported")
+    rps = rows_per_strip or h
+    eb = ">" if big_endian else "<"
+
+    px = img.reshape(h, w * spp)
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = px[y0 : y0 + rps].copy()
+        if predictor == 2:
+            r3 = rows.reshape(rows.shape[0], -1, spp).astype(np.int16)
+            r3[:, 1:] -= r3[:, :-1].copy()
+            rows = (r3 % 256).astype(np.uint8).reshape(rows.shape[0], -1)
+        raw = rows.tobytes()
+        strips.append(lzw_encode(raw) if compression == 5 else raw)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == _T_SHORT and count == 1:
+            val = struct.pack(f"{eb}HH", value, 0)
+        else:
+            val = struct.pack(f"{eb}I", value)
+        return struct.pack(f"{eb}HHI", tag, typ, count) + val
+
+    n_strips = len(strips)
+    # layout: header(8) + IFD + [strip offset/count arrays] + strip data
+    tags = [
+        (_W, _T_SHORT, 1, w),
+        (_H, _T_SHORT, 1, h),
+        (_BPS, _T_SHORT, spp, None),  # inline for spp<=2 else offset
+        (_COMP, _T_SHORT, 1, compression),
+        (_PHOTO, _T_SHORT, 1, 1 if gray else 2),
+        (_SO, _T_LONG, n_strips, None),
+        (_SPP, _T_SHORT, 1, spp),
+        (_RPS, _T_SHORT, 1, rps),
+        (_SBC, _T_LONG, n_strips, None),
+    ]
+    if predictor == 2:
+        tags.append((_PRED, _T_SHORT, 1, 2))
+    tags.sort()
+    ifd_size = 2 + 12 * len(tags) + 4
+    pos = 8 + ifd_size
+    extra = bytearray()
+
+    def alloc(payload: bytes) -> int:
+        nonlocal pos
+        off = pos
+        extra.extend(payload)
+        pos += len(payload)
+        return off
+
+    bps_val = 8
+    if spp == 3:
+        bps_val = alloc(struct.pack(f"{eb}HHH", 8, 8, 8) + b"\x00\x00")
+    so_off = sbc_off = None
+    if n_strips > 1:
+        so_off = alloc(b"\x00" * 4 * n_strips)
+        sbc_off = alloc(struct.pack(f"{eb}{n_strips}I", *[len(s) for s in strips]))
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(alloc(s))
+    if n_strips > 1:
+        struct.pack_into(f"{eb}{n_strips}I", extra, so_off - (8 + ifd_size), *strip_offsets)
+
+    out = bytearray()
+    out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00") + struct.pack(f"{eb}I", 8)
+    out += struct.pack(f"{eb}H", len(tags))
+    for tag, typ, count, value in tags:
+        if tag == _BPS:
+            out += entry(tag, typ, count, bps_val)
+        elif tag == _SO:
+            out += entry(tag, typ, count, strip_offsets[0] if n_strips == 1 else so_off)
+        elif tag == _SBC:
+            out += entry(tag, typ, count, len(strips[0]) if n_strips == 1 else sbc_off)
+        else:
+            out += entry(tag, typ, count, value)
+    out += struct.pack(f"{eb}I", 0)  # next-IFD pointer
+    out += extra
+    return bytes(out)
+
+
+def decode_tiff(buf: bytes):
+    """Decode the first IFD of a baseline TIFF.  Returns (height, width,
+    channels, uint8 array).  Supports II/MM byte order, 8-bit gray/RGB,
+    strips, Compression 1/5, Predictor 1/2."""
+    if buf[:4] == b"II\x2a\x00":
+        eb = "<"
+    elif buf[:4] == b"MM\x00\x2a":
+        eb = ">"
+    else:
+        raise ValueError("not a TIFF payload (missing II*/MM* header)")
+    try:
+        return _decode_body(buf, eb)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or malformed TIFF: {e}") from e
+
+
+def _read_values(buf: bytes, eb: str, typ: int, count: int, raw: bytes) -> list[int]:
+    size = 2 if typ == _T_SHORT else 4
+    fmt = "H" if typ == _T_SHORT else "I"
+    if size * count <= 4:
+        return list(struct.unpack(f"{eb}{count}{fmt}", raw[: size * count]))
+    (off,) = struct.unpack(f"{eb}I", raw)
+    return list(struct.unpack_from(f"{eb}{count}{fmt}", buf, off))
+
+
+def _decode_body(buf: bytes, eb: str):
+    (ifd_off,) = struct.unpack_from(f"{eb}I", buf, 4)
+    (n,) = struct.unpack_from(f"{eb}H", buf, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(f"{eb}HHI", buf, base)
+        if typ not in (_T_SHORT, _T_LONG):
+            continue  # RATIONAL/ASCII metadata we don't need
+        tags[tag] = _read_values(buf, eb, typ, count, buf[base + 8 : base + 12])
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    w, h = one(_W), one(_H)
+    comp = one(_COMP, 1)
+    spp = one(_SPP, 1)
+    pred = one(_PRED, 1)
+    bps = tags.get(_BPS, [8])
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(f"only 8 bits/sample supported, got {bps}")
+    if comp not in (1, 5):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (PackBits/CCITT/JPEG-in-TIFF) not supported"
+        )
+    if spp not in (1, 3):
+        raise NotImplementedError(f"SamplesPerPixel {spp} not supported")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported (strips only)")
+    rps = one(_RPS, h)
+    offsets = tags.get(_SO)
+    counts = tags.get(_SBC)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/byte-counts missing or mismatched")
+
+    rows = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        nrows = min(rps, h - si * rps)
+        raw = buf[off : off + cnt]
+        if comp == 5:
+            raw = lzw_decode(raw, expect=nrows * w * spp)
+        if len(raw) < nrows * w * spp:
+            raise ValueError(f"strip {si}: {len(raw)} bytes < expected {nrows * w * spp}")
+        block = np.frombuffer(raw, dtype=np.uint8, count=nrows * w * spp).reshape(
+            nrows, w * spp
+        )
+        if pred == 2:
+            b3 = block.reshape(nrows, w, spp)
+            block = np.cumsum(b3.astype(np.int64), axis=1).astype(np.uint8).reshape(
+                nrows, w * spp
+            )
+        rows.append(block)
+    px = np.vstack(rows)
+    if spp == 1:
+        return h, w, 1, px.reshape(h, w)
+    return h, w, 3, px.reshape(h, w, 3)

@@ -1003,6 +1003,35 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_tiff_decode",
+    """
+    SELECT d.doc_id, 4 AS width, 4 AS height,
+           round(avg(cast((d.doc_id * 37 + t.k) % 256 AS double)), 4) AS mean_px
+    FROM documents d, range(48) t(k)
+    WHERE d.doc_id < 200
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode — the from-scratch codec in operators/tiff.py
+    (TIFF-variant LZW with EarlyChange width bumps, horizontal Predictor 2
+    undo, strip assembly, II+MM byte orders; the corpus alternates
+    endianness by id parity) — with an exact oracle: TIFF is lossless, so
+    the (id·37+k) mod 256 pixel bytes decode bit-identically and DuckDB
+    recomputes each mean from the closed form with zero tolerance.  A
+    broken width bump, predictor cumsum, or strip boundary shifts the mean
+    and fails the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = M.synthesize_tiff_corpus(docs, "doc_id", width=4, height=4)
+    decoded = M.decode_image(payloads, "payload", "doc_id")
+    return (
+        M.image_stats(decoded)
+        .select(F.col("media_id").alias("doc_id"), "width", "height", "mean_px")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "multimodal_frame_sample",
     """
     SELECT d.doc_id, f.f AS frame_idx,
