@@ -6,12 +6,13 @@ models image/audio/video as ``binary`` payload columns with a metadata
 struct, and implements decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` operators.
 
-Decode is REAL for uncompressed formats — 24-bit BI_RGB BMP and binary
-PPM (P6) images, YUV4MPEG2 (.y4m) video — implemented in pure numpy, no
-codec libraries.  Compressed formats (JPEG/PNG/mp4) raise
-NotImplementedError inside the kernel: those genuinely need PIL/ffmpeg,
-which this container lacks; swapping them in later changes only the inner
-function, never the Spark plumbing (schema, Arrow batching, partitioning).
+Decode is REAL — from-scratch numpy/stdlib codecs, no codec libraries:
+baseline+progressive JPEG, PNG, GIF, TIFF, BMP, PPM images; YUV4MPEG2
+(.y4m) video; WAV-PCM and FLAC-subset audio (operators/{jpeg,png,gif,
+tiff,flac}.py).  Formats that genuinely need ffmpeg-class code (mp4/H.264,
+webp, mp3, 16-bit depths) raise NotImplementedError inside the kernel;
+swapping them in later changes only the inner function, never the Spark
+plumbing (schema, Arrow batching, partitioning).
 """
 
 from __future__ import annotations
@@ -621,6 +622,101 @@ def synthesize_pcm_corpus(df: DataFrame, id_col: str = "doc_id", n_samples: int 
             yield pdf
 
     return df.mapInPandas(batches, schema)
+
+
+def synthesize_wav_corpus(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 1024, flac: bool = False
+) -> DataFrame:
+    """Deterministic 16-bit mono audio payload per row: sample k of row id
+    is ((id·13 + k·7) mod 4096) − 2048 — a sawtooth whose mean the DuckDB
+    oracle recomputes in closed form.  ``flac=True`` wraps the identical
+    samples in the FLAC-subset encoder (FIXED(2) predictors + Rice) instead
+    of a PCM WAV container; both are lossless, so the oracle is exact."""
+    import numpy as np
+
+    from .flac import encode_flac, encode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                s = (
+                    (int(i) * 13 + np.arange(n_samples, dtype=np.int64) * 7) % 4096
+                ) - 2048
+                payloads.append(
+                    encode_flac(s, 16000, 16, block_size=512, order=2)
+                    if flac
+                    else encode_wav(s, 16000, 16)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+#: schema of a decoded-audio row
+DECODED_AUDIO = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_sample", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("sq_sum", T.LongType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio decode — container + codec dispatch by magic bytes:
+    RIFF/WAVE (PCM 8/16-bit) and fLaC (the from-scratch FLAC subset in
+    operators/flac.py: FIXED predictors, Rice residuals, CRC-verified
+    frames).  Arrow-batched mapInPandas; only fixed-width stats leave
+    Python (same shape discipline as decode_image)."""
+    import numpy as np
+
+    from .flac import decode_flac, decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(buf)
+                if buf[:4] == b"RIFF":
+                    rate, ch, bits, arr = decode_wav(buf)
+                elif buf[:4] == b"fLaC":
+                    rate, ch, bits, arr = decode_flac(buf)
+                else:
+                    raise NotImplementedError(
+                        "audio formats beyond WAV-PCM / FLAC-subset (mp3, "
+                        "aac, ogg, ...) require codec libraries "
+                        "(not in this container)"
+                    )
+                v = arr.astype(np.float64)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "bits": bits,
+                        "n_samples": arr.shape[0],
+                        "mean_sample": round(float(v.mean()), 4),
+                        "rms": round(float(np.sqrt((v * v).mean())), 4),
+                        # integer checksums: float-rounding-proof oracle keys
+                        "sample_sum": int(arr.astype(np.int64).sum()),
+                        "sq_sum": int((arr.astype(np.int64) ** 2).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_AUDIO.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, DECODED_AUDIO)
 
 
 def audio_stats(df: DataFrame, audio_col: str = "audio") -> DataFrame:

@@ -1032,6 +1032,68 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_wav_decode",
+    """
+    SELECT d.doc_id, 16000 AS sample_rate, cast(1024 AS bigint) AS n_samples,
+           cast(sum((d.doc_id * 13 + t.k * 7) % 4096 - 2048) AS bigint) AS sample_sum,
+           cast(sum(((d.doc_id * 13 + t.k * 7) % 4096 - 2048)
+                  * ((d.doc_id * 13 + t.k * 7) % 4096 - 2048)) AS bigint) AS sq_sum
+    FROM documents d, range(1024) t(k)
+    WHERE d.doc_id < 200
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode — RIFF/WAVE container parse + 16-bit PCM extraction
+    (operators/flac.py) — with an exact oracle: the synthesized sawtooth
+    sample k is ((id·13 + 7k) mod 4096) − 2048, and decode_audio emits the
+    INTEGER sum / sum-of-squares of the decoded samples alongside the float
+    stats, so the oracle key is exact — no float-rounding tie can drift
+    between numpy and DuckDB."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = M.synthesize_wav_corpus(docs, "doc_id", n_samples=1024)
+    dec = M.decode_audio(payloads, "payload", "doc_id")
+    return dec.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "sample_sum",
+        "sq_sum",
+    ).orderBy("doc_id")
+
+
+@q(
+    "multimodal_flac_decode",
+    """
+    SELECT d.doc_id, 16000 AS sample_rate, cast(1024 AS bigint) AS n_samples,
+           cast(sum((d.doc_id * 13 + t.k * 7) % 4096 - 2048) AS bigint) AS sample_sum,
+           cast(sum(((d.doc_id * 13 + t.k * 7) % 4096 - 2048)
+                  * ((d.doc_id * 13 + t.k * 7) % 4096 - 2048)) AS bigint) AS sq_sum
+    FROM documents d, range(1024) t(k)
+    WHERE d.doc_id < 200
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode — the from-scratch subset codec in operators/flac.py
+    (frame sync + CRC-8/CRC-16 verification, UTF-8 frame numbers, FIXED(2)
+    predictors, Rice residuals) over the SAME sawtooth corpus as the WAV
+    entry, FLAC-encoded at block size 512 — lossless, so the identical
+    integer-checksum oracle applies.  A broken Rice decode, predictor
+    reconstruction, or CRC table shifts the sums and fails the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = M.synthesize_wav_corpus(docs, "doc_id", n_samples=1024, flac=True)
+    dec = M.decode_audio(payloads, "payload", "doc_id")
+    return dec.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "sample_sum",
+        "sq_sum",
+    ).orderBy("doc_id")
+
+
+@q(
     "multimodal_frame_sample",
     """
     SELECT d.doc_id, f.f AS frame_idx,
