@@ -3,9 +3,10 @@ horizontal predictor, both byte orders.  numpy + stdlib only.
 
 Implements the baseline TIFF 6.0 subset a training-data pipeline actually
 meets in scanned-document corpora: 8-bit grayscale and RGB, strip layout
-(RowsPerStrip), Compression 1 (none) and 5 (LZW, TIFF variant: MSB-first
-variable-width codes, EarlyChange), Predictor 2 (horizontal differencing).
-Anything else (tiles, palette, 16-bit, PackBits, CCITT) raises a
+(RowsPerStrip), Compression 1 (none), 5 (LZW, TIFF variant: MSB-first
+variable-width codes, EarlyChange), and 32773 (PackBits RLE), Predictor 2
+(horizontal differencing).
+Anything else (tiles, palette, 16-bit, CCITT) raises a
 positioned NotImplementedError/ValueError — same honest-gate discipline as
 jpeg.py/png.py/gif.py.
 
@@ -141,6 +142,55 @@ def lzw_decode(data: bytes, expect: int | None = None) -> bytes:
     return bytes(out)
 
 
+def packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF Compression 32773, spec §9): runs of ≥3
+    equal bytes become (257−n, byte); literals batch up to 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literals(end: int) -> None:
+        j = lit_start
+        while j < end:
+            k = min(128, end - j)
+            out.append(k - 1)
+            out.extend(data[j : j + k])
+            j += k
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(i)
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expect: int | None = None) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and (expect is None or len(out) < expect):
+        h = data[i]
+        i += 1
+        if h < 128:  # h+1 literal bytes
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op per spec
+    return bytes(out)
+
+
 # -- container ---------------------------------------------------------------
 
 _T_SHORT, _T_LONG = 3, 4
@@ -163,8 +213,8 @@ def encode_tiff(
     compression: 1 = none, 5 = LZW.  predictor 2 = horizontal differencing
     (LZW only, per spec).  Strips of ``rows_per_strip`` rows (default: one
     strip).  ``big_endian`` writes MM byte order."""
-    if compression not in (1, 5):
-        raise ValueError("compression must be 1 (none) or 5 (LZW)")
+    if compression not in (1, 5, 32773):
+        raise ValueError("compression must be 1 (none), 5 (LZW), or 32773 (PackBits)")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
     if predictor == 2 and compression != 5:
@@ -187,7 +237,11 @@ def encode_tiff(
             r3[:, 1:] -= r3[:, :-1].copy()
             rows = (r3 % 256).astype(np.uint8).reshape(rows.shape[0], -1)
         raw = rows.tobytes()
-        strips.append(lzw_encode(raw) if compression == 5 else raw)
+        if compression == 5:
+            raw = lzw_encode(raw)
+        elif compression == 32773:
+            raw = packbits_encode(raw)
+        strips.append(raw)
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         if typ == _T_SHORT and count == 1:
@@ -303,9 +357,9 @@ def _decode_body(buf: bytes, eb: str):
     bps = tags.get(_BPS, [8])
     if any(b != 8 for b in bps):
         raise NotImplementedError(f"only 8 bits/sample supported, got {bps}")
-    if comp not in (1, 5):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} (PackBits/CCITT/JPEG-in-TIFF) not supported"
+            f"TIFF compression {comp} (CCITT/JPEG-in-TIFF/deflate) not supported"
         )
     if spp not in (1, 3):
         raise NotImplementedError(f"SamplesPerPixel {spp} not supported")
@@ -323,6 +377,8 @@ def _decode_body(buf: bytes, eb: str):
         raw = buf[off : off + cnt]
         if comp == 5:
             raw = lzw_decode(raw, expect=nrows * w * spp)
+        elif comp == 32773:
+            raw = packbits_decode(raw, expect=nrows * w * spp)
         if len(raw) < nrows * w * spp:
             raise ValueError(f"strip {si}: {len(raw)} bytes < expected {nrows * w * spp}")
         block = np.frombuffer(raw, dtype=np.uint8, count=nrows * w * spp).reshape(

@@ -53,7 +53,7 @@ def test_lzw_width_bumps_and_reset():
 
 
 @pytest.mark.parametrize("gray", [True, False])
-@pytest.mark.parametrize("comp,pred", [(1, 1), (5, 1), (5, 2)])
+@pytest.mark.parametrize("comp,pred", [(1, 1), (5, 1), (5, 2), (32773, 1)])
 @pytest.mark.parametrize("big_endian", [False, True])
 def test_tiff_roundtrip_matrix(gray, comp, pred, big_endian):
     rng = np.random.default_rng(7)
@@ -74,14 +74,14 @@ def test_tiff_errors_and_gates():
         decode_tiff(b"NOTATIFF")
     img = np.zeros((4, 4), dtype=np.uint8)
     buf = bytearray(encode_tiff(img, compression=5))
-    # clobber the Compression tag value (tag 259) to PackBits (32773)
+    # clobber the Compression tag value (tag 259) to CCITT G3 (2)
     (ifd_off,) = struct.unpack_from("<I", buf, 4)
     (n,) = struct.unpack_from("<H", buf, ifd_off)
     for i in range(n):
         base = ifd_off + 2 + 12 * i
         tag, typ, count = struct.unpack_from("<HHI", buf, base)
         if tag == 259:
-            struct.pack_into("<H", buf, base + 8, 32773)
+            struct.pack_into("<H", buf, base + 8, 2)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(buf))
     # truncated strip data
@@ -105,3 +105,16 @@ def test_decode_image_dispatches_tiff(spark):
         expect = round(float(np.mean((int(r.media_id) * 37 + np.arange(48)) % 256)), 4)
         assert (r.width, r.height) == (4, 4)
         assert abs(r.mean_px - expect) < 1e-9
+
+
+def test_packbits_spec_vector():
+    """The PackBits worked example from Apple TN1023 (referenced by TIFF 6.0
+    §9) decodes to the documented 24 bytes — pins the RLE independently of
+    our encoder."""
+    from native_sql_engine_spark.operators.tiff import packbits_decode, packbits_encode
+
+    enc = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    want = bytes.fromhex("AAAAAA80002A" + "AAAAAAAA" + "80002A22" + "AA" * 10)
+    assert packbits_decode(enc) == want
+    # our encoder round-trips the same payload
+    assert packbits_decode(packbits_encode(want)) == want
