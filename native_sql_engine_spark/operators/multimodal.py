@@ -10,7 +10,7 @@ Decode is REAL — from-scratch numpy/stdlib codecs, no codec libraries:
 baseline+progressive JPEG, PNG, GIF, TIFF, BMP, PPM images; YUV4MPEG2
 (.y4m) video; WAV-PCM and FLAC-subset audio (operators/{jpeg,png,gif,
 tiff,flac}.py).  Formats that genuinely need ffmpeg-class code (mp4/H.264,
-webp, mp3, 16-bit depths) raise NotImplementedError inside the kernel;
+webp, mp3, 12-bit JPEG) raise NotImplementedError inside the kernel;
 swapping them in later changes only the inner function, never the Spark
 plumbing (schema, Arrow batching, partitioning).
 """
@@ -175,9 +175,16 @@ def _decode_any(buf: bytes):
     if buf[:2] == b"\xff\xd8":
         return _decode_jpeg(buf)
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        import numpy as np
+
         from .png import decode_png
 
         h, w, c, px = decode_png(buf)
+        if px.dtype == np.uint16:
+            # 16-bit PNG decodes faithfully to uint16; the DECODED_IMAGE
+            # tensor contract is 8-bit RGB, so take the high byte (the
+            # standard display downconversion) for the uniform pipeline.
+            px = (px >> 8).astype(np.uint8)
         return h, w, c, px
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import decode_gif
@@ -191,9 +198,9 @@ def _decode_any(buf: bytes):
         return h, w, c, px
     raise NotImplementedError(
         "image formats beyond the native decoders (baseline+progressive "
-        "JPEG, 8-bit PNG, GIF, TIFF, BMP, PPM) — webp, arithmetic-coded/"
-        "12-bit JPEG, 16-bit PNG, ... — require PIL/opencv (not in this "
-        "container)"
+        "JPEG, 8/16-bit PNG, GIF, TIFF, BMP, PPM) — webp, arithmetic-coded/"
+        "12-bit JPEG, sub-byte PNG depths, ... — require PIL/opencv (not in "
+        "this container)"
     )
 
 

@@ -4,13 +4,14 @@ PNG's DEFLATE layer is Python's built-in ``zlib``, so unlike JPEG there is
 no missing-codec excuse: this is a REAL decoder for the second-most-common
 corpus image format.  Scope:
 
-* **Decoder**: 8-bit greyscale / greyscale+alpha / truecolor / truecolor+
-  alpha / palette, non-interlaced and Adam7-interlaced, all five scanline
-  filters (None/Sub/Up/Average/Paeth), multi-IDAT streams, tRNS palette
-  alpha.  16-bit depth and sub-byte palette depths raise
-  ``NotImplementedError`` (honestly gated).
+* **Decoder**: 8-bit AND 16-bit greyscale / greyscale+alpha / truecolor /
+  truecolor+alpha, 8-bit palette, non-interlaced and Adam7-interlaced, all
+  five scanline filters (None/Sub/Up/Average/Paeth — they operate on BYTES
+  with a bytes-per-pixel lag, so 16-bit rides the same unfilter), multi-
+  IDAT streams, tRNS palette alpha.  Sub-byte depths (1/2/4) raise
+  ``NotImplementedError`` (honestly gated).  16-bit output is uint16.
 * **Encoder** (test/synthesis harness): filter-0 or filter-per-row
-  encoding of 8-bit gray/RGB/RGBA.
+  encoding of 8/16-bit gray/RGB/RGBA.
 
 PNG is lossless, so decode oracles are EXACT — the battery entry's DuckDB
 oracle recomputes decoded statistics from the synthesis closed form with no
@@ -30,7 +31,7 @@ import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
-#: channels per color type (bit depth 8 only)
+#: channels per color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 #: Adam7 pass layout: (x_start, y_start, x_step, y_step)
@@ -56,9 +57,13 @@ def _chunks(buf: bytes):
             return
 
 
-def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
-    """Reverse per-scanline filtering → (h, w*ch) uint8 matrix."""
-    stride = w * ch
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering → (h, stride) uint8 byte matrix.
+
+    ``stride`` is the scanline width in BYTES and ``bpp`` the bytes per
+    pixel — PNG filters always operate on bytes with a bpp-byte left lag
+    (spec §9), which is what makes 16-bit depths decode through the same
+    code path."""
     rows = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
         h, stride + 1
     )
@@ -70,20 +75,20 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
         prior = out[y - 1] if y else zero
         if ftype == 0:  # None
             out[y] = line
-        elif ftype == 1:  # Sub — sequential in x, vectorize per channel lag
-            for x in range(ch, stride):
-                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
+        elif ftype == 1:  # Sub — sequential in x with the bpp-byte lag
+            for x in range(bpp, stride):
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
             out[y] = line
         elif ftype == 2:  # Up
             out[y] = line + prior  # uint8 wraps mod 256
         elif ftype == 3:  # Average
             for x in range(stride):
-                left = int(out[y, x - ch]) if x >= ch else 0
+                left = int(out[y, x - bpp]) if x >= bpp else 0
                 out[y, x] = (int(line[x]) + ((left + int(prior[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for x in range(stride):
-                a = int(out[y, x - ch]) if x >= ch else 0
-                c = int(prior[x - ch]) if x >= ch else 0
+                a = int(out[y, x - bpp]) if x >= bpp else 0
+                c = int(prior[x - bpp]) if x >= bpp else 0
                 b = int(prior[x])
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -95,9 +100,10 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
 
 
 def decode_png(buf: bytes):
-    """Decode an 8-bit PNG.  Returns (height, width, channels, uint8 array
-    shaped (h, w) for gray or (h, w, channels)); palette images expand to
-    RGB (or RGBA when a tRNS chunk is present)."""
+    """Decode an 8- or 16-bit PNG.  Returns (height, width, channels,
+    array shaped (h, w) for gray or (h, w, channels)) — uint8 for 8-bit,
+    uint16 for 16-bit; palette images expand to RGB (or RGBA when a tRNS
+    chunk is present)."""
     if buf[: len(_SIG)] != _SIG:
         raise ValueError("not a PNG payload (missing signature)")
     ihdr = None
@@ -116,8 +122,10 @@ def decode_png(buf: bytes):
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, ctype_, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} (8/16 supported)")
+    if depth == 16 and ctype_ == 3:
+        raise ValueError("palette images are always 8-bit-indexed")
     if ctype_ not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {ctype_}")
     if comp != 0 or filt != 0:
@@ -125,22 +133,30 @@ def decode_png(buf: bytes):
     if interlace not in (0, 1):
         raise ValueError(f"invalid interlace method {interlace}")
     ch = _CHANNELS[ctype_]
+    sb = depth // 8  # sample bytes; filters run on bytes with bpp-byte lag
+    bpp = ch * sb
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        mat = _unfilter(raw, h, w, ch)
-        px = mat.reshape(h, w, ch)
+        mat = _unfilter(raw, h, w * bpp, bpp)
+        px = mat.reshape(h, w, bpp)
     else:  # Adam7: seven independently-filtered sub-images
-        px = np.zeros((h, w, ch), dtype=np.uint8)
+        px = np.zeros((h, w, bpp), dtype=np.uint8)
         pos = 0
         for x0, y0, xs, ys in _ADAM7:
             pw = (w - x0 + xs - 1) // xs
             ph = (h - y0 + ys - 1) // ys
             if pw == 0 or ph == 0:
                 continue
-            n = ph * (pw * ch + 1)
-            sub = _unfilter(raw[pos : pos + n], ph, pw, ch).reshape(ph, pw, ch)
+            n = ph * (pw * bpp + 1)
+            sub = _unfilter(raw[pos : pos + n], ph, pw * bpp, bpp).reshape(ph, pw, bpp)
             pos += n
             px[y0::ys, x0::xs] = sub
+    if depth == 16:  # big-endian sample pairs → uint16
+        px = px.reshape(h, w, ch, 2).astype(np.uint16)
+        px = ((px[..., 0] << 8) | px[..., 1]).astype(np.uint16)
+        if ch == 1:
+            return h, w, 1, px[:, :, 0]
+        return h, w, ch, px
     if ctype_ == 3:  # palette → RGB(A)
         if plte is None:
             raise ValueError("palette image without PLTE chunk")
@@ -169,14 +185,22 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(img: np.ndarray, filter_type: int = 0, interlace: bool = False) -> bytes:
-    """Encode an 8-bit gray/RGB/RGBA array as PNG.  ``filter_type`` applies
-    one filter to every scanline (0=None, 2=Up — enough to exercise the
+    """Encode a gray/RGB/RGBA array as PNG — 8-bit from uint8 input, 16-bit
+    (big-endian samples) from uint16 input.  ``filter_type`` applies one
+    filter to every scanline (0=None, 2=Up — enough to exercise the
     unfilter path; encoders optimizing compression pick per-row)."""
-    img = np.asarray(img, dtype=np.uint8)
+    img = np.asarray(img)
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = img.astype(np.uint16 if depth == 16 else np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
     ctype_ = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if depth == 16:  # expand to a big-endian byte matrix; filters see bytes
+        img = (
+            np.stack([(img >> 8).astype(np.uint8), (img & 0xFF).astype(np.uint8)], axis=-1)
+            .reshape(h, w, ch * 2)
+        )
     if interlace:
         parts = bytearray()
         for x0, y0, xs, ys in _ADAM7:
@@ -188,7 +212,7 @@ def encode_png(img: np.ndarray, filter_type: int = 0, interlace: bool = False) -
     else:
         raw = _filter_rows(img, filter_type)
     out = bytearray(_SIG)
-    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype_, 0, 0,
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype_, 0, 0,
                                        1 if interlace else 0))
     out += _chunk(b"IDAT", zlib.compress(raw, 6))
     out += _chunk(b"IEND", b"")

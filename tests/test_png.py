@@ -128,13 +128,13 @@ def test_multi_idat_streams():
 def test_gates_and_errors():
     img = _rand((4, 4), 1)
     buf = bytearray(encode_png(img))
-    # 16-bit depth → honest gate
+    # sub-byte depth → honest gate (16-bit is supported since round 6)
     ihdr_off = buf.find(b"IHDR")
     depth_off = ihdr_off + 4 + 8  # type + w + h
-    buf16 = bytearray(buf)
-    buf16[depth_off] = 16
-    with pytest.raises(NotImplementedError, match="bit depth 16"):
-        decode_png(bytes(buf16))
+    buf2 = bytearray(buf)
+    buf2[depth_off] = 2
+    with pytest.raises(NotImplementedError, match="bit depth 2"):
+        decode_png(bytes(buf2))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"\xff\xd8nope")
 
@@ -152,3 +152,45 @@ def test_decode_image_dispatches_png(spark, sf_small):
         expected = sum((r.media_id * 37 + k) % 256 for k in range(48)) / 48
         assert (r.width, r.height) == (4, 4)
         assert abs(r.mean_px - round(expected, 4)) < 1e-9
+
+
+def test_png_16bit_roundtrip():
+    """16-bit PNGs (big-endian sample pairs) ride the same byte-level
+    unfilter with a bytes-per-pixel lag — gray/RGB/RGBA, filters 0/2,
+    Adam7 — and decode to faithful uint16."""
+    rng = np.random.default_rng(4)
+    for ch in (1, 3, 4):
+        shape = (13, 21) if ch == 1 else (13, 21, ch)
+        img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        for ft in (0, 2):
+            h, w, c, out = decode_png(encode_png(img, filter_type=ft))
+            assert out.dtype == np.uint16
+            assert (out.reshape(img.shape) == img).all(), (ch, ft)
+        h, w, c, out = decode_png(encode_png(img, interlace=True))
+        assert (out.reshape(img.shape) == img).all(), (ch, "adam7")
+
+
+def test_png_16bit_dispatch_downconverts(spark):
+    """decode_image's tensor contract is uint8 — the 16-bit path emits the
+    high byte, so image_stats means match the >>8 closed form."""
+    from native_sql_engine_spark.operators import multimodal as M
+
+    img = (np.arange(16, dtype=np.uint16).reshape(4, 4) * 4096 + 255)
+    payload = encode_png(np.stack([img] * 3, axis=-1))
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = M.image_stats(M.decode_image(df, "payload", "doc_id")).first()
+    expect = round(float(np.mean(img >> 8)), 4)
+    assert (row.width, row.height) == (4, 4)
+    assert abs(row.mean_px - expect) < 1e-9
+
+
+def test_png_sub_byte_depth_still_gated():
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # depth 4 gray
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+    buf = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", _z.compress(b"\x00" * 12)) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="depth 4"):
+        decode_png(buf)
