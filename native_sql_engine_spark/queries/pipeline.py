@@ -2946,3 +2946,122 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+# -- BPE tokenizer training (operators/bpe.py) ------------------------------
+
+
+@q(
+    "text_bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    )
+    SELECT substring(w, cast(ix AS int), 2) AS pair,
+           cast(count(*) AS bigint) AS n
+    FROM words, unnest(range(1, length(w))) AS t(ix)
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE iteration-0 statistics — adjacent character-pair counts over the
+    pre-tokenized corpus, the exact aggregation a first merge selects from.
+    explode + hash-agg with map-side combine (shuffle bounded by distinct
+    pairs ≤ alphabet², not corpus size); the DuckDB oracle recomputes the
+    identical pair table from first principles."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+    )
+    return (
+        # length filter guards Spark's sequence(1, 0) = [1, 0] descending
+        # surprise on 1-char words (DuckDB's range(1, 1) is just empty)
+        words.where(F.length("w") >= 2)
+        .select("w", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"))
+        .select(F.expr("substring(w, i, 2)").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@q(
+    "text_bpe_train",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT substring(w, cast(ix AS int), 2) AS pair,
+             cast(count(*) AS bigint) AS n
+      FROM words, unnest(range(1, length(w))) AS t(ix)
+      GROUP BY pair
+    ),
+    best AS (SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT 1)
+    SELECT cast(20 AS bigint) AS n_merges,
+           (SELECT cast(count(DISTINCT w) AS bigint) FROM words) AS vocab_words,
+           (SELECT cast(count(*) AS bigint) FROM words) AS total_words,
+           (SELECT cast(sum(length(w)) AS bigint) FROM words) AS tokens_before,
+           (SELECT pair FROM best) AS first_merge,
+           (SELECT n FROM best) AS first_count,
+           true AS compresses,
+           true AS first_matches_distributed
+    """,
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (operators/bpe.py): one corpus pass builds
+    the word→frequency dictionary (hash-agg, output bounded by vocabulary),
+    the Sennrich merge loop runs driver-side on the dictionary — the
+    two-phase recipe every production trainer uses.  Oracle-checkable
+    facts: vocabulary/word/char totals (SQL-exact), the FIRST merge and its
+    count (SQL argmax with the same deterministic tie-break), plus
+    self-validating verdicts — the trained first merge must equal an
+    independent distributed pair-count argmax, and 20 merges must not
+    increase the tokenized corpus size."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    result = bpe.bpe_train(docs, "text", n_merges=20)
+    a, b, n1 = result["merges"][0]
+
+    # independent distributed verification of the first merge: iteration-0
+    # pair-count argmax straight off the corpus (no dictionary involved)
+    first_dist = (
+        docs.select(
+            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+        )
+        .select(F.posexplode(F.expr("split(w, '')")).alias("pos", "ch"), F.col("w"))
+        .where(F.col("pos") < F.length("w") - 1)
+        .select(F.expr("substring(w, pos + 1, 2)").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(1)
+        .collect()[0]
+    )
+    row = {
+        "n_merges": len(result["merges"]),
+        "vocab_words": result["vocab_words"],
+        "total_words": result["total_words"],
+        "tokens_before": result["tokens_before"],
+        "first_merge": a + b,
+        "first_count": n1,
+        "compresses": result["tokens_after"] <= result["tokens_before"],
+        "first_matches_distributed": (
+            first_dist["pair"] == a + b and first_dist["n"] == n1
+        ),
+    }
+    return spark.createDataFrame(
+        [row],
+        "n_merges long, vocab_words long, total_words long, tokens_before long, "
+        "first_merge string, first_count long, compresses boolean, "
+        "first_matches_distributed boolean",
+    ).select(
+        "n_merges", "vocab_words", "total_words", "tokens_before",
+        "first_merge", "first_count", "compresses", "first_matches_distributed",
+    )
