@@ -466,3 +466,22 @@ def test_salted_join_spreads_duplicate_probe_rows(spark):
         )
     )
     assert spread.select("_salt_p").distinct().count() > 1
+
+
+def test_exchange_cache_entries_plan_shapes(spark, sf_small):
+    """The round-6 §2.2/§2.9/§2.1 driver entries must actually plan their
+    claimed operators: cache_columnar_reuse reuses one InMemoryTableScan
+    from two consumers; exchange_range_partition plans a rangepartitioning
+    exchange; exchange_coalesce keeps a single-partition output."""
+    from native_sql_engine_spark.queries import ops
+
+    cached = ops.QUERIES["cache_columnar_reuse"](spark, sf_small)
+    plan = cached._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+
+    ranged = ops.QUERIES["exchange_range_partition"](spark, sf_small)
+    rplan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in rplan.lower()
+
+    coalesced = ops.QUERIES["exchange_coalesce"](spark, sf_small)
+    assert coalesced.first()["n_parts"] == 1
