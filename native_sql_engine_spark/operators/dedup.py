@@ -133,9 +133,17 @@ def connected_components(
     hub node's million edges reduce to one row per map partition before the
     shuffle; AQE handles residual skew.  Convergence is detected from
     sum(label) in the same action that materializes the round (labels only
-    ever decrease, so an unchanged sum ⇔ a fixed point).  Labels are
-    re-persisted per round and the previous round unpersisted, keeping
-    lineage O(1).
+    ever decrease, so an unchanged sum ⇔ a fixed point).
+
+    Each round's labels are ``localCheckpoint``-ed, NOT merely persisted:
+    persist truncates recomputation but not the PLAN, and because a round
+    references the previous labels twice (neighbor join + pointer-jump
+    self-join) the logical tree would DOUBLE per round — by round ~15 the
+    2^15-node tree makes every downstream plan-string generation (Spark UI
+    description, AQE explain) take minutes to hours.  localCheckpoint
+    replaces the plan with a LogicalRDD leaf, keeping both lineage and plan
+    O(1) per round — the same recipe graph.py's pagerank/BFS use (and
+    GraphFrames' production CC).
     """
     # both directions in ONE pass over pairs (a union of two selects would
     # recompute the upstream pair pipeline — often a full similarity join —
@@ -177,7 +185,7 @@ def connected_components(
         edges.select(F.col("_src").alias("_n"))
         .distinct()
         .select("_n", F.col("_n").alias("_c"))
-        .persist()
+        .localCheckpoint()
     )
     try:
         prev_sum = None
@@ -197,10 +205,9 @@ def connected_components(
             new_labels = (
                 half.join(ptr, half["_c"] == ptr["_pc"], "left")
                 .select("_n", F.least("_c", "_cc").alias("_c"))
-                .persist()
+                .localCheckpoint()  # plan → leaf; see docstring
             )
             cur_sum = new_labels.agg(F.sum("_c")).collect()[0][0]
-            labels.unpersist()
             labels = new_labels
             if cur_sum == prev_sum:
                 break

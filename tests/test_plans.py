@@ -485,3 +485,27 @@ def test_exchange_cache_entries_plan_shapes(spark, sf_small):
 
     coalesced = ops.QUERIES["exchange_coalesce"](spark, sf_small)
     assert coalesced.first()["n_parts"] == 1
+
+
+def test_connected_components_plan_stays_flat_across_rounds(spark):
+    """Iterative CC references the previous labels TWICE per round (neighbor
+    join + pointer jump), so a persist-only loop DOUBLES the logical tree
+    per round — a ~12-round chain graph made every downstream plan-string
+    generation (Spark UI description) effectively hang (round-6 suite
+    stall, 40 min in AdaptiveSparkPlanExec.generateTreeString).  After the
+    localCheckpoint fix the final plan must be a leaf-sized tree, and a
+    long chain must label correctly through the distributed path."""
+    from native_sql_engine_spark.operators import dedup
+
+    edges = [(i, i + 1) for i in range(300)]  # chain: ~8 path-halving rounds
+    df = spark.createDataFrame(edges, ["a_id", "b_id"])
+    saved = dedup.SMALL_GRAPH_EDGES
+    try:
+        dedup.SMALL_GRAPH_EDGES = 0  # force the distributed rounds
+        out = dedup.connected_components(df)
+        rows = out.collect()
+    finally:
+        dedup.SMALL_GRAPH_EDGES = saved
+    assert len(rows) == 301 and all(r.component == 0 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 2000, f"plan re-expanded: {len(plan)} chars"
