@@ -198,8 +198,8 @@ def _decode_any(buf: bytes):
         return h, w, c, px
     raise NotImplementedError(
         "image formats beyond the native decoders (baseline+progressive "
-        "JPEG, 8/16-bit PNG, GIF, TIFF, BMP, PPM) — webp, arithmetic-coded/"
-        "12-bit JPEG, sub-byte PNG depths, ... — require PIL/opencv (not in "
+        "JPEG, PNG at every legal depth, GIF, TIFF, BMP, PPM) — webp, "
+        "arithmetic-coded/12-bit JPEG, ... — require PIL/opencv (not in "
         "this container)"
     )
 

@@ -4,14 +4,16 @@ PNG's DEFLATE layer is Python's built-in ``zlib``, so unlike JPEG there is
 no missing-codec excuse: this is a REAL decoder for the second-most-common
 corpus image format.  Scope:
 
-* **Decoder**: 8-bit AND 16-bit greyscale / greyscale+alpha / truecolor /
-  truecolor+alpha, 8-bit palette, non-interlaced and Adam7-interlaced, all
-  five scanline filters (None/Sub/Up/Average/Paeth — they operate on BYTES
-  with a bytes-per-pixel lag, so 16-bit rides the same unfilter), multi-
-  IDAT streams, tRNS palette alpha.  Sub-byte depths (1/2/4) raise
-  ``NotImplementedError`` (honestly gated).  16-bit output is uint16.
+* **Decoder**: ALL legal depth/color combinations — 1/2/4/8/16-bit
+  greyscale, 8/16-bit greyscale+alpha / truecolor / truecolor+alpha,
+  1/2/4/8-bit palette — non-interlaced and Adam7-interlaced, all five
+  scanline filters (None/Sub/Up/Average/Paeth — they operate on BYTES
+  with a bytes-per-pixel lag rounded up to one, so every depth rides the
+  same unfilter), multi-IDAT streams, tRNS palette alpha.  16-bit output
+  is uint16; sub-byte grayscale scales to the full 8-bit range (×255/85/
+  17); sub-byte palette indices expand through PLTE.
 * **Encoder** (test/synthesis harness): filter-0 or filter-per-row
-  encoding of 8/16-bit gray/RGB/RGBA.
+  encoding of 1/2/4-bit gray and 8/16-bit gray/RGB/RGBA.
 
 PNG is lossless, so decode oracles are EXACT — the battery entry's DuckDB
 oracle recomputes decoded statistics from the synthesis closed form with no
@@ -100,10 +102,11 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(buf: bytes):
-    """Decode an 8- or 16-bit PNG.  Returns (height, width, channels,
-    array shaped (h, w) for gray or (h, w, channels)) — uint8 for 8-bit,
-    uint16 for 16-bit; palette images expand to RGB (or RGBA when a tRNS
-    chunk is present)."""
+    """Decode a PNG at any legal depth (1/2/4/8/16).  Returns (height,
+    width, channels, array shaped (h, w) for gray or (h, w, channels)) —
+    uint16 for 16-bit, uint8 otherwise (sub-byte gray scaled to the full
+    8-bit range); palette images expand to RGB (or RGBA when a tRNS chunk
+    is present)."""
     if buf[: len(_SIG)] != _SIG:
         raise ValueError("not a PNG payload (missing signature)")
     ihdr = None
@@ -122,10 +125,12 @@ def decode_png(buf: bytes):
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, ctype_, comp, filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(f"PNG bit depth {depth} (8/16 supported)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
+    if depth < 8 and ctype_ not in (0, 3):
+        raise ValueError(f"depth {depth} is only valid for gray/palette (type {ctype_})")
     if depth == 16 and ctype_ == 3:
-        raise ValueError("palette images are always 8-bit-indexed")
+        raise ValueError("palette images are always ≤8-bit-indexed")
     if ctype_ not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {ctype_}")
     if comp != 0 or filt != 0:
@@ -133,30 +138,56 @@ def decode_png(buf: bytes):
     if interlace not in (0, 1):
         raise ValueError(f"invalid interlace method {interlace}")
     ch = _CHANNELS[ctype_]
-    sb = depth // 8  # sample bytes; filters run on bytes with bpp-byte lag
-    bpp = ch * sb
     raw = zlib.decompress(bytes(idat))
+
+    def stride_of(width: int) -> int:
+        return -(-width * ch * depth // 8)  # scanline bytes, sub-byte packed
+
+    # filter lag is bytes-per-pixel rounded UP to one byte for sub-byte
+    # depths (spec §9: "bpp is ... rounded up to one")
+    bpp = max(1, ch * depth // 8)
+
+    def expand(mat: np.ndarray, width: int) -> np.ndarray:
+        """(rows, stride) packed bytes → (rows, width, ch) samples."""
+        rows = mat.shape[0]
+        if depth == 8:
+            return mat[:, : width * ch].reshape(rows, width, ch)
+        if depth == 16:
+            m = mat.reshape(rows, -1, 2).astype(np.uint16)
+            m = (m[:, :, 0] << 8) | m[:, :, 1]
+            return m[:, : width * ch].reshape(rows, width, ch)
+        # 1/2/4-bit: unpack MSB-first, group consecutive `depth` bits,
+        # drop the row-padding samples past width·ch
+        bits = np.unpackbits(mat, axis=1)
+        grouped = bits.reshape(rows, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (grouped * weights).sum(axis=2).astype(np.uint8)
+        return vals[:, : width * ch].reshape(rows, width, ch)
+
     if interlace == 0:
-        mat = _unfilter(raw, h, w * bpp, bpp)
-        px = mat.reshape(h, w, bpp)
+        px = expand(_unfilter(raw, h, stride_of(w), bpp), w)
     else:  # Adam7: seven independently-filtered sub-images
-        px = np.zeros((h, w, bpp), dtype=np.uint8)
+        out_dtype = np.uint16 if depth == 16 else np.uint8
+        px = np.zeros((h, w, ch), dtype=out_dtype)
         pos = 0
         for x0, y0, xs, ys in _ADAM7:
             pw = (w - x0 + xs - 1) // xs
             ph = (h - y0 + ys - 1) // ys
             if pw == 0 or ph == 0:
                 continue
-            n = ph * (pw * bpp + 1)
-            sub = _unfilter(raw[pos : pos + n], ph, pw * bpp, bpp).reshape(ph, pw, bpp)
+            st = stride_of(pw)
+            n = ph * (st + 1)
+            sub = expand(_unfilter(raw[pos : pos + n], ph, st, bpp), pw)
             pos += n
             px[y0::ys, x0::xs] = sub
-    if depth == 16:  # big-endian sample pairs → uint16
-        px = px.reshape(h, w, ch, 2).astype(np.uint16)
-        px = ((px[..., 0] << 8) | px[..., 1]).astype(np.uint16)
+    if depth == 16:  # expand() already assembled uint16 samples
         if ch == 1:
             return h, w, 1, px[:, :, 0]
         return h, w, ch, px
+    if ctype_ == 0 and depth < 8:
+        # sub-byte grayscale scales to full 8-bit range (255/(2^d−1) is
+        # exact: 255, 85, 17 for depths 1/2/4)
+        px = (px.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if ctype_ == 3:  # palette → RGB(A)
         if plte is None:
             raise ValueError("palette image without PLTE chunk")
@@ -184,33 +215,59 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0, interlace: bool = False) -> bytes:
+def encode_png(
+    img: np.ndarray,
+    filter_type: int = 0,
+    interlace: bool = False,
+    depth: int | None = None,
+) -> bytes:
     """Encode a gray/RGB/RGBA array as PNG — 8-bit from uint8 input, 16-bit
-    (big-endian samples) from uint16 input.  ``filter_type`` applies one
-    filter to every scanline (0=None, 2=Up — enough to exercise the
-    unfilter path; encoders optimizing compression pick per-row)."""
+    (big-endian samples) from uint16 input, or 1/2/4-bit grayscale when
+    ``depth`` is given (2-D input of values < 2^depth).  ``filter_type``
+    applies one filter to every scanline (0=None, 2=Up — enough to
+    exercise the unfilter path; encoders optimizing compression pick
+    per-row)."""
     img = np.asarray(img)
-    depth = 16 if img.dtype == np.uint16 else 8
-    img = img.astype(np.uint16 if depth == 16 else np.uint8)
-    if img.ndim == 2:
-        img = img[:, :, None]
+    if depth is None:
+        depth = 16 if img.dtype == np.uint16 else 8
+    if depth in (1, 2, 4):
+        if img.ndim != 2:
+            raise ValueError("sub-byte depths encode 2-D grayscale only")
+        if int(img.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"sample value out of range for depth {depth}")
+        img = img.astype(np.uint8)[:, :, None]
+    else:
+        img = img.astype(np.uint16 if depth == 16 else np.uint8)
+        if img.ndim == 2:
+            img = img[:, :, None]
     h, w, ch = img.shape
     ctype_ = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    if depth == 16:  # expand to a big-endian byte matrix; filters see bytes
-        img = (
-            np.stack([(img >> 8).astype(np.uint8), (img & 0xFF).astype(np.uint8)], axis=-1)
-            .reshape(h, w, ch * 2)
-        )
+
+    def to_bytes(a: np.ndarray) -> np.ndarray:
+        """(rows, width, ch) samples → (rows, stride) packed scanline bytes."""
+        rows = a.shape[0]
+        if depth == 16:
+            return (
+                np.stack([(a >> 8).astype(np.uint8), (a & 0xFF).astype(np.uint8)], axis=-1)
+                .reshape(rows, -1)
+            )
+        if depth == 8:
+            return a.reshape(rows, -1)
+        bits = (
+            (a.reshape(rows, -1)[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).astype(np.uint8).reshape(rows, -1)
+        return np.packbits(bits, axis=1)  # zero-pads to the byte boundary
+
     if interlace:
         parts = bytearray()
         for x0, y0, xs, ys in _ADAM7:
             sub = img[y0::ys, x0::xs]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            parts += _filter_rows(sub, 0)
+            parts += _filter_rows(to_bytes(sub), 0)
         raw = bytes(parts)
     else:
-        raw = _filter_rows(img, filter_type)
+        raw = _filter_rows(to_bytes(img), filter_type)
     out = bytearray(_SIG)
     out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype_, 0, 0,
                                        1 if interlace else 0))
@@ -219,15 +276,15 @@ def encode_png(img: np.ndarray, filter_type: int = 0, interlace: bool = False) -
     return bytes(out)
 
 
-def _filter_rows(img: np.ndarray, filter_type: int) -> bytes:
-    h, w, ch = img.shape
-    flat = img.reshape(h, w * ch)
+def _filter_rows(flat: np.ndarray, filter_type: int) -> bytes:
+    """(rows, stride) packed scanline bytes → filtered raw stream."""
+    h, stride = flat.shape
     out = bytearray()
     for y in range(h):
         if filter_type == 0:
             out += bytes([0]) + flat[y].tobytes()
         elif filter_type == 2:  # Up
-            prior = flat[y - 1] if y else np.zeros(w * ch, dtype=np.uint8)
+            prior = flat[y - 1] if y else np.zeros(stride, dtype=np.uint8)
             out += bytes([2]) + (flat[y] - prior).tobytes()
         else:
             raise ValueError("encoder supports filter types 0 and 2")

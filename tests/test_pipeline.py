@@ -259,7 +259,7 @@ def test_y4m_frame_sampling(spark):
 
 def test_compressed_formats_still_stubbed(spark):
     """Formats beyond the native decoders (webp, arithmetic-coded SOF9
-    JPEG, mp4, sub-byte PNG depths) genuinely need codec libraries — the kernel must
+    JPEG, mp4) genuinely need codec libraries — the kernel must
     say so.  Baseline AND progressive JPEG, 8-bit PNG, and GIF decode
     natively since the from-scratch codecs landed (test_jpeg.py /
     test_png.py / test_gif.py)."""

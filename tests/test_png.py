@@ -128,12 +128,12 @@ def test_multi_idat_streams():
 def test_gates_and_errors():
     img = _rand((4, 4), 1)
     buf = bytearray(encode_png(img))
-    # sub-byte depth → honest gate (16-bit is supported since round 6)
+    # an ILLEGAL depth must fail loudly (all legal depths decode since r6)
     ihdr_off = buf.find(b"IHDR")
     depth_off = ihdr_off + 4 + 8  # type + w + h
     buf2 = bytearray(buf)
-    buf2[depth_off] = 2
-    with pytest.raises(NotImplementedError, match="bit depth 2"):
+    buf2[depth_off] = 3
+    with pytest.raises(ValueError, match="bit depth 3"):
         decode_png(bytes(buf2))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"\xff\xd8nope")
@@ -184,13 +184,40 @@ def test_png_16bit_dispatch_downconverts(spark):
     assert abs(row.mean_px - expect) < 1e-9
 
 
-def test_png_sub_byte_depth_still_gated():
+def test_png_sub_byte_depths_roundtrip():
+    """1/2/4-bit grayscale (real-world scanned-document depths): packed
+    samples unpack MSB-first, rows pad to byte boundaries, filters lag one
+    byte; decoded gray scales to the full 8-bit range (255/85/17)."""
+    rng = np.random.default_rng(8)
+    for d in (1, 2, 4):
+        img = rng.integers(0, 1 << d, size=(13, 21), dtype=np.uint8)
+        scale = 255 // ((1 << d) - 1)
+        for ft in (0, 2):
+            h, w, c, out = decode_png(encode_png(img, filter_type=ft, depth=d))
+            assert (h, w, c) == (13, 21, 1)
+            assert (out == img * scale).all(), (d, ft)
+        h, w, c, out = decode_png(encode_png(img, interlace=True, depth=d))
+        assert (out == img * scale).all(), (d, "adam7")
+
+
+def test_png_sub_byte_palette():
+    """2-bit palette indices (legal PNG: palette is 1/2/4/8-bit indexed) —
+    hand-built stream, indices expand through PLTE."""
     import struct as _s
     import zlib as _z
 
-    ihdr = _s.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # depth 4 gray
-    def chunk(t, d):
-        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
-    buf = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", _z.compress(b"\x00" * 12)) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="depth 4"):
-        decode_png(buf)
+    from native_sql_engine_spark.operators.png import _SIG, _chunk
+
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 2, 2]], dtype=np.uint8)
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8)
+    bits = ((idx[:, :, None] >> np.arange(1, -1, -1)) & 1).astype(np.uint8).reshape(3, -1)
+    rows = np.packbits(bits, axis=1)
+    raw = b"".join(bytes([0]) + rows[y].tobytes() for y in range(3))
+    buf = bytearray(_SIG)
+    buf += _chunk(b"IHDR", _s.pack(">IIBBBBB", 4, 3, 2, 3, 0, 0, 0))
+    buf += _chunk(b"PLTE", plte.tobytes())
+    buf += _chunk(b"IDAT", _z.compress(raw))
+    buf += _chunk(b"IEND", b"")
+    h, w, c, out = decode_png(bytes(buf))
+    assert (h, w, c) == (3, 4, 3)
+    assert (out == plte[idx]).all()
