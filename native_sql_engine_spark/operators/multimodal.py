@@ -276,16 +276,32 @@ def sample_frames(
 ) -> DataFrame:
     """REAL frame sampling for uncompressed YUV4MPEG2 (.y4m) streams — the
     format ffmpeg itself pipes raw video through; plain-text header +
-    'FRAME\\n'-delimited planar frames, parseable with numpy alone.  Emits
-    every ``every_n``-th frame's luma plane.  Compressed containers
-    (mp4/webm) still raise NotImplementedError inside the kernel."""
+    'FRAME\\n'-delimited planar frames, parseable with numpy alone — and
+    for animated GIFs (frames composited through the disposal methods,
+    luma = (77R+150G+29B)>>8 integer BT.601).  Emits every ``every_n``-th
+    frame's luma plane.  Compressed containers (mp4/webm) still raise
+    NotImplementedError inside the kernel."""
     import numpy as np
 
+    def parse_gif(buf: bytes):
+        from .gif import decode_gif_frames
+
+        sh, sw, frames = decode_gif_frames(buf)
+        for idx, fr in enumerate(frames):
+            r = fr[:, :, 0].astype(np.uint32)
+            g = fr[:, :, 1].astype(np.uint32)
+            b = fr[:, :, 2].astype(np.uint32)
+            luma = ((77 * r + 150 * g + 29 * b) >> 8).astype(np.uint8)
+            yield idx, sw, sh, luma.tobytes()
+
     def parse_y4m(buf: bytes):
+        if buf[:6] in (b"GIF87a", b"GIF89a"):
+            yield from parse_gif(buf)
+            return
         if not buf.startswith(b"YUV4MPEG2"):
             raise NotImplementedError(
                 "compressed video requires ffmpeg (not in this container); "
-                "YUV4MPEG2 streams decode natively"
+                "YUV4MPEG2 streams and animated GIFs decode natively"
             )
         nl = buf.index(b"\n")
         width = height = None
@@ -629,6 +645,45 @@ def synthesize_pcm_corpus(df: DataFrame, id_col: str = "doc_id", n_samples: int 
             yield pdf
 
     return df.mapInPandas(batches, schema)
+
+
+def synthesize_gif_animation_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 4,
+    height: int = 4,
+    n_frames: int = 6,
+) -> DataFrame:
+    """Deterministic animated GIF payload per row: frame f's pixel k has
+    palette index (id + f + k) mod 16, palette entry p = (3p, 7p, 11p)
+    mod 256 — every composited frame is fully opaque, so each frame's luma
+    mean has a closed form the DuckDB oracle reproduces exactly."""
+    import numpy as np
+
+    from .gif import encode_gif_animation
+
+    pal = np.stack(
+        [(np.arange(16) * m) % 256 for m in (3, 7, 11)], axis=1
+    ).astype(np.uint8)
+    npx = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                frames = [
+                    ((int(i) + f + np.arange(npx, dtype=np.int64)) % 16)
+                    .astype(np.uint8)
+                    .reshape(height, width)
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_gif_animation(frames, pal))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
 
 
 def synthesize_wav_corpus(

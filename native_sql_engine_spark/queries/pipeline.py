@@ -1121,6 +1121,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "multimodal_gif_frames",
+    """
+    SELECT d.doc_id, cast(f.f AS int) AS frame_idx,
+           round(sum((77 * (((d.doc_id + f.f + t.k) % 16) * 3 % 256)
+                    + 150 * (((d.doc_id + f.f + t.k) % 16) * 7 % 256)
+                    + 29 * (((d.doc_id + f.f + t.k) % 16) * 11 % 256)) // 256)
+                 / 16.0, 4) AS mean_luma
+    FROM documents d, (VALUES (0), (2), (4)) f(f), range(16) t(k)
+    WHERE d.doc_id < 100
+    GROUP BY d.doc_id, f.f ORDER BY d.doc_id, frame_idx
+    """,
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling — decode_gif_frames composites every
+    frame through the GIF89a disposal machinery, sample_frames takes every
+    2nd of 6 and emits integer BT.601 luma ((77R+150G+29B)>>8).  The
+    synthesis closed form (frame f pixel k: palette index (id+f+k) mod 16,
+    palette p=(3p,7p,11p) mod 256) lets DuckDB recompute each frame's luma
+    mean exactly — 16-pixel means are tie-free at 4 decimals (625·S is
+    integral)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = M.synthesize_gif_animation_corpus(docs, "doc_id", width=4, height=4, n_frames=6)
+    frames = M.sample_frames(payloads, every_n=2, payload_col="payload", id_col="doc_id")
+    return (
+        M.frame_stats(frames)
+        .select(F.col("media_id").alias("doc_id"), "frame_idx", "mean_luma")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 # =========================================================================
 # Events: time-series shapes (tumbling windows, sessionization)
 # =========================================================================

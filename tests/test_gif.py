@@ -112,3 +112,52 @@ def test_gif_gce_missing_terminator_raises_valueerror():
     buf[gce + 7] = 0xAA  # clobber the terminator
     with pytest.raises(ValueError, match="terminator"):
         decode_gif(bytes(buf))
+
+
+def test_gif_animation_frames_and_disposal():
+    """Multi-frame decode composites through the disposal machinery: method
+    1 leaves the canvas, 2 restores (transparent) background, 3 restores
+    the previous canvas; transparent pixels hold the prior frame's color."""
+    from native_sql_engine_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = _pal(16, seed=3)
+    frames = [((f + np.arange(16)) % 16).astype(np.uint8).reshape(4, 4) for f in range(5)]
+    sh, sw, out = decode_gif_frames(encode_gif_animation(frames, pal))
+    assert (sh, sw, len(out)) == (4, 4, 5)
+    for f, fr in enumerate(out):
+        assert (fr[:, :, :3] == pal[frames[f]]).all()
+        assert (fr[:, :, 3] == 255).all()
+    _, _, two = decode_gif_frames(encode_gif_animation(frames, pal), max_frames=2)
+    assert len(two) == 2
+
+    # transparency holds the prior pixel; disposal 2 clears to background
+    f0 = np.full((4, 4), 5, dtype=np.uint8)
+    f1 = np.zeros((4, 4), dtype=np.uint8)
+    f1[0, 0] = 7  # one opaque pixel, rest transparent
+    buf = encode_gif_animation([f0, f1], pal, transparent=0, disposal=1)
+    _, _, outs = decode_gif_frames(buf)
+    assert (outs[1][0, 0, :3] == pal[7]).all()
+    assert (outs[1][1:, :, :3] == pal[5]).all()  # held through transparency
+    buf2 = encode_gif_animation([f0, f1], pal, transparent=0, disposal=2)
+    _, _, outs2 = decode_gif_frames(buf2)
+    assert (outs2[1][1:, :, 3] == 0).all()  # bg restored → transparent
+
+
+def test_sample_frames_dispatches_gif(spark):
+    from native_sql_engine_spark.operators import multimodal as M
+
+    ids = spark.createDataFrame([(3,)], ["doc_id"])
+    payloads = M.synthesize_gif_animation_corpus(ids, "doc_id", width=4, height=4, n_frames=6)
+    rows = (
+        M.sample_frames(payloads, every_n=2, payload_col="payload", id_col="doc_id")
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    for r in rows:
+        p = (3 + r.frame_idx + np.arange(16)) % 16
+        lum = (77 * (p * 3 % 256) + 150 * (p * 7 % 256) + 29 * (p * 11 % 256)) // 256
+        assert bytes(r.luma) == bytes(lum.astype(np.uint8).tolist())
