@@ -3,10 +3,11 @@ horizontal predictor, both byte orders.  numpy + stdlib only.
 
 Implements the baseline TIFF 6.0 subset a training-data pipeline actually
 meets in scanned-document corpora: 8-bit grayscale and RGB, strip layout
-(RowsPerStrip), Compression 1 (none), 5 (LZW, TIFF variant: MSB-first
-variable-width codes, EarlyChange), and 32773 (PackBits RLE), Predictor 2
-(horizontal differencing).
-Anything else (tiles, palette, 16-bit, CCITT) raises a
+(RowsPerStrip) AND tiled layout (tags 322–325, edge tiles padded),
+Compression 1 (none), 5 (LZW, TIFF variant: MSB-first variable-width
+codes, EarlyChange), and 32773 (PackBits RLE), Predictor 2 (horizontal
+differencing).
+Anything else (palette, 16-bit, CCITT) raises a
 positioned NotImplementedError/ValueError — same honest-gate discipline as
 jpeg.py/png.py/gif.py.
 
@@ -199,6 +200,7 @@ _T_SHORT, _T_LONG = 3, 4
 _W, _H, _BPS, _COMP, _PHOTO, _SO, _SPP, _RPS, _SBC, _PRED = (
     256, 257, 258, 259, 262, 273, 277, 278, 279, 317,
 )
+_TW, _TL, _TO, _TBC = 322, 323, 324, 325  # tiled layout (spec §15)
 
 
 def encode_tiff(
@@ -207,18 +209,22 @@ def encode_tiff(
     predictor: int = 1,
     rows_per_strip: int | None = None,
     big_endian: bool = False,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode 8-bit grayscale (h, w) or RGB (h, w, 3) as baseline TIFF.
 
-    compression: 1 = none, 5 = LZW.  predictor 2 = horizontal differencing
-    (LZW only, per spec).  Strips of ``rows_per_strip`` rows (default: one
-    strip).  ``big_endian`` writes MM byte order."""
+    compression: 1 = none, 5 = LZW, 32773 = PackBits.  predictor 2 =
+    horizontal differencing (LZW only, per spec).  Layout: strips of
+    ``rows_per_strip`` rows (default: one strip), or — mutually exclusive —
+    ``tile=(tw, th)`` tiles (dims multiples of 16 per spec §15)."""
     if compression not in (1, 5, 32773):
         raise ValueError("compression must be 1 (none), 5 (LZW), or 32773 (PackBits)")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
     if predictor == 2 and compression != 5:
         raise ValueError("predictor 2 is defined for LZW compression")
+    if tile is not None and rows_per_strip is not None:
+        raise ValueError("tile and rows_per_strip are mutually exclusive")
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -228,10 +234,25 @@ def encode_tiff(
     rps = rows_per_strip or h
     eb = ">" if big_endian else "<"
 
-    px = img.reshape(h, w * spp)
-    strips = []
-    for y0 in range(0, h, rps):
-        rows = px[y0 : y0 + rps].copy()
+    img3 = img.reshape(h, w, spp)
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16:
+            raise ValueError("tile dimensions must be multiples of 16 (spec §15)")
+        seg_px = []
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                t = np.zeros((th, tw, spp), dtype=np.uint8)
+                sub = img3[ty : ty + th, tx : tx + tw]
+                t[: sub.shape[0], : sub.shape[1]] = sub
+                seg_px.append(t.reshape(th, tw * spp))
+    else:
+        px = img.reshape(h, w * spp)
+        seg_px = [px[y0 : y0 + rps] for y0 in range(0, h, rps)]
+
+    segments = []
+    for rows in seg_px:
+        rows = rows.copy()
         if predictor == 2:
             r3 = rows.reshape(rows.shape[0], -1, spp).astype(np.int16)
             r3[:, 1:] -= r3[:, :-1].copy()
@@ -241,7 +262,7 @@ def encode_tiff(
             raw = lzw_encode(raw)
         elif compression == 32773:
             raw = packbits_encode(raw)
-        strips.append(raw)
+        segments.append(raw)
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         if typ == _T_SHORT and count == 1:
@@ -250,19 +271,23 @@ def encode_tiff(
             val = struct.pack(f"{eb}I", value)
         return struct.pack(f"{eb}HHI", tag, typ, count) + val
 
-    n_strips = len(strips)
-    # layout: header(8) + IFD + [strip offset/count arrays] + strip data
+    n_segs = len(segments)
+    off_tag, cnt_tag = (_TO, _TBC) if tile is not None else (_SO, _SBC)
+    # layout: header(8) + IFD + [offset/count arrays] + segment data
     tags = [
         (_W, _T_SHORT, 1, w),
         (_H, _T_SHORT, 1, h),
         (_BPS, _T_SHORT, spp, None),  # inline for spp<=2 else offset
         (_COMP, _T_SHORT, 1, compression),
         (_PHOTO, _T_SHORT, 1, 1 if gray else 2),
-        (_SO, _T_LONG, n_strips, None),
+        (off_tag, _T_LONG, n_segs, None),
         (_SPP, _T_SHORT, 1, spp),
-        (_RPS, _T_SHORT, 1, rps),
-        (_SBC, _T_LONG, n_strips, None),
+        (cnt_tag, _T_LONG, n_segs, None),
     ]
+    if tile is not None:
+        tags += [(_TW, _T_SHORT, 1, tile[0]), (_TL, _T_SHORT, 1, tile[1])]
+    else:
+        tags.append((_RPS, _T_SHORT, 1, rps))
     if predictor == 2:
         tags.append((_PRED, _T_SHORT, 1, 2))
     tags.sort()
@@ -281,14 +306,14 @@ def encode_tiff(
     if spp == 3:
         bps_val = alloc(struct.pack(f"{eb}HHH", 8, 8, 8) + b"\x00\x00")
     so_off = sbc_off = None
-    if n_strips > 1:
-        so_off = alloc(b"\x00" * 4 * n_strips)
-        sbc_off = alloc(struct.pack(f"{eb}{n_strips}I", *[len(s) for s in strips]))
-    strip_offsets = []
-    for s in strips:
-        strip_offsets.append(alloc(s))
-    if n_strips > 1:
-        struct.pack_into(f"{eb}{n_strips}I", extra, so_off - (8 + ifd_size), *strip_offsets)
+    if n_segs > 1:
+        so_off = alloc(b"\x00" * 4 * n_segs)
+        sbc_off = alloc(struct.pack(f"{eb}{n_segs}I", *[len(s) for s in segments]))
+    seg_offsets = []
+    for s in segments:
+        seg_offsets.append(alloc(s))
+    if n_segs > 1:
+        struct.pack_into(f"{eb}{n_segs}I", extra, so_off - (8 + ifd_size), *seg_offsets)
 
     out = bytearray()
     out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00") + struct.pack(f"{eb}I", 8)
@@ -296,10 +321,10 @@ def encode_tiff(
     for tag, typ, count, value in tags:
         if tag == _BPS:
             out += entry(tag, typ, count, bps_val)
-        elif tag == _SO:
-            out += entry(tag, typ, count, strip_offsets[0] if n_strips == 1 else so_off)
-        elif tag == _SBC:
-            out += entry(tag, typ, count, len(strips[0]) if n_strips == 1 else sbc_off)
+        elif tag == off_tag:
+            out += entry(tag, typ, count, seg_offsets[0] if n_segs == 1 else so_off)
+        elif tag == cnt_tag:
+            out += entry(tag, typ, count, len(segments[0]) if n_segs == 1 else sbc_off)
         else:
             out += entry(tag, typ, count, value)
     out += struct.pack(f"{eb}I", 0)  # next-IFD pointer
@@ -310,7 +335,7 @@ def encode_tiff(
 def decode_tiff(buf: bytes):
     """Decode the first IFD of a baseline TIFF.  Returns (height, width,
     channels, uint8 array).  Supports II/MM byte order, 8-bit gray/RGB,
-    strips, Compression 1/5, Predictor 1/2."""
+    strip AND tile layouts, Compression 1/5/32773, Predictor 1/2."""
     if buf[:4] == b"II\x2a\x00":
         eb = "<"
     elif buf[:4] == b"MM\x00\x2a":
@@ -363,8 +388,52 @@ def _decode_body(buf: bytes, eb: str):
         )
     if spp not in (1, 3):
         raise NotImplementedError(f"SamplesPerPixel {spp} not supported")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported (strips only)")
+    def _decompress(raw: bytes, expect: int, what: str) -> np.ndarray:
+        if comp == 5:
+            raw = lzw_decode(raw, expect=expect)
+        elif comp == 32773:
+            raw = packbits_decode(raw, expect=expect)
+        if len(raw) < expect:
+            raise ValueError(f"{what}: {len(raw)} bytes < expected {expect}")
+        return np.frombuffer(raw, dtype=np.uint8, count=expect)
+
+    def _undiff(block: np.ndarray, nrows: int, width: int) -> np.ndarray:
+        if pred != 2:
+            return block
+        b3 = block.reshape(nrows, width, spp)
+        return np.cumsum(b3.astype(np.int64), axis=1).astype(np.uint8).reshape(
+            nrows, width * spp
+        )
+
+    if _TW in tags or _TL in tags:  # tiled layout (spec §15)
+        tw, th = one(_TW), one(_TL)
+        offsets = tags.get(_TO)
+        counts = tags.get(_TBC)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF tile offsets/byte-counts missing or mismatched")
+        across = -(-w // tw)
+        down = -(-h // th)
+        if len(offsets) != across * down:
+            raise ValueError(
+                f"tile count {len(offsets)} != grid {down}x{across} for {w}x{h}/{tw}x{th}"
+            )
+        canvas = np.zeros((h, w, spp), dtype=np.uint8)
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            block = _undiff(
+                _decompress(buf[off : off + cnt], th * tw * spp, f"tile {i}").reshape(
+                    th, tw * spp
+                ),
+                th,
+                tw,
+            ).reshape(th, tw, spp)
+            ty, tx = divmod(i, across)
+            y0, x0 = ty * th, tx * tw
+            eh, ew = min(th, h - y0), min(tw, w - x0)
+            canvas[y0 : y0 + eh, x0 : x0 + ew] = block[:eh, :ew]
+        if spp == 1:
+            return h, w, 1, canvas[:, :, 0]
+        return h, w, 3, canvas
+
     rps = one(_RPS, h)
     offsets = tags.get(_SO)
     counts = tags.get(_SBC)
@@ -374,22 +443,10 @@ def _decode_body(buf: bytes, eb: str):
     rows = []
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         nrows = min(rps, h - si * rps)
-        raw = buf[off : off + cnt]
-        if comp == 5:
-            raw = lzw_decode(raw, expect=nrows * w * spp)
-        elif comp == 32773:
-            raw = packbits_decode(raw, expect=nrows * w * spp)
-        if len(raw) < nrows * w * spp:
-            raise ValueError(f"strip {si}: {len(raw)} bytes < expected {nrows * w * spp}")
-        block = np.frombuffer(raw, dtype=np.uint8, count=nrows * w * spp).reshape(
+        block = _decompress(buf[off : off + cnt], nrows * w * spp, f"strip {si}").reshape(
             nrows, w * spp
         )
-        if pred == 2:
-            b3 = block.reshape(nrows, w, spp)
-            block = np.cumsum(b3.astype(np.int64), axis=1).astype(np.uint8).reshape(
-                nrows, w * spp
-            )
-        rows.append(block)
+        rows.append(_undiff(block, nrows, w))
     px = np.vstack(rows)
     if spp == 1:
         return h, w, 1, px.reshape(h, w)

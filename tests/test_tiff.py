@@ -118,3 +118,27 @@ def test_packbits_spec_vector():
     assert packbits_decode(enc) == want
     # our encoder round-trips the same payload
     assert packbits_decode(packbits_encode(want)) == want
+
+
+@pytest.mark.parametrize("gray", [True, False])
+@pytest.mark.parametrize("comp,pred", [(1, 1), (5, 2), (32773, 1)])
+def test_tiff_tiled_roundtrip(gray, comp, pred):
+    """Tiled layout (tags 322-325, spec 15): tiles pad to full size at the
+    right/bottom edges, predictor runs per tile row, tile grid is
+    row-major — non-tile-aligned dims exercise the edge clipping."""
+    rng = np.random.default_rng(11)
+    shape = (37, 45) if gray else (37, 45, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    for be in (False, True):
+        buf = encode_tiff(img, compression=comp, predictor=pred, big_endian=be, tile=(16, 32))
+        h, w, c, out = decode_tiff(buf)
+        assert (h, w) == (37, 45)
+        assert (out.reshape(img.shape) == img).all()
+
+
+def test_tiff_tile_validation():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(img, tile=(8, 8))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_tiff(img, tile=(16, 16), rows_per_strip=4)
