@@ -517,3 +517,66 @@ def test_lttb_matches_sequential(spark, cases):
     for s in expected:
         pts = [(t, v) for _, t, v in sorted(got[s])]
         assert pts == expected[s], (s, pts, expected[s])
+
+
+@given(data=st.binary(min_size=0, max_size=4000))
+@settings(**{**_SETTINGS, "max_examples": 25})
+def test_tiff_lzw_roundtrip_property(data):
+    """TIFF-variant LZW (MSB-first, EarlyChange) is lossless on arbitrary
+    byte strings — including empty input, long runs, and high entropy."""
+    from native_sql_engine_spark.operators.tiff import lzw_decode, lzw_encode
+
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+@given(data=st.binary(min_size=0, max_size=4000))
+@settings(**{**_SETTINGS, "max_examples": 25})
+def test_packbits_roundtrip_property(data):
+    from native_sql_engine_spark.operators.tiff import packbits_decode, packbits_encode
+
+    assert packbits_decode(packbits_encode(data)) == data
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+    order=st.integers(0, 4),
+    block=st.sampled_from([64, 256, 512]),
+)
+@settings(**{**_SETTINGS, "max_examples": 15})
+def test_flac_roundtrip_property(samples, order, block):
+    """FLAC FIXED(order) + Rice coding is lossless on arbitrary 16-bit
+    signals across block boundaries and predictor orders."""
+    import numpy as np
+
+    from native_sql_engine_spark.operators.flac import decode_flac, encode_flac
+
+    sig = np.array(samples, dtype=np.int64)[:, None]
+    _, _, _, out = decode_flac(encode_flac(sig, 16000, 16, block_size=block, order=order))
+    assert (out[:, 0] == sig[:, 0]).all()
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=10),
+        st.integers(1, 50),
+        min_size=1,
+        max_size=20,
+    ),
+    n=st.integers(1, 12),
+)
+@settings(**{**_SETTINGS, "max_examples": 15})
+def test_bpe_merges_invariants(words, n):
+    """BPE merge-loop invariants on arbitrary dictionaries: the token total
+    never increases, each merge removes at least one and at most its
+    recorded count (pair counts include OVERLAPS — 'eee' counts (e,e)
+    twice but left-to-right merging replaces once, faithful to Sennrich's
+    algorithm), and training is insensitive to dictionary order."""
+    from native_sql_engine_spark.operators.bpe import train_merges
+
+    merges, before, after = train_merges(words, n)
+    assert before - sum(c for _, _, c in merges) <= after <= before - len(merges)
+    assert after <= before
+    # each merged pair's count is positive and ranks are deterministic
+    assert all(c > 0 for _, _, c in merges)
+    m2, b2, a2 = train_merges(dict(reversed(list(words.items()))), n)
+    assert m2 == merges and (b2, a2) == (before, after)  # order-insensitive
