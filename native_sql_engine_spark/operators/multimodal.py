@@ -230,6 +230,51 @@ def decode_image(
     return df.select(id_col, payload_col).mapInPandas(batches, DECODED_IMAGE)
 
 
+#: decode_image_quarantine output: DECODED_IMAGE plus an error column
+QUARANTINED_IMAGE = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_image_quarantine(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """decode_image with per-row quarantine: a poisoned payload (truncated
+    download, unsupported format, codec bug) yields an ``error`` row
+    instead of failing the task — at 100 TB one bad file in a billion must
+    not kill the stage.  Good rows carry ``error IS NULL``; failed rows
+    carry the exception class + message (bounded) with NULL tensor fields.
+    Route failures to a quarantine sink and reprocess offline — the
+    ingestion pattern SCALE.md §10b prescribes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    h, w, c, px = _decode_any(bytes(raw))
+                    rows.append(
+                        {"media_id": int(mid), "width": w, "height": h,
+                         "channels": c, "pixels": px.tobytes(), "error": None}
+                    )
+                except Exception as e:  # noqa: BLE001 — quarantine EVERYTHING
+                    rows.append(
+                        {"media_id": int(mid), "width": None, "height": None,
+                         "channels": None, "pixels": None,
+                         "error": f"{type(e).__name__}: {str(e)[:200]}"}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in QUARANTINED_IMAGE.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, QUARANTINED_IMAGE)
+
+
 def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
     """Nearest-neighbor resize over DECODED_IMAGE rows (the output of
     ``decode_image``) — pure numpy fancy-indexing per Arrow batch; the

@@ -1152,6 +1152,48 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "multimodal_decode_quarantine",
+    """
+    SELECT d.doc_id,
+           (d.doc_id % 5 <> 0) AS ok,
+           CASE WHEN d.doc_id % 5 <> 0 THEN 4 END AS width,
+           CASE WHEN d.doc_id % 5 <> 0 THEN round((
+             SELECT avg(cast((d.doc_id * 37 + t.k) % 256 AS double))
+             FROM range(48) t(k)), 4) END AS mean_px
+    FROM documents d
+    WHERE d.doc_id < 200
+    ORDER BY d.doc_id
+    """,
+)
+def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-style ingestion: every 5th payload is truncated to 10
+    bytes (a poisoned download) and must come back as an error ROW — not a
+    failed task — while the healthy rows decode exactly.  The oracle knows
+    which ids are poisoned (id % 5 == 0) and the healthy rows' closed-form
+    means; a kernel that crashes the batch, quarantines the wrong rows, or
+    corrupts a neighbor's decode fails the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = M.synthesize_png_corpus(docs, "doc_id", width=4, height=4)
+    poisoned = payloads.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.expr("substring(payload, 1, 10)"))
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    dec = M.decode_image_quarantine(poisoned, "payload", "doc_id")
+    stats = M.image_stats(dec.where(F.col("error").isNull()))
+    return (
+        dec.select(F.col("media_id").alias("doc_id"), F.col("error").isNull().alias("ok"))
+        .join(
+            stats.select(F.col("media_id").alias("doc_id"), "width", "mean_px"),
+            "doc_id",
+            "left",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # =========================================================================
 # Events: time-series shapes (tumbling windows, sessionization)
 # =========================================================================

@@ -431,3 +431,21 @@ def test_y4m_lumas_chroma_modes_and_marker_check(spark):
     )
     with _pytest.raises(ValueError, match="frame marker"):
         _y4m_lumas(bad)
+
+
+def test_decode_quarantine_isolates_poison(spark):
+    """A poisoned payload yields an error ROW (class + message), never a
+    failed task, and neighbors in the same Arrow batch decode unharmed."""
+    import numpy as np
+
+    from native_sql_engine_spark.operators import multimodal as M
+    from native_sql_engine_spark.operators.png import encode_png
+
+    good = encode_png(np.full((2, 2, 3), 9, dtype=np.uint8))
+    rows = [(1, bytearray(good)), (2, bytearray(good[:10])), (3, bytearray(b"JUNK!"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.media_id: r for r in M.decode_image_quarantine(df, "payload", "doc_id").collect()}
+    assert out[1].error is None and out[1].width == 2
+    assert bytes(out[1].pixels) == bytes([9] * 12)
+    assert out[2].error is not None and out[2].pixels is None
+    assert "NotImplementedError" in out[3].error or "ValueError" in out[3].error
