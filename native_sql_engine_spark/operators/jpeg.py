@@ -422,10 +422,67 @@ def encode_ycbcr420(
 # -- decoder ---------------------------------------------------------------
 
 
+def _exif_orientation(app1: bytes) -> int:
+    """Orientation (EXIF tag 274) from an APP1 Exif payload — the payload
+    embeds a little TIFF stream, parsed just far enough for IFD0."""
+    if app1[:6] != b"Exif\x00\x00":
+        return 1
+    t = app1[6:]
+    if t[:4] == b"II\x2a\x00":
+        eb = "<"
+    elif t[:4] == b"MM\x00\x2a":
+        eb = ">"
+    else:
+        return 1
+    try:
+        (ifd,) = struct.unpack_from(f"{eb}I", t, 4)
+        (n,) = struct.unpack_from(f"{eb}H", t, ifd)
+        for i in range(n):
+            tag, typ, _cnt = struct.unpack_from(f"{eb}HHI", t, ifd + 2 + 12 * i)
+            if tag == 274 and typ == 3:
+                (o,) = struct.unpack_from(f"{eb}H", t, ifd + 10 + 12 * i)
+                return o if 1 <= o <= 8 else 1
+    except struct.error:
+        return 1
+    return 1
+
+
+def _apply_orientation(px: np.ndarray, o: int) -> np.ndarray:
+    """Rotate/flip a decoded (h, w[, c]) array upright per EXIF tag 274."""
+    if o == 2:
+        return px[:, ::-1]
+    if o == 3:
+        return px[::-1, ::-1]
+    if o == 4:
+        return px[::-1, :]
+    if o == 5:  # transpose across the main diagonal
+        return np.swapaxes(px, 0, 1)
+    if o == 6:  # stored rotated 90° CCW → rotate CW to display
+        return np.rot90(px, k=-1, axes=(0, 1))
+    if o == 7:  # transverse
+        return np.rot90(px, k=-1, axes=(0, 1))[:, ::-1]
+    if o == 8:
+        return np.rot90(px, k=1, axes=(0, 1))
+    return px
+
+
+def exif_app1(orientation: int, big_endian: bool = False) -> bytes:
+    """A minimal APP1 Exif segment carrying just tag 274 (test harness)."""
+    eb = ">" if big_endian else "<"
+    tiff = (b"MM\x00\x2a" if big_endian else b"II\x2a\x00") + struct.pack(f"{eb}I", 8)
+    tiff += struct.pack(f"{eb}H", 1)
+    tiff += struct.pack(f"{eb}HHI", 274, 3, 1) + struct.pack(f"{eb}HH", orientation, 0)
+    tiff += struct.pack(f"{eb}I", 0)
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
 def decode_jpeg(buf: bytes):
     """Decode a baseline-sequential (SOF0) or progressive (SOF2) JPEG.
     Returns (height, width, channels, uint8 array of shape (h, w) or
-    (h, w, 3) in RGB).
+    (h, w, 3) in RGB), rotated upright per EXIF orientation (APP1 tag 274
+    — camera JPEGs store the sensor scan order and expect the reader to
+    rotate; heights/widths swap for orientations 5–8).
 
     Supports: 8-bit precision, 1 or 3 components, sampling factors 1–2,
     Huffman tables from DHT, restart intervals; progressive streams with
@@ -442,6 +499,7 @@ def decode_jpeg(buf: bytes):
     progressive = False
     scans = []  # (sel, Ss, Se, Ah, Al, data, restart_interval)
     restart_interval = 0
+    orientation = 1
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
@@ -508,12 +566,16 @@ def decode_jpeg(buf: bytes):
                 (sel, ss, se, ahal >> 4, ahal & 0x0F, buf[pos:end], restart_interval)
             )
             pos = end
+        elif marker == 0xE1 and payload[:6] == b"Exif\x00\x00":
+            orientation = _exif_orientation(payload)
         # other segments (APPn, COM) are skipped
     if frame is None or not scans:
         raise ValueError("missing SOF/SOS segment")
     h, w, comps = frame
     if progressive:
-        return _decode_progressive(h, w, comps, scans, qtables, htables)
+        ph, pw, pc, ppx = _decode_progressive(h, w, comps, scans, qtables, htables)
+        ppx = _apply_orientation(ppx, orientation)
+        return ppx.shape[0], ppx.shape[1], pc, ppx
     if len(scans) != 1:
         raise NotImplementedError("multi-scan sequential JPEG not supported")
     sel, _ss, _se, _ah, _al, data, restart_interval = scans[0]
@@ -571,7 +633,9 @@ def decode_jpeg(buf: bytes):
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
-    return _finish(h, w, comps, planes)
+    fh, fw, fc, fpx = _finish(h, w, comps, planes)
+    fpx = _apply_orientation(fpx, orientation)
+    return fpx.shape[0], fpx.shape[1], fc, fpx
 
 
 def _finish(h: int, w: int, comps, planes):

@@ -258,3 +258,36 @@ def test_progressive_420_subsampled_nat_grid():
         h2, w2, c2, out2 = decode_jpeg(encode_progressive(img2, q, subsample="420"))
         assert (h2, w2, c2) == (hh, ww, 3)
         assert np.abs(out2.astype(int) - img2.astype(int)).max() <= 6
+
+
+def test_exif_orientation_all_eight():
+    """Camera JPEGs store the sensor scan order and expect readers to
+    rotate per APP1 tag 274 — all 8 orientations, both EXIF byte orders,
+    baseline and progressive; dims swap for orientations 5-8; streams
+    without EXIF are untouched."""
+    from native_sql_engine_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_gray,
+        encode_progressive,
+        exif_app1,
+    )
+
+    img = np.zeros((8, 16), dtype=np.uint8)
+    img[:, :8] = 64
+    img[:, 8:] = 192
+    base = encode_gray(img)
+    expect = {
+        1: img, 2: img[:, ::-1], 3: img[::-1, ::-1], 4: img[::-1, :],
+        5: img.swapaxes(0, 1), 6: np.rot90(img, k=-1),
+        7: np.rot90(img, k=-1)[:, ::-1], 8: np.rot90(img, k=1),
+    }
+    for o, want in expect.items():
+        for be in (False, True):
+            buf = base[:2] + exif_app1(o, big_endian=be) + base[2:]
+            h, w, c, out = decode_jpeg(buf)
+            assert (h, w) == want.shape and (out == want).all(), (o, be)
+    prog = encode_progressive(img)
+    h, w, _, out = decode_jpeg(prog[:2] + exif_app1(6) + prog[2:])
+    assert (h, w) == (16, 8) and (out == np.rot90(img, k=-1)).all()
+    h, w, _, out = decode_jpeg(base)
+    assert (out == img).all()
