@@ -12,8 +12,9 @@ Spark-shaped:
    vocabulary (millions of rows), not the corpus (billions).
 2. **train_merges** — the merge loop on the collected dictionary, pure
    Python on the driver.  Driver memory is O(vocab), the same bounded-
-   collect pattern as IVF centroid training (similarity.py) — enforced by
-   ``max_vocab_rows`` via the bounded probe, never a blind collect.
+   collect pattern as IVF centroid training (similarity.py) — the collect
+   is ``limit(max_vocab_rows+1)``-bounded, never blind, and overflow
+   raises instead of OOMing.
 
 The reference engine has no tokenizer training; this extends the
 LLM-data-pipeline family (brief: "token counting (whitespace + a BPE-ish
@@ -27,7 +28,6 @@ from collections import Counter
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .stats import exceeds_rows
 
 #: GPT-2-flavored pre-tokenizer, simplified to the corpus alphabet
 WORD_RE = "[a-z]+"
@@ -96,17 +96,19 @@ def bpe_train(
 ) -> dict:
     """End-to-end BPE training: distributed dictionary + driver merge loop.
 
-    Raises when the distinct vocabulary exceeds ``max_vocab_rows`` (probe-
-    guarded, no full count) — at that point the corpus needs a frequency
-    floor (``HAVING cnt >= k``) before training, which is also what
-    production trainers do."""
+    Raises when the distinct vocabulary exceeds ``max_vocab_rows`` — at
+    that point the corpus needs a frequency floor (``HAVING cnt >= k``)
+    before training, which is also what production trainers do.  The guard
+    and the collect are ONE job: ``limit(max+1).collect()`` bounds driver
+    memory AND detects overflow without a second corpus aggregation (a
+    separate probe + collect would run the explode/groupBy twice)."""
     wc = word_counts(df, text_col)
-    if exceeds_rows(wc, max_vocab_rows):
+    rows = wc.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
         raise ValueError(
             f"vocabulary exceeds {max_vocab_rows} words; apply a frequency "
             "floor (filter cnt >= k) before bpe_train"
         )
-    rows = wc.collect()  # bounded by the guard above: O(vocab) driver memory
     freqs = {r["word"]: r["cnt"] for r in rows}
     merges, before, after = train_merges(freqs, n_merges)
     return {

@@ -143,7 +143,13 @@ def connected_components(
     description, AQE explain) take minutes to hours.  localCheckpoint
     replaces the plan with a LogicalRDD leaf, keeping both lineage and plan
     O(1) per round — the same recipe graph.py's pagerank/BFS use (and
-    GraphFrames' production CC).
+    GraphFrames' production CC).  Trade-offs, both shared with graph.py:
+    superseded rounds' checkpoint blocks are reclaimed by the
+    ContextCleaner as the per-round references drop (labels are O(nodes) —
+    two longs per row — so even max_iter retained copies are small next to
+    the edge list), and localCheckpoint is not fault-tolerant: an executor
+    loss mid-loop fails the job rather than recomputing, the standard
+    price of truncating lineage without a reliable checkpoint dir.
     """
     # both directions in ONE pass over pairs (a union of two selects would
     # recompute the upstream pair pipeline — often a full similarity join —

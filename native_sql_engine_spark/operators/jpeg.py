@@ -459,8 +459,10 @@ def _apply_orientation(px: np.ndarray, o: int) -> np.ndarray:
         return np.swapaxes(px, 0, 1)
     if o == 6:  # stored rotated 90° CCW → rotate CW to display
         return np.rot90(px, k=-1, axes=(0, 1))
-    if o == 7:  # transverse
-        return np.rot90(px, k=-1, axes=(0, 1))[:, ::-1]
+    if o == 7:  # transverse = flip across the ANTI-diagonal: out[i,j] =
+        # px[h-1-j, w-1-i].  NOT rot90(k=-1) then mirror — that algebraically
+        # collapses to the plain transpose (orientation 5).
+        return np.rot90(px, k=1, axes=(0, 1))[:, ::-1]
     if o == 8:
         return np.rot90(px, k=1, axes=(0, 1))
     return px

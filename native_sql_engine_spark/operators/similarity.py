@@ -135,27 +135,41 @@ def ivf_centroids(
     quantizer on a sample, assign the full corpus distributed).  The sample
     bound keeps driver memory O(sample · dim) regardless of corpus size.
 
-    Sampling is a bounded per-partition head take (``mapInPandas`` stops
-    after ``sample_rows / n_partitions`` rows per partition): total read
-    cost ≤ ``sample_rows`` rows no matter the corpus size, spread across
-    every partition — no ``count()`` full scan to size a fraction (the
-    repo's bounded-probe discipline, stats.py)."""
+    Sampling is a seeded per-partition RESERVOIR (``mapInPandas``, bounded
+    at ``sample_rows / n_partitions`` rows per partition): one pass, no
+    ``count()`` full scan to size a fraction (the repo's bounded-probe
+    discipline, stats.py), driver memory ≤ ``sample_rows``·dim, and —
+    unlike a per-partition head take — insensitive to row ORDER within
+    partitions, so a corpus sorted by topic/source still trains on a
+    uniform within-partition sample instead of each partition's first
+    cluster.  Equal per-partition quotas approximate global uniformity
+    when partition sizes are comparable (AQE-balanced scans); the k-means
+    itself only needs coverage, not exact uniformity."""
     import numpy as np
 
     frac_df = df.select(_to_double(F.col(vec_col)).alias("_v"))
     n_parts = max(1, frac_df.rdd.getNumPartitions())
     per_part = max(1, -(-sample_rows // n_parts))
 
-    def _head(batches):
-        taken = 0
-        for pdf in batches:
-            if taken >= per_part:
-                break
-            out = pdf.iloc[: per_part - taken]
-            taken += len(out)
-            yield out
+    def _reservoir(batches):
+        import pandas as pd
 
-    sampled = frac_df.mapInPandas(_head, frac_df.schema)
+        rng = np.random.default_rng(seed)
+        kept: list = []  # reservoir of row values (Algorithm R over batches)
+        seen = 0
+        for pdf in batches:
+            for v in pdf["_v"]:
+                if seen < per_part:
+                    kept.append(v)
+                else:
+                    j = int(rng.integers(0, seen + 1))
+                    if j < per_part:
+                        kept[j] = v
+                seen += 1
+        if kept:
+            yield pd.DataFrame({"_v": kept})
+
+    sampled = frac_df.mapInPandas(_reservoir, frac_df.schema)
     mat = np.array(sampled.limit(sample_rows).toPandas()["_v"].tolist(), dtype="float64")
     # L2-normalize so euclidean k-means ≈ spherical (cosine) k-means
     norms = np.linalg.norm(mat, axis=1)

@@ -335,7 +335,8 @@ def encode_tiff(
 def decode_tiff(buf: bytes):
     """Decode the first IFD of a baseline TIFF.  Returns (height, width,
     channels, uint8 array).  Supports II/MM byte order, 8-bit gray/RGB,
-    strip AND tile layouts, Compression 1/5/32773, Predictor 1/2."""
+    strip AND tile layouts, Compression 1/5/32773, Predictor 1/2,
+    WhiteIsZero inversion; palette/CMYK/planar layouts raise."""
     if buf[:4] == b"II\x2a\x00":
         eb = "<"
     elif buf[:4] == b"MM\x00\x2a":
@@ -388,6 +389,13 @@ def _decode_body(buf: bytes, eb: str):
         )
     if spp not in (1, 3):
         raise NotImplementedError(f"SamplesPerPixel {spp} not supported")
+    photo = one(_PHOTO, 1 if spp == 1 else 2)
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(
+            f"PhotometricInterpretation {photo} (palette/CMYK/YCbCr) not supported"
+        )
+    if one(284, 1) != 1:  # PlanarConfiguration
+        raise NotImplementedError("planar (non-chunky) sample layout not supported")
     def _decompress(raw: bytes, expect: int, what: str) -> np.ndarray:
         if comp == 5:
             raw = lzw_decode(raw, expect=expect)
@@ -430,6 +438,8 @@ def _decode_body(buf: bytes, eb: str):
             y0, x0 = ty * th, tx * tw
             eh, ew = min(th, h - y0), min(tw, w - x0)
             canvas[y0 : y0 + eh, x0 : x0 + ew] = block[:eh, :ew]
+        if photo == 0:  # WhiteIsZero: 0 renders white — invert to BlackIsZero
+            canvas = (255 - canvas.astype(np.int16)).astype(np.uint8)
         if spp == 1:
             return h, w, 1, canvas[:, :, 0]
         return h, w, 3, canvas
@@ -448,6 +458,8 @@ def _decode_body(buf: bytes, eb: str):
         )
         rows.append(_undiff(block, nrows, w))
     px = np.vstack(rows)
+    if photo == 0:  # WhiteIsZero: 0 renders white — invert to BlackIsZero
+        px = (255 - px.astype(np.int16)).astype(np.uint8)
     if spp == 1:
         return h, w, 1, px.reshape(h, w)
     return h, w, 3, px.reshape(h, w, 3)

@@ -1181,7 +1181,10 @@ def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("payload"))
         .alias("payload"),
     )
-    dec = M.decode_image_quarantine(poisoned, "payload", "doc_id")
+    # localCheckpoint: the result fans out to TWO consumers (ok projection
+    # + stats join) — materialize once so the Python decode kernel runs a
+    # single pass, not once per consumer (reused-DF re-execution trap)
+    dec = M.decode_image_quarantine(poisoned, "payload", "doc_id").localCheckpoint()
     stats = M.image_stats(dec.where(F.col("error").isNull()))
     return (
         dec.select(F.col("media_id").alias("doc_id"), F.col("error").isNull().alias("ok"))

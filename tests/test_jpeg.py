@@ -272,15 +272,25 @@ def test_exif_orientation_all_eight():
         exif_app1,
     )
 
-    img = np.zeros((8, 16), dtype=np.uint8)
-    img[:, :8] = 64
-    img[:, 8:] = 192
+    # six DISTINCT constant 8×8 blocks (exact decode under FLAT_Q) with no
+    # symmetry — every one of the 8 orientations yields a different array
+    img = np.zeros((16, 24), dtype=np.uint8)
+    for bi, v in enumerate((16, 48, 80, 112, 160, 208)):
+        by, bx = divmod(bi, 3)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
     base = encode_gray(img)
+    # orientation 7 (transverse) is the ANTI-diagonal flip out[i,j] =
+    # img[h-1-j, w-1-i] — spelled longhand here so the test can't share an
+    # algebraic mistake with the implementation (rot90(k=-1) mirrored
+    # collapses to the plain transpose, the round-6 review catch)
+    hh, ww = img.shape
+    transverse = np.array([[img[hh - 1 - j, ww - 1 - i] for j in range(hh)] for i in range(ww)])
     expect = {
         1: img, 2: img[:, ::-1], 3: img[::-1, ::-1], 4: img[::-1, :],
         5: img.swapaxes(0, 1), 6: np.rot90(img, k=-1),
-        7: np.rot90(img, k=-1)[:, ::-1], 8: np.rot90(img, k=1),
+        7: transverse, 8: np.rot90(img, k=1),
     }
+    assert len({e.tobytes() for e in expect.values()}) == 8  # all distinct
     for o, want in expect.items():
         for be in (False, True):
             buf = base[:2] + exif_app1(o, big_endian=be) + base[2:]
@@ -288,6 +298,6 @@ def test_exif_orientation_all_eight():
             assert (h, w) == want.shape and (out == want).all(), (o, be)
     prog = encode_progressive(img)
     h, w, _, out = decode_jpeg(prog[:2] + exif_app1(6) + prog[2:])
-    assert (h, w) == (16, 8) and (out == np.rot90(img, k=-1)).all()
+    assert (h, w) == (24, 16) and (out == np.rot90(img, k=-1)).all()
     h, w, _, out = decode_jpeg(base)
     assert (out == img).all()

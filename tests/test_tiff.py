@@ -142,3 +142,32 @@ def test_tiff_tile_validation():
         encode_tiff(img, tile=(8, 8))
     with pytest.raises(ValueError, match="mutually exclusive"):
         encode_tiff(img, tile=(16, 16), rows_per_strip=4)
+
+
+def test_tiff_photometric_and_planar_gates():
+    """WhiteIsZero (common in fax/scan TIFFs) inverts to BlackIsZero;
+    planar and palette layouts raise instead of decoding garbage (round-6
+    review: these tags were silently ignored)."""
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    buf = bytearray(encode_tiff(img))
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd_off)
+
+    def set_tag(b, tag, val):
+        for i in range(n):
+            base = ifd_off + 2 + 12 * i
+            t, typ, cnt = struct.unpack_from("<HHI", b, base)
+            if t == tag:
+                struct.pack_into("<H", b, base + 8, val)
+                return True
+        return False
+
+    b0 = bytearray(buf)
+    assert set_tag(b0, 262, 0)  # PhotometricInterpretation = WhiteIsZero
+    h, w, c, out = decode_tiff(bytes(b0))
+    assert (out == 255 - img).all()
+
+    b3 = bytearray(buf)
+    set_tag(b3, 262, 3)  # palette
+    with pytest.raises(NotImplementedError, match="Photometric"):
+        decode_tiff(bytes(b3))
