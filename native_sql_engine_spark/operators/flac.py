@@ -4,10 +4,13 @@ WAV: RIFF/WAVE container, PCM format 1, 8/16-bit, any channel count.
 
 FLAC: the lossless subset real speech corpora decode with — STREAMINFO,
 frame sync + CRC-8/CRC-16 verification, UTF-8-coded frame numbers,
-independent channels, CONSTANT / VERBATIM / FIXED(0–4) subframes with
-Rice-coded residuals (partition order 0–15, escape code 0b11111).
-LPC subframes and stereo decorrelation raise NotImplementedError — the
-honest-gate discipline of jpeg.py/png.py/gif.py/tiff.py.
+CONSTANT / VERBATIM / FIXED(0–4) / LPC(1–32) subframes with Rice-coded
+residuals (partition order 0–15, escape code 0b11111), independent
+channels plus all three stereo-decorrelation modes (left/side,
+right/side, mid/side — the side channel carries bits+1 per spec §9.1.3).
+The encoder quantizes Levinson–Durbin LPC coefficients; lossless-ness
+never depends on coefficient quality because residuals absorb the
+quantization error.  Remaining honest gate: >16-bit sample depths.
 
 CRC polynomials are pinned against published check values in
 tests/test_flac.py (CRC-8 poly 0x07 of b"123456789" = 0xF4; CRC-16/BUYPASS
@@ -224,21 +227,121 @@ def _unzigzag(u: int) -> int:
     return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
 
 
+def _lpc_quantized(sig: np.ndarray, order: int, precision: int = 12):
+    """Levinson–Durbin LPC fit, quantized to ``precision``-bit integer
+    coefficients with a shift.  Returns (coefs, shift) or None when the
+    signal is degenerate (constant / too short) and FIXED should be used."""
+    x = sig.astype(np.float64)
+    n = len(x)
+    if n <= order or order < 1:
+        return None
+    r = np.array([float(np.dot(x[: n - k], x[k:])) for k in range(order + 1)])
+    if r[0] <= 0:
+        return None
+    a = np.zeros(order + 1)
+    a[0] = 1.0
+    err = r[0]
+    for i in range(1, order + 1):
+        acc = float(np.dot(a[:i], r[i:0:-1]))
+        if err <= 0:
+            return None
+        k = -acc / err
+        a[: i + 1] = a[: i + 1] + k * a[i::-1][: i + 1]
+        err *= 1.0 - k * k
+    coefs = -a[1:]  # predictor: x[n] ≈ sum coefs[j] * x[n-1-j]
+    cmax = float(np.max(np.abs(coefs)))
+    if cmax == 0 or not np.isfinite(cmax):
+        return None
+    # shift so the largest coefficient uses the full precision-1 magnitude
+    shift = precision - 1 - (int(np.floor(np.log2(cmax))) + 1)
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = np.clip(np.round(coefs * (1 << shift)), -lim, lim - 1).astype(np.int64)
+    if not q.any():
+        return None
+    return q, shift
+
+
+def _write_residual(body: "_BitWriter", res: np.ndarray) -> None:
+    """Residual coding method 0 (4-bit Rice), partition order 0."""
+    body.write(0b00, 2)
+    body.write(0, 4)
+    mean = max(1, int(np.mean(np.abs(res))) if len(res) else 1)
+    p = max(0, min(14, int(mean).bit_length()))
+    body.write(p, 4)
+    for u in _zigzag(res):
+        q = int(u) >> p
+        body.write_unary(q)
+        if p:
+            body.write(int(u) & ((1 << p) - 1), p)
+
+
+def _write_subframe(
+    body: "_BitWriter", sig: np.ndarray, sbits: int, order: int, lpc_order: int
+) -> None:
+    bs = len(sig)
+    body.write(0, 1)  # zero padding
+    lpc = _lpc_quantized(sig, lpc_order) if lpc_order else None
+    if lpc is not None:
+        coefs, shift = lpc
+        o = lpc_order
+        body.write(0b100000 | (o - 1), 6)  # LPC(o)
+        body.write(0, 1)  # no wasted bits
+        for k in range(o):
+            body.write(int(sig[k]) & ((1 << sbits) - 1), sbits)
+        prec = 12
+        body.write(prec - 1, 4)
+        body.write(shift, 5)
+        for c in coefs:
+            body.write(int(c) & ((1 << prec) - 1), prec)
+        idx = np.arange(o, bs)
+        pred = np.zeros(bs - o, dtype=np.int64)
+        for j in range(o):
+            pred += coefs[j] * sig[idx - 1 - j]
+        res = sig[o:] - (pred >> shift)
+        _write_residual(body, res)
+        return
+    o = min(order, max(0, bs - 1))
+    body.write(0b001000 | o, 6)  # FIXED(o)
+    body.write(0, 1)  # no wasted bits
+    for k in range(o):
+        body.write(int(sig[k]) & ((1 << sbits) - 1), sbits)
+    res = sig.copy()
+    for _ in range(o):  # o-th order difference
+        res = np.diff(res)
+    _write_residual(body, res)
+
+
+#: channel-assignment codes for the stereo-decorrelation modes (spec §9.1.3)
+_STEREO_MODES = {"left_side": 0b1000, "right_side": 0b1001, "mid_side": 0b1010}
+
+
 def encode_flac(
     samples: np.ndarray,
     sample_rate: int = 16000,
     bits: int = 16,
     block_size: int = 4096,
     order: int = 2,
+    mode: str = "indep",
+    lpc_order: int = 0,
 ) -> bytes:
-    """FLAC-subset encode: independent channels, FIXED(order) subframes
-    (order auto-lowered for short blocks), Rice partition order 0."""
+    """FLAC-subset encode.  ``mode`` picks the channel assignment:
+    ``indep`` (any channel count) or ``left_side``/``right_side``/
+    ``mid_side`` (stereo only).  ``lpc_order`` > 0 emits LPC subframes
+    (quantized Levinson–Durbin, precision 12) with FIXED(order) as the
+    fallback for degenerate blocks; 0 keeps the FIXED path."""
     samples = np.asarray(samples, dtype=np.int64)
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
     if not 0 <= order <= 4:
         raise ValueError("fixed order must be 0..4")
+    if not 0 <= lpc_order <= 32:
+        raise ValueError("lpc order must be 0..32")
+    if mode != "indep" and ch != 2:
+        raise ValueError(f"stereo mode {mode!r} requires exactly 2 channels")
+    if mode != "indep" and mode not in _STEREO_MODES:
+        raise ValueError(f"unknown channel mode {mode!r}")
 
     out = bytearray(b"fLaC")
     # STREAMINFO (last-metadata flag set, type 0, length 34)
@@ -254,6 +357,7 @@ def encode_flac(
     info = si.flush() + b"\x00" * 16  # md5 unset (all zero = unknown)
     out += bytes([0x80]) + struct.pack(">I", len(info))[1:] + info
 
+    ca_code = (ch - 1) if mode == "indep" else _STEREO_MODES[mode]
     for fi, start in enumerate(range(0, n, block_size)):
         blk = samples[start : start + block_size]
         bs = len(blk)
@@ -263,36 +367,28 @@ def encode_flac(
         hdr.write(0, 1)  # fixed-blocksize stream
         hdr.write(0b0111, 4)  # block size: 16-bit at end of header
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
-        hdr.write(ch - 1, 4)  # independent channels
+        hdr.write(ca_code, 4)
         hdr.write({8: 0b001, 16: 0b100}[bits], 3)
         hdr.write(0, 1)  # reserved
         head = hdr.flush() + _utf8_code(fi) + struct.pack(">H", bs - 1)
         head += bytes([crc8(head)])
 
+        if mode == "indep":
+            sigs = [blk[:, c] for c in range(ch)]
+            sbits = [bits] * ch
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right  # fits in bits+1
+            if mode == "left_side":
+                sigs, sbits = [left, side], [bits, bits + 1]
+            elif mode == "right_side":
+                sigs, sbits = [side, right], [bits + 1, bits]
+            else:  # mid_side: mid is the floored average (spec §9.1.3)
+                sigs, sbits = [(left + right) >> 1, side], [bits, bits + 1]
+
         body = _BitWriter()
-        for c in range(ch):
-            sig = blk[:, c]
-            o = min(order, max(0, bs - 1))
-            body.write(0, 1)  # zero padding
-            body.write(0b001000 | o, 6)  # FIXED(o)
-            body.write(0, 1)  # no wasted bits
-            for k in range(o):  # warmup, raw
-                body.write(int(sig[k]) & ((1 << bits) - 1), bits)
-            res = sig.copy()
-            for _ in range(o):  # o-th order difference
-                res = np.diff(res)
-            # residual method 0 (4-bit Rice), partition order 0
-            body.write(0b00, 2)
-            body.write(0, 4)
-            r = res[0:] if o == 0 else res
-            mean = max(1, int(np.mean(np.abs(r))) if len(r) else 1)
-            p = max(0, min(14, int(mean).bit_length()))
-            body.write(p, 4)
-            for u in _zigzag(r):
-                q = int(u) >> p
-                body.write_unary(q)
-                if p:
-                    body.write(int(u) & ((1 << p) - 1), p)
+        for sig, sb in zip(sigs, sbits):
+            _write_subframe(body, sig, sb, order, lpc_order)
         payload = head + body.flush()
         out += payload + struct.pack(">H", crc16(payload))
     return bytes(out)
@@ -349,9 +445,10 @@ def _decode_flac_body(buf: bytes):
         ca = br.read(4)
         ss_code = br.read(3)
         br.read(1)
-        if ca > 7:
-            raise NotImplementedError("stereo decorrelation (L/S, R/S, M/S) not supported")
-        if ca + 1 != ch:
+        if ca > 0b1010:
+            raise ValueError(f"reserved channel assignment {ca:#06b}")
+        nch = ca + 1 if ca <= 7 else 2
+        if nch != ch:
             raise ValueError("frame channel count differs from STREAMINFO")
         _utf8_decode(br)
         if bs_code == 0b0110:
@@ -379,14 +476,17 @@ def _decode_flac_body(buf: bytes):
         if sbits is None:
             raise NotImplementedError(f"sample-size code {ss_code} not supported")
 
+        sigs: list[list[int]] = []
         for c in range(ch):
+            # the side channel of a decorrelated pair carries one extra bit
+            extra = 1 if (ca == 0b1000 and c == 1) or (ca == 0b1001 and c == 0) or (ca == 0b1010 and c == 1) else 0
             if br.read(1) != 0:
                 raise ValueError("subframe padding bit not zero")
             stype = br.read(6)
             wasted = 0
             if br.read(1):  # wasted-bits flag: unary count follows
                 wasted = br.read_unary() + 1
-            eff = sbits - wasted
+            eff = sbits + extra - wasted
             if stype == 0b000000:  # CONSTANT
                 v = _sign_extend(br.read(eff), eff)
                 sig = [v] * bs
@@ -401,13 +501,39 @@ def _decode_flac_body(buf: bytes):
                 for i in range(o, bs):
                     pred = sum(coefs[j] * sig[i - 1 - j] for j in range(o))
                     sig.append(pred + res[i - o])
-            elif stype >= 0b100000:
-                raise NotImplementedError("LPC subframes not supported (FIXED subset)")
+            elif stype >= 0b100000:  # LPC(1..32)
+                o = (stype & 0x1F) + 1
+                warm = [_sign_extend(br.read(eff), eff) for _ in range(o)]
+                prec = br.read(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid LPC precision code 0b1111")
+                shift = _sign_extend(br.read(5), 5)
+                if shift < 0:
+                    raise ValueError("negative LPC shift is forbidden")
+                coefs = [_sign_extend(br.read(prec), prec) for _ in range(o)]
+                res = _read_residual(br, bs, o)
+                sig = warm[:]
+                for i in range(o, bs):
+                    pred = sum(coefs[j] * sig[i - 1 - j] for j in range(o)) >> shift
+                    sig.append(pred + res[i - o])
             else:
                 raise ValueError(f"reserved subframe type {stype:#08b}")
             if wasted:
                 sig = [s << wasted for s in sig]
-            chans[c].extend(sig)
+            sigs.append(sig)
+        if ca > 7:  # undo stereo decorrelation (spec §9.1.3)
+            s0 = np.asarray(sigs[0], dtype=np.int64)
+            s1 = np.asarray(sigs[1], dtype=np.int64)
+            if ca == 0b1000:  # left/side
+                left, right = s0, s0 - s1
+            elif ca == 0b1001:  # right/side (side first, right second)
+                left, right = s1 + s0, s1
+            else:  # mid/side: mid lost its low bit, recovered from side's
+                mid2 = (s0 << 1) | (s1 & 1)
+                left, right = (mid2 + s1) >> 1, (mid2 - s1) >> 1
+            sigs = [left.tolist(), right.tolist()]
+        for c in range(ch):
+            chans[c].extend(sigs[c])
         br.align()
         if crc16(buf[frame_start : br.byte]) != struct.unpack_from(">H", buf, br.byte)[0]:
             raise ValueError(f"frame CRC-16 mismatch at byte {frame_start}")

@@ -56,6 +56,64 @@ def test_flac_roundtrip_orders(order):
                 assert (out == s).all(), (bits, ch, order, n)
 
 
+@pytest.mark.parametrize("mode", ["left_side", "right_side", "mid_side"])
+@pytest.mark.parametrize("lpc", [0, 2, 8])
+def test_flac_stereo_modes_roundtrip(mode, lpc):
+    """All three decorrelation modes × FIXED/LPC subframes are lossless,
+    including odd left+right parity (the mid/side low-bit recovery) and
+    full-range 16-bit extremes (side channel needs bits+1)."""
+    rng = np.random.default_rng(hash((mode, lpc)) % 2**31)
+    t = np.arange(2500)
+    left = (9000 * np.sin(t / 31) + rng.integers(-99, 99, len(t))).astype(np.int64)
+    right = (8000 * np.sin(t / 17 + 2) + rng.integers(-99, 99, len(t))).astype(np.int64)
+    # force odd/even parity mixes and the int16 extremes into the signal
+    left[:4] = [32767, -32768, 32767, 1]
+    right[:4] = [-32768, 32767, 32766, 0]
+    s = np.stack([left, right], axis=1)
+    buf = encode_flac(s, 16000, 16, block_size=512, order=2, mode=mode, lpc_order=lpc)
+    rate, c, b, out = decode_flac(buf)
+    assert (rate, c, b) == (16000, 2, 16)
+    assert (out == s).all()
+
+
+def test_flac_lpc_mono_roundtrip_and_degenerate_fallback():
+    rng = np.random.default_rng(11)
+    for bits, scale in ((8, 100), (16, 20000)):
+        t = np.arange(1234)
+        sig = (scale * np.sin(t / 9) + rng.integers(-3, 3, len(t))).astype(np.int64)
+        buf = encode_flac(sig, 8000, bits, block_size=500, lpc_order=6)
+        _, _, _, out = decode_flac(buf)
+        assert (out[:, 0] == sig).all()
+    # constant signal: autocorrelation fit degenerates -> FIXED fallback
+    cst = np.full(600, 42, dtype=np.int64)
+    buf = encode_flac(cst, 8000, 16, block_size=256, lpc_order=8)
+    _, _, _, out = decode_flac(buf)
+    assert (out[:, 0] == cst).all()
+
+
+def test_flac_lpc_beats_fixed_on_resonant_signal():
+    """LPC must actually predict better than FIXED on a narrowband signal
+    (otherwise the coefficient plumbing is decorative)."""
+    t = np.arange(16384)
+    sig = (12000 * np.sin(t * 0.3)).astype(np.int64)
+    fixed = encode_flac(sig, 16000, 16, block_size=1024, order=2, lpc_order=0)
+    lpc = encode_flac(sig, 16000, 16, block_size=1024, lpc_order=4)
+    _, _, _, out = decode_flac(lpc)
+    assert (out[:, 0] == sig).all()
+    assert len(lpc) < len(fixed)
+
+
+def test_flac_stereo_mode_validation():
+    mono = np.zeros(64, dtype=np.int64)
+    with pytest.raises(ValueError, match="2 channels"):
+        encode_flac(mono, 8000, 16, mode="mid_side")
+    st = np.zeros((64, 2), dtype=np.int64)
+    with pytest.raises(ValueError, match="unknown channel mode"):
+        encode_flac(st, 8000, 16, mode="sideways")
+    with pytest.raises(ValueError, match="lpc order"):
+        encode_flac(mono, 8000, 16, lpc_order=33)
+
+
 def test_flac_smooth_signal_compresses():
     """A smooth signal's order-2 residuals are small — the Rice coder must
     actually compress (this also walks many frames at block size 512)."""
