@@ -14,10 +14,13 @@ column expression).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
-from pyspark.sql import functions as F
+from typing import Iterator
 
-__all__ = ["html_to_text", "url_domain", "url_normalize"]
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["html_to_text", "url_domain", "url_normalize", "warc_records"]
 
 #: (pattern, replacement) pipeline for markup stripping.  Order matters:
 #: script/style bodies go first (their content is not prose), then
@@ -83,3 +86,114 @@ def url_normalize(col: Column) -> Column:
     out = F.regexp_replace(out, "&" + tracked, "")
     out = F.regexp_replace(out, r"\?" + tracked + "&", "?")
     return F.regexp_replace(out, r"\?" + tracked + "$", "")
+
+
+#: schema of exploded WARC records (one row per record in the payload)
+WARC_RECORD = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("rec_idx", T.IntegerType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("body", T.StringType()),
+    ]
+)
+
+
+def warc_records(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode WARC payloads (plain or CommonCrawl per-record-gzip) into
+    one row per record — the ingestion front door of a crawl-derived
+    corpus.  Response records get their embedded HTTP message split
+    (status + body); other records pass their block through.  Arrow-batched
+    mapInPandas; record bodies leave Python as strings for the downstream
+    html_to_text projection (which is JVM-side again).  At 100 TB each
+    WARC file is one row of a binary column, so parallelism is row-level —
+    repartition upstream to spread multi-GB crawl segments."""
+    import pandas as pd
+
+    from .warc import iter_warc_records, parse_http
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                for i, (hdrs, block) in enumerate(iter_warc_records(bytes(raw))):
+                    wtype = hdrs.get("WARC-Type", "")
+                    status = None
+                    body = block
+                    if wtype == "response" and block[:5] == b"HTTP/":
+                        status, _hh, body = parse_http(block)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "rec_idx": i,
+                            "warc_type": wtype,
+                            "target_uri": hdrs.get("WARC-Target-URI"),
+                            "http_status": status,
+                            "content_length": len(block),
+                            "body": body.decode("utf-8", "replace"),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in WARC_RECORD.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, WARC_RECORD)
+
+
+def synthesize_warc_corpus(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic CommonCrawl-shaped WARC per row (per-record gzip):
+    warcinfo + request + response whose HTTP body is an HTML page titled
+    'T{id}' wrapping the document text — so the full
+    warc→gzip→http→html→text chain has the same closed-form oracle as
+    web_html_extract."""
+    import pandas as pd
+
+    from .warc import build_warc
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                uri = f"https://crawl.example/doc/{int(i)}"
+                html = (
+                    "<html><head><script>var x=1;</script></head>"
+                    f"<body><!-- gen --><h1>T{int(i)}</h1><p>{txt}</p>"
+                    "&amp; tail</body></html>"
+                ).encode()
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + b"Content-Length: "
+                    + str(len(html)).encode()
+                    + b"\r\n\r\n"
+                    + html
+                )
+                payloads.append(
+                    build_warc(
+                        [
+                            {"warc_type": "warcinfo", "block": b"software: engine\r\n"},
+                            {
+                                "warc_type": "request",
+                                "uri": uri,
+                                "block": b"GET / HTTP/1.1\r\n\r\n",
+                            },
+                            {
+                                "warc_type": "response",
+                                "uri": uri,
+                                "content_type": "application/http; msgtype=response",
+                                "block": http,
+                            },
+                        ],
+                        gzip_per_record=True,
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col, text_col).mapInPandas(batches, schema)

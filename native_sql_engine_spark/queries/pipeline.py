@@ -490,6 +490,47 @@ def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "web_warc_ingest",
+    """
+    SELECT doc_id, 'response' AS warc_type,
+           'https://crawl.example/doc/' || doc_id AS target_uri,
+           200 AS http_status,
+           md5('T' || doc_id || ' ' || text || ' & tail') AS text_md5
+    FROM documents WHERE doc_id < 250 ORDER BY doc_id
+    """,
+)
+def web_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full crawl-ingestion chain, end to end from scratch: CommonCrawl-
+    layout WARC (per-record gzip members, operators/warc.py) → record
+    explode → embedded HTTP/1.1 parse (status/body split) → html_to_text
+    markup stripping — and the oracle recomputes the final extracted
+    text's md5 from first principles, so every stage (gzip member
+    boundaries, Content-Length framing, HTTP header split, tag/entity
+    stripping) is independently verified.  WARC/HTTP parsing is
+    Arrow-batched Python (framed binary); the HTML stripping runs JVM-side
+    after the explode."""
+    from native_sql_engine_spark.operators.web import (
+        html_to_text,
+        synthesize_warc_corpus,
+        warc_records,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    recs = warc_records(synthesize_warc_corpus(docs), "payload", "doc_id")
+    return (
+        recs.filter(F.col("warc_type") == "response")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "warc_type",
+            "target_uri",
+            "http_status",
+            F.md5(html_to_text(F.col("body"))).alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "fuzzy_match_suppliers",
     """
     SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,

@@ -1,0 +1,125 @@
+"""Web-crawl preprocessing (operators/web.py, operators/warc.py):
+HTML→text stripping, URL canonicalization, WARC/HTTP parsing."""
+
+from __future__ import annotations
+
+import pytest
+
+from native_sql_engine_spark.operators.warc import (
+    build_warc,
+    gunzip_members,
+    iter_warc_records,
+    parse_http,
+)
+
+
+def _records(body: bytes):
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+        + str(len(body)).encode()
+        + b"\r\n\r\n"
+        + body
+    )
+    return [
+        {"warc_type": "warcinfo", "block": b"software: engine\r\n"},
+        {"warc_type": "request", "uri": "https://x.com/a", "block": b"GET /a HTTP/1.1\r\n\r\n"},
+        {
+            "warc_type": "response",
+            "uri": "https://x.com/a",
+            "content_type": "application/http; msgtype=response",
+            "block": http,
+        },
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip(gz):
+    body = b"<html>hello &amp; bye</html>"
+    buf = build_warc(_records(body), gzip_per_record=gz)
+    out = list(iter_warc_records(buf))
+    assert [h["WARC-Type"] for h, _ in out] == ["warcinfo", "request", "response"]
+    h, blk = out[2]
+    assert h["WARC-Target-URI"] == "https://x.com/a"
+    status, hh, b = parse_http(blk)
+    assert status == 200 and hh["content-type"] == "text/html" and b == body
+
+
+def test_warc_binary_safe_blocks():
+    """Content-Length framing must survive CRLF and WARC/ look-alikes
+    inside the payload."""
+    body = b"\r\n\r\nWARC/1.0\r\nContent-Length: 999\r\n\r\n" + bytes(range(256))
+    recs = [{"warc_type": "resource", "uri": "https://x.com/b", "block": body}]
+    (out,) = list(iter_warc_records(build_warc(recs)))
+    assert out[1] == body
+
+
+def test_warc_errors():
+    with pytest.raises(ValueError, match="version line"):
+        list(iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+    good = build_warc(_records(b"x"))
+    with pytest.raises(ValueError, match="overruns|unterminated"):
+        list(iter_warc_records(good[:-20]))
+    with pytest.raises(ValueError, match="gzip"):
+        gunzip_members(b"\x1f\x8b\x08garbage")
+    with pytest.raises(ValueError, match="status line"):
+        parse_http(b"not http\r\n\r\nbody")
+
+
+def test_html_to_text_edges(spark):
+    from pyspark.sql import functions as F
+
+    from native_sql_engine_spark.operators.web import html_to_text
+
+    cases = [
+        # script containing a fake tag; nested entity decodes ONE level
+        ("<script>if(a<b){x='<p>'}</script>ok &amp;lt;", "ok &lt;"),
+        ("<style media='x'>p{}</style><P CLASS='a'>Hi</P>", "Hi"),
+        ("<!-- <b>no</b> -->a  \n\t b", "a b"),
+        ("no markup at all", "no markup at all"),
+        ("&quot;q&quot;&nbsp;&#39;s&#39;", "\"q\" 's'"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["html"])
+    got = [r.t for r in df.select(html_to_text(F.col("html")).alias("t")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_url_ops(spark):
+    from pyspark.sql import functions as F
+
+    from native_sql_engine_spark.operators.web import url_domain, url_normalize
+
+    cases = [
+        (
+            "HTTPS://WWW.Ex.COM:443/P?utm_source=a&id=1&utm_b=c#f",
+            "www.ex.com",
+            "https://www.ex.com/P?id=1",
+        ),
+        ("http://Host.io:80/", "host.io", "http://host.io/"),
+        ("http://host.io:8080/x", "host.io", "http://host.io:8080/x"),
+        ("https://a.b/x?gclid=1", "a.b", "https://a.b/x"),
+        ("https://a.b/x?a=1&ref=t&b=2", "a.b", "https://a.b/x?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], ["url"])
+    rows = df.select(
+        url_domain(F.col("url")).alias("d"), url_normalize(F.col("url")).alias("n")
+    ).collect()
+    for (u, wd, wn), r in zip(cases, rows):
+        assert r.d == wd, u
+        assert r.n == wn, u
+
+
+def test_warc_records_operator(spark):
+    from native_sql_engine_spark.operators.web import synthesize_warc_corpus, warc_records
+
+    docs = spark.createDataFrame([(7, "alpha beta"), (8, "gamma")], ["doc_id", "text"])
+    rows = (
+        warc_records(synthesize_warc_corpus(docs), "payload", "doc_id")
+        .orderBy("media_id", "rec_idx")
+        .collect()
+    )
+    assert len(rows) == 6  # 3 records per doc
+    resp = [r for r in rows if r.warc_type == "response"]
+    assert [r.http_status for r in resp] == [200, 200]
+    assert resp[0].target_uri == "https://crawl.example/doc/7"
+    assert "alpha beta" in resp[0].body and resp[0].body.startswith("<html>")
+    assert all(r.http_status is None for r in rows if r.warc_type != "response")
