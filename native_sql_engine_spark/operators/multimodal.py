@@ -7,10 +7,11 @@ struct, and implements decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` operators.
 
 Decode is REAL — from-scratch numpy/stdlib codecs, no codec libraries:
-baseline+progressive JPEG, PNG, GIF, TIFF, BMP, PPM images; YUV4MPEG2
-(.y4m) video; WAV-PCM and FLAC-subset audio (operators/{jpeg,png,gif,
-tiff,flac}.py).  Formats that genuinely need ffmpeg-class code (mp4/H.264,
-webp, mp3, 12-bit JPEG) raise NotImplementedError inside the kernel;
+baseline+progressive JPEG, PNG, GIF, TIFF, BMP, PPM, lossless WebP (VP8L)
+images; YUV4MPEG2 (.y4m) and MJPEG-AVI video; WAV-PCM and FLAC audio
+(operators/{jpeg,png,gif,tiff,vp8l,avi,flac}.py).  Formats that genuinely
+need ffmpeg-class code (mp4/H.264, lossy WebP/VP8, mp3, 12-bit JPEG)
+raise NotImplementedError inside the kernel;
 swapping them in later changes only the inner function, never the Spark
 plumbing (schema, Arrow batching, partitioning).
 """
@@ -196,11 +197,16 @@ def _decode_any(buf: bytes):
 
         h, w, c, px = decode_tiff(buf)
         return h, w, c, px
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        from .vp8l import decode_webp
+
+        h, w, px = decode_webp(buf)  # RGBA; lossy VP8 raises inside
+        return h, w, 4, px
     raise NotImplementedError(
         "image formats beyond the native decoders (baseline+progressive "
-        "JPEG, PNG at every legal depth, GIF, TIFF, BMP, PPM) — webp, "
-        "arithmetic-coded/12-bit JPEG, ... — require PIL/opencv (not in "
-        "this container)"
+        "JPEG, PNG at every legal depth, GIF, TIFF, BMP, PPM, lossless "
+        "WebP/VP8L) — lossy WebP/VP8, arithmetic-coded/12-bit JPEG, ... — "
+        "require PIL/opencv (not in this container)"
     )
 
 
@@ -428,6 +434,32 @@ def synthesize_bmp_corpus(
                 .tobytes()
                 for i in pdf[id_col]
             ]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+def synthesize_webp_corpus(
+    df: DataFrame, id_col: str = "doc_id", width: int = 4, height: int = 4
+) -> DataFrame:
+    """Deterministic lossless-WebP (VP8L) payload per row: RGB byte k is
+    (id·37 + k·11) mod 256, encoded by the from-scratch literal-only VP8L
+    encoder (operators/vp8l.py).  Lossless, so decode statistics have the
+    closed form the DuckDB oracle reproduces (alpha decodes as 255)."""
+    import numpy as np
+
+    from .vp8l import encode_vp8l
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                k = np.arange(width * height * 3, dtype=np.int64)
+                img = ((int(i) * 37 + k * 11) % 256).astype(np.uint8)
+                payloads.append(encode_vp8l(img.reshape(height, width, 3)))
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
     schema = T.StructType(

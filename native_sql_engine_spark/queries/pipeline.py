@@ -1456,6 +1456,36 @@ def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_webp_decode",
+    """
+    SELECT d.doc_id, 4 AS width, 4 AS height,
+           round((sum((d.doc_id * 37 + t.k * 11) % 256) + 16 * 255) / 64.0, 4) AS mean_px
+    FROM documents d, range(48) t(k)
+    WHERE d.doc_id < 200
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP decode — the from-scratch VP8L codec in
+    operators/vp8l.py (LSB-first bit reader, canonical prefix codes read
+    through the code-length code, literal pixel stream; the full decoder
+    also handles LZ77 refs, the color cache, meta-prefix groups and all
+    four transforms, pinned in tests/test_vp8l.py).  Pixels are the
+    (id·37 + 11k) mod 256 closed form; decode appends alpha=255, so the
+    oracle folds 16 alpha bytes into the 64-byte mean exactly.  A wrong
+    canonical code assignment, bit order, or channel order shifts the
+    mean and fails the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = M.synthesize_webp_corpus(docs, "doc_id", width=4, height=4)
+    decoded = M.decode_image(payloads, "payload", "doc_id")
+    return (
+        M.image_stats(decoded)
+        .select(F.col("media_id").alias("doc_id"), "width", "height", "mean_px")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "multimodal_frame_sample",
     """
     SELECT d.doc_id, f.f AS frame_idx,

@@ -258,11 +258,11 @@ def test_y4m_frame_sampling(spark):
 
 
 def test_compressed_formats_still_stubbed(spark):
-    """Formats beyond the native decoders (webp, arithmetic-coded SOF9
-    JPEG, mp4) genuinely need codec libraries — the kernel must
-    say so.  Baseline AND progressive JPEG, 8-bit PNG, and GIF decode
-    natively since the from-scratch codecs landed (test_jpeg.py /
-    test_png.py / test_gif.py)."""
+    """Formats beyond the native decoders (LOSSY webp/VP8, arithmetic-coded
+    SOF9 JPEG, mp4/H.264) genuinely need codec libraries — the kernel must
+    say so.  Baseline AND progressive JPEG, PNG, GIF, TIFF and lossless
+    WebP/VP8L decode natively since the from-scratch codecs landed
+    (test_jpeg.py / test_png.py / test_gif.py / test_vp8l.py)."""
     from native_sql_engine_spark.operators import multimodal as M
 
     webp = spark.createDataFrame(
