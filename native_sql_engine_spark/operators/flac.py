@@ -496,11 +496,18 @@ def _decode_flac_body(buf: bytes):
                 o = stype & 0x07
                 warm = [_sign_extend(br.read(eff), eff) for _ in range(o)]
                 res = _read_residual(br, bs, o)
-                sig = warm[:]
-                coefs = _FIXED[o]
-                for i in range(o, bs):
-                    pred = sum(coefs[j] * sig[i - 1 - j] for j in range(o))
-                    sig.append(pred + res[i - o])
+                # FIXED(o) prediction is the o-th difference operator, so
+                # reconstruction is o-fold prefix-sum integration seeded by
+                # the warmup's difference pyramid — fully vectorized.
+                level = np.asarray(res, dtype=np.int64)
+                wa = np.asarray(warm, dtype=np.int64)
+                for k in range(o - 1, -1, -1):
+                    seed = np.diff(wa, k) if k else wa  # diff^k of warmup
+                    full = np.empty(bs - k, dtype=np.int64)
+                    full[: o - k] = seed
+                    full[o - k :] = seed[-1] + np.cumsum(level[o - k - 1 :])
+                    level = full
+                sig = level.tolist()
             elif stype >= 0b100000:  # LPC(1..32)
                 o = (stype & 0x1F) + 1
                 warm = [_sign_extend(br.read(eff), eff) for _ in range(o)]

@@ -1349,15 +1349,15 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "multimodal_flac_stereo_decode",
     """
-    SELECT d.doc_id, 2 AS channels, cast(1024 AS bigint) AS n_samples,
+    SELECT d.doc_id, 2 AS channels, cast(512 AS bigint) AS n_samples,
            cast(sum(((d.doc_id * 13 + t.k * 7) % 4096 - 2048)
                   + ((d.doc_id * 11 + t.k * 5) % 4096 - 2048)) AS bigint) AS sample_sum,
            cast(sum(((d.doc_id * 13 + t.k * 7) % 4096 - 2048)
                   * ((d.doc_id * 13 + t.k * 7) % 4096 - 2048)
                   + ((d.doc_id * 11 + t.k * 5) % 4096 - 2048)
                   * ((d.doc_id * 11 + t.k * 5) % 4096 - 2048)) AS bigint) AS sq_sum
-    FROM documents d, range(1024) t(k)
-    WHERE d.doc_id < 150
+    FROM documents d, range(512) t(k)
+    WHERE d.doc_id < 100
     GROUP BY d.doc_id ORDER BY d.doc_id
     """,
 )
@@ -1370,9 +1370,9 @@ def multimodal_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     integer sum / sum-of-squares oracle covers BOTH channels, so a wrong
     decorrelation reconstruction, LPC shift, or coefficient sign flips the
     sums and fails the hash."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     payloads = M.synthesize_wav_corpus(
-        docs, "doc_id", n_samples=1024, flac=True, stereo=True, mode="mid_side", lpc_order=4
+        docs, "doc_id", n_samples=512, flac=True, stereo=True, mode="mid_side", lpc_order=4
     )
     dec = M.decode_audio(payloads, "payload", "doc_id")
     return dec.select(
