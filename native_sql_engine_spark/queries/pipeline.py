@@ -531,6 +531,39 @@ def web_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_decompress",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
+                           WHEN 2 THEN 'xz' ELSE 'plain' END AS codec,
+           cast(length(text) AS bigint) AS n_bytes,
+           md5(text) AS text_md5
+    FROM documents WHERE doc_id < 400 ORDER BY doc_id
+    """,
+)
+def corpus_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent shard decompression (operators/web.py): gzip / bzip2 /
+    xz / plain payloads dispatched by magic bytes per row — how compressed
+    corpus shards actually arrive.  The oracle recomputes the decompressed
+    text's md5 and byte length from the source column, so a codec mix-up,
+    truncated inflate, or wrong magic dispatch fails the hash.  Stdlib C
+    codecs inside Arrow batches; zero shuffle."""
+    from native_sql_engine_spark.operators.web import (
+        decompress_text,
+        synthesize_compressed_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    dec = decompress_text(synthesize_compressed_corpus(docs), "payload", "doc_id")
+    return dec.select(
+        F.col("media_id").alias("doc_id"),
+        "codec",
+        "n_bytes",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+@q(
     "fuzzy_match_suppliers",
     """
     SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,

@@ -108,6 +108,33 @@ def test_url_ops(spark):
         assert r.n == wn, u
 
 
+def test_decompress_text_dispatch(spark):
+    import bz2
+    import lzma
+    import zlib
+
+    import pandas as pd
+
+    from native_sql_engine_spark.operators.web import decompress_text
+
+    msg = "hello compressed world é中"
+    raw = msg.encode()
+    gz = zlib.compressobj(6, zlib.DEFLATED, 31)
+    payloads = [
+        gz.compress(raw) + gz.flush(),
+        bz2.compress(raw),
+        lzma.compress(raw, format=lzma.FORMAT_XZ),
+        zlib.compress(raw),
+        raw,
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(5)), "payload": [bytearray(p) for p in payloads]})
+    )
+    rows = decompress_text(df, "payload", "doc_id").orderBy("media_id").collect()
+    assert [r.codec for r in rows] == ["gzip", "bz2", "xz", "zlib", "plain"]
+    assert all(r.text == msg and r.n_bytes == len(raw) for r in rows)
+
+
 def test_warc_records_operator(spark):
     from native_sql_engine_spark.operators.web import synthesize_warc_corpus, warc_records
 
