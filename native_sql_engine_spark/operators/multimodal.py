@@ -114,19 +114,31 @@ def _decode_bmp(buf: bytes):
     hdr_size, width, height = struct.unpack_from("<Iii", buf, 14)
     planes, bpp = struct.unpack_from("<HH", buf, 26)
     compression = struct.unpack_from("<I", buf, 30)[0]
-    if hdr_size < 40 or bpp != 24 or compression != 0:
+    if hdr_size < 40 or bpp not in (8, 24, 32) or compression != 0:
         raise NotImplementedError(
             f"BMP variant (header={hdr_size}, bpp={bpp}, compression={compression}) "
-            "needs a codec library; pure-numpy path supports 24-bit BI_RGB"
+            "needs a codec library; pure-numpy path supports 8-bit palette / "
+            "24-bit / 32-bit BI_RGB"
         )
     flipped = height > 0  # positive height = bottom-up row order
     height = abs(height)
-    row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    bypp = bpp // 8
+    row_stride = (width * bypp + 3) & ~3  # rows pad to 4-byte boundaries
     px = np.frombuffer(buf, dtype=np.uint8, count=row_stride * height, offset=data_off)
-    px = px.reshape(height, row_stride)[:, : width * 3].reshape(height, width, 3)
+    px = px.reshape(height, row_stride)[:, : width * bypp]
+    if bpp == 8:
+        # palette: BGRX quads between the info header and the pixel data
+        n_colors = struct.unpack_from("<I", buf, 46)[0] or 256
+        pal = np.frombuffer(buf, np.uint8, n_colors * 4, 14 + hdr_size).reshape(-1, 4)
+        idx = px.reshape(height, width)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        out = pal[idx][:, :, :3][:, :, ::-1]  # BGRX -> RGB
+    else:
+        out = px.reshape(height, width, bypp)[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB
     if flipped:
-        px = px[::-1]
-    return height, width, 3, px[:, :, ::-1]  # BGR storage → RGB
+        out = out[::-1]
+    return height, width, 3, out
 
 
 def _decode_ppm(buf: bytes):
@@ -153,8 +165,13 @@ def _decode_ppm(buf: bytes):
         tokens.append(int(buf[start:pos]))
     pos += 1  # the single whitespace after maxval
     width, height, maxval = tokens
+    if maxval > 65535:
+        raise ValueError(f"PPM maxval {maxval} out of spec range")
     if maxval > 255:
-        raise NotImplementedError("16-bit PPM needs a codec library")
+        # 16-bit PPM: big-endian 2-byte samples; downconvert by the high
+        # byte (the same display convention as the 16-bit PNG path)
+        px = np.frombuffer(buf, dtype=">u2", count=width * height * 3, offset=pos)
+        return height, width, 3, (px >> 8).astype(np.uint8).reshape(height, width, 3)
     px = np.frombuffer(buf, dtype=np.uint8, count=width * height * 3, offset=pos)
     return height, width, 3, px.reshape(height, width, 3)
 

@@ -226,6 +226,60 @@ def test_ppm_decode_with_comment(spark):
     assert px.tolist() == [[[1, 2, 3], [4, 5, 6]]]
 
 
+def test_ppm_16bit_decode(spark):
+    """16-bit PPM: big-endian 2-byte samples, downconverted by high byte."""
+    import struct
+
+    from native_sql_engine_spark.operators.multimodal import _decode_ppm
+
+    samples = [65535, 0, 256, 32768, 255, 514]  # high bytes: 255,0,1,128,0,2
+    buf = b"P6\n2 1\n65535\n" + b"".join(struct.pack(">H", s) for s in samples)
+    h, w, c, px = _decode_ppm(buf)
+    assert (h, w, c) == (1, 2, 3)
+    assert px.tolist() == [[[255, 0, 1], [128, 0, 2]]]
+
+
+def test_bmp_32bit_and_palette(spark):
+    """32-bit BGRA (alpha dropped) and 8-bit palette BMPs decode natively."""
+    import struct
+
+    from native_sql_engine_spark.operators.multimodal import _decode_bmp
+
+    # 32-bit, 1x2 bottom-up: rows have no padding (4-byte pixels)
+    px32 = bytes([10, 20, 30, 99]) + bytes([40, 50, 60, 99])  # BGRA
+    buf = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(px32), 0, 0, 54)
+        + struct.pack("<Iii", 40, 2, 1)
+        + struct.pack("<HHI", 1, 32, 0)
+        + struct.pack("<IiiII", len(px32), 0, 0, 0, 0)
+        + px32
+    )
+    h, w, c, out = _decode_bmp(buf)
+    assert (h, w, c) == (1, 2, 3)
+    assert out.tolist() == [[[30, 20, 10], [60, 50, 40]]]
+
+    # 8-bit palette, 2x2 bottom-up: palette BGRX; indices padded to 4 bytes
+    pal = bytes([0, 0, 255, 0]) + bytes([0, 255, 0, 0]) + bytes([255, 0, 0, 0])
+    rows = bytes([2, 0, 0, 0]) + bytes([0, 1, 0, 0])  # bottom row first
+    buf = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pal) + len(rows), 0, 0, 54 + len(pal))
+        + struct.pack("<Iii", 40, 2, 2)
+        + struct.pack("<HHI", 1, 8, 0)
+        + struct.pack("<IiiII", len(rows), 0, 0, 3, 0)
+        + pal
+        + rows
+    )
+    h, w, c, out = _decode_bmp(buf)
+    assert (h, w, c) == (2, 2, 3)
+    # top row (stored second): idx 0 -> red, idx 1 -> green; bottom: blue, red
+    assert out.tolist() == [
+        [[255, 0, 0], [0, 255, 0]],
+        [[0, 0, 255], [255, 0, 0]],
+    ]
+
+
 def test_decode_resize_spark_roundtrip(spark):
     """End-to-end through the Spark operators: decode a known BMP, resize
     2x2 → 4x4 nearest-neighbor (each source pixel becomes a 2x2 block)."""
