@@ -885,6 +885,91 @@ def decode_audio(
     return df.select(id_col, payload_col).mapInPandas(batches, DECODED_AUDIO)
 
 
+#: schema of per-frame spectral rows
+AUDIO_SPECTRUM = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("dominant_bin", T.IntegerType()),
+        T.StructField("n_bins", T.IntegerType()),
+    ]
+)
+
+
+def audio_spectrogram(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame: int = 512,
+) -> DataFrame:
+    """Short-time spectral analysis — the feature-extraction step of an
+    audio training pipeline: decode (WAV/FLAC dispatch), split channel 0
+    into non-overlapping ``frame``-sample windows, numpy rfft per frame,
+    emit each frame's dominant non-DC frequency bin.  The whole batch of
+    frames FFTs as ONE stacked numpy call (vectorized across frames);
+    only (frame_idx, argmax-bin) ints leave Python."""
+    import numpy as np
+
+    from .flac import decode_flac, decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(buf)
+                if buf[:4] == b"RIFF":
+                    _r, _c, _b, arr = decode_wav(buf)
+                elif buf[:4] == b"fLaC":
+                    _r, _c, _b, arr = decode_flac(buf)
+                else:
+                    raise NotImplementedError("spectrogram needs WAV/FLAC input")
+                x = arr[:, 0].astype(np.float64)
+                n_frames = len(x) // frame
+                if n_frames == 0:
+                    continue
+                frames = x[: n_frames * frame].reshape(n_frames, frame)
+                spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                dom = 1 + spec[:, 1:].argmax(axis=1)  # skip the DC bin
+                for fi in range(n_frames):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "dominant_bin": int(dom[fi]),
+                            "n_bins": spec.shape[1],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SPECTRUM.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_SPECTRUM)
+
+
+def synthesize_sine_corpus(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 1024, frame: int = 512
+) -> DataFrame:
+    """Deterministic 16-bit mono WAV per row: a pure sine at frequency bin
+    5 + (id mod 20) of a ``frame``-sample window — so every window's
+    dominant FFT bin is that closed-form value."""
+    import numpy as np
+
+    from .flac import encode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                b = 5 + int(i) % 20
+                k = np.arange(n_samples)
+                s = np.round(12000 * np.sin(2 * np.pi * b * k / frame)).astype(np.int64)
+                payloads.append(encode_wav(s, 16000, 16))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
 def audio_stats(df: DataFrame, audio_col: str = "audio") -> DataFrame:
     """Per-row PCM statistics (RMS, peak, mean) from the raw bytes — the
     numpy kernel runs per Arrow batch (vectorized np.frombuffer, no Python

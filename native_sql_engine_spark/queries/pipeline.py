@@ -1519,6 +1519,34 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_audio_spectrogram",
+    """
+    SELECT d.doc_id, cast(f.f AS int) AS frame_idx,
+           cast(5 + d.doc_id % 20 AS int) AS dominant_bin, 257 AS n_bins
+    FROM documents d, range(2) f(f)
+    WHERE d.doc_id < 200
+    ORDER BY d.doc_id, frame_idx
+    """,
+)
+def multimodal_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-time FFT feature extraction (operators/multimodal.py
+    audio_spectrogram): WAV decode → 512-sample windows → vectorized
+    numpy rfft → dominant non-DC bin per frame.  The corpus is a pure
+    sine at bin 5 + (id mod 20), so the dominant bin is exact in closed
+    form — a wrong window split, FFT axis, or off-by-one in the DC skip
+    moves the argmax and fails the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = M.synthesize_sine_corpus(docs, "doc_id", n_samples=1024, frame=512)
+    spec = M.audio_spectrogram(payloads, "payload", "doc_id", frame=512)
+    return spec.select(
+        F.col("media_id").alias("doc_id"),
+        "frame_idx",
+        "dominant_bin",
+        "n_bins",
+    ).orderBy("doc_id", "frame_idx")
+
+
+@q(
     "multimodal_frame_sample",
     """
     SELECT d.doc_id, f.f AS frame_idx,
