@@ -870,6 +870,56 @@ CASES: dict[str, str] = {
              (SELECT n_nationkey AS k FROM nation WHERE n_nationkey >= 5) b
         USING (k)
     """,
+    # -- batch 6 (round 6): modern shared surface — GROUP BY ALL, lateral
+    # column aliases, FILTER clauses, ordered-set aggregates, ILIKE/ESCAPE,
+    # VALUES tables, standard string functions ------------------------------
+    "group_by_all": """
+        SELECT n_regionkey, count(*) AS n FROM nation GROUP BY ALL ORDER BY n_regionkey
+    """,
+    "lateral_column_alias": """
+        SELECT n_nationkey + 1 AS a, a * 2 AS b FROM nation ORDER BY a LIMIT 5
+    """,
+    "agg_filter_clause": """
+        SELECT cast(count(*) FILTER (WHERE n_regionkey = 0) AS bigint) AS n0,
+               cast(sum(n_nationkey) FILTER (WHERE n_regionkey > 2) AS bigint) AS s2
+        FROM nation
+    """,
+    "count_if_portable": "SELECT cast(count_if(n_regionkey = 1) AS bigint) AS n FROM nation",
+    "bool_and_or": """
+        SELECT bool_and(n_nationkey >= 0) AS ba, bool_or(n_nationkey > 23) AS bo FROM nation
+    """,
+    "median_interpolates_even_count": """
+        SELECT median(v) AS m
+        FROM (SELECT 1 AS v UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4)
+    """,
+    "percentile_cont_within_group": """
+        SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY n_nationkey) AS p FROM nation
+    """,
+    "split_part_fn": "SELECT split_part('a,b,c', ',', 2) AS v",
+    "levenshtein_fn": "SELECT levenshtein('kitten', 'sitting') AS d",
+    "translate_fn": "SELECT translate('abcba', 'ab', 'xy') AS v",
+    "lpad_rpad_multichar": "SELECT lpad('7', 5, 'ab') AS v, rpad('7', 4, '.') AS w",
+    "trim_both_chars": "SELECT trim(BOTH 'x' FROM 'xxhixx') AS v",
+    "position_in_string": "SELECT position('b' IN 'abc') AS p",
+    "repeat_fn": "SELECT repeat('ab', 3) AS v",
+    "ilike_case_insensitive": """
+        SELECT count(*) AS n FROM nation WHERE n_name ILIKE '%uni%'
+    """,
+    "like_custom_escape": """
+        SELECT 'a_b' LIKE 'a!_b' ESCAPE '!' AS v, 'axb' LIKE 'a!_b' ESCAPE '!' AS w
+    """,
+    "exists_correlated_pushdown": """
+        SELECT count(*) AS n FROM region r
+        WHERE EXISTS (SELECT 1 FROM nation n
+                      WHERE n.n_regionkey = r.r_regionkey AND n.n_nationkey > 20)
+    """,
+    "values_inline_table": """
+        SELECT * FROM (VALUES (1, 'a'), (2, 'b')) AS t(id, s) ORDER BY id
+    """,
+    "order_by_ordinal_positions": """
+        SELECT n_name, n_regionkey FROM nation ORDER BY 2, 1 LIMIT 5
+    """,
+    "greatest_least_variadic": "SELECT greatest(1, 2, 3) AS g, least(4, 5, 6) AS l",
 }
 
 #: Negative corpus (the reference's subquery/negative territory): SQL both
