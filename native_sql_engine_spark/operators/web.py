@@ -66,10 +66,11 @@ def url_domain(col: Column) -> Column:
 
 
 def url_normalize(col: Column) -> Column:
-    """Canonical URL for crawl dedup: lowercase scheme+host, drop the
-    fragment, drop default ports (:80 http / :443 https), strip tracking
-    parameters (utm_*, fbclid, gclid, ref), and tidy leftover ?/&
-    separators.  Expression-only; at 100 TB this runs inside the scan
+    """Canonical URL for crawl dedup: lowercase the scheme and authority
+    (userinfo included — case is never significant for dedup keys), drop
+    the fragment, drop default ports (:80 http / :443 https), strip
+    tracking parameters (utm_*, fbclid, gclid, ref) while preserving real
+    ones.  Expression-only; at 100 TB this runs inside the scan
     projection, and the canonical string is what the exact-dedup digest
     keys on."""
     # lowercase scheme://host[:port] (group 1), keep the rest (group 2) as-is

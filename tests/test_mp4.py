@@ -31,6 +31,31 @@ def test_codec_fourcc_and_odd_dims(codec):
     assert t["n_samples"] == 7
 
 
+def test_tkhd_version1_geometry_offset():
+    """Version-1 tkhd (64-bit times) shifts the width/height offset by 12
+    bytes — build one by hand and check the parser's arithmetic."""
+    from native_sql_engine_spark.operators.mp4 import _UNITY_MATRIX, _box, _full
+
+    tkhd_v1 = _full(
+        b"tkhd",
+        1,
+        7,
+        struct.pack(">QQIIQ", 0, 0, 9, 0, 7_000)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", 123 << 16, 45 << 16),
+    )
+    base = build_mp4(640, 360, 10)
+    # splice: wrap the v1 tkhd in a fresh trak with no mdia
+    trak = _box(b"trak", tkhd_v1)
+    moov = _box(b"moov", trak)
+    buf = base[: base.index(b"moov") - 4]  # ftyp only
+    m = parse_mp4_meta(buf + moov)
+    (t,) = m["tracks"]
+    assert t["track_id"] == 9 and (t["width"], t["height"]) == (123, 45)
+
+
 def test_largesize_and_size_zero_boxes():
     buf = build_mp4(16, 16, 1)
     large = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 21) + b"xxxxx"

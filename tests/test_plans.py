@@ -487,6 +487,23 @@ def test_exchange_cache_entries_plan_shapes(spark, sf_small):
     assert coalesced.first()["n_parts"] == 1
 
 
+def test_web_entries_stay_jvm_side(spark, sf_small):
+    """web_html_extract / web_url_normalize promise expression-only
+    execution: no Python evaluation operator anywhere in the plan, and no
+    Exchange before the final global sort (the stripping chain pipelines
+    into the scan)."""
+    from native_sql_engine_spark.queries import pipeline
+
+    for name in ("web_html_extract", "web_url_normalize"):
+        df = pipeline.QUERIES[name](spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+        # exactly the sort's range-partitioning exchange, nothing else
+        # (WSCG spans only materialize in the AQE final plan, so the
+        # positive assertion here is the absence of Python operators)
+        assert plan.count("Exchange") <= 1, name
+
+
 def test_connected_components_plan_stays_flat_across_rounds(spark):
     """Iterative CC references the previous labels TWICE per round (neighbor
     join + pointer jump), so a persist-only loop DOUBLES the logical tree
