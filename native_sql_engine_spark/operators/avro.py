@@ -1,0 +1,214 @@
+"""From-scratch Avro Object Container File (OCF) codec — stdlib only.
+
+Implements the Avro 1.x spec subset that covers tabular interchange:
+record schemas over null / boolean / int / long / float / double /
+string / bytes (including ["null", T] unions — how nullable columns are
+spelled in Avro), zigzag-varint integers, little-endian IEEE floats,
+length-prefixed strings, container framing (Obj\\x01 magic, metadata map
+with the embedded JSON schema, 16-byte sync markers) and the null +
+deflate codecs (raw DEFLATE via stdlib zlib).
+
+Reference parity: the reference's arrow-data-source module reads
+columnar interchange formats next to parquet/csv; here the container
+decode itself is first-class and feeds Arrow batches.
+
+Malformed payloads raise positioned ``ValueError`` (shared codec-layer
+contract).  Complex nested types (maps, arrays of records, fixed, enums)
+are out of the tabular subset and raise ``NotImplementedError``.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+__all__ = ["write_avro", "read_avro"]
+
+_MAGIC = b"Obj\x01"
+_SYNC = bytes(range(16))  # deterministic sync marker (spec: any 16 bytes)
+
+
+# -- primitive codecs ----------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = u = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError(f"truncated varint at byte {pos}")
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError(f"varint too long at byte {pos}")
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _encode_value(v, typ: str) -> bytes:
+    if typ == "null":
+        return b""
+    if typ == "boolean":
+        return b"\x01" if v else b"\x00"
+    if typ in ("int", "long"):
+        return _zigzag_encode(int(v))
+    if typ == "float":
+        return struct.pack("<f", float(v))
+    if typ == "double":
+        return struct.pack("<d", float(v))
+    if typ == "string":
+        enc = str(v).encode()
+        return _zigzag_encode(len(enc)) + enc
+    if typ == "bytes":
+        return _zigzag_encode(len(v)) + bytes(v)
+    raise NotImplementedError(f"Avro type {typ!r} outside the tabular subset")
+
+
+def _decode_value(buf: bytes, pos: int, typ: str):
+    if typ == "null":
+        return None, pos
+    if typ == "boolean":
+        return buf[pos] != 0, pos + 1
+    if typ in ("int", "long"):
+        return _zigzag_decode(buf, pos)
+    if typ == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if typ == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if typ in ("string", "bytes"):
+        n, pos = _zigzag_decode(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError(f"bad {typ} length {n} at byte {pos}")
+        raw = buf[pos : pos + n]
+        return (raw.decode() if typ == "string" else raw), pos + n
+    raise NotImplementedError(f"Avro type {typ!r} outside the tabular subset")
+
+
+def _field_type(t):
+    """Normalize a field type: plain primitive or ["null", prim] union."""
+    if isinstance(t, str):
+        return t, False
+    if isinstance(t, list):
+        names = [x if isinstance(x, str) else None for x in t]
+        if len(names) == 2 and "null" in names:
+            other = names[0] if names[1] == "null" else names[1]
+            if other:
+                return other, True
+    raise NotImplementedError(f"Avro type {t!r} outside the tabular subset")
+
+
+# -- container -----------------------------------------------------------------
+
+
+def write_avro(rows: list[dict], schema: dict, codec: str = "deflate", block_rows: int = 1000) -> bytes:
+    """Serialize dict rows under a record ``schema`` into an OCF byte
+    string.  ``codec``: 'null' or 'deflate'."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec {codec!r}")
+    fields = [(f["name"], *_field_type(f["type"])) for f in schema["fields"]]
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": codec.encode(),
+    }
+    out = bytearray(_MAGIC)
+    out += _zigzag_encode(len(meta))
+    for k, v in meta.items():
+        ke = k.encode()
+        out += _zigzag_encode(len(ke)) + ke + _zigzag_encode(len(v)) + v
+    out += _zigzag_encode(0)  # end of metadata map
+    out += _SYNC
+
+    for start in range(0, len(rows), block_rows):
+        blk = rows[start : start + block_rows]
+        body = bytearray()
+        for row in blk:
+            for name, typ, nullable in fields:
+                v = row.get(name)
+                if nullable:
+                    if v is None:
+                        body += _zigzag_encode(0)  # union branch 0 = null
+                        continue
+                    body += _zigzag_encode(1)
+                body += _encode_value(v, typ)
+        data = bytes(body)
+        if codec == "deflate":
+            data = zlib.compress(data, 6)[2:-4]  # raw DEFLATE per spec
+        out += _zigzag_encode(len(blk)) + _zigzag_encode(len(data)) + data + _SYNC
+    return bytes(out)
+
+
+def read_avro(buf: bytes) -> tuple[dict, list[dict]]:
+    """Parse an OCF byte string.  Returns (schema, rows)."""
+    if buf[:4] != _MAGIC:
+        raise ValueError("not an Avro OCF payload (missing Obj\\x01 magic)")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _zigzag_decode(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # negative count: abs count preceded by byte size
+            n, pos = -n, _zigzag_decode(buf, pos)[1]
+        for _ in range(n):
+            kl, pos = _zigzag_decode(buf, pos)
+            k = buf[pos : pos + kl].decode()
+            pos += kl
+            vl, pos = _zigzag_decode(buf, pos)
+            meta[k] = buf[pos : pos + vl]
+            pos += vl
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except (KeyError, ValueError) as ex:
+        raise ValueError(f"missing or invalid avro.schema: {ex}") from ex
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"Avro codec {codec!r} not supported (null/deflate)")
+    sync = buf[pos : pos + 16]
+    pos += 16
+
+    fields = [(f["name"], *_field_type(f["type"])) for f in schema["fields"]]
+    rows: list[dict] = []
+    while pos < len(buf):
+        count, pos = _zigzag_decode(buf, pos)
+        size, pos = _zigzag_decode(buf, pos)
+        if count < 0 or size < 0 or pos + size + 16 > len(buf):
+            raise ValueError(f"block at byte {pos} overruns the buffer")
+        data = buf[pos : pos + size]
+        pos += size
+        if buf[pos : pos + 16] != sync:
+            raise ValueError(f"sync marker mismatch at byte {pos}")
+        pos += 16
+        if codec == "deflate":
+            data = zlib.decompress(data, -15)
+        dpos = 0
+        for _ in range(count):
+            row = {}
+            for name, typ, nullable in fields:
+                if nullable:
+                    branch, dpos = _zigzag_decode(data, dpos)
+                    if branch == 0:
+                        row[name] = None
+                        continue
+                    if branch != 1:
+                        raise ValueError(f"invalid union branch {branch}")
+                row[name], dpos = _decode_value(data, dpos, typ)
+            rows.append(row)
+        if dpos != len(data):
+            raise ValueError("Avro block has trailing bytes after the last record")
+    return schema, rows

@@ -2067,6 +2067,79 @@ def source_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_avro_roundtrip",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           cast(sum(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END)
+                AS bigint) AS opt_sum
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF interchange e2e through the from-scratch codec
+    (operators/avro.py: zigzag varints, ["null", T] unions, deflate
+    blocks, sync-marker framing) — every Arrow batch serializes to a
+    container and parses back, partition-parallel, and the aggregate is
+    oracle-matched against the original parquet.  A varint off-by-one,
+    wrong union branch, or block framing slip changes the sums.  Parity:
+    the reference's arrow-data-source reads interchange formats beside
+    parquet/csv; Avro is the row-interchange sibling."""
+    import pandas as pd
+
+    from native_sql_engine_spark.operators.avro import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "orders_slice",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "o_totalprice", "type": "double"},
+            {"name": "opt_custkey", "type": ["null", "long"]},
+        ],
+    }
+
+    def roundtrip(it):
+        for pdf in it:
+            rows = pdf.to_dict("records")
+            for r in rows:  # pandas NaN -> Avro null branch
+                if pd.isna(r["opt_custkey"]):
+                    r["opt_custkey"] = None
+                else:
+                    r["opt_custkey"] = int(r["opt_custkey"])
+            _sch, back = read_avro(write_avro(rows, schema, codec="deflate"))
+            yield pd.DataFrame(back, columns=[f["name"] for f in schema["fields"]])
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+            .otherwise(F.col("o_custkey"))
+            .alias("opt_custkey"),
+        )
+    )
+    back = orders.mapInPandas(
+        roundtrip,
+        "o_orderkey long, o_orderstatus string, o_totalprice double, opt_custkey long",
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.sum("opt_custkey").cast("bigint").alias("opt_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "source_orc_roundtrip",
     """
     SELECT o_orderpriority, cast(count(*) AS bigint) AS n,

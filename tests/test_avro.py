@@ -1,0 +1,94 @@
+"""Avro OCF codec (operators/avro.py): zigzag varints, nullable unions,
+deflate blocks, container framing, honest gates for complex types."""
+
+from __future__ import annotations
+
+import pytest
+
+from native_sql_engine_spark.operators.avro import (
+    _zigzag_decode,
+    _zigzag_encode,
+    read_avro,
+    write_avro,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "p", "type": "double"},
+        {"name": "f32", "type": "float"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "opt", "type": ["null", "long"]},
+        {"name": "raw", "type": "bytes"},
+    ],
+}
+
+
+def _rows(n):
+    import struct as _s
+
+    out = []
+    for i in range(-5, n - 5):
+        out.append(
+            {
+                "k": i * 123456789,
+                "s": f"row-{i}-é中",
+                "p": i * 1.5,
+                "f32": _s.unpack("<f", _s.pack("<f", i * 0.25))[0],
+                "flag": i % 2 == 0,
+                "opt": None if i % 3 == 0 else i * 7,
+                "raw": bytes([i % 256, 255, 0]),
+            }
+        )
+    return out
+
+
+def test_zigzag_pinned_values():
+    """Spec check values: 0→00, -1→01, 1→02, -2→03, 2147483647→fe ff ff ff 0f."""
+    assert _zigzag_encode(0) == b"\x00"
+    assert _zigzag_encode(-1) == b"\x01"
+    assert _zigzag_encode(1) == b"\x02"
+    assert _zigzag_encode(-2) == b"\x03"
+    assert _zigzag_encode(2147483647) == b"\xfe\xff\xff\xff\x0f"
+    for v in (0, -1, 1, 63, -64, 64, 2**40, -(2**40), 2**62):
+        dec, _ = _zigzag_decode(_zigzag_encode(v), 0)
+        assert dec == v
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip_multiblock(codec):
+    rows = _rows(2500)
+    buf = write_avro(rows, SCHEMA, codec=codec, block_rows=700)
+    schema, out = read_avro(buf)
+    assert schema == SCHEMA
+    assert out == rows
+
+
+def test_errors_and_gates():
+    with pytest.raises(ValueError, match="magic"):
+        read_avro(b"PAR1....")
+    buf = write_avro(_rows(10), SCHEMA)
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        read_avro(buf[:-12])
+    # corrupt the sync marker of the data block
+    bad = bytearray(buf)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync"):
+        read_avro(bytes(bad))
+    with pytest.raises(NotImplementedError, match="subset"):
+        write_avro([{"m": {}}], {"type": "record", "name": "x",
+                                 "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]})
+    with pytest.raises(ValueError, match="codec"):
+        write_avro([], SCHEMA, codec="snappy")
+
+
+def test_empty_file_and_empty_strings():
+    buf = write_avro([], SCHEMA)
+    _, out = read_avro(buf)
+    assert out == []
+    rows = [{"k": 0, "s": "", "p": 0.0, "f32": 0.0, "flag": False, "opt": None, "raw": b""}]
+    _, out = read_avro(write_avro(rows, SCHEMA, codec="deflate"))
+    assert out == rows
