@@ -2140,6 +2140,100 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_tfrecord_roundtrip",
+    """
+    SELECT doc_id, md5(text) AS text_md5, cast(length(text) AS bigint) AS n_bytes
+    FROM documents WHERE doc_id < 400 ORDER BY doc_id
+    """,
+)
+def source_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord interchange e2e — the TensorFlow training-shard framing
+    (uint64le length + masked CRC32C of length and data, CRC table pinned
+    to the published iSCSI check value) from operators/mlformats.py.
+    Every Arrow batch serializes its documents into one TFRecord shard and
+    parses it back with CRC verification; the oracle recomputes each
+    record's md5 + length from the source column.  A framing slip, CRC
+    polynomial error, or mask mistake fails the read or the hash."""
+    import pandas as pd
+
+    from native_sql_engine_spark.operators.mlformats import (
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    def roundtrip(it):
+        for pdf in it:
+            recs = [
+                struct_pack(int(i), str(t))
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            back = read_tfrecords(write_tfrecords(recs))
+            ids, texts = [], []
+            for r in back:
+                i, t = r.split(b"\x00", 1)
+                ids.append(int(i))
+                texts.append(t.decode())
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    def struct_pack(i: int, t: str) -> bytes:
+        return str(i).encode() + b"\x00" + t.encode()
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    back = docs.select("doc_id", "text").mapInPandas(roundtrip, "doc_id long, text string")
+    return back.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length("text").cast("bigint").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "embed_safetensors_roundtrip",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                                              x -> cast(x AS double) * x))), 4) AS l2_norm
+    FROM embeddings WHERE vec_id < 500 ORDER BY vec_id
+    """,
+)
+def embed_safetensors_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """safetensors interchange e2e — the HF tensor-shard format
+    (uint64le header length + JSON tensor map + raw little-endian data,
+    operators/mlformats.py): every Arrow batch packs its embeddings into
+    one (n, d) float32 tensor + an id vector, serializes, parses back
+    zero-copy, and emits per-row L2 norms computed FROM THE ROUNDTRIPPED
+    TENSOR.  The oracle computes the same norms from the source array
+    column, so an offset error, dtype mix-up, or shape transposition
+    shifts every norm."""
+    import numpy as np
+    import pandas as pd
+
+    from native_sql_engine_spark.operators.mlformats import (
+        read_safetensors,
+        write_safetensors,
+    )
+
+    def roundtrip(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            buf = write_safetensors({"emb": mat, "ids": ids}, {"rows": len(ids)})
+            out, meta = read_safetensors(buf)
+            assert int(meta["rows"]) == len(ids)
+            norms = np.sqrt((out["emb"].astype(np.float64) ** 2).sum(axis=1))
+            yield pd.DataFrame(
+                {"vec_id": out["ids"], "l2_norm": np.round(norms, 4)}
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return emb.select("vec_id", "embedding").mapInPandas(
+        roundtrip, "vec_id long, l2_norm double"
+    ).orderBy("vec_id")
+
+
+@q(
     "source_orc_roundtrip",
     """
     SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
