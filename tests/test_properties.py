@@ -580,3 +580,144 @@ def test_bpe_merges_invariants(words, n):
     assert all(c > 0 for _, _, c in merges)
     m2, b2, a2 = train_merges(dict(reversed(list(words.items()))), n)
     assert m2 == merges and (b2, a2) == (before, after)  # order-insensitive
+
+
+@given(
+    samples=st.lists(
+        st.tuples(st.integers(-32768, 32767), st.integers(-32768, 32767)),
+        min_size=1,
+        max_size=300,
+    ),
+    mode=st.sampled_from(["indep", "left_side", "right_side", "mid_side"]),
+    lpc=st.integers(0, 8),
+    block=st.sampled_from([64, 256]),
+)
+@settings(**{**_SETTINGS, "max_examples": 15})
+def test_flac_stereo_lpc_roundtrip_property(samples, mode, lpc, block):
+    """FLAC stereo decorrelation × LPC/FIXED subframes is lossless on
+    arbitrary 16-bit stereo signals — incl. odd mid/side parity and the
+    side channel's bits+1 range."""
+    import numpy as np
+
+    from native_sql_engine_spark.operators.flac import decode_flac, encode_flac
+
+    sig = np.array(samples, dtype=np.int64)
+    buf = encode_flac(sig, 16000, 16, block_size=block, order=2, mode=mode, lpc_order=lpc)
+    _, _, _, out = decode_flac(buf)
+    assert (out == sig).all()
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-(2**62), 2**62),
+            st.text(max_size=30),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.booleans(),
+            st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+            st.binary(max_size=20),
+        ),
+        max_size=60,
+    ),
+    codec=st.sampled_from(["null", "deflate"]),
+    block=st.sampled_from([7, 1000]),
+)
+@settings(**{**_SETTINGS, "max_examples": 15})
+def test_avro_roundtrip_property(rows, codec, block):
+    """Avro OCF round-trips arbitrary rows: full-range zigzag longs,
+    unicode strings, doubles, nullable unions, bytes, across block
+    boundaries and codecs."""
+    from native_sql_engine_spark.operators.avro import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "o", "type": ["null", "long"]},
+            {"name": "r", "type": "bytes"},
+        ],
+    }
+    dicts = [dict(zip("ksdbor", row)) for row in rows]
+    _, out = read_avro(write_avro(dicts, schema, codec=codec, block_rows=block))
+    assert out == dicts
+
+
+@given(recs=st.lists(st.binary(max_size=200), max_size=40))
+@settings(**{**_SETTINGS, "max_examples": 15})
+def test_tfrecord_roundtrip_property(recs):
+    """TFRecord framing round-trips arbitrary binary records (incl. empty
+    and CRC-looking payloads) with CRC verification on."""
+    from native_sql_engine_spark.operators.mlformats import read_tfrecords, write_tfrecords
+
+    assert read_tfrecords(write_tfrecords(recs)) == recs
+
+
+@given(
+    shape=st.tuples(st.integers(1, 8), st.integers(1, 8)),
+    dtype=st.sampled_from(["<f4", "<f8", "<i8", "<i2", "u1"]),
+    seed=st.integers(0, 2**16),
+)
+@settings(**{**_SETTINGS, "max_examples": 15})
+def test_safetensors_roundtrip_property(shape, dtype, seed):
+    import numpy as np
+
+    from native_sql_engine_spark.operators.mlformats import read_safetensors, write_safetensors
+
+    rng = np.random.default_rng(seed)
+    arr = (rng.integers(-100, 100, size=shape)).astype(dtype)
+    out, _ = read_safetensors(write_safetensors({"t": arr}))
+    assert out["t"].shape == arr.shape and (out["t"] == arr).all()
+
+
+@given(
+    img=st.integers(0, 2**16),
+    h=st.integers(1, 9),
+    w=st.integers(1, 9),
+    ch=st.sampled_from([3, 4]),
+)
+@settings(**{**_SETTINGS, "max_examples": 15})
+def test_vp8l_literal_roundtrip_property(img, h, w, ch):
+    """The VP8L fixture encoder + full decoder are lossless on arbitrary
+    small RGBA images (exercises canonical code building across skewed
+    value distributions)."""
+    import numpy as np
+
+    from native_sql_engine_spark.operators.vp8l import decode_webp, encode_vp8l
+
+    rng = np.random.default_rng(img)
+    # skew: half the images use a tiny alphabet (deep Huffman imbalance)
+    vals = rng.integers(0, 4 if img % 2 else 256, size=(h, w, ch)).astype(np.uint8)
+    _, _, out = decode_webp(encode_vp8l(vals))
+    want = (
+        vals
+        if ch == 4
+        else np.concatenate([vals, np.full((h, w, 1), 255, np.uint8)], axis=2)
+    )
+    assert (out == want).all()
+
+
+@given(
+    n_rec=st.integers(0, 6),
+    gz=st.booleans(),
+    body=st.binary(max_size=120),
+)
+@settings(**{**_SETTINGS, "max_examples": 15})
+def test_warc_roundtrip_property(n_rec, gz, body):
+    """WARC framing round-trips arbitrary binary blocks (incl. blocks that
+    contain CRLF/WARC-like bytes) in both plain and per-record-gzip
+    layouts."""
+    from native_sql_engine_spark.operators.warc import build_warc, iter_warc_records
+
+    recs = [
+        {"warc_type": "resource", "uri": f"https://x/{i}", "block": body + bytes([i])}
+        for i in range(n_rec)
+    ]
+    out = list(iter_warc_records(build_warc(recs, gzip_per_record=gz)))
+    assert len(out) == n_rec
+    for i, (hdrs, blk) in enumerate(out):
+        assert blk == body + bytes([i])
+        assert hdrs["WARC-Target-URI"] == f"https://x/{i}"
