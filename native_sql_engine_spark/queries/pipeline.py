@@ -2234,6 +2234,73 @@ def embed_safetensors_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_parquet_footer",
+    """
+    SELECT * FROM (
+      SELECT 'customer' AS tbl, (SELECT cast(count(*) AS bigint) FROM customer) AS num_rows, true AS footer_consistent
+      UNION ALL SELECT 'documents', (SELECT count(*) FROM documents), true
+      UNION ALL SELECT 'embeddings', (SELECT count(*) FROM embeddings), true
+      UNION ALL SELECT 'events', (SELECT count(*) FROM events), true
+      UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lineitem), true
+      UNION ALL SELECT 'nation', (SELECT count(*) FROM nation), true
+      UNION ALL SELECT 'orders', (SELECT count(*) FROM orders), true
+      UNION ALL SELECT 'part', (SELECT count(*) FROM part), true
+      UNION ALL SELECT 'region', (SELECT count(*) FROM region), true
+      UNION ALL SELECT 'supplier', (SELECT count(*) FROM supplier), true
+    ) ORDER BY tbl
+    """,
+)
+def source_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer introspection from scratch — a generic Thrift
+    compact-protocol decoder + FileMetaData interpretation
+    (operators/parquet_meta.py) over every table file of the scale
+    factor.  num_rows comes from OUR parser; the oracle recomputes it by
+    actually scanning each table, so the parser cannot self-certify.
+    footer_consistent additionally asserts internal invariants (row-group
+    row counts sum to the file count, every column chunk's value count
+    equals its group's row count, codecs known, created_by present).
+    This is the zero-scan layout-audit path: at 100 TB, row-group sizing
+    and codec mix come from footers read via range requests, never data
+    scans."""
+    import pandas as pd
+
+    from native_sql_engine_spark.operators.parquet_meta import parse_footer
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = parse_footer(bytes(content))
+                ok = (
+                    sum(rg["num_rows"] for rg in m["row_groups"]) == m["num_rows"]
+                    # num_values counts LEAF slots: == rows for flat columns,
+                    # >= rows for repeated (list) columns like embeddings
+                    and all(
+                        c["num_values"] >= rg["num_rows"]
+                        for rg in m["row_groups"]
+                        for c in rg["columns"]
+                    )
+                    and all(
+                        not c["codec"].startswith("UNKNOWN")
+                        for rg in m["row_groups"]
+                        for c in rg["columns"]
+                    )
+                    and bool(m["created_by"])
+                    and m["num_row_groups"] >= 1
+                )
+                tbl = path.rsplit("/", 1)[-1].removesuffix(".parquet")
+                rows.append({"tbl": tbl, "num_rows": m["num_rows"], "footer_consistent": ok})
+            yield pd.DataFrame(rows, columns=["tbl", "num_rows", "footer_consistent"])
+
+    files = spark.read.format("binaryFile").load(sf_dir + "/*.parquet")
+    return (
+        files.select("path", "content")
+        .mapInPandas(batches, "tbl string, num_rows long, footer_consistent boolean")
+        .orderBy("tbl")
+    )
+
+
+@q(
     "source_orc_roundtrip",
     """
     SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
