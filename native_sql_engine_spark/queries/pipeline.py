@@ -2301,6 +2301,52 @@ def source_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_parquet_rawread",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           cast(sum(o_orderkey) AS bigint) AS key_sum
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def source_parquet_rawread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet DATA read entirely from scratch (operators/parquet_data.py):
+    Snappy block decompression, Thrift page headers, RLE/bit-packed
+    definition levels and dictionary indices, PLAIN + RLE_DICTIONARY
+    value decode — no parquet library touches the bytes.  The orders
+    file's columns are decoded inside an Arrow batch and aggregated; the
+    oracle computes the same aggregate through DuckDB's own scan, so
+    every layer (codec, page framing, hybrid decoder, dictionary) is
+    independently cross-checked.  This is the verification path for the
+    storage stack, not a replacement for Spark's vectorized reader."""
+    import pandas as pd
+
+    from native_sql_engine_spark.operators.parquet_data import read_table
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                cols = read_table(
+                    bytes(content), ["o_orderkey", "o_orderstatus", "o_totalprice"]
+                )
+                yield pd.DataFrame(cols)
+
+    files = spark.read.format("binaryFile").load(sf_dir + "/orders.parquet")
+    raw = files.select("content").mapInPandas(
+        batches, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    return (
+        raw.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "source_orc_roundtrip",
     """
     SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
