@@ -152,19 +152,65 @@ def _plain_values(data: bytes, pos: int, ptype: int, count: int):
 # -- column chunk reader ----------------------------------------------------------
 
 
-def _schema_leaves(meta: dict) -> dict[str, tuple[int, int | None]]:
-    """name -> (repetition_type, converted_type) for the root's children;
-    repetition -1 marks nested groups."""
+def _schema_leaves(meta: dict) -> dict[str, dict]:
+    """name -> column descriptor for the root's children.  Flat leaves get
+    ``{"kind": "flat", "max_def", "converted"}``; standard 3-level LIST
+    groups (optional group[LIST] > repeated group > leaf) get
+    ``{"kind": "list", "max_def", "max_rep", "converted", "path"}``;
+    other nesting gets ``{"kind": "nested"}`` (honest gate)."""
     schema = meta.get(2, [])
     if not schema:
         raise ValueError("footer has no schema elements")
-    out = {}
-    for el in schema[1:]:
+    out: dict[str, dict] = {}
+    i = 1
+    n = len(schema)
+    while i < n:
+        el = schema[i]
         name = el.get(4, b"").decode("utf-8", "replace")
-        if el.get(5):  # num_children > 0: nested group
-            out[name] = (-1, None)
-        else:
-            out[name] = (el.get(3, 0), el.get(6))
+        nchildren = el.get(5, 0)
+        if not nchildren:
+            rep = el.get(3, 0)
+            if rep == 2:
+                out[name] = {"kind": "nested"}
+            else:
+                out[name] = {"kind": "flat", "max_def": 1 if rep == 1 else 0, "converted": el.get(6)}
+            i += 1
+            continue
+        # group: recognize the standard 3-level list shape
+        sub = schema[i + 1] if i + 1 < n else {}
+        leaf = schema[i + 2] if i + 2 < n else {}
+        is_list = (
+            el.get(6) == 3  # ConvertedType LIST
+            and nchildren == 1
+            and sub.get(3) == 2  # repeated middle group
+            and sub.get(5, 0) == 1
+            and not leaf.get(5, 0)  # single leaf
+        )
+        if is_list:
+            # def levels: +1 optional outer (if optional), +1 repeated, +1
+            # optional leaf (if optional)
+            md = (1 if el.get(3, 0) == 1 else 0) + 1 + (1 if leaf.get(3, 0) == 1 else 0)
+            out[name] = {
+                "kind": "list",
+                "max_def": md,
+                "max_rep": 1,
+                "converted": leaf.get(6),
+                "outer_optional": el.get(3, 0) == 1,
+                "leaf_optional": leaf.get(3, 0) == 1,
+                "path": ".".join(
+                    x.get(4, b"").decode("utf-8", "replace") for x in (el, sub, leaf)
+                ),
+            }
+            i += 3
+            continue
+        out[name] = {"kind": "nested"}
+        # skip the whole subtree (pre-order with child counts)
+        remaining = nchildren
+        i += 1
+        while remaining and i < n:
+            remaining -= 1
+            remaining += schema[i].get(5, 0)
+            i += 1
     return out
 
 
@@ -186,9 +232,10 @@ def _convert(values: list, converted_type: int | None) -> list:
 
 
 def read_column(buf: bytes, column: str):
-    """Read one flat column of a parquet file entirely from scratch.
-    Returns a Python list (None for nulls), concatenated over all row
-    groups."""
+    """Read one column of a parquet file entirely from scratch.  Flat
+    columns return a list (None for nulls); standard 3-level LIST columns
+    return a list of lists (None for null lists / elements).  Values are
+    concatenated over all row groups."""
     if buf[-4:] != b"PAR1":
         raise ValueError("not a parquet payload")
     (flen,) = struct.unpack_from("<I", buf, len(buf) - 8)
@@ -196,23 +243,67 @@ def read_column(buf: bytes, column: str):
     leaves = _schema_leaves(meta)
     if column not in leaves:
         raise ValueError(f"column {column!r} not in schema {sorted(leaves)}")
-    rep, conv = leaves[column]
-    if rep in (-1, 2):
-        raise NotImplementedError("nested/repeated columns not supported (flat subset)")
-    max_def = 1 if rep == 1 else 0  # OPTIONAL vs REQUIRED
+    desc = leaves[column]
+    if desc["kind"] == "nested":
+        raise NotImplementedError(
+            "nested columns beyond the standard 3-level LIST shape not supported"
+        )
+    max_def = desc["max_def"]
+    max_rep = desc.get("max_rep", 0)
+    chunk_path = desc.get("path", column)
 
     out: list = []
     for rg in meta.get(4, []):
         for cc in rg.get(1, []):
             cm = cc.get(3, {})
             path = ".".join(p.decode("utf-8", "replace") for p in cm.get(3, []))
-            if path != column:
+            if path != chunk_path:
                 continue
-            out.extend(_read_chunk(buf, cm, max_def, rg.get(3)))
-    return _convert(out, conv)
+            defs, reps, present = _read_chunk(buf, cm, max_def, max_rep)
+            present = _convert(present, desc["converted"])
+            if desc["kind"] == "flat":
+                it = iter(present)
+                out.extend(next(it) if d == max_def else None for d in defs)
+            else:
+                out.extend(_assemble_lists(defs, reps, present, desc))
+    return out
 
 
-def _read_chunk(buf: bytes, cm: dict, max_def: int, rg_rows: int):
+def _assemble_lists(defs, reps, present, desc):
+    """Reassemble 3-level list rows from (def, rep) level pairs.
+    Def-level meaning (outer optional, leaf optional, max_def=3):
+    0 = null list, 1 = empty list, 2 = null element, 3 = value."""
+    max_def = desc["max_def"]
+    empty_level = 1 if desc["outer_optional"] else 0
+    rows: list = []
+    it = iter(present)
+    cur: list | None = None
+    for d, r in zip(defs, reps):
+        if r == 0:  # this entry starts a new row
+            if cur is not None:
+                rows.append(cur)
+            cur = None
+            if d == 0 and desc["outer_optional"]:
+                rows.append(None)
+                continue
+            if d <= empty_level:
+                rows.append([])
+                continue
+            cur = []
+        if cur is None:
+            raise ValueError("repetition level continues a row that never started")
+        if d == max_def:
+            cur.append(next(it))
+        elif desc["leaf_optional"] and d == max_def - 1:
+            cur.append(None)
+        else:
+            raise ValueError(f"unexpected definition level {d} inside a list")
+    if cur is not None:
+        rows.append(cur)
+    return rows
+
+
+def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int):
     ptype = cm.get(1)
     codec = cm.get(4, 0)
     if codec not in (0, 1, 2):
@@ -223,27 +314,34 @@ def _read_chunk(buf: bytes, cm: dict, max_def: int, rg_rows: int):
         raise ValueError("column chunk has no page offset")
     pos = start
     dictionary = None
-    values: list = []
     defs: list[int] = []
-    while len(values) < n_values:
+    reps: list[int] = []
+    present: list = []
+    while len(defs) < n_values:
         hdr, hend = thrift_compact_decode(buf, pos)
         page_type = hdr.get(1)
         comp_size = hdr.get(3)
         raw = buf[hend : hend + comp_size]
         pos = hend + comp_size
         if page_type == 2:  # DICTIONARY_PAGE
-            data = _decompress(raw, codec, hdr.get(2))
+            data = _decompress(raw, codec)
             dph = hdr.get(7, {})
             dictionary, _ = _plain_values(data, 0, ptype, dph.get(1, 0))
             continue
-        if page_type == 0:  # DATA_PAGE (v1): whole page compressed
-            data = _decompress(raw, codec, hdr.get(2))
+        if page_type == 0:  # DATA_PAGE (v1): whole page compressed together
+            data = _decompress(raw, codec)
             dp = hdr.get(5, {})
             nv = dp.get(1, 0)
             enc = dp.get(2)
             dpos = 0
+            page_reps = [0] * nv
+            if max_rep > 0:  # rep levels first: 4-byte length + hybrid
+                (ln,) = struct.unpack_from("<I", data, dpos)
+                dpos += 4
+                page_reps, _ = _rle_hybrid(data, dpos, max_rep.bit_length(), nv)
+                dpos += ln
             page_defs = [max_def] * nv
-            if max_def > 0:  # def levels: 4-byte length + hybrid
+            if max_def > 0:  # then def levels
                 (ln,) = struct.unpack_from("<I", data, dpos)
                 dpos += 4
                 page_defs, _ = _rle_hybrid(data, dpos, max_def.bit_length(), nv)
@@ -256,27 +354,26 @@ def _read_chunk(buf: bytes, cm: dict, max_def: int, rg_rows: int):
             enc = dp.get(4)
             dll = dp.get(5, 0)
             rll = dp.get(6, 0)
-            if rll:
-                raise NotImplementedError("repeated columns not supported")
+            page_reps = [0] * nv
+            if max_rep > 0 and rll:
+                page_reps, _ = _rle_hybrid(raw, 0, max_rep.bit_length(), nv)
             page_defs = [max_def] * nv
             if max_def > 0 and dll:
-                page_defs, _ = _rle_hybrid(raw, 0, max_def.bit_length(), nv)
-            levels = raw[: dll + rll]
+                page_defs, _ = _rle_hybrid(raw, rll, max_def.bit_length(), nv)
             body = raw[dll + rll :]
             if dp.get(7, True):  # is_compressed applies to the values only
-                body = _decompress(body, codec, hdr.get(2, 0) - dll - rll)
+                body = _decompress(body, codec)
             n_present = sum(1 for d in page_defs if d == max_def)
             page_vals = _decode_values(body, 0, enc, ptype, n_present, dictionary)
         else:
             raise NotImplementedError(f"page type {page_type} not supported")
-        it = iter(page_vals)
-        for d in page_defs:
-            values.append(next(it) if d == max_def else None)
         defs.extend(page_defs)
-    return values[:n_values]
+        reps.extend(page_reps)
+        present.extend(page_vals)
+    return defs[:n_values], reps[:n_values], present
 
 
-def _decompress(raw: bytes, codec: int, expected: int | None) -> bytes:
+def _decompress(raw: bytes, codec: int) -> bytes:
     if codec == 0:
         return raw
     if codec == 1:

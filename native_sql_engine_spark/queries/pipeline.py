@@ -2347,6 +2347,49 @@ def source_parquet_rawread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_parquet_rawread_lists",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                                              x -> cast(x AS double) * x))), 4) AS l2_norm
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def source_parquet_rawread_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-column parquet read from scratch: the standard 3-level LIST
+    shape (optional group[LIST] > repeated group > leaf) decoded via
+    repetition levels — null list / empty list / null element def-level
+    mapping included — over the embeddings table's list<float> column
+    (operators/parquet_data.py).  Emits per-row L2 norms computed from
+    the from-scratch-decoded lists; the oracle computes the same norms
+    through DuckDB's own reader, so the level reassembly cannot
+    self-certify."""
+    import numpy as np
+    import pandas as pd
+
+    from native_sql_engine_spark.operators.parquet_data import read_column
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                buf = bytes(content)
+                ids = read_column(buf, "vec_id")
+                embs = read_column(buf, "embedding")
+                norms = [
+                    round(float(np.sqrt((np.asarray(e, np.float64) ** 2).sum())), 4)
+                    for e in embs
+                ]
+                yield pd.DataFrame({"vec_id": ids, "l2_norm": norms})
+
+    files = spark.read.format("binaryFile").load(sf_dir + "/embeddings.parquet")
+    return (
+        files.select("content")
+        .mapInPandas(batches, "vec_id long, l2_norm double")
+        .orderBy("vec_id")
+    )
+
+
+@q(
     "source_orc_roundtrip",
     """
     SELECT o_orderpriority, cast(count(*) AS bigint) AS n,

@@ -32,33 +32,46 @@ def test_snappy_hand_cases():
         snappy_decompress(bytes([5, (3 - 1) << 2]) + b"abc")
 
 
-def test_all_flat_columns_match_duckdb():
-    """Every flat column of every sf0.01 table decodes bit-identically to
-    DuckDB's reader — dictionary pages, snappy, nullable def-levels,
+def test_every_column_matches_duckdb():
+    """EVERY top-level column of every sf0.01 table — flat and
+    list<float> — decodes bit-identically to DuckDB's reader: dictionary
+    pages, snappy, nullable def-levels, repetition-level list reassembly,
     timestamps/dates via converted_type."""
     import duckdb
 
     checked = 0
     for p in sorted(glob.glob(f"{SF}/*.parquet")):
         buf = open(p, "rb").read()
-        cols = duckdb.sql(f"SELECT path_in_schema FROM parquet_metadata('{p}')").fetchall()
-        for (col,) in cols:
-            if "," in col or "." in col:  # nested (list) leaves: honest gate
-                with pytest.raises((NotImplementedError, ValueError)):
-                    read_column(buf, col.split(",")[0].strip())
-                continue
+        cols = duckdb.sql(f"DESCRIBE SELECT * FROM read_parquet('{p}')").fetchall()
+        for col, *_ in cols:
             got = read_column(buf, col)
             want = [r[0] for r in duckdb.sql(f'SELECT "{col}" FROM read_parquet(\'{p}\')').fetchall()]
+            got = [list(g) if isinstance(g, list) else g for g in got]
+            want = [list(w) if isinstance(w, list) else w for w in want]
             assert got == want, col
             checked += 1
-    assert checked >= 40
+    assert checked >= 45
 
 
 def test_column_errors_and_gates():
     buf = open(f"{SF}/embeddings.parquet", "rb").read()
-    with pytest.raises(NotImplementedError, match="nested|repeated"):
-        read_column(buf, "embedding")
     with pytest.raises(ValueError, match="not in schema"):
         read_column(buf, "no_such_column")
     with pytest.raises(ValueError, match="parquet"):
         read_column(b"garbage", "x")
+
+
+def test_list_reassembly_levels():
+    """Null list / empty list / null element def-level mapping through a
+    pyarrow-written file with all four cases present."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [[1.5, None, 2.5], None, [], [7.0]]
+    t = pa.table({"v": pa.array(rows, type=pa.list_(pa.float64()))})
+    with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+        pq.write_table(t, f.name, compression="snappy")
+        got = read_column(open(f.name, "rb").read(), "v")
+    assert got == rows
