@@ -920,6 +920,52 @@ CASES: dict[str, str] = {
         SELECT n_name, n_regionkey FROM nation ORDER BY 2, 1 LIMIT 5
     """,
     "greatest_least_variadic": "SELECT greatest(1, 2, 3) AS g, least(4, 5, 6) AS l",
+    # -- batch 7 (round 6 continuation): arithmetic guards, window frames,
+    # string/date corners -----------------------------------------------------
+    "nullif_division_guard": "SELECT 10 / nullif(0, 0) AS a, 10 / nullif(2, 0) AS b",
+    "window_range_unbounded": """
+        SELECT n_nationkey,
+               cast(sum(n_regionkey) OVER (ORDER BY n_nationkey
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS run
+        FROM nation ORDER BY n_nationkey LIMIT 8
+    """,
+    "window_rows_preceding_only": """
+        SELECT n_nationkey,
+               cast(sum(n_nationkey) OVER (ORDER BY n_nationkey
+                 ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS bigint) AS prev2
+        FROM nation ORDER BY n_nationkey LIMIT 6
+    """,
+    "having_without_groupby": """
+        SELECT cast(count(*) AS bigint) AS n FROM nation HAVING count(*) > 3
+    """,
+    "union_type_widening": """
+        SELECT cast(v AS double) AS v FROM (SELECT 1 AS v UNION ALL SELECT 2.5) ORDER BY v
+    """,
+    "between_inclusive_bounds": """
+        SELECT count(*) AS n FROM nation WHERE n_nationkey BETWEEN 5 AND 10
+    """,
+    "cast_string_trim_to_int": "SELECT cast('  42  ' AS int) AS v",
+    "substr_negative_start": "SELECT substr('abcdef', -3) AS a, substr('abcdef', 2, 3) AS b",
+    "string_comparison_no_padding": "SELECT 'abc' = 'abc ' AS a, 'abc' < 'abd' AS b",
+    "concat_ws_skips_nulls": "SELECT concat_ws('-', 'a', NULL, 'b') AS v",
+    "exists_constant_false": """
+        SELECT count(*) AS n FROM region r
+        WHERE EXISTS (SELECT 1 FROM nation WHERE 1 = 0)
+    """,
+    "corr_and_covar_samp": """
+        SELECT round(corr(n_nationkey, n_regionkey), 4) AS c,
+               round(covar_samp(n_nationkey, n_regionkey), 4) AS cv
+        FROM nation
+    """,
+    "date_trunc_month_year": """
+        SELECT date_trunc('month', DATE '2024-03-17') AS m,
+               date_trunc('year', DATE '2024-03-17') AS y
+    """,
+    "extract_date_fields": """
+        SELECT extract(year FROM DATE '2024-03-17') AS y,
+               extract(month FROM DATE '2024-03-17') AS m,
+               extract(day FROM DATE '2024-03-17') AS d
+    """,
 }
 
 #: Negative corpus (the reference's subquery/negative territory): SQL both

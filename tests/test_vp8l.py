@@ -283,6 +283,23 @@ def test_meta_prefix_single_group():
     assert (out == np.array([8, 9, 7, 255], np.uint8)).all()
 
 
+def test_distance_neighborhood_table_invariants():
+    """The 120-entry (dx, dy) plane-code table is transcribed from the
+    spec; pin the structural invariants so a transcription slip is at
+    least locally detectable: 120 unique entries, every one pointing to
+    an already-decoded pixel (dy>0, or dy==0 with dx>0), coordinates in
+    the spec's 17x9 window, and plane distances positive for any width."""
+    from native_sql_engine_spark.operators.vp8l import _DIST_CODES, _plane_distance
+
+    assert len(_DIST_CODES) == 120
+    assert len(set(_DIST_CODES)) == 120
+    for dx, dy in _DIST_CODES:
+        assert 0 <= dy <= 8 and -8 <= dx <= 8
+        assert dy > 0 or dx > 0
+    for code in range(1, 130):
+        assert _plane_distance(code, 64) >= 1
+
+
 def test_webp_container_and_gates():
     img = np.full((3, 3, 3), 5, np.uint8)
     buf = encode_vp8l(img)
