@@ -102,6 +102,16 @@ def _iter_chunks(buf: bytes, start: int, end: int):
         pos = body + size + (size & 1)
 
 
+def _collect_movi_frames(buf: bytes, start: int, end: int, frames: list) -> None:
+    """Collect video-frame payloads inside a movi list, recursing into
+    'LIST rec ' groups (how standard interleaved AVIs nest frames)."""
+    for mfc, mb, me in _iter_chunks(buf, start, end):
+        if mfc == b"LIST" and buf[mb : mb + 4] == b"rec ":
+            _collect_movi_frames(buf, mb + 4, me, frames)
+        elif mfc[2:4] in (b"dc", b"db"):  # compressed/uncompressed video
+            frames.append(buf[mb:me])
+
+
 def parse_avi(buf: bytes) -> dict:
     """Parse an AVI container.  Returns ``{"width", "height", "fps",
     "n_frames", "codec", "frames": [bytes, ...]}`` (frames = raw '00dc'
@@ -132,9 +142,7 @@ def parse_avi(buf: bytes) -> dict:
                                 if scale:
                                     fps = round(rate / scale)
             elif sub == b"movi":
-                for mfc, mb, me in _iter_chunks(buf, b + 4, e):
-                    if mfc[2:4] in (b"dc", b"db"):  # compressed/uncompressed video
-                        frames.append(buf[mb:me])
+                _collect_movi_frames(buf, b + 4, e, frames)
     except struct.error as ex:
         raise ValueError(f"truncated or malformed AVI: {ex}") from ex
     return {

@@ -101,15 +101,21 @@ def _decode_value(buf: bytes, pos: int, typ: str):
 
 
 def _field_type(t):
-    """Normalize a field type: plain primitive or ["null", prim] union."""
+    """Normalize a field type: plain primitive or a two-branch union with
+    "null".  Returns ``(primitive, null_branch)`` where ``null_branch`` is
+    the union *position* of the null branch (``None`` for non-union types).
+    Per the Avro spec the encoded branch index is positional, so
+    ``["long","null"]`` writes branch 1 for null while ``["null","long"]``
+    writes branch 0 — hardwiring 0 would mis-encode the former."""
     if isinstance(t, str):
-        return t, False
+        return t, None
     if isinstance(t, list):
         names = [x if isinstance(x, str) else None for x in t]
         if len(names) == 2 and "null" in names:
-            other = names[0] if names[1] == "null" else names[1]
+            null_branch = names.index("null")
+            other = names[1 - null_branch]
             if other:
-                return other, True
+                return other, null_branch
     raise NotImplementedError(f"Avro type {t!r} outside the tabular subset")
 
 
@@ -138,13 +144,13 @@ def write_avro(rows: list[dict], schema: dict, codec: str = "deflate", block_row
         blk = rows[start : start + block_rows]
         body = bytearray()
         for row in blk:
-            for name, typ, nullable in fields:
+            for name, typ, null_branch in fields:
                 v = row.get(name)
-                if nullable:
+                if null_branch is not None:
                     if v is None:
-                        body += _zigzag_encode(0)  # union branch 0 = null
+                        body += _zigzag_encode(null_branch)
                         continue
-                    body += _zigzag_encode(1)
+                    body += _zigzag_encode(1 - null_branch)
                 body += _encode_value(v, typ)
         data = bytes(body)
         if codec == "deflate":
@@ -199,13 +205,13 @@ def read_avro(buf: bytes) -> tuple[dict, list[dict]]:
         dpos = 0
         for _ in range(count):
             row = {}
-            for name, typ, nullable in fields:
-                if nullable:
+            for name, typ, null_branch in fields:
+                if null_branch is not None:
                     branch, dpos = _zigzag_decode(data, dpos)
-                    if branch == 0:
+                    if branch == null_branch:
                         row[name] = None
                         continue
-                    if branch != 1:
+                    if branch != 1 - null_branch:
                         raise ValueError(f"invalid union branch {branch}")
                 row[name], dpos = _decode_value(data, dpos, typ)
             rows.append(row)

@@ -371,7 +371,9 @@ def _predict(mode: int, argb: np.ndarray, x: int, y: int) -> np.ndarray:
 
 def _inv_predictor(argb: np.ndarray, tile_modes: np.ndarray, bits: int) -> np.ndarray:
     h, w = argb.shape[:2]
-    out = argb.astype(np.uint16)  # residuals in, pixels out (mod 256 adds)
+    # Single uint8 working array updated in place: each pixel's predictor
+    # reads already-reconstructed neighbors directly from `out`.
+    out = argb.astype(np.uint8, copy=True)
     for y in range(h):
         for x in range(w):
             if x == 0 and y == 0:
@@ -382,9 +384,9 @@ def _inv_predictor(argb: np.ndarray, tile_modes: np.ndarray, bits: int) -> np.nd
                 mode = 2  # first column: T
             else:
                 mode = int(tile_modes[y >> bits, x >> bits])
-            pred = _predict(mode, out.astype(np.uint8), x, y)
-            out[y, x] = (out[y, x] + pred) & 0xFF
-    return out.astype(np.uint8)
+            pred = _predict(mode, out, x, y)
+            out[y, x] = (out[y, x].astype(np.int32) + pred.astype(np.int32)) & 0xFF
+    return out
 
 
 def _color_delta(t: int, c: int) -> int:

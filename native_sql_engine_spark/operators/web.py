@@ -79,8 +79,10 @@ def url_normalize(col: Column) -> Column:
         F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*(.*)$", 1),
     )
     out = F.regexp_replace(lowered, r"#.*$", "")  # fragment
-    out = F.regexp_replace(out, r"^(https://[^/:?#]+):443(?=[/?]|$)", r"$1")
-    out = F.regexp_replace(out, r"^(http://[^/:?#]+):80(?=[/?]|$)", r"$1")
+    # default ports — delimiter captured instead of a lookahead so the
+    # pattern stays inside the RE2-compatible subset the docstring promises
+    out = F.regexp_replace(out, r"^(https://[^/:?#]+):443([/?]|$)", r"$1$2")
+    out = F.regexp_replace(out, r"^(http://[^/:?#]+):80([/?]|$)", r"$1$2")
     # tracking params: '&'-joined ones vanish outright; one directly after
     # '?' hands its '?' to the next param (or drops with it at end-of-URL)
     tracked = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*"

@@ -415,19 +415,29 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "web_html_extract",
     """
+    WITH clean AS (
+      SELECT doc_id,
+             trim(regexp_replace('T' || doc_id || ' '
+                  || trim(regexp_replace(translate(text, '<>&', ''), '\\s+', ' ', 'g'))
+                  || ' & tail', '\\s+', ' ', 'g')) AS s
+      FROM documents WHERE doc_id < 400
+    )
     SELECT doc_id,
-           md5('T' || doc_id || ' ' || text || ' & tail') AS text_md5,
-           cast(len(list_filter(string_split_regex('T' || doc_id || ' ' || text || ' & tail',
-                                                   '\\s+'), t -> t <> '')) AS bigint) AS n_tokens
-    FROM documents WHERE doc_id < 400 ORDER BY doc_id
+           md5(s) AS text_md5,
+           cast(len(list_filter(string_split_regex(s, '\\s+'), t -> t <> ''))
+                AS bigint) AS n_tokens
+    FROM clean ORDER BY doc_id
     """,
 )
 def web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML→text extraction (operators/web.py) — the first transform of
-    every crawl-derived corpus.  The corpus is wrapped in a deterministic
-    page template (script + style + comment + tags + entities) INSIDE the
-    query, then html_to_text must recover exactly 'T{id} {text} & tail';
-    the oracle recomputes that string's md5 and token count from first
+    every crawl-derived corpus.  The corpus text is first sanitized
+    (HTML-special chars dropped, whitespace collapsed — so the oracle's
+    closed-form string stays valid even if the corpus is regenerated with
+    '&'/'<'/double spaces), wrapped in a deterministic page template
+    (script + style + comment + tags + entities) INSIDE the query, then
+    html_to_text must recover exactly 'T{id} {clean_text} & tail'; the
+    oracle recomputes that string's md5 and token count from first
     principles, so it verifies the stripping logic independently rather
     than mirroring the regexes.  The whole chain is one codegen'd
     projection — zero Python, zero shuffle; at 100 TB it pipelines into
@@ -436,12 +446,13 @@ def web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from native_sql_engine_spark.operators.web import html_to_text
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    clean = F.trim(F.regexp_replace(F.translate(F.col("text"), "<>&", ""), r"\s+", " "))
     page = F.concat(
         F.lit("<html><head><script>var x='<p>';</script><style>.a{color:red}</style>"),
         F.lit("</head><body><!-- generated --><h1>T"),
         F.col("doc_id"),
         F.lit("</h1><p>"),
-        F.col("text"),
+        clean,
         F.lit("</p>&amp; tail</body></html>"),
     )
     extracted = html_to_text(page)

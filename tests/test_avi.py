@@ -79,3 +79,25 @@ def test_decode_video_operator_and_video_meta_avi_branch(spark):
     for m in meta:
         assert m.container == "avi" and m.codec == "MJPG"
         assert m.n_frames == 3 and m.duration_ms == 3 * 1000 // 25
+
+
+def test_interleaved_rec_groups():
+    """Standard interleaved AVIs nest frames inside 'LIST rec ' groups in
+    movi; the parser must recurse into them (ADVICE r6)."""
+    from native_sql_engine_spark.operators.avi import _chunk, _list
+
+    imgs, frames = zip(*(_const_block_frame(9, f) for f in range(4)))
+    flat = build_avi_mjpeg(list(frames), 16, 16, fps=25)
+
+    # rebuild the same container but with each frame wrapped in a rec group
+    rec_chunks = b"".join(_list(b"rec ", _chunk(b"00dc", f)) for f in frames)
+    movi_flat = _list(b"movi", b"".join(_chunk(b"00dc", f) for f in frames))
+    movi_rec = _list(b"movi", rec_chunks)
+    assert movi_flat in flat
+    nested = flat.replace(movi_flat, movi_rec)
+    nested = nested[:4] + struct.pack("<I", len(nested) - 8) + nested[8:]
+
+    meta, arrs = decode_avi_frames(nested)
+    assert meta["n_frames"] == 4 and meta["codec"] == "MJPG"
+    for img, arr in zip(imgs, arrs):
+        assert np.array_equal(arr, img)

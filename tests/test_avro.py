@@ -92,3 +92,34 @@ def test_empty_file_and_empty_strings():
     rows = [{"k": 0, "s": "", "p": 0.0, "f32": 0.0, "flag": False, "opt": None, "raw": b""}]
     _, out = read_avro(write_avro(rows, SCHEMA, codec="deflate"))
     assert out == rows
+
+
+def test_union_branch_index_is_positional():
+    """Per the Avro spec the union branch index is the union *position*:
+    ["long","null"] encodes null as branch 1 (and values as branch 0),
+    the reverse of ["null","long"].  A codec that hardwires 0=null writes
+    files a compliant reader mis-decodes."""
+    from native_sql_engine_spark.operators.avro import _field_type, _zigzag_encode as zz
+
+    assert _field_type(["null", "long"]) == ("long", 0)
+    assert _field_type(["long", "null"]) == ("long", 1)
+    assert _field_type("long") == ("long", None)
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": ["long", "null"]}]}
+    rows = [{"v": 7}, {"v": None}, {"v": -3}]
+    buf = write_avro(rows, schema, codec="null")
+    _, out = read_avro(buf)
+    assert out == rows
+    # wire check: the (uncompressed) block body must be exactly
+    # branch0+7, branch1, branch0+-3 — positional branches on the wire
+    body = zz(0) + zz(7) + zz(1) + zz(0) + zz(-3)
+    assert body in buf
+    # and the mirrored union uses the mirrored branches
+    schema2 = {"type": "record", "name": "r",
+               "fields": [{"name": "v", "type": ["null", "long"]}]}
+    buf2 = write_avro(rows, schema2, codec="null")
+    _, out2 = read_avro(buf2)
+    assert out2 == rows
+    body2 = zz(1) + zz(7) + zz(0) + zz(1) + zz(-3)
+    assert body2 in buf2
