@@ -33,6 +33,16 @@ ContextCleaner reclaims shuffle files/broadcast blocks only on GC, and with
 a 24g heap a two-pass 259-query battery otherwise defers all cleanup until
 it lands as multi-second stalls inside random timed queries (measured: the
 same dedup queries swing 2s ↔ 20s run-to-run without this).
+
+Host calibration (round 7+): the same box has produced best-totals from
+191.5s to 303.3s on byte-identical tpch/tpcds/ssb code across sessions — a
+±50% host band that swallows any per-round ">1s regression" gate.  So a
+pinned 5-query probe (tpch_q1/q6/q18, tpcds_q1, ssb_q4_1) is timed at the
+start and middle of every pass plus once at the end, and the spread is
+emitted as "calibration": {"runs": [...], "median_sec", "cv"}.  Round-over-
+round comparisons should normalize by the calibration median before
+claiming or dismissing a regression (the reference tracks per-PR RAM/perf
+the same way to separate noise from change — TPCHSuite.scala:88-100).
 """
 
 from __future__ import annotations
@@ -44,6 +54,10 @@ import time
 
 # groups whose members get individual numbers on the stdout JSON line
 _HEADLINE_PREFIXES = ("tpch_", "ssb_")
+
+#: pinned host-calibration probe — never change these names, the whole point
+#: is that the probe is byte-identical across rounds
+_CALIBRATION = ("tpch_q1", "tpch_q6", "tpch_q18", "tpcds_q1", "ssb_q4_1")
 
 
 def _group(name: str) -> str:
@@ -80,9 +94,19 @@ def main() -> None:
 
     qs = all_queries()
     names = sorted(qs)
+    # local-iteration subset (comma-separated name prefixes); the driver sets
+    # no env so its runs always cover the full battery
+    flt = os.environ.get("SPARK_GRAFT_BENCH_FILTER")
+    if flt:
+        prefixes = tuple(p for p in flt.split(",") if p)
+        names = [n for n in names if n.startswith(prefixes)]
 
-    # warm the JVM + parquet footers once (not counted)
+    # warm the JVM + parquet footers once (not counted); the calibration
+    # probe queries are warmed too so every probe measures the HOST, not
+    # one-time Catalyst analysis + codegen
     qs["tpch_q6"](spark, sf_dir).collect()
+    for cname in _CALIBRATION:
+        qs[cname](spark, sf_dir).collect()
 
     def _hygiene() -> None:
         # untimed: force a driver GC so Spark's ContextCleaner reclaims the
@@ -92,8 +116,22 @@ def main() -> None:
         # multi-second cleanup spikes at random)
         spark.sparkContext._jvm.System.gc()
 
+    calibration_runs: list[float] = []
+
+    def _calibrate() -> None:
+        # untimed w.r.t. pass totals: time the pinned probe as one block
+        _hygiene()
+        t0 = time.perf_counter()
+        for cname in _CALIBRATION:
+            qs[cname](spark, sf_dir).collect()
+        calibration_runs.append(round(time.perf_counter() - t0, 3))
+
+    mid = len(names) // 2
     pass1: dict[str, float] = {}
+    _calibrate()
     for i, name in enumerate(names):  # pays analysis + codegen once
+        if i == mid:
+            _calibrate()
         if i % 12 == 0:
             _hygiene()
         t0 = time.perf_counter()
@@ -107,7 +145,10 @@ def main() -> None:
         # vs 1.2s best) that smear across adjacent heavy queries in pass
         # order.  The GC itself is untimed; pass-1 times tell us who is heavy.
         times: dict[str, float] = {}
+        _calibrate()
         for i, name in enumerate(names):
+            if i == mid:
+                _calibrate()
             if i % 12 == 0 or pass1[name] > 0.7:
                 _hygiene()
             t0 = time.perf_counter()
@@ -117,6 +158,7 @@ def main() -> None:
 
     pass2 = _steady_pass()
     pass3 = _steady_pass()
+    _calibrate()  # end-of-run probe closes the 7-point series
 
     warm = {name: min(pass2[name], pass3[name]) for name in names}
     best = {name: min(pass1[name], warm[name]) for name in names}
@@ -129,6 +171,14 @@ def main() -> None:
             g = _group(name)
             group_totals[g] = round(group_totals.get(g, 0.0) + warm[name], 3)
 
+    cal_sorted = sorted(calibration_runs)
+    cal_median = cal_sorted[len(cal_sorted) // 2] if cal_sorted else None
+    cal_mean = sum(calibration_runs) / len(calibration_runs) if calibration_runs else 0.0
+    cal_cv = (
+        round((sum((x - cal_mean) ** 2 for x in calibration_runs) / len(calibration_runs)) ** 0.5 / cal_mean, 4)
+        if calibration_runs and cal_mean > 0
+        else None
+    )
     out = {
         "metric": "query_battery_total",
         "value": round(sum(warm.values()), 3),
@@ -140,6 +190,7 @@ def main() -> None:
         "pass2_total_sec": round(sum(pass2.values()), 3),
         "pass3_total_sec": round(sum(pass3.values()), 3),
         "best_total_sec": round(sum(best.values()), 3),
+        "calibration": {"runs": calibration_runs, "median_sec": cal_median, "cv": cal_cv},
         "jvm_heap_peak_mb": _jvm_heap_peak_mb(spark),
         "sf": float(sf) if sf else None,
     }
@@ -149,6 +200,7 @@ def main() -> None:
         "pass3": pass3,
         "warm": warm,
         "best": best,
+        "calibration": out["calibration"],
         "sf": out["sf"],
         "n_queries": len(names),
     }
