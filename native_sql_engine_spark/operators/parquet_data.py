@@ -13,14 +13,20 @@ the storage stack, stdlib + numpy only:
 - **PLAIN** decoding for BOOLEAN / INT32 / INT64 / FLOAT / DOUBLE /
   BYTE_ARRAY, and **RLE_DICTIONARY / PLAIN_DICTIONARY** pages
   (dictionary page + index pages);
+- the three **DELTA_*** encodings (what Arrow/Spark writers emit for
+  sorted int and string columns): DELTA_BINARY_PACKED
+  (blocks/miniblocks, zigzag header, per-miniblock bit widths,
+  wrapping-arithmetic prefix sums), DELTA_LENGTH_BYTE_ARRAY
+  (delta-packed lengths + concatenated bytes) and DELTA_BYTE_ARRAY
+  (incremental front-coding: delta-packed prefix lengths + suffixes);
 - definition-level reassembly for flat OPTIONAL columns (nulls).
 
-Honest gates: repeated (nested/list) columns, codecs beyond
-snappy/uncompressed/gzip, DELTA_* encodings, INT96, and encrypted files
-raise ``NotImplementedError``.  Scope is deliberate: this is the
-verification path (read a column with zero engine code and cross-check
-the engine's own scan), not a replacement for Spark's vectorized
-reader.
+Honest gates: repeated (nested/list) columns beyond the 3-level LIST
+shape, codecs beyond snappy/uncompressed/gzip, BYTE_STREAM_SPLIT,
+INT96, and encrypted files raise ``NotImplementedError``.  Scope is
+deliberate: this is the verification path (read a column with zero
+engine code and cross-check the engine's own scan), not a replacement
+for Spark's vectorized reader.
 """
 
 from __future__ import annotations
@@ -147,6 +153,104 @@ def _plain_values(data: bytes, pos: int, ptype: int, count: int):
             pos += ln
         return out, pos
     raise NotImplementedError(f"parquet physical type {ptype} (INT96/FLBA) not supported")
+
+
+# -- DELTA_* encodings -----------------------------------------------------------
+
+
+def _zigzag(buf: bytes, pos: int) -> tuple[int, int]:
+    u, pos = _uvarint(buf, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _delta_binary_packed(data: bytes, pos: int, ptype: int) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (encoding 5) for INT32/INT64.  Layout:
+    <block size> <miniblocks per block> <total count> <first value: zigzag>,
+    then per block <min delta: zigzag> <bit width per miniblock: 1 byte
+    each> <bit-packed (delta - min_delta) miniblocks>.  Arithmetic wraps at
+    the physical width (the spec's overflow rule), and only the miniblocks
+    that contain needed values are present in the last block."""
+    block_size, pos = _uvarint(data, pos)
+    n_mini, pos = _uvarint(data, pos)
+    total, pos = _uvarint(data, pos)
+    first, pos = _zigzag(data, pos)
+    if n_mini == 0 or block_size % n_mini:
+        raise ValueError(f"bad DELTA_BINARY_PACKED geometry {block_size}/{n_mini}")
+    vpm = block_size // n_mini
+    if vpm % 32:
+        raise ValueError(f"miniblock size {vpm} not a multiple of 32")
+    bits = 32 if ptype == 1 else 64
+    half, full = 1 << (bits - 1), 1 << bits
+
+    def wrap(v: int) -> int:
+        v &= full - 1
+        return v - full if v >= half else v
+
+    if total == 0:
+        return [], pos
+    prev = wrap(first)
+    out = [prev]
+    remaining = total - 1
+    while remaining > 0:
+        min_delta, pos = _zigzag(data, pos)
+        widths = data[pos : pos + n_mini]
+        if len(widths) < n_mini:
+            raise ValueError(f"truncated miniblock width list at byte {pos}")
+        pos += n_mini
+        for bw in widths:
+            if remaining <= 0:
+                break
+            take = min(vpm, remaining)
+            if bw == 0:
+                for _ in range(take):
+                    prev = wrap(prev + min_delta)
+                    out.append(prev)
+            else:
+                nbytes = vpm * bw // 8
+                chunk = data[pos : pos + nbytes]
+                if len(chunk) < nbytes:
+                    raise ValueError(f"miniblock overruns page at byte {pos}")
+                pos += nbytes
+                acc = int.from_bytes(chunk, "little")
+                m = (1 << bw) - 1
+                for i in range(take):
+                    prev = wrap(prev + min_delta + ((acc >> (i * bw)) & m))
+                    out.append(prev)
+            remaining -= take
+    return out, pos
+
+
+def _delta_length_byte_array(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """DELTA_LENGTH_BYTE_ARRAY (encoding 6): all lengths as one
+    DELTA_BINARY_PACKED int32 run, then the concatenated bytes."""
+    lengths, pos = _delta_binary_packed(data, pos, 1)
+    out: list[bytes] = []
+    for ln in lengths:
+        if ln < 0 or pos + ln > len(data):
+            raise ValueError(f"bad byte-array length {ln} at byte {pos}")
+        out.append(data[pos : pos + ln])
+        pos += ln
+    return out, pos
+
+
+def _delta_byte_array(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """DELTA_BYTE_ARRAY (encoding 7): incremental front-coding — prefix
+    lengths as DELTA_BINARY_PACKED, suffixes as DELTA_LENGTH_BYTE_ARRAY;
+    value[i] = value[i-1][:prefix_len[i]] + suffix[i]."""
+    prefix_lens, pos = _delta_binary_packed(data, pos, 1)
+    suffixes, pos = _delta_length_byte_array(data, pos)
+    if len(suffixes) != len(prefix_lens):
+        raise ValueError(
+            f"prefix/suffix count mismatch {len(prefix_lens)} vs {len(suffixes)}"
+        )
+    out: list[bytes] = []
+    prev = b""
+    for pl, suf in zip(prefix_lens, suffixes):
+        if pl < 0 or pl > len(prev):
+            raise ValueError(f"prefix length {pl} exceeds previous value")
+        prev = prev[:pl] + suf
+        out.append(prev)
+    return out, pos
 
 
 # -- column chunk reader ----------------------------------------------------------
@@ -396,7 +500,28 @@ def _decode_values(data: bytes, pos: int, enc: int, ptype: int, count: int, dict
             return [dictionary[i] for i in idx]
         except IndexError:
             raise ValueError("dictionary index out of range") from None
-    raise NotImplementedError(f"encoding {enc} not supported (PLAIN/dictionary subset)")
+    if enc == 5:  # DELTA_BINARY_PACKED
+        if ptype not in (1, 2):
+            raise NotImplementedError(
+                f"DELTA_BINARY_PACKED on physical type {ptype} (INT32/INT64 only)"
+            )
+        vals, _ = _delta_binary_packed(data, pos, ptype)
+        if len(vals) < count:
+            raise ValueError(f"DELTA page holds {len(vals)} values, need {count}")
+        return vals[:count]
+    if enc in (6, 7):  # DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY
+        if ptype != 6:
+            raise NotImplementedError(
+                f"DELTA byte-array encoding {enc} on physical type {ptype}"
+            )
+        decode = _delta_length_byte_array if enc == 6 else _delta_byte_array
+        vals, _ = decode(data, pos)
+        if len(vals) < count:
+            raise ValueError(f"DELTA page holds {len(vals)} values, need {count}")
+        return [v.decode("utf-8", "replace") for v in vals[:count]]
+    raise NotImplementedError(
+        f"encoding {enc} not supported (PLAIN/dictionary/DELTA subset)"
+    )
 
 
 def read_table(buf: bytes, columns: list[str]) -> dict[str, list]:

@@ -2401,6 +2401,85 @@ def source_parquet_rawread_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_parquet_rawread_delta",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           cast(sum(o_custkey) AS bigint) AS cust_sum,
+           min(o_orderpriority) AS min_pri,
+           cast(epoch_us(min(o_orderdate)) AS bigint) AS first_us
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def source_parquet_rawread_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet DELTA_* decode from scratch (operators/parquet_data.py):
+    the orders subset is rewritten with the three DELTA encodings real
+    Arrow/Spark writers emit for sorted columns — DELTA_BINARY_PACKED
+    (int64 keys + the timestamp's physical int64), DELTA_BYTE_ARRAY
+    (front-coded status) and DELTA_LENGTH_BYTE_ARRAY (priority) — then
+    read back with zero parquet-library code (blocks/miniblocks, zigzag
+    headers, wrapping prefix sums, front-coding reassembly) and
+    aggregated; the oracle aggregates the ORIGINAL file through DuckDB's
+    reader, so the decoder can't self-certify.  Fixture write is a
+    bounded driver-side step (< 4000 rows); the decode itself is
+    partition-parallel mapInPandas."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.parquet_data import read_table
+
+    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    t = t.filter(pc.field("o_orderkey") < 4000)
+    path = os.path.join(tempfile.mkdtemp(prefix="src_delta_"), "orders_delta.parquet")
+    pq.write_table(
+        t,
+        path,
+        compression="snappy",
+        use_dictionary=False,
+        column_encoding={
+            "o_orderkey": "DELTA_BINARY_PACKED",
+            "o_custkey": "DELTA_BINARY_PACKED",
+            "o_orderdate": "DELTA_BINARY_PACKED",
+            "o_orderstatus": "DELTA_BYTE_ARRAY",
+            "o_orderpriority": "DELTA_LENGTH_BYTE_ARRAY",
+            "o_totalprice": "PLAIN",
+        },
+    )
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                cols = read_table(
+                    bytes(content),
+                    ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+                )
+                yield pd.DataFrame(cols)
+
+    files = spark.read.format("binaryFile").load(path)
+    raw = files.select("content").mapInPandas(
+        batches,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderpriority string, o_orderdate timestamp",
+    )
+    return (
+        raw.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+            F.min("o_orderpriority").alias("min_pri"),
+            F.unix_micros(F.min("o_orderdate")).cast("bigint").alias("first_us"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "source_orc_roundtrip",
     """
     SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
