@@ -155,22 +155,39 @@ class _BitReader:
         self.bit = 0
 
     def read(self, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
-            if self.byte >= len(self.data):
-                raise ValueError("truncated FLAC bitstream")
-            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
+        # byte-chunk extraction (one int.from_bytes + shift), not per-bit
+        p = (self.byte << 3) + self.bit
+        end = p + nbits
+        if end > len(self.data) << 3:
+            raise ValueError("truncated FLAC bitstream")
+        hi = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[p >> 3 : hi], "big")
+        v = (chunk >> ((hi << 3) - end)) & ((1 << nbits) - 1)
+        self.byte = end >> 3
+        self.bit = end & 7
         return v
 
     def read_unary(self) -> int:
+        # scan whole bytes for the terminating 1-bit instead of read(1) loops
+        data = self.data
+        n = len(data)
+        byte, bit = self.byte, self.bit
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            if byte >= n:
+                raise ValueError("truncated FLAC bitstream")
+            cur = data[byte] & ((1 << (8 - bit)) - 1)  # unconsumed low bits
+            if cur == 0:
+                q += 8 - bit
+                byte += 1
+                bit = 0
+                continue
+            zeros = (8 - bit) - cur.bit_length()
+            q += zeros
+            bit += zeros + 1
+            self.byte = byte + (bit >> 3)
+            self.bit = bit & 7
+            return q
 
     def align(self) -> None:
         if self.bit:

@@ -30,6 +30,10 @@ _INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
 # -- LZW -----------------------------------------------------------------
 
 
+#: singleton byte strings shared by every decode (avoids per-clear rebuilds)
+_SINGLE = [bytes([i]) for i in range(256)]
+
+
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
     clear = 1 << min_code_size
     eoi = clear + 1
@@ -38,17 +42,16 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
     acc = 0
     nbits = 0
     pos = 0
-
-    def init_dict():
-        return {i: bytes([i]) for i in range(clear)}
-
-    table = init_dict()
+    n = len(data)
+    # dense list table (index == code): O(1) array lookups instead of dict
+    # hashing in the per-symbol loop; positions clear/eoi hold placeholders
+    # so len(table) always equals the next free code
+    table = _SINGLE[:clear] + [b"", b""]
     width = min_code_size + 1
     prev: bytes | None = None
-    next_code = eoi + 1
     while len(out) < n_pixels:
         while nbits < width:
-            if pos >= len(data):
+            if pos >= n:
                 raise ValueError("truncated LZW stream")
             acc |= data[pos] << nbits
             nbits += 8
@@ -57,26 +60,27 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
         acc >>= width
         nbits -= width
         if code == clear:
-            table = init_dict()
+            del table[eoi + 1 :]
             width = min_code_size + 1
-            next_code = eoi + 1
             prev = None
             continue
         if code == eoi:
             break
+        nc = len(table)  # next free code
         if prev is None:
+            if code >= clear:
+                raise ValueError(f"invalid LZW code {code}")
             entry = table[code]
-        elif code in table:
+        elif code < nc:
             entry = table[code]
-        elif code == next_code:
+        elif code == nc:
             entry = prev + prev[:1]  # the KwKwK case
         else:
             raise ValueError(f"invalid LZW code {code}")
         out += entry
-        if prev is not None and next_code < 4096:
-            table[next_code] = prev + entry[:1]
-            next_code += 1
-            if next_code == (1 << width) and width < 12:
+        if prev is not None and nc < 4096:
+            table.append(prev + entry[:1])
+            if nc + 1 == (1 << width) and width < 12:
                 width += 1
         prev = entry
     return bytes(out[:n_pixels])

@@ -41,14 +41,22 @@ class _BitReader:
         self.nbits = 8 * len(data)
 
     def read(self, n: int) -> int:
-        if self.pos + n > self.nbits:
-            raise ValueError(f"truncated VP8L bitstream at bit {self.pos}")
-        v = 0
+        # byte-chunk extraction (one int.from_bytes + shift), not per-bit
         p = self.pos
-        for i in range(n):
-            v |= ((self.data[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
-        self.pos += n
+        if p + n > self.nbits:
+            raise ValueError(f"truncated VP8L bitstream at bit {p}")
+        lo = p >> 3
+        hi = (p + n + 7) >> 3
+        v = (int.from_bytes(self.data[lo:hi], "little") >> (p & 7)) & ((1 << n) - 1)
+        self.pos = p + n
         return v
+
+    def peek(self, n: int) -> int:
+        """Next n bits without consuming; short reads near EOF zero-pad."""
+        p = self.pos
+        lo = p >> 3
+        hi = (p + n + 7) >> 3
+        return (int.from_bytes(self.data[lo:hi], "little") >> (p & 7)) & ((1 << n) - 1)
 
 
 class _BitWriter:
@@ -78,14 +86,38 @@ class _BitWriter:
 _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 
+#: root-table width for the fast prefix decode (codes ≤ _ROOT_BITS resolve
+#: in one peek+index; longer ones fall back to the canonical walk)
+_ROOT_BITS = 9
+
+
+def _build_fast_table(table: dict) -> list:
+    """DEFLATE-style one-peek lookup: index = next _ROOT_BITS stream bits
+    (LSB-first, so a code's bits land reversed in the low positions);
+    entry = (symbol, length) or None for codes longer than the root."""
+    fast: list = [None] * (1 << _ROOT_BITS)
+    for (l, code), sym in table.items():
+        if l > _ROOT_BITS:
+            continue
+        rev = 0
+        c = code
+        for _ in range(l):
+            rev = (rev << 1) | (c & 1)
+            c >>= 1
+        for idx in range(rev, 1 << _ROOT_BITS, 1 << l):
+            fast[idx] = (sym, l)
+    return fast
+
+
 class _PrefixCode:
     """Canonical prefix decoder built from code lengths (JPEG/DEFLATE-style
     canonical assignment, reversed-bit lookup because VP8L is LSB-first)."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("table", "single", "fast")
 
     def __init__(self, lengths):
         self.single = None
+        self.fast = None
         used = [(l, s) for s, l in enumerate(lengths) if l > 0]
         if not used:
             raise ValueError("prefix code with no symbols")
@@ -105,10 +137,17 @@ class _PrefixCode:
             prev_len = l
             self.table[(l, code)] = sym
             code += 1
+        self.fast = _build_fast_table(self.table)
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        if self.fast is not None and br.nbits - br.pos >= _ROOT_BITS:
+            entry = self.fast[br.peek(_ROOT_BITS)]
+            if entry is not None:
+                br.pos += entry[1]
+                return entry[0]
+        # slow path: near EOF or code longer than the root table
         code = 0
         for l in range(1, 16):
             code = (code << 1) | br.read(1)
@@ -170,10 +209,12 @@ def _read_prefix_code(br: _BitReader, num_symbols: int) -> _PrefixCode:
         if n == 1:
             pc.single = syms[0]
             pc.table = {}
+            pc.fast = None
         else:
             # spec: bit 0 -> first TRANSMITTED symbol (not canonical order)
             pc.single = None
             pc.table = {(1, 0): syms[0], (1, 1): syms[1]}
+            pc.fast = _build_fast_table(pc.table)
         return pc
     return _PrefixCode(_read_code_lengths(br, num_symbols))
 
@@ -369,23 +410,64 @@ def _predict(mode: int, argb: np.ndarray, x: int, y: int) -> np.ndarray:
     raise ValueError(f"invalid predictor mode {mode}")
 
 
+def _cumsum_row(out: np.ndarray, res: np.ndarray, y: int, x0: int, x1: int) -> None:
+    """Mode 1 (L) over a contiguous run: prefix sum mod 256 seeded by the
+    already-final pixel at (y, x0-1)."""
+    seed = out[y, x0 - 1].astype(np.int64) if x0 > 0 else np.array([255, 0, 0, 0], np.int64)
+    cs = seed + np.cumsum(res[y, x0:x1].astype(np.int64), axis=0)
+    out[y, x0:x1] = cs & 0xFF
+
+
 def _inv_predictor(argb: np.ndarray, tile_modes: np.ndarray, bits: int) -> np.ndarray:
     h, w = argb.shape[:2]
-    # Single uint8 working array updated in place: each pixel's predictor
-    # reads already-reconstructed neighbors directly from `out`.
+    # Single uint8 working array updated in place; `res` aliases the input
+    # residuals (never written before their own pixel is finalized).
     out = argb.astype(np.uint8, copy=True)
+    res = argb
     for y in range(h):
-        for x in range(w):
-            if x == 0 and y == 0:
-                mode = 0
-            elif y == 0:
-                mode = 1  # first row: L
-            elif x == 0:
-                mode = 2  # first column: T
+        if y == 0:
+            # origin: black prediction (A=255); rest of row 0: forced mode 1
+            out[0, 0] = (res[0, 0].astype(np.int32) + np.array([255, 0, 0, 0])) & 0xFF
+            if w > 1:
+                _cumsum_row(out, res, 0, 1, w)
+            continue
+        prev = out[y - 1].astype(np.int32)  # finalized row above
+        out[y, 0] = (res[y, 0].astype(np.int32) + prev[0]) & 0xFF  # forced mode 2
+        x = 1
+        while x < w:
+            tx = x >> bits
+            mode = int(tile_modes[y >> bits, tx])
+            x_end = min(w, (tx + 1) << bits)
+            seg = slice(x, x_end)
+            r = res[y, seg].astype(np.int32)
+            if mode == 0:
+                out[y, seg] = (r + np.array([255, 0, 0, 0])) & 0xFF
+            elif mode == 1:
+                _cumsum_row(out, res, y, x, x_end)
+            elif mode in (2, 3, 4, 8, 9):
+                # previous-row-only modes: fully elementwise over the segment
+                T = prev[seg]
+                if mode == 2:
+                    pred = T
+                elif mode == 4:
+                    pred = prev[x - 1 : x_end - 1]
+                else:
+                    TR = prev[x + 1 : x_end + 1]
+                    if x_end == w:  # spec quirk: TR of the last column is
+                        TR = np.vstack([TR, out[y, 0].astype(np.int32)])  # (y, 0)
+                    if mode == 3:
+                        pred = TR
+                    elif mode == 8:
+                        pred = (prev[x - 1 : x_end - 1] + T) >> 1
+                    else:  # 9
+                        pred = (T + TR) >> 1
+                out[y, seg] = (r + pred) & 0xFF
             else:
-                mode = int(tile_modes[y >> bits, x >> bits])
-            pred = _predict(mode, out, x, y)
-            out[y, x] = (out[y, x].astype(np.int32) + pred.astype(np.int32)) & 0xFF
+                # L-dependent modes (5, 6, 7, 10, 11, 12, 13): sequential
+                for xx in range(x, x_end):
+                    pred = _predict(mode, out, xx, y)
+                    out[y, xx] = (out[y, xx].astype(np.int32) + pred.astype(np.int32)) & 0xFF
+            x = x_end
     return out
 
 
@@ -398,19 +480,24 @@ def _color_delta(t: int, c: int) -> int:
 
 def _inv_color_transform(argb: np.ndarray, tiles: np.ndarray, bits: int) -> np.ndarray:
     # tile ARGB packing (spec): red ch = red_to_blue, green ch =
-    # green_to_blue, blue ch = green_to_red
+    # green_to_blue, blue ch = green_to_red.  Fully elementwise (the only
+    # intra-pixel dependency is blue-on-updated-red), so one vectorized pass.
     h, w = argb.shape[:2]
+
+    def s8(x: np.ndarray) -> np.ndarray:  # reinterpret 0..255 as signed int8
+        x = x.astype(np.int32)
+        return np.where(x >= 128, x - 256, x)
+
+    t = tiles[np.arange(h) >> bits][:, np.arange(w) >> bits]  # (h, w, 4)
+    g2r, g2b, r2b = s8(t[:, :, 3]), s8(t[:, :, 2]), s8(t[:, :, 1])
+    g = s8(argb[:, :, 2])
     out = argb.copy()
-    for y in range(h):
-        ty = y >> bits
-        for x in range(w):
-            t = tiles[ty, x >> bits]
-            g2r, g2b, r2b = int(t[3]), int(t[2]), int(t[1])
-            _a, r, g, b = (int(v) for v in out[y, x])
-            r = (r + _color_delta(g2r, g)) & 0xFF
-            b = (b + _color_delta(g2b, g) + _color_delta(r2b, r)) & 0xFF
-            out[y, x, 1] = r
-            out[y, x, 3] = b
+    r_new = (argb[:, :, 1].astype(np.int32) + ((g2r * g) >> 5)) & 0xFF
+    b_new = (
+        argb[:, :, 3].astype(np.int32) + ((g2b * g) >> 5) + ((r2b * s8(r_new)) >> 5)
+    ) & 0xFF
+    out[:, :, 1] = r_new
+    out[:, :, 3] = b_new
     return out
 
 

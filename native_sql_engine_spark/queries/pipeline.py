@@ -1232,7 +1232,7 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broken bit-plane merge, EOB-run bookkeeping or DC refinement flips
     the hash."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    payloads = M.synthesize_jpeg_corpus(docs, "doc_id", blocks=2, progressive=True)
+    payloads = M.synthesize_jpeg_corpus(docs.repartition(8), "doc_id", blocks=2, progressive=True)
     decoded = M.decode_image(payloads, "payload", "doc_id")
     return (
         M.image_stats(decoded)
@@ -1379,7 +1379,7 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-checksum oracle applies.  A broken Rice decode, predictor
     reconstruction, or CRC table shifts the sums and fails the hash."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    payloads = M.synthesize_wav_corpus(docs, "doc_id", n_samples=1024, flac=True)
+    payloads = M.synthesize_wav_corpus(docs.repartition(8), "doc_id", n_samples=1024, flac=True)
     dec = M.decode_audio(payloads, "payload", "doc_id")
     return dec.select(
         F.col("media_id").alias("doc_id"),
@@ -1416,7 +1416,7 @@ def multimodal_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     sums and fails the hash."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     payloads = M.synthesize_wav_corpus(
-        docs, "doc_id", n_samples=512, flac=True, stereo=True, mode="mid_side", lpc_order=4
+        docs.repartition(8), "doc_id", n_samples=512, flac=True, stereo=True, mode="mid_side", lpc_order=4
     )
     dec = M.decode_audio(payloads, "payload", "doc_id")
     return dec.select(
@@ -1488,7 +1488,7 @@ def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     a closed form.  A wrong chunk offset, word-alignment slip, frame order,
     or any JPEG decode defect shifts a mean and fails the hash."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-    payloads = M.synthesize_avi_corpus(docs, "doc_id", n_frames=5)
+    payloads = M.synthesize_avi_corpus(docs.repartition(8), "doc_id", n_frames=5)
     dec = M.decode_video(payloads, "payload", "doc_id")
     return dec.select(
         F.col("media_id").alias("doc_id"),
@@ -1520,7 +1520,7 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical code assignment, bit order, or channel order shifts the
     mean and fails the hash."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    payloads = M.synthesize_webp_corpus(docs, "doc_id", width=4, height=4)
+    payloads = M.synthesize_webp_corpus(docs.repartition(8), "doc_id", width=4, height=4)
     decoded = M.decode_image(payloads, "payload", "doc_id")
     return (
         M.image_stats(decoded)

@@ -328,3 +328,43 @@ def test_decode_image_dispatch_webp(spark):
     assert (r.width, r.height, r.channels) == (4, 4, 4)
     px = np.frombuffer(bytes(r.pixels), np.uint8).reshape(4, 4, 4)
     assert (px[:, :, :3] == img).all() and (px[:, :, 3] == 255).all()
+
+
+def test_inv_predictor_vectorized_matches_scalar():
+    """Differential check of the vectorized inverse predictor against the
+    per-pixel reference (forced border modes + all 14 tile modes), over
+    random residuals and awkward sizes (ragged right tile, w=1, h=1)."""
+    import numpy as np
+
+    from native_sql_engine_spark.operators.vp8l import _inv_predictor, _predict
+
+    def scalar_ref(argb, tile_modes, bits):
+        h, w = argb.shape[:2]
+        out = argb.astype(np.uint8, copy=True)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    mode = 0
+                elif y == 0:
+                    mode = 1
+                elif x == 0:
+                    mode = 2
+                else:
+                    mode = int(tile_modes[y >> bits, x >> bits])
+                pred = _predict(mode, out, x, y)
+                out[y, x] = (out[y, x].astype(np.int32) + pred.astype(np.int32)) & 0xFF
+        return out
+
+    rng = np.random.default_rng(7)
+    for h, w, bits in ((13, 21, 2), (8, 8, 3), (1, 9, 2), (9, 1, 2), (4, 4, 2), (16, 30, 4)):
+        th = (h + (1 << bits) - 1) >> bits
+        tw = (w + (1 << bits) - 1) >> bits
+        res = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+        # sweep every mode deterministically across tiles, then a random grid
+        for modes in (
+            np.arange(th * tw, dtype=np.int64).reshape(th, tw) % 14,
+            rng.integers(0, 14, size=(th, tw)),
+        ):
+            got = _inv_predictor(res, modes, bits)
+            want = scalar_ref(res, modes, bits)
+            assert np.array_equal(got, want), (h, w, bits)
