@@ -35,7 +35,9 @@ def q(name: str, oracle: str | None = None):
 def _drain(stream_df: DataFrame, base: str, mode: str) -> DataFrame:
     # the driver events table is a single-file micro-batch; 8 state
     # partitions keep state-store maintenance proportional to it (the
-    # session's 32 would pay 4× the per-partition per-batch overhead)
+    # session's 32 would pay 4× the per-partition per-batch overhead, while
+    # fewer serializes the Python-stateful operators — measured: TWS runs
+    # 3.4s at 8 partitions, 4.8s at 4, 6.0s at 2)
     return SW.run_to_memory(
         stream_df, f"{base}_{next(_SINK_SEQ)}", output_mode=mode, state_partitions=8
     )
@@ -365,7 +367,7 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix=name))
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=name, dir="/dev/shm" if __import__("os").path.isdir("/dev/shm") else None))
             .start()
         )
         try:
@@ -377,7 +379,7 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 got = spark.sql(f"SELECT sum(n) FROM {name}").first()[0]
                 if got == expected:
                     break
-                _time.sleep(0.2)
+                _time.sleep(0.05)
             else:
                 raise TimeoutError(f"stream drained {got}/{expected} rows")
         finally:

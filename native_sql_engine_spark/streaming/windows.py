@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+#: sf_dir -> probed events schema (immutable driver fixtures; the probe is
+#: a footer read that would otherwise repeat for every stream query)
+_EVENTS_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def _events_file_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """Parquet-side schema of events.parquet, probed via a batch read.
 
@@ -40,7 +45,11 @@ def _events_file_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     nanos-long under spark.sql.legacy.parquet.nanosAsLong) and as plain
     timestamp[us] — probe instead of hardcoding so both work.
     """
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    if sf_dir not in _EVENTS_SCHEMA_CACHE:
+        _EVENTS_SCHEMA_CACHE[sf_dir] = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).schema
+    return _EVENTS_SCHEMA_CACHE[sf_dir]
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,6 +318,9 @@ def run_to_memory(
 
     Production sinks swap this for ``.format("parquet")`` / ``foreachBatch``;
     the query plan is identical."""
+    import shutil
+    import tempfile
+
     spark = stream_df.sparkSession
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     saved_extra = {}
@@ -321,15 +333,25 @@ def run_to_memory(
             spark.conf.set(k, v)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # test/dev sink: put the (throwaway) checkpoint on tmpfs when the host
+    # has one — state-store commits fsync per partition per micro-batch, and
+    # on a disk-backed /tmp those syncs dominate the drain time for a small
+    # finite stream.  Durable pipelines use run_to_parquet with an explicit
+    # (persistent) checkpoint instead.
+    ckpt = tempfile.mkdtemp(
+        prefix=f"ckpt_{name}_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", ckpt)
             .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
@@ -546,6 +568,13 @@ TWS_RUN_CONFS: dict[str, str] = {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
 }
+if os.path.isdir("/dev/shm"):
+    # RocksDB instance working dirs (sst/wal staging) on tmpfs: the per-
+    # partition store open/commit otherwise pays disk fsyncs that dominate
+    # a small finite stream's drain time
+    TWS_RUN_CONFS["spark.sql.streaming.stateStore.rocksdb.localRootDir"] = (
+        "/dev/shm/spark_rocksdb_state"
+    )
 
 
 def transform_with_state_agg(events: DataFrame) -> DataFrame:
