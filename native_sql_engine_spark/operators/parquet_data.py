@@ -22,7 +22,8 @@ the storage stack, stdlib + numpy only:
 - definition-level reassembly for flat OPTIONAL columns (nulls).
 
 Honest gates: repeated (nested/list) columns beyond the 3-level LIST
-shape, codecs beyond snappy/uncompressed/gzip, BYTE_STREAM_SPLIT,
+shape, codecs beyond snappy/uncompressed/gzip/zstd (zstd via the
+from-scratch RFC 8878 decoder in operators/zstd.py), BYTE_STREAM_SPLIT,
 INT96, and encrypted files raise ``NotImplementedError``.  Scope is
 deliberate: this is the verification path (read a column with zero
 engine code and cross-check the engine's own scan), not a replacement
@@ -410,8 +411,10 @@ def _assemble_lists(defs, reps, present, desc):
 def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int):
     ptype = cm.get(1)
     codec = cm.get(4, 0)
-    if codec not in (0, 1, 2):
-        raise NotImplementedError(f"codec {codec} not supported (uncompressed/snappy/gzip)")
+    if codec not in (0, 1, 2, 6):
+        raise NotImplementedError(
+            f"codec {codec} not supported (uncompressed/snappy/gzip/zstd)"
+        )
     n_values = cm.get(5, 0)
     start = cm.get(11, cm.get(9))  # dictionary page first when present
     if start is None:
@@ -482,6 +485,10 @@ def _decompress(raw: bytes, codec: int) -> bytes:
         return raw
     if codec == 1:
         return snappy_decompress(raw)
+    if codec == 6:
+        from .zstd import zstd_decompress
+
+        return zstd_decompress(raw)
     return zlib.decompress(raw, 31)  # GZIP
 
 

@@ -162,16 +162,18 @@ def decompress_text(
 ) -> DataFrame:
     """Transparent decompression for compressed corpus shards — the other
     ingestion front door next to WARC: gzip (\\x1f\\x8b), bzip2 (BZh),
-    xz (\\xfd7zXZ), raw zlib (\\x78) and plain text, dispatched by magic
-    bytes per row.  All stdlib codecs (zlib/bz2/lzma — C speed); Arrow
-    batched.  At 100 TB, compressed shards arrive one per row from a
-    binaryFile scan; decompression is CPU-parallel across rows with zero
-    shuffle."""
+    xz (\\xfd7zXZ), zstd (\\x28\\xb5\\x2f\\xfd — the from-scratch RFC 8878
+    decoder in operators/zstd.py), raw zlib (\\x78) and plain text,
+    dispatched by magic bytes per row.  Arrow batched.  At 100 TB,
+    compressed shards arrive one per row from a binaryFile scan;
+    decompression is CPU-parallel across rows with zero shuffle."""
     import bz2
     import lzma
     import zlib
 
     import pandas as pd
+
+    from .zstd import zstd_decompress
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -184,6 +186,8 @@ def decompress_text(
                     codec, data = "bz2", bz2.decompress(buf)
                 elif buf[:6] == b"\xfd7zXZ\x00":
                     codec, data = "xz", lzma.decompress(buf)
+                elif buf[:4] == b"\x28\xb5\x2f\xfd":
+                    codec, data = "zstd", zstd_decompress(buf)
                 elif buf[:1] == b"\x78":
                     codec, data = "zlib", zlib.decompress(buf)
                 else:
@@ -227,6 +231,29 @@ def synthesize_compressed_corpus(
                     payloads.append(lzma.compress(raw, format=lzma.FORMAT_XZ))
                 else:
                     payloads.append(raw)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def synthesize_zstd_corpus(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-row zstd shard over the raw document text: the store-frame
+    encoder from operators/zstd.py (single-segment frame, content size,
+    XXH64 checksum — a subset the reference CLI round-trips, see
+    tests/test_zstd.py), so decompress_text's zstd arm gets fixtures with
+    the full frame surface (FCS verify + checksum verify) exercised."""
+    import pandas as pd
+
+    from .zstd import zstd_compress_store
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [zstd_compress_store(str(t).encode()) for t in pdf[text_col]]
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
     schema = T.StructType(

@@ -575,6 +575,40 @@ def corpus_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_decompress_zstd",
+    """
+    SELECT doc_id, 'zstd' AS codec,
+           cast(length(text) AS bigint) AS n_bytes,
+           md5(text) AS text_md5
+    FROM documents WHERE doc_id < 400 ORDER BY doc_id
+    """,
+)
+def corpus_decompress_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstandard shard decompression through the from-scratch RFC 8878
+    decoder (operators/zstd.py: FSE, Huffman, sequences, repeat offsets,
+    XXH64 checksum) — zstd is the codec modern crawl dumps and parquet
+    writers actually emit.  Fixtures are store-mode frames from the
+    minimal spec-subset encoder (reference-CLI round-trip pinned in
+    tests/test_zstd.py); the full compressed path is exercised against
+    pyarrow/CLI fixtures in the same test file.  The oracle recomputes
+    byte length and md5 from the source column, so a frame-walk, FCS or
+    checksum bug fails the hash.  Partition-parallel, zero shuffle."""
+    from native_sql_engine_spark.operators.web import (
+        decompress_text,
+        synthesize_zstd_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    dec = decompress_text(synthesize_zstd_corpus(docs), "payload", "doc_id")
+    return dec.select(
+        F.col("media_id").alias("doc_id"),
+        "codec",
+        "n_bytes",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+@q(
     "fuzzy_match_suppliers",
     """
     SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
@@ -2476,6 +2510,62 @@ def source_parquet_rawread_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.min("o_orderdate")).cast("bigint").alias("first_us"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@q(
+    "source_parquet_rawread_zstd",
+    """
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def source_parquet_rawread_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstd-compressed parquet read entirely from scratch: pages inflated
+    by the RFC 8878 decoder (operators/zstd.py — FSE, Huffman, sequences)
+    feeding the from-scratch page/level/dictionary reader
+    (operators/parquet_data.py).  Zstd is the page codec modern Spark and
+    Arrow writers emit by default on many deployments, so this closes the
+    last routinely-hit codec gate.  The oracle aggregates the ORIGINAL
+    snappy file through DuckDB's reader; the fixture rewrite is a bounded
+    driver-side step, the decode is partition-parallel mapInPandas."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.parquet_data import read_table
+
+    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    t = t.filter(pc.field("o_orderkey") < 4000)
+    path = os.path.join(tempfile.mkdtemp(prefix="src_zstd_"), "orders_zstd.parquet")
+    pq.write_table(t, path, compression="zstd", compression_level=9)
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                cols = read_table(
+                    bytes(content), ["o_orderkey", "o_orderpriority", "o_totalprice"]
+                )
+                yield pd.DataFrame(cols)
+
+    files = spark.read.format("binaryFile").load(path)
+    raw = files.select("content").mapInPandas(
+        batches, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    return (
+        raw.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
