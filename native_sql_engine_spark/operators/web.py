@@ -239,6 +239,79 @@ def synthesize_compressed_corpus(
     return df.select(id_col, text_col).mapInPandas(batches, schema)
 
 
+#: schema of CDX index rows (one per response record)
+CDX_ROW = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("rec_idx", T.IntegerType()),
+        T.StructField("surt_key", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("body_md5", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("rec_offset", T.LongType()),
+        T.StructField("rec_length", T.LongType()),
+    ]
+)
+
+
+def warc_cdx(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """CDX(J) index generation over WARC payloads — the lookup sidecar
+    every CommonCrawl-style archive ships: one row per response record
+    with the SURT key, 14-digit timestamp, mime, HTTP status, payload
+    digest (sha1-b32, the CDX convention), and the (offset, length) of
+    the record's gzip member so a reader can fetch one page with a
+    ranged read.  body_md5 doubles as the oracle-checkable digest (the
+    DuckDB oracle lacks sha1).  Arrow-batched mapInPandas; at 100 TB one
+    WARC file is one row, so indexing parallelizes per shard and the
+    output is exactly the (small) index table — pixels and pages never
+    shuffle."""
+    import hashlib
+    import base64
+
+    import pandas as pd
+
+    from .warc import iter_warc_records_indexed, parse_http, surt
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                for i, (hdr, block, off, ln) in enumerate(
+                    iter_warc_records_indexed(bytes(raw))
+                ):
+                    if hdr.get("WARC-Type") != "response":
+                        continue
+                    status, hhdr, body = parse_http(block)
+                    url = hdr.get("WARC-Target-URI", "")
+                    ts = "".join(c for c in hdr.get("WARC-Date", "") if c.isdigit())
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "rec_idx": i,
+                            "surt_key": surt(url),
+                            "ts": ts,
+                            "url": url,
+                            "mime": hhdr.get("content-type", "").split(";")[0].strip(),
+                            "status": status,
+                            "digest": "sha1:"
+                            + base64.b32encode(hashlib.sha1(body).digest()).decode(),
+                            "body_md5": hashlib.md5(body).hexdigest(),
+                            "n_bytes": len(body),
+                            "rec_offset": off,
+                            "rec_length": ln,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in CDX_ROW.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, CDX_ROW)
+
+
 def synthesize_zstd_corpus(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

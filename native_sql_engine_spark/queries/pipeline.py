@@ -542,6 +542,52 @@ def web_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "web_warc_cdx",
+    """
+    WITH page AS (
+      SELECT doc_id,
+             '<html><head><script>var x=1;</script></head><body><!-- gen --><h1>T'
+               || doc_id || '</h1><p>' || text || '</p>&amp; tail</body></html>' AS p
+      FROM documents WHERE doc_id < 250
+    )
+    SELECT doc_id,
+           'example,crawl)/doc/' || doc_id AS surt_key,
+           '20260101000000' AS ts,
+           'https://crawl.example/doc/' || doc_id AS url,
+           'text/html' AS mime,
+           200 AS status,
+           md5(p) AS body_md5,
+           cast(strlen(p) AS bigint) AS n_bytes
+    FROM page ORDER BY doc_id
+    """,
+)
+def web_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index generation (operators/web.py::warc_cdx) — the lookup
+    sidecar of a CommonCrawl-style archive: SURT key, 14-digit timestamp,
+    mime, status and payload digest per response record, plus the gzip
+    member (offset, length) for ranged fetches.  The oracle recomputes
+    the SURT key, timestamp and the HTTP body's md5/byte-length in closed
+    form from the documents table, so the member walk, HTTP split and
+    SURT rules are all independently checked; the (offset, length)
+    member-span contract is pinned by tests/test_web.py (slice → gunzip →
+    reparse the single record)."""
+    from native_sql_engine_spark.operators.web import synthesize_warc_corpus, warc_cdx
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    idx = warc_cdx(synthesize_warc_corpus(docs), "payload", "doc_id")
+    return idx.select(
+        F.col("media_id").alias("doc_id"),
+        "surt_key",
+        "ts",
+        "url",
+        "mime",
+        "status",
+        "body_md5",
+        "n_bytes",
+    ).orderBy("doc_id")
+
+
+@q(
     "corpus_decompress",
     """
     SELECT doc_id,

@@ -150,3 +150,70 @@ def test_warc_records_operator(spark):
     assert resp[0].target_uri == "https://crawl.example/doc/7"
     assert "alpha beta" in resp[0].body and resp[0].body.startswith("<html>")
     assert all(r.http_status is None for r in rows if r.warc_type != "response")
+
+
+def test_surt_rules():
+    from native_sql_engine_spark.operators.warc import surt
+
+    assert surt("https://www.Example.com/b?y=2&x=1") == "com,example)/b?x=1&y=2"
+    assert surt("http://a.b.co.uk:8080/P/Q#frag") == "uk,co,b,a:8080)/p/q"
+    assert surt("https://Example.com:443/") == "com,example)/"
+    assert surt("http://user:pw@host.net:80/x") == "net,host)/x"
+    assert surt("https://crawl.example/doc/7") == "example,crawl)/doc/7"
+    assert surt("example.com/plain") == "com,example)/plain"  # schemeless
+
+
+def test_warc_indexed_member_spans():
+    """(offset, length) must be a self-contained storage unit: slicing the
+    original buffer there and re-parsing yields exactly that record — for
+    BOTH the per-record-gzip and plain layouts."""
+    from native_sql_engine_spark.operators.warc import (
+        build_warc,
+        iter_warc_records,
+        iter_warc_records_indexed,
+    )
+
+    recs = [
+        {"warc_type": "warcinfo", "block": b"software: engine\r\n"},
+        {"warc_type": "request", "uri": "https://x.example/1", "block": b"GET / HTTP/1.1\r\n\r\n"},
+        {
+            "warc_type": "response",
+            "uri": "https://x.example/1",
+            "content_type": "application/http; msgtype=response",
+            "block": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>hi</p>",
+        },
+    ]
+    for gz in (True, False):
+        buf = build_warc(recs, gzip_per_record=gz)
+        seen = list(iter_warc_records_indexed(buf))
+        assert [h["WARC-Type"] for h, *_ in seen] == ["warcinfo", "request", "response"]
+        for hdr, block, off, ln in seen:
+            unit = buf[off : off + ln]
+            reparsed = list(iter_warc_records(unit))
+            assert len(reparsed) == 1
+            rh, rb = reparsed[0]
+            assert rh["WARC-Type"] == hdr["WARC-Type"] and rb == block
+        # spans tile the buffer exactly
+        assert seen[0][2] == 0
+        assert seen[-1][2] + seen[-1][3] == len(buf)
+
+
+def test_warc_cdx_operator(spark):
+    from native_sql_engine_spark.operators.web import synthesize_warc_corpus, warc_cdx
+    import base64
+    import hashlib
+
+    df = spark.createDataFrame([(3, "some page text"), (9, "άλλο κείμενο")], ["doc_id", "text"])
+    rows = warc_cdx(synthesize_warc_corpus(df), "payload", "doc_id").orderBy("media_id").collect()
+    assert len(rows) == 2
+    r = rows[0]
+    assert r.surt_key == "example,crawl)/doc/3"
+    assert r.ts == "20260101000000" and r.status == 200 and r.mime == "text/html"
+    body = (
+        "<html><head><script>var x=1;</script></head>"
+        "<body><!-- gen --><h1>T3</h1><p>some page text</p>&amp; tail</body></html>"
+    ).encode()
+    assert r.body_md5 == hashlib.md5(body).hexdigest()
+    assert r.digest == "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode()
+    assert r.n_bytes == len(body)
+    assert r.rec_length > 0 and r.rec_offset > 0  # response is the 3rd member
