@@ -19,12 +19,14 @@ the storage stack, stdlib + numpy only:
   wrapping-arithmetic prefix sums), DELTA_LENGTH_BYTE_ARRAY
   (delta-packed lengths + concatenated bytes) and DELTA_BYTE_ARRAY
   (incremental front-coding: delta-packed prefix lengths + suffixes);
+- **BYTE_STREAM_SPLIT** (the float/double encoding) byte-plane
+  reassembly;
 - definition-level reassembly for flat OPTIONAL columns (nulls).
 
 Honest gates: repeated (nested/list) columns beyond the 3-level LIST
 shape, codecs beyond snappy/uncompressed/gzip/zstd (zstd via the
-from-scratch RFC 8878 decoder in operators/zstd.py), BYTE_STREAM_SPLIT,
-INT96, and encrypted files raise ``NotImplementedError``.  Scope is
+from-scratch RFC 8878 decoder in operators/zstd.py), INT96, and
+encrypted files raise ``NotImplementedError``.  Scope is
 deliberate: this is the verification path (read a column with zero
 engine code and cross-check the engine's own scan), not a replacement
 for Spark's vectorized reader.
@@ -526,8 +528,19 @@ def _decode_values(data: bytes, pos: int, enc: int, ptype: int, count: int, dict
         if len(vals) < count:
             raise ValueError(f"DELTA page holds {len(vals)} values, need {count}")
         return [v.decode("utf-8", "replace") for v in vals[:count]]
+    if enc == 9:  # BYTE_STREAM_SPLIT: K byte planes of `count` values each
+        if ptype not in _FIXED:
+            raise NotImplementedError(
+                f"BYTE_STREAM_SPLIT on physical type {ptype} (fixed-width only)"
+            )
+        letter, width = _FIXED[ptype]
+        if len(data) - pos < count * width:
+            raise ValueError("BYTE_STREAM_SPLIT page shorter than its value block")
+        planes = [data[pos + k * count : pos + (k + 1) * count] for k in range(width)]
+        joined = bytes(b for i in range(count) for b in (p[i] for p in planes))
+        return list(struct.unpack(f"<{count}{letter}", joined))
     raise NotImplementedError(
-        f"encoding {enc} not supported (PLAIN/dictionary/DELTA subset)"
+        f"encoding {enc} not supported (PLAIN/dictionary/DELTA/BYTE_STREAM_SPLIT subset)"
     )
 
 

@@ -176,3 +176,46 @@ def test_delta_binary_packed_hand_cases():
     buf = uv(128) + uv(4) + uv(2) + zz(2**31 - 1) + zz(1) + bytes([0, 0, 0, 0])
     vals, _ = _delta_binary_packed(buf, 0, 1)
     assert vals == [2**31 - 1, -(2**31)]
+
+
+@pytest.mark.parametrize("page_version", ["1.0", "2.0"])
+def test_byte_stream_split_matches_duckdb(page_version):
+    """BYTE_STREAM_SPLIT (the float/double encoding) byte-plane
+    reassembly, cross-checked against DuckDB on pyarrow-written files,
+    nulls and multiple row groups included."""
+    import random
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(11)
+    n = 1200
+    f64 = [None if i % 83 == 0 else rng.uniform(-1e6, 1e6) for i in range(n)]
+    f32 = [None if i % 71 == 0 else float(rng.randrange(10**6)) for i in range(n)]
+    t = pa.table(
+        {"d": pa.array(f64, type=pa.float64()), "f": pa.array(f32, type=pa.float32())}
+    )
+    with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+        pq.write_table(
+            t,
+            f.name,
+            compression="snappy",
+            use_dictionary=False,
+            column_encoding={"d": "BYTE_STREAM_SPLIT", "f": "BYTE_STREAM_SPLIT"},
+            data_page_version=page_version,
+            row_group_size=500,
+        )
+        md = pq.ParquetFile(f.name).metadata
+        assert "BYTE_STREAM_SPLIT" in md.row_group(0).column(0).encodings
+        buf = open(f.name, "rb").read()
+        for col in ("d", "f"):
+            got = read_column(buf, col)
+            want = [
+                r[0]
+                for r in duckdb.sql(
+                    f'SELECT "{col}" FROM read_parquet(\'{f.name}\')'
+                ).fetchall()
+            ]
+            assert got == want, col
