@@ -155,7 +155,19 @@ def _plain_values(data: bytes, pos: int, ptype: int, count: int):
             out.append(data[pos : pos + ln].decode("utf-8", "replace"))
             pos += ln
         return out, pos
-    raise NotImplementedError(f"parquet physical type {ptype} (INT96/FLBA) not supported")
+    if ptype == 3:  # INT96 legacy timestamp: 8-byte nanos-of-day + 4-byte Julian day
+        import datetime as dt
+
+        epoch = dt.datetime(1970, 1, 1)
+        out = []
+        for _ in range(count):
+            nanos = int.from_bytes(data[pos : pos + 8], "little")
+            jday = int.from_bytes(data[pos + 8 : pos + 12], "little")
+            micros = (jday - 2440588) * 86_400_000_000 + nanos // 1000
+            out.append(epoch + dt.timedelta(microseconds=micros))
+            pos += 12
+        return out, pos
+    raise NotImplementedError(f"parquet physical type {ptype} (FLBA) not supported")
 
 
 # -- DELTA_* encodings -----------------------------------------------------------

@@ -20,22 +20,26 @@ single-threaded decoding path of the public spec:
   literals-length, offset and match-length alphabets, the documented
   read order (OF→ML→LL bits, LL→ML→OF state updates), the three-slot
   repeat-offset history with the literals-length-0 shift rule;
-- sequence execution with overlapping match copies over the frame window;
+- sequence execution with overlapping match copies over the frame window
+  (per-frame windows: matches never cross a frame boundary);
+- external dictionaries (RFC 8878 §5: entropy-table preload, initial
+  repeat offsets, window-prefix content) via ``ZstdDict`` /
+  ``zstd_decompress(buf, dictionary=...)`` — frames naming a dictionary
+  that was not supplied raise ``ValueError`` stating the required id;
 - XXH64 content checksum verification (pinned against the public check
   value for the empty input).
 
-Honest gate: dictionary-compressed frames (Dictionary_ID != 0) raise
-``NotImplementedError`` — dictionary content is external by definition.
 Malformed payloads raise positioned ``ValueError`` (shared codec-layer
 contract).  Fixtures are cross-verified against the reference ``zstd``
-CLI and pyarrow's bindings in tests/test_zstd.py.
+CLI (including ``--train``-built dictionaries) and pyarrow's bindings in
+tests/test_zstd.py.
 """
 
 from __future__ import annotations
 
 import struct
 
-__all__ = ["zstd_decompress", "zstd_compress_store", "xxh64"]
+__all__ = ["zstd_decompress", "zstd_compress_store", "xxh64", "ZstdDict"]
 
 _MAGIC = 0xFD2FB528
 _SKIP_MAGIC_LO = 0x184D2A50  # skippable frames: 0x184D2A50..5F
@@ -648,9 +652,47 @@ def zstd_compress_store(data: bytes, checksum: bool = True) -> bytes:
 # -- frame walk ---------------------------------------------------------------------
 
 
-def zstd_decompress(buf: bytes) -> bytes:
+_DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDict:
+    """A parsed zstd dictionary (RFC 8878 §5): entropy tables to preload,
+    initial repeat offsets, and the content the frame window starts with."""
+
+    __slots__ = ("dict_id", "huf", "of", "ml", "ll", "reps", "content")
+
+    def __init__(self, raw: bytes):
+        if len(raw) < 8 or struct.unpack_from("<I", raw, 0)[0] != _DICT_MAGIC:
+            raise ValueError("not a zstd dictionary (bad magic)")
+        (self.dict_id,) = struct.unpack_from("<I", raw, 4)
+        pos = 8
+        weights, pos = _read_huf_weights(raw, pos)
+        self.huf = _build_huf_table(weights)
+        # FSE tables in spec order: offsets, match lengths, literals lengths
+        tables = {}
+        for cat in ("of", "ml", "ll"):
+            norm, al, consumed = _read_ncount(raw[pos:], 0, _MAX_SYM[cat], _MAX_LOG[cat])
+            tables[cat] = ("fse", _build_fse_table(norm, al), al)
+            pos += consumed
+        self.of, self.ml, self.ll = tables["of"], tables["ml"], tables["ll"]
+        self.reps = list(struct.unpack_from("<3I", raw, pos))
+        pos += 12
+        self.content = raw[pos:]
+        for r in self.reps:
+            if r == 0 or r > len(self.content):
+                raise ValueError(f"dictionary repeat offset {r} exceeds its content")
+
+
+def zstd_decompress(buf: bytes, dictionary: bytes | ZstdDict | None = None) -> bytes:
     """Decode one or more concatenated zstd frames (skippable frames are
-    skipped), verifying content size and XXH64 checksum when present."""
+    skipped), verifying content size and XXH64 checksum when present.
+    ``dictionary`` supplies the external dictionary for frames whose
+    header names one (raw ``zstd --train`` output or a parsed ZstdDict)."""
+    zdict = (
+        ZstdDict(dictionary)
+        if isinstance(dictionary, (bytes, bytearray))
+        else dictionary
+    )
     out = bytearray()
     pos = 0
     n = len(buf)
@@ -665,14 +707,13 @@ def zstd_decompress(buf: bytes) -> bytes:
         if magic != _MAGIC:
             raise ValueError(f"bad zstd magic {magic:#x} at byte {pos}")
         try:
-            pos = _decode_frame(buf, pos + 4, out)
+            pos = _decode_frame(buf, pos + 4, out, zdict)
         except (IndexError, struct.error) as ex:  # ran off the buffer mid-frame
             raise ValueError(f"truncated or malformed zstd frame: {ex}") from ex
     return bytes(out)
 
 
-def _decode_frame(buf: bytes, pos: int, out: bytearray) -> int:
-    frame_start_len = len(out)
+def _decode_frame(buf: bytes, pos: int, out: bytearray, zdict: ZstdDict | None) -> int:
     fhd = buf[pos]
     pos += 1
     if fhd & 0x08:
@@ -684,14 +725,20 @@ def _decode_frame(buf: bytes, pos: int, out: bytearray) -> int:
     if not single:
         pos += 1  # window descriptor (we keep the whole frame in memory)
     did_size = (0, 1, 2, 4)[did_flag]
+    use_dict = None
     if did_size:
         did = int.from_bytes(buf[pos : pos + did_size], "little")
         pos += did_size
         if did:
-            raise NotImplementedError(
-                f"dictionary-compressed frame (dictionary id {did}) — "
-                "dictionary content is external by definition"
-            )
+            if zdict is None:
+                raise ValueError(
+                    f"frame requires external dictionary {did}, none supplied"
+                )
+            if zdict.dict_id != did:
+                raise ValueError(
+                    f"frame requires dictionary {did}, got {zdict.dict_id}"
+                )
+            use_dict = zdict
     fcs = None
     fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
     if fcs_size:
@@ -700,8 +747,22 @@ def _decode_frame(buf: bytes, pos: int, out: bytearray) -> int:
             fcs += 256
         pos += fcs_size
 
-    ctx: dict = {"huf": None}
-    reps = [1, 4, 8]
+    # per-frame window: dictionary content prefix, then this frame's output
+    # (matches may reach into the dictionary but never into earlier frames)
+    if use_dict is not None:
+        win = bytearray(use_dict.content)
+        ctx: dict = {
+            "huf": use_dict.huf,
+            "seq_of": use_dict.of,
+            "seq_ml": use_dict.ml,
+            "seq_ll": use_dict.ll,
+        }
+        reps = list(use_dict.reps)
+    else:
+        win = bytearray()
+        ctx = {"huf": None}
+        reps = [1, 4, 8]
+    base = len(win)
     while True:
         if pos + 3 > len(buf):
             raise ValueError(f"truncated block header at byte {pos}")
@@ -711,10 +772,10 @@ def _decode_frame(buf: bytes, pos: int, out: bytearray) -> int:
         btype = (h >> 1) & 3
         bsize = h >> 3
         if btype == 0:  # raw
-            out += buf[pos : pos + bsize]
+            win += buf[pos : pos + bsize]
             pos += bsize
         elif btype == 1:  # RLE: one byte repeated bsize times
-            out += bytes([buf[pos]]) * bsize
+            win += bytes([buf[pos]]) * bsize
             pos += 1
         elif btype == 2:
             block = buf[pos : pos + bsize]
@@ -723,20 +784,21 @@ def _decode_frame(buf: bytes, pos: int, out: bytearray) -> int:
             pos += bsize
             literals, bp = _decode_literals(block, 0, ctx)
             seqs, _ = _decode_sequences(block, bp, ctx)
-            _execute(out, literals, seqs, reps)
+            _execute(win, literals, seqs, reps)
         else:
             raise ValueError("reserved block type 3")
         if last:
             break
-    if fcs is not None and len(out) - frame_start_len != fcs:
+    frame_out = bytes(win[base:])
+    if fcs is not None and len(frame_out) != fcs:
         raise ValueError(
-            f"frame content size mismatch: header says {fcs}, "
-            f"decoded {len(out) - frame_start_len}"
+            f"frame content size mismatch: header says {fcs}, decoded {len(frame_out)}"
         )
     if checksum:
         (want,) = struct.unpack_from("<I", buf, pos)
         pos += 4
-        got = xxh64(bytes(out[frame_start_len:])) & 0xFFFFFFFF
+        got = xxh64(frame_out) & 0xFFFFFFFF
         if got != want:
             raise ValueError(f"XXH64 checksum mismatch: {got:#x} != {want:#x}")
+    out += frame_out
     return pos

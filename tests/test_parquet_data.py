@@ -219,3 +219,29 @@ def test_byte_stream_split_matches_duckdb(page_version):
                 ).fetchall()
             ]
             assert got == want, col
+
+
+def test_int96_legacy_timestamps_match_duckdb():
+    """INT96 (the deprecated Impala/legacy-Spark timestamp layout:
+    nanos-of-day + Julian day) — still common in old data lakes; pyarrow
+    writes it under use_deprecated_int96_timestamps."""
+    import datetime as dt
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = [
+        None if i % 37 == 0 else dt.datetime(1999, 12, 31, 23, 59, 58) + dt.timedelta(seconds=i * 977, microseconds=i * 13)
+        for i in range(500)
+    ]
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+        pq.write_table(t, f.name, compression="snappy", use_deprecated_int96_timestamps=True)
+        md = pq.ParquetFile(f.name).metadata
+        assert md.schema.column(0).physical_type == "INT96"
+        buf = open(f.name, "rb").read()
+        got = read_column(buf, "ts")
+        want = [r[0] for r in duckdb.sql(f"SELECT ts FROM read_parquet('{f.name}')").fetchall()]
+        assert got == want
