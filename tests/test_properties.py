@@ -721,3 +721,68 @@ def test_warc_roundtrip_property(n_rec, gz, body):
     for i, (hdrs, blk) in enumerate(out):
         assert blk == body + bytes([i])
         assert hdrs["WARC-Target-URI"] == f"https://x/{i}"
+
+
+@given(
+    data=st.one_of(
+        st.binary(max_size=30_000),
+        # highly compressible: repeated short motifs stress LZ77 sequences
+        st.lists(st.binary(min_size=1, max_size=24), min_size=1, max_size=40).map(
+            lambda parts: b"".join(parts * 50)
+        ),
+    ),
+    level=st.sampled_from([1, 3, 9, 19]),
+)
+@settings(**{**_SETTINGS, "max_examples": 25})
+def test_zstd_decode_matches_reference_compressor(data, level):
+    """Any payload pyarrow's zstd emits at any level decodes byte-exactly
+    through the from-scratch RFC 8878 decoder (operators/zstd.py)."""
+    import pyarrow as pa
+
+    from native_sql_engine_spark.operators.zstd import zstd_decompress
+
+    z = pa.Codec("zstd", compression_level=level).compress(data, asbytes=True)
+    assert zstd_decompress(z) == data
+
+
+@given(data=st.binary(max_size=200_000))
+@settings(**{**_SETTINGS, "max_examples": 15})
+def test_zstd_store_encoder_roundtrip_property(data):
+    from native_sql_engine_spark.operators.zstd import (
+        zstd_compress_store,
+        zstd_decompress,
+    )
+
+    assert zstd_decompress(zstd_compress_store(data)) == data
+    assert zstd_decompress(zstd_compress_store(data, checksum=False)) == data
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)), min_size=1, max_size=700
+    )
+)
+@settings(**{**_SETTINGS, "max_examples": 10})
+def test_parquet_delta_int64_roundtrip_property(vals):
+    """DELTA_BINARY_PACKED decode over arbitrary (incl. overflow-wrapping)
+    int64 sequences, against pyarrow's writer + DuckDB's reader."""
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.parquet_data import read_column
+
+    t = pa.table({"v": pa.array(vals, type=pa.int64())})
+    with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+        pq.write_table(
+            t,
+            f.name,
+            compression="none",
+            use_dictionary=False,
+            column_encoding={"v": "DELTA_BINARY_PACKED"},
+        )
+        got = read_column(open(f.name, "rb").read(), "v")
+        want = [r[0] for r in duckdb.sql(f"SELECT v FROM read_parquet('{f.name}')").fetchall()]
+        assert got == want

@@ -966,6 +966,97 @@ CASES: dict[str, str] = {
                extract(month FROM DATE '2024-03-17') AS m,
                extract(day FROM DATE '2024-03-17') AS d
     """,
+    # -- batch 8 (round 7): boolean/bit aggregates, ordered-set and
+    # regression aggregates, string pack 3, IGNORE NULLS windows ------------
+    "bool_and_or_aggregates": """
+        SELECT bool_and(n_nationkey >= 0) AS all_pos,
+               bool_or(n_nationkey > 23) AS any_big,
+               bool_and(n_nationkey > 5) AS all_big
+        FROM nation
+    """,
+    "median_aggregate": """
+        SELECT cast(median(n_nationkey) AS double) AS med FROM nation
+    """,
+    "count_if_aggregate": """
+        SELECT cast(count_if(n_regionkey = 0) AS bigint) AS n0,
+               cast(count_if(n_nationkey IS NULL) AS bigint) AS nn
+        FROM nation
+    """,
+    "bit_aggregates": """
+        SELECT cast(bit_and(n_nationkey + 16) AS bigint) AS ba,
+               cast(bit_or(n_nationkey) AS bigint) AS bo,
+               cast(bit_xor(n_nationkey) AS bigint) AS bx
+        FROM nation WHERE n_nationkey < 8
+    """,
+    "regression_aggregates": """
+        SELECT round(regr_slope(n_nationkey, n_regionkey), 4) AS s,
+               round(regr_intercept(n_nationkey, n_regionkey), 4) AS i,
+               cast(regr_count(n_nationkey, n_regionkey) AS bigint) AS c
+        FROM nation
+    """,
+    "string_pack3_pad_repeat": """
+        SELECT lpad('7', 3, '0') AS l, rpad('ab', 5, 'xy') AS r,
+               repeat('ab', 3) AS rep, reverse('abc') AS rev
+    """,
+    "string_pack3_parts": """
+        SELECT split_part('a,b,c', ',', 2) AS p2,
+               position('b' IN 'abc') AS pos,
+               left('abcdef', 2) AS lf, right('abcdef', 2) AS rt,
+               instr('abcabc', 'bc') AS ins
+    """,
+    # (last_value IGNORE NULLS has no shared spelling: Spark puts the
+    # modifier after the call, DuckDB inside the parens — the portable
+    # last-non-null is the running max over the null-skipping expression)
+    "window_last_non_null_portable": """
+        SELECT n_nationkey,
+               max(CASE WHEN n_nationkey % 3 = 0 THEN n_nationkey END)
+                 OVER (ORDER BY n_nationkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_mult3
+        FROM nation ORDER BY n_nationkey LIMIT 8
+    """,
+    "window_nth_value": """
+        SELECT n_nationkey,
+               nth_value(n_name, 2) OVER (PARTITION BY n_regionkey
+                 ORDER BY n_nationkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_name
+        FROM nation ORDER BY n_nationkey LIMIT 10
+    """,
+    "order_nulls_placement_with_limit": """
+        SELECT v FROM (
+          SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS v
+          FROM nation) t
+        ORDER BY v DESC NULLS LAST LIMIT 5
+    """,
+    "last_day_and_interval_chain": """
+        SELECT cast(last_day(DATE '2024-02-01') AS timestamp) AS leap_feb,
+               cast(last_day(DATE '2023-02-11') AS timestamp) AS plain_feb,
+               cast(DATE '2024-01-31' + INTERVAL '1' MONTH AS timestamp) AS clamped
+    """,
+    "greatest_least_multiarg": """
+        SELECT greatest(3, 1, 4, 1, 5) AS g, least(2, 7, 1, 8) AS l,
+               greatest('apple', 'pear', 'fig') AS gs
+    """,
+    "percentile_cont_within_group": """
+        SELECT round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_nationkey), 4) AS p50,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_nationkey), 4) AS p90
+        FROM nation
+    """,
+    "distinct_count_expressions": """
+        SELECT cast(count(DISTINCT n_regionkey) AS bigint) AS dr,
+               cast(count(DISTINCT n_nationkey % 4 + n_regionkey * 10) AS bigint) AS pairs
+        FROM nation
+    """,
+    "correlated_exists_with_limit": """
+        SELECT r_name FROM region r
+        WHERE EXISTS (SELECT 1 FROM nation n
+                      WHERE n.n_regionkey = r.r_regionkey AND n.n_nationkey > 20
+                      LIMIT 1)
+        ORDER BY r_name
+    """,
+    "numeric_string_concat_cast": """
+        SELECT 'id-' || cast(n_nationkey AS string) AS tag
+        FROM nation WHERE n_nationkey < 3 ORDER BY tag
+    """,
 }
 
 #: Negative corpus (the reference's subquery/negative territory): SQL both
