@@ -2560,6 +2560,70 @@ def source_parquet_rawread_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_parquet_rawread_encodings",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           cast(epoch_us(min(o_orderdate)) AS bigint) AS first_us,
+           cast(epoch_us(max(o_orderdate)) AS bigint) AS last_us
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def source_parquet_rawread_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two remaining real-world parquet layouts through the
+    from-scratch reader: BYTE_STREAM_SPLIT (the float/double encoding —
+    byte-plane reassembly) on o_totalprice, and INT96 legacy timestamps
+    (nanos-of-day + Julian day, what old Impala/Spark lakes still hold;
+    pyarrow writes it under use_deprecated_int96_timestamps) on
+    o_orderdate.  Oracle aggregates the ORIGINAL snappy file through
+    DuckDB's reader, so neither decode can self-certify."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.parquet_data import read_table
+
+    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    t = t.filter(pc.field("o_orderkey") < 4000)
+    path = os.path.join(tempfile.mkdtemp(prefix="src_enc_"), "orders_enc.parquet")
+    pq.write_table(
+        t,
+        path,
+        compression="snappy",
+        use_dictionary=False,
+        use_deprecated_int96_timestamps=True,
+        column_encoding={"o_totalprice": "BYTE_STREAM_SPLIT"},
+    )
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                cols = read_table(
+                    bytes(content), ["o_orderstatus", "o_totalprice", "o_orderdate"]
+                )
+                yield pd.DataFrame(cols)
+
+    files = spark.read.format("binaryFile").load(path)
+    raw = files.select("content").mapInPandas(
+        batches, "o_orderstatus string, o_totalprice double, o_orderdate timestamp"
+    )
+    return (
+        raw.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.unix_micros(F.min("o_orderdate")).cast("bigint").alias("first_us"),
+            F.unix_micros(F.max("o_orderdate")).cast("bigint").alias("last_us"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "source_parquet_rawread_zstd",
     """
     SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
