@@ -144,9 +144,34 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol, for the bit-serial decoder."""
-    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+#: root-table width for the one-peek Huffman fast path (T.81 codes are
+#: MSB-first; codes ≤ _ROOT bits resolve in a single lookup)
+_ROOT = 10
+
+
+class _HuffTable:
+    """Decode table: a (length, code) → symbol dict plus a DEFLATE-style
+    root lookup filled by prefix (entry = (symbol, nb_bits) or None for
+    codes longer than the root)."""
+
+    __slots__ = ("lookup", "fast")
+
+    def __init__(self, lookup: dict):
+        self.lookup = lookup
+        fast: list = [None] * (1 << _ROOT)
+        for (ln, code), sym in lookup.items():
+            if ln <= _ROOT:
+                base = code << (_ROOT - ln)
+                for i in range(base, base + (1 << (_ROOT - ln))):
+                    fast[i] = (sym, ln)
+        self.fast = fast
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> "_HuffTable":
+    """(length, code) → symbol, with the one-peek root table."""
+    return _HuffTable(
+        {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+    )
 
 
 # -- bit I/O ---------------------------------------------------------------
@@ -181,31 +206,51 @@ class _BitWriter:
 
 
 class _BitReader:
+    """Chunked MSB-first reader over an entropy-coded segment.  The fill
+    loop un-stuffs FF 00 and STOPS (without consuming) at any real marker,
+    so buffered bits never extend past a restart boundary — which is what
+    keeps expect_restart's pad-bit drop (< 8 buffered bits there) sound."""
+
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self._acc = 0
         self._n = 0
 
+    def _fill(self, need: int, for_read: bool) -> None:
+        data = self.data
+        n = len(data)
+        while self._n < need:
+            if self.pos >= n:
+                if for_read:
+                    raise ValueError("truncated entropy-coded segment")
+                return
+            b = data[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 < n and data[self.pos + 1] == 0x00:
+                    self.pos += 2  # stuffed byte
+                else:
+                    if for_read:
+                        raise ValueError("unexpected marker inside scan")
+                    return  # peek: a marker ends the entropy bits
+            else:
+                self.pos += 1
+            self._acc = (self._acc << 8) | b
+            self._n += 8
+
     def read_bit(self) -> int:
         if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated entropy-coded segment")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError("unexpected marker inside scan")
-            self._acc, self._n = b, 8
+            self._fill(1, True)
         self._n -= 1
-        return (self._acc >> self._n) & 1
+        v = (self._acc >> self._n) & 1
+        self._acc &= (1 << self._n) - 1
+        return v
 
     def expect_restart(self, n: int) -> None:
         """Consume the byte-aligned RSTn marker between restart intervals
         (T.81 E.1.4) and discard any partial padding bits before it."""
         self._n = 0  # drop pad bits: restart markers are byte-aligned
+        self._acc = 0
         if self.pos + 1 >= len(self.data):
             raise ValueError("truncated scan: missing restart marker")
         if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + (n & 7):
@@ -216,16 +261,38 @@ class _BitReader:
         self.pos += 2
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self._n < n:
+            self._fill(n, True)
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
         return v
 
-    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+    def peek_bits(self, n: int) -> int:
+        """Next n bits MSB-first without consuming; zero-padded when the
+        segment ends (a marker or EOF) before n bits exist."""
+        if self._n < n:
+            self._fill(n, False)
+        if self._n >= n:
+            return (self._acc >> (self._n - n)) & ((1 << n) - 1)
+        return (self._acc << (n - self._n)) & ((1 << n) - 1)
+
+    def read_symbol(self, table) -> int:
+        fast = getattr(table, "fast", None)
+        if fast is not None:
+            entry = fast[self.peek_bits(_ROOT)]
+            if entry is not None:
+                self.read_bits(entry[1])
+                return entry[0]
+            lookup = table.lookup
+        else:
+            lookup = table  # plain dict (test fixtures)
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
+            sym = lookup.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code in scan")
