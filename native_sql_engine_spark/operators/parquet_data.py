@@ -24,8 +24,8 @@ the storage stack, stdlib + numpy only:
 - definition-level reassembly for flat OPTIONAL columns (nulls).
 
 Honest gates: repeated (nested/list) columns beyond the 3-level LIST
-shape, codecs beyond snappy/uncompressed/gzip/zstd (zstd via the
-from-scratch RFC 8878 decoder in operators/zstd.py), INT96, and
+shape, codecs beyond snappy/uncompressed/gzip/lz4/zstd (lz4 and zstd via the
+from-scratch decoders in operators/{lz4,zstd}.py), FLBA, and
 encrypted files raise ``NotImplementedError``.  Scope is
 deliberate: this is the verification path (read a column with zero
 engine code and cross-check the engine's own scan), not a replacement
@@ -425,9 +425,9 @@ def _assemble_lists(defs, reps, present, desc):
 def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int):
     ptype = cm.get(1)
     codec = cm.get(4, 0)
-    if codec not in (0, 1, 2, 6):
+    if codec not in (0, 1, 2, 5, 6, 7):
         raise NotImplementedError(
-            f"codec {codec} not supported (uncompressed/snappy/gzip/zstd)"
+            f"codec {codec} not supported (uncompressed/snappy/gzip/lz4/zstd)"
         )
     n_values = cm.get(5, 0)
     start = cm.get(11, cm.get(9))  # dictionary page first when present
@@ -499,10 +499,18 @@ def _decompress(raw: bytes, codec: int) -> bytes:
         return raw
     if codec == 1:
         return snappy_decompress(raw)
+    if codec == 5:  # legacy LZ4: Hadoop framing with bare-block fallback
+        from .lz4 import lz4_hadoop_decompress
+
+        return lz4_hadoop_decompress(raw)
     if codec == 6:
         from .zstd import zstd_decompress
 
         return zstd_decompress(raw)
+    if codec == 7:  # LZ4_RAW
+        from .lz4 import lz4_block_decompress
+
+        return lz4_block_decompress(raw)
     return zlib.decompress(raw, 31)  # GZIP
 
 

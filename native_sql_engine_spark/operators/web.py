@@ -163,16 +163,18 @@ def decompress_text(
     """Transparent decompression for compressed corpus shards — the other
     ingestion front door next to WARC: gzip (\\x1f\\x8b), bzip2 (BZh),
     xz (\\xfd7zXZ), zstd (\\x28\\xb5\\x2f\\xfd — the from-scratch RFC 8878
-    decoder in operators/zstd.py), raw zlib (\\x78) and plain text,
-    dispatched by magic bytes per row.  Arrow batched.  At 100 TB,
-    compressed shards arrive one per row from a binaryFile scan;
-    decompression is CPU-parallel across rows with zero shuffle."""
+    decoder in operators/zstd.py), lz4 frames (\\x04\\x22\\x4d\\x18 —
+    operators/lz4.py), raw zlib (\\x78) and plain text, dispatched by
+    magic bytes per row.  Arrow batched.  At 100 TB, compressed shards
+    arrive one per row from a binaryFile scan; decompression is
+    CPU-parallel across rows with zero shuffle."""
     import bz2
     import lzma
     import zlib
 
     import pandas as pd
 
+    from .lz4 import lz4_frame_decompress
     from .zstd import zstd_decompress
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -188,6 +190,8 @@ def decompress_text(
                     codec, data = "xz", lzma.decompress(buf)
                 elif buf[:4] == b"\x28\xb5\x2f\xfd":
                     codec, data = "zstd", zstd_decompress(buf)
+                elif buf[:4] == b"\x04\x22\x4d\x18":
+                    codec, data = "lz4", lz4_frame_decompress(buf)
                 elif buf[:1] == b"\x78":
                     codec, data = "zlib", zlib.decompress(buf)
                 else:

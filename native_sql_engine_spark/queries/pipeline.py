@@ -2680,6 +2680,61 @@ def source_parquet_rawread_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_parquet_rawread_lz4",
+    """
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+           cast(sum(o_custkey) AS bigint) AS cust_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def source_parquet_rawread_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ4-compressed parquet read entirely from scratch: pages inflated
+    by the block/Hadoop-framing decoder (operators/lz4.py — token-coded
+    sequences, overlapping copies, legacy BE size framing with bare-block
+    fallback) feeding the from-scratch page/level/dictionary reader.
+    With snappy, gzip, zstd and lz4 the page-codec set real writers emit
+    is complete.  Oracle aggregates the ORIGINAL snappy file through
+    DuckDB's reader."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.parquet_data import read_table
+
+    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    t = t.filter(pc.field("o_orderkey") < 4000)
+    path = os.path.join(tempfile.mkdtemp(prefix="src_lz4_"), "orders_lz4.parquet")
+    pq.write_table(t, path, compression="lz4")
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                cols = read_table(
+                    bytes(content), ["o_custkey", "o_orderpriority", "o_totalprice"]
+                )
+                yield pd.DataFrame(cols)
+
+    files = spark.read.format("binaryFile").load(path)
+    raw = files.select("content").mapInPandas(
+        batches, "o_custkey long, o_orderpriority string, o_totalprice double"
+    )
+    return (
+        raw.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
     "source_orc_roundtrip",
     """
     SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
