@@ -19,7 +19,9 @@ from native_sql_engine_spark.queries import all_oracles, all_queries
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from native_sql_engine_spark.queries.tpch import QUERIES
+    from native_sql_engine_spark.session import pin_session_semantics
 
+    pin_session_semantics(spark)
     return QUERIES["tpch_q1"](spark, "/root/testdata/sf0.001")
 
 

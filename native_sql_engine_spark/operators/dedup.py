@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 from .text import shingles, tokens
 
 # Mersenne prime + deterministic affine constants for MinHash permutations.
-_MERSENNE = (1 << 61) - 1
+# 31-bit (not 61-bit) so the affine mulmod is overflow-free in signed 64-bit
+# arithmetic under BOTH ANSI modes: _h < 2^31, a < 2^31 ⇒ _h*a + b < 2^62 + 2^31.
+# 31-bit min-hashes are ample for 64 permutations (collision P ≈ 2^-31/pair).
+_MERSENNE = (1 << 31) - 1
 
 
 def _perm_constants(num_hashes: int) -> list[tuple[int, int]]:

@@ -117,11 +117,27 @@ def _ordered(names: list[str]) -> list[str]:
     return [name for _, name in sorted(enumerate(names), key=lambda it: key(it))]
 
 
+def _pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Entries must behave identically in ANY host session (the driver builds
+    its own, proven ANSI-on in round 7), so every registered callable first
+    re-asserts the engine's semantics confs — see session.PINNED_SEMANTICS."""
+    import functools
+
+    from ..session import pin_session_semantics
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pin_session_semantics(spark)
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _modules():
         merged.update(mod.QUERIES)
-    return {name: merged[name] for name in _ordered(list(merged))}
+    return {name: _pinned(merged[name]) for name in _ordered(list(merged))}
 
 
 def all_oracles() -> dict[str, str]:

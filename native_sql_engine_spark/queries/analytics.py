@@ -1843,9 +1843,15 @@ def analytics_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = d(F.col("c_a")) / d(F.col("n_a"))
     pb = d(F.col("c_b")) / d(F.col("n_b"))
     pp = d(F.col("c_a") + F.col("c_b")) / d(F.col("n_a") + F.col("n_b"))
-    z = (pa - pb) / F.sqrt(
-        pp * (F.lit(1.0) - pp)
-        * (F.lit(1.0) / d(F.col("n_a")) + F.lit(1.0) / d(F.col("n_b")))
+    # try_divide, not `/`: when the pooled rate is 0 or 1 the denominator is
+    # exactly 0.0 and ANSI-mode division throws DIVIDE_BY_ZERO; NULL is the
+    # statistically honest answer (z undefined) and matches the oracle.
+    z = F.try_divide(
+        pa - pb,
+        F.sqrt(
+            pp * (F.lit(1.0) - pp)
+            * (F.lit(1.0) / d(F.col("n_a")) + F.lit(1.0) / d(F.col("n_b")))
+        ),
     )
     return s.select(
         "n_a", "c_a", "n_b", "c_b",

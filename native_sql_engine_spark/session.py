@@ -63,6 +63,35 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+#: Runtime-settable confs that carry the engine's declared SEMANTICS (as
+#: opposed to perf tuning).  A battery entry may be invoked on a session the
+#: engine did not build — the driver harness constructs its own SparkSession,
+#: proven ANSI-on by the round-7 `dedup_minhash_lsh` ARITHMETIC_OVERFLOW — so
+#: each entry re-asserts these on the session it receives, the PySpark
+#: analogue of the reference shipping its own session extensions
+#: (ColumnarPlugin.scala:387-394) instead of assuming cluster defaults.
+PINNED_SEMANTICS: dict[str, str] = {
+    # non-ANSI overflow→null matches the reference's
+    # castDECIMALNullOnOverflow semantics (ColumnarUnaryOperator.scala)
+    "spark.sql.ansi.enabled": "false",
+    # the reference is local-TZ sensitive; we pin UTC everywhere
+    "spark.sql.session.timeZone": "UTC",
+    # driver data ships events.ts as TIMESTAMP(NANOS); must read as long
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def pin_session_semantics(spark: SparkSession) -> None:
+    """Re-assert the engine's semantics confs on an arbitrary host session.
+
+    Idempotent and cheap (3 runtime ``conf.set`` calls); every battery entry
+    runs through this via ``queries.all_queries()`` so results are identical
+    whether the host session was built by :func:`get_spark` or by an external
+    harness with different defaults (ANSI on, non-UTC TZ, ...)."""
+    for k, v in PINNED_SEMANTICS.items():
+        spark.conf.set(k, v)
+
+
 def get_spark(app_name: str = "native_sql_engine_spark", **overrides: str) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
