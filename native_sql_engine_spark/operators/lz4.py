@@ -149,6 +149,8 @@ def lz4_hadoop_decompress(buf: bytes) -> bytes:
             got = 0
             pos = pos0
             while got < want:
+                if pos + 4 > n:
+                    raise ValueError(f"truncated Hadoop LZ4 inner size at byte {pos}")
                 (csize,) = struct.unpack_from(">I", buf, pos)
                 pos += 4
                 if pos + csize > n:
@@ -170,7 +172,18 @@ def lz4_hadoop_decompress(buf: bytes) -> bytes:
 
 def lz4_frame_decompress(buf: bytes) -> bytes:
     """Decode one or more concatenated LZ4 frames (the `.lz4` layout),
-    verifying the header checksum and any block/content checksums."""
+    verifying the header checksum and any block/content checksums.
+
+    Truncated input raises positioned ``ValueError`` (shared codec-layer
+    contract) — the walk body converts raw IndexError/struct.error from
+    short reads, same as zstd's ``_decode_frame``."""
+    try:
+        return _lz4_frame_walk(buf)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated LZ4 frame: {exc}") from exc
+
+
+def _lz4_frame_walk(buf: bytes) -> bytes:
     out = bytearray()
     pos = 0
     n = len(buf)
@@ -180,6 +193,8 @@ def lz4_frame_decompress(buf: bytes) -> bytes:
         (magic,) = struct.unpack_from("<I", buf, pos)
         pos += 4
         if 0x184D2A50 <= magic <= 0x184D2A5F:  # skippable frame
+            if pos + 4 > n:
+                raise ValueError(f"truncated skippable-frame size at byte {pos}")
             (skip,) = struct.unpack_from("<I", buf, pos)
             pos += 4 + skip
             continue

@@ -701,6 +701,8 @@ def zstd_decompress(buf: bytes, dictionary: bytes | ZstdDict | None = None) -> b
             raise ValueError(f"truncated frame header at byte {pos}")
         (magic,) = struct.unpack_from("<I", buf, pos)
         if (magic & 0xFFFFFFF0) == _SKIP_MAGIC_LO:
+            if pos + 8 > n:
+                raise ValueError(f"truncated skippable-frame size at byte {pos + 4}")
             (skip,) = struct.unpack_from("<I", buf, pos + 4)
             pos += 8 + skip
             continue

@@ -89,6 +89,30 @@ def test_frame_checksum_and_error_paths():
     assert lz4_frame_decompress(a + skip + b) == b"first " * 30 + b"second " * 30
 
 
+def test_truncated_inputs_raise_value_error_not_raw():
+    """Positioned-ValueError codec contract (round-7 advice): truncated
+    payloads must never leak raw struct.error/IndexError from any entry
+    point — callers (decompress_text dispatch) rely on uniform exceptions."""
+    from native_sql_engine_spark.operators.lz4 import lz4_hadoop_decompress
+
+    # Hadoop framing: want=100 then a short record tail (inner csize cut off)
+    with pytest.raises(ValueError):
+        lz4_hadoop_decompress(struct.pack(">II", 100, 5) + b"\x30abc")
+    # frame ends right after the magic (FLG/BD bytes missing)
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(struct.pack("<I", 0x184D2204))
+    # skippable frame with the size field cut off
+    with pytest.raises(ValueError):
+        lz4_frame_decompress(struct.pack("<I", 0x184D2A51) + b"\x03")
+    # zstd: same two truncation shapes through its own entry point
+    from native_sql_engine_spark.operators.zstd import zstd_decompress
+
+    with pytest.raises(ValueError):
+        zstd_decompress(struct.pack("<I", 0xFD2FB528))
+    with pytest.raises(ValueError):
+        zstd_decompress(struct.pack("<I", 0x184D2A51) + b"\x03")
+
+
 def test_parquet_lz4_pages_match_duckdb():
     """Parquet 'LZ4' (Hadoop-framed legacy codec) pages through the
     from-scratch reader, bit-identical to DuckDB's scan."""
