@@ -20,12 +20,18 @@ the storage stack, stdlib + numpy only:
   (delta-packed lengths + concatenated bytes) and DELTA_BYTE_ARRAY
   (incremental front-coding: delta-packed prefix lengths + suffixes);
 - **BYTE_STREAM_SPLIT** (the float/double encoding) byte-plane
-  reassembly;
+  reassembly — including the FLBA variant;
+- **FIXED_LEN_BYTE_ARRAY** with its logical-type views: DECIMAL(p>18)
+  (big-endian two's-complement unscaled → decimal.Decimal — the physical
+  layout Spark/Arrow/DuckDB use for wide decimals), UUID (FLBA(16)) and
+  FLOAT16 (FLBA(2)), under PLAIN / dictionary / DELTA_BYTE_ARRAY /
+  BYTE_STREAM_SPLIT pages;
 - definition-level reassembly for flat OPTIONAL columns (nulls).
 
 Honest gates: repeated (nested/list) columns beyond the 3-level LIST
 shape, codecs beyond snappy/uncompressed/gzip/lz4/zstd (lz4 and zstd via the
-from-scratch decoders in operators/{lz4,zstd}.py), FLBA, and
+from-scratch decoders in operators/{lz4,zstd}.py), DECIMAL over the
+BYTE_ARRAY physical type, and
 encrypted files raise ``NotImplementedError``.  Scope is
 deliberate: this is the verification path (read a column with zero
 engine code and cross-check the engine's own scan), not a replacement
@@ -139,7 +145,7 @@ def _rle_hybrid(data: bytes, pos: int, bit_width: int, count: int) -> tuple[list
 _FIXED = {1: ("i", 4), 2: ("q", 8), 4: ("f", 4), 5: ("d", 8)}  # parquet Type
 
 
-def _plain_values(data: bytes, pos: int, ptype: int, count: int):
+def _plain_values(data: bytes, pos: int, ptype: int, count: int, type_length: int | None = None):
     if ptype == 0:  # BOOLEAN: bit-packed LSB-first
         out = [(data[pos + (i >> 3)] >> (i & 7)) & 1 == 1 for i in range(count)]
         return out, pos + (count + 7) // 8
@@ -161,13 +167,25 @@ def _plain_values(data: bytes, pos: int, ptype: int, count: int):
         epoch = dt.datetime(1970, 1, 1)
         out = []
         for _ in range(count):
-            nanos = int.from_bytes(data[pos : pos + 8], "little")
+            # nanos-of-day is SIGNED: Arrow's INT96 writer truncates toward
+            # zero, so pre-1970 timestamps carry NEGATIVE nanos; an unsigned
+            # read decodes them ~584 years in the future (off by 2^64 ns).
+            # Post-1970 values are unaffected (in-range nanos, same bits).
+            nanos = int.from_bytes(data[pos : pos + 8], "little", signed=True)
             jday = int.from_bytes(data[pos + 8 : pos + 12], "little")
             micros = (jday - 2440588) * 86_400_000_000 + nanos // 1000
             out.append(epoch + dt.timedelta(microseconds=micros))
             pos += 12
         return out, pos
-    raise NotImplementedError(f"parquet physical type {ptype} (FLBA) not supported")
+    if ptype == 7:  # FIXED_LEN_BYTE_ARRAY: type_length bytes each, no prefix
+        if not type_length or type_length <= 0:
+            raise ValueError("FLBA column without a positive type_length")
+        end = pos + count * type_length
+        if end > len(data):
+            raise ValueError(f"FLBA run overruns page at byte {pos}")
+        out = [data[p : p + type_length] for p in range(pos, end, type_length)]
+        return out, end
+    raise NotImplementedError(f"parquet physical type {ptype} not supported")
 
 
 # -- DELTA_* encodings -----------------------------------------------------------
@@ -292,7 +310,15 @@ def _schema_leaves(meta: dict) -> dict[str, dict]:
             if rep == 2:
                 out[name] = {"kind": "nested"}
             else:
-                out[name] = {"kind": "flat", "max_def": 1 if rep == 1 else 0, "converted": el.get(6)}
+                out[name] = {
+                    "kind": "flat",
+                    "max_def": 1 if rep == 1 else 0,
+                    "converted": el.get(6),
+                    "type_length": el.get(2),
+                    "scale": el.get(7),
+                    "precision": el.get(8),
+                    "logical": el.get(10),
+                }
             i += 1
             continue
         # group: recognize the standard 3-level list shape
@@ -314,6 +340,10 @@ def _schema_leaves(meta: dict) -> dict[str, dict]:
                 "max_def": md,
                 "max_rep": 1,
                 "converted": leaf.get(6),
+                "type_length": leaf.get(2),
+                "scale": leaf.get(7),
+                "precision": leaf.get(8),
+                "logical": leaf.get(10),
                 "outer_optional": el.get(3, 0) == 1,
                 "leaf_optional": leaf.get(3, 0) == 1,
                 "path": ".".join(
@@ -333,11 +363,18 @@ def _schema_leaves(meta: dict) -> dict[str, dict]:
     return out
 
 
-def _convert(values: list, converted_type: int | None) -> list:
-    """Apply the logical-type view (ConvertedType enum): TIMESTAMP_MICROS
-    (10) / TIMESTAMP_MILLIS (9) → naive datetimes, DATE (6) → dates."""
+def _convert(values: list, desc: dict) -> list:
+    """Apply the logical-type view.  ConvertedType enum: TIMESTAMP_MICROS
+    (10) / TIMESTAMP_MILLIS (9) → naive datetimes, DATE (6) → dates,
+    DECIMAL (5) → decimal.Decimal (INT32/INT64 unscaled, or FLBA/BYTE_ARRAY
+    big-endian two's-complement unscaled — the physical layout Spark/Arrow
+    use for DECIMAL(p>18)).  LogicalType union (SchemaElement field 10):
+    UUID (field 14) → uuid.UUID over FLBA(16), FLOAT16 (field 15) →
+    half-float over FLBA(2)."""
     import datetime as dt
 
+    converted_type = desc.get("converted")
+    logical = desc.get("logical") or {}
     if converted_type == 10:
         epoch = dt.datetime(1970, 1, 1)
         return [None if v is None else epoch + dt.timedelta(microseconds=v) for v in values]
@@ -347,6 +384,30 @@ def _convert(values: list, converted_type: int | None) -> list:
     if converted_type == 6:
         epoch = dt.date(1970, 1, 1)
         return [None if v is None else epoch + dt.timedelta(days=v) for v in values]
+    if converted_type == 5 or 5 in logical:  # DECIMAL
+        import decimal
+
+        scale = desc.get("scale")
+        if scale is None:
+            scale = logical.get(5, {}).get(1, 0)
+
+        def to_dec(v):
+            if v is None:
+                return None
+            if isinstance(v, str):  # ptype-6 pages decode to str upstream
+                raise NotImplementedError("DECIMAL over BYTE_ARRAY physical type not supported")
+            unscaled = int.from_bytes(v, "big", signed=True) if isinstance(v, (bytes, bytearray)) else int(v)
+            return decimal.Decimal(unscaled).scaleb(-scale)
+
+        return [to_dec(v) for v in values]
+    if 14 in logical:  # UUID over FLBA(16)
+        import uuid
+
+        return [None if v is None else uuid.UUID(bytes=bytes(v)) for v in values]
+    if 15 in logical:  # FLOAT16 over FLBA(2), little-endian
+        return [
+            None if v is None else struct.unpack("<e", bytes(v))[0] for v in values
+        ]
     return values
 
 
@@ -378,8 +439,8 @@ def read_column(buf: bytes, column: str):
             path = ".".join(p.decode("utf-8", "replace") for p in cm.get(3, []))
             if path != chunk_path:
                 continue
-            defs, reps, present = _read_chunk(buf, cm, max_def, max_rep)
-            present = _convert(present, desc["converted"])
+            defs, reps, present = _read_chunk(buf, cm, max_def, max_rep, desc.get("type_length"))
+            present = _convert(present, desc)
             if desc["kind"] == "flat":
                 it = iter(present)
                 out.extend(next(it) if d == max_def else None for d in defs)
@@ -422,7 +483,7 @@ def _assemble_lists(defs, reps, present, desc):
     return rows
 
 
-def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int):
+def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int, type_length: int | None = None):
     ptype = cm.get(1)
     codec = cm.get(4, 0)
     if codec not in (0, 1, 2, 5, 6, 7):
@@ -447,7 +508,7 @@ def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int):
         if page_type == 2:  # DICTIONARY_PAGE
             data = _decompress(raw, codec)
             dph = hdr.get(7, {})
-            dictionary, _ = _plain_values(data, 0, ptype, dph.get(1, 0))
+            dictionary, _ = _plain_values(data, 0, ptype, dph.get(1, 0), type_length)
             continue
         if page_type == 0:  # DATA_PAGE (v1): whole page compressed together
             data = _decompress(raw, codec)
@@ -468,7 +529,7 @@ def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int):
                 page_defs, _ = _rle_hybrid(data, dpos, max_def.bit_length(), nv)
                 dpos += ln
             n_present = sum(1 for d in page_defs if d == max_def)
-            page_vals = _decode_values(data, dpos, enc, ptype, n_present, dictionary)
+            page_vals = _decode_values(data, dpos, enc, ptype, n_present, dictionary, type_length)
         elif page_type == 3:  # DATA_PAGE_V2: levels stored uncompressed up front
             dp = hdr.get(8, {})
             nv = dp.get(1, 0)
@@ -485,7 +546,7 @@ def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int):
             if dp.get(7, True):  # is_compressed applies to the values only
                 body = _decompress(body, codec)
             n_present = sum(1 for d in page_defs if d == max_def)
-            page_vals = _decode_values(body, 0, enc, ptype, n_present, dictionary)
+            page_vals = _decode_values(body, 0, enc, ptype, n_present, dictionary, type_length)
         else:
             raise NotImplementedError(f"page type {page_type} not supported")
         defs.extend(page_defs)
@@ -514,11 +575,13 @@ def _decompress(raw: bytes, codec: int) -> bytes:
     return zlib.decompress(raw, 31)  # GZIP
 
 
-def _decode_values(data: bytes, pos: int, enc: int, ptype: int, count: int, dictionary):
+def _decode_values(
+    data: bytes, pos: int, enc: int, ptype: int, count: int, dictionary, type_length: int | None = None
+):
     if count == 0:
         return []
     if enc == 0:  # PLAIN
-        vals, _ = _plain_values(data, pos, ptype, count)
+        vals, _ = _plain_values(data, pos, ptype, count, type_length)
         return vals
     if enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
         if dictionary is None:
@@ -538,6 +601,13 @@ def _decode_values(data: bytes, pos: int, enc: int, ptype: int, count: int, dict
         if len(vals) < count:
             raise ValueError(f"DELTA page holds {len(vals)} values, need {count}")
         return vals[:count]
+    if enc == 7 and ptype == 7:  # DELTA_BYTE_ARRAY over FLBA: front-coded, keep bytes
+        vals, _ = _delta_byte_array(data, pos)
+        if len(vals) < count:
+            raise ValueError(f"DELTA page holds {len(vals)} values, need {count}")
+        if type_length and any(len(v) != type_length for v in vals[:count]):
+            raise ValueError("front-coded FLBA value violates type_length")
+        return vals[:count]
     if enc in (6, 7):  # DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY
         if ptype != 6:
             raise NotImplementedError(
@@ -549,6 +619,14 @@ def _decode_values(data: bytes, pos: int, enc: int, ptype: int, count: int, dict
             raise ValueError(f"DELTA page holds {len(vals)} values, need {count}")
         return [v.decode("utf-8", "replace") for v in vals[:count]]
     if enc == 9:  # BYTE_STREAM_SPLIT: K byte planes of `count` values each
+        if ptype == 7:  # FLBA planes reassemble to bytes (float16/decimal)
+            if not type_length or type_length <= 0:
+                raise ValueError("BYTE_STREAM_SPLIT FLBA without a type_length")
+            width = type_length
+            if len(data) - pos < count * width:
+                raise ValueError("BYTE_STREAM_SPLIT page shorter than its value block")
+            planes = [data[pos + k * count : pos + (k + 1) * count] for k in range(width)]
+            return [bytes(p[i] for p in planes) for i in range(count)]
         if ptype not in _FIXED:
             raise NotImplementedError(
                 f"BYTE_STREAM_SPLIT on physical type {ptype} (fixed-width only)"

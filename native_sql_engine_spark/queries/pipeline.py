@@ -2624,6 +2624,130 @@ def source_parquet_rawread_encodings(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @q(
+    "source_parquet_rawread_flba",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+             concat(substr(md5(cast(o_orderkey AS varchar)), 1, 8), '-',
+                    substr(md5(cast(o_orderkey AS varchar)), 9, 4), '-',
+                    substr(md5(cast(o_orderkey AS varchar)), 13, 4), '-',
+                    substr(md5(cast(o_orderkey AS varchar)), 17, 4), '-',
+                    substr(md5(cast(o_orderkey AS varchar)), 21, 12)) AS us
+      FROM orders WHERE o_orderkey < 4000
+    )
+    SELECT cast(count(*) AS bigint) AS n,
+           cast(sum(k * 10007) AS bigint) AS d30_sum,
+           cast(sum(k * 982451653 + c) AS bigint) AS d38_sum,
+           min(CASE WHEN k < 2000 THEN us END) AS u_min,
+           max(CASE WHEN k < 2000 THEN us END) AS u_max
+    FROM o
+    """,
+)
+def source_parquet_rawread_flba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED_LEN_BYTE_ARRAY decode from scratch — the physical type real
+    lakes use for DECIMAL(p>18) and UUID columns.  Two fixtures split the
+    key range so every row flows through exactly one FLBA layout: DuckDB
+    writes keys <2000 (wide decimals as FLBA(16) big-endian two's
+    complement + a UUID logical-type column), pyarrow writes keys
+    2000–3999 with DELTA_BYTE_ARRAY-over-FLBA and
+    BYTE_STREAM_SPLIT-over-FLBA pages.  Both are read back with zero
+    parquet-library code (operators/parquet_data.py), decimals reduced to
+    exact unscaled bigints; the oracle computes the same integers from the
+    ORIGINAL orders file through DuckDB's reader, so the decoder can't
+    self-certify.  Fixture write is a bounded driver-side step (<4000
+    rows); the decode is partition-parallel mapInPandas."""
+    import decimal
+    import os
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.parquet_data import read_column
+
+    d = tempfile.mkdtemp(prefix="src_flba_")
+    src = os.path.join(sf_dir, "orders.parquet")
+    md5u = (
+        "concat(substr(md5(cast(o_orderkey AS varchar)), 1, 8), '-', "
+        "substr(md5(cast(o_orderkey AS varchar)), 9, 4), '-', "
+        "substr(md5(cast(o_orderkey AS varchar)), 13, 4), '-', "
+        "substr(md5(cast(o_orderkey AS varchar)), 17, 4), '-', "
+        "substr(md5(cast(o_orderkey AS varchar)), 21, 12))"
+    )
+    duckdb.sql(
+        f"COPY (SELECT o_orderkey AS okey, "
+        f"cast(o_orderkey * 10007 AS DECIMAL(27,0)) * cast(0.0001 AS DECIMAL(5,4)) AS dec30, "
+        f"cast(o_orderkey * 982451653 + o_custkey AS DECIMAL(20,0)) "
+        f"  * cast(0.0000000001 AS DECIMAL(11,10)) AS dec38, "
+        f"cast({md5u} AS uuid) AS u "
+        f"FROM read_parquet('{src}') WHERE o_orderkey < 2000) "
+        f"TO '{d}/flba_duck.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)"
+    )
+    hi = duckdb.sql(
+        f"SELECT o_orderkey, o_custkey FROM read_parquet('{src}') "
+        f"WHERE o_orderkey >= 2000 AND o_orderkey < 4000"
+    ).fetchall()
+    t = pa.table(
+        {
+            "okey": pa.array([k for k, _ in hi], type=pa.int64()),
+            "dec30": pa.array(
+                [decimal.Decimal(k * 10007).scaleb(-4) for k, _ in hi],
+                type=pa.decimal128(32, 4),
+            ),
+            "dec38": pa.array(
+                [decimal.Decimal(k * 982451653 + c).scaleb(-10) for k, c in hi],
+                type=pa.decimal128(31, 10),
+            ),
+        }
+    )
+    pq.write_table(
+        t,
+        f"{d}/flba_arrow.parquet",
+        compression="snappy",
+        use_dictionary=False,
+        column_encoding={
+            "okey": "PLAIN",
+            "dec30": "DELTA_BYTE_ARRAY",
+            "dec38": "BYTE_STREAM_SPLIT",
+        },
+    )
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                buf = bytes(content)
+                okey = read_column(buf, "okey")
+                d30 = read_column(buf, "dec30")
+                d38 = read_column(buf, "dec38")
+                try:
+                    u = [None if v is None else str(v) for v in read_column(buf, "u")]
+                except ValueError:  # the pyarrow file has no uuid column
+                    u = [None] * len(okey)
+                yield pd.DataFrame(
+                    {
+                        "okey": okey,
+                        "d30u": [int(v.scaleb(4)) for v in d30],
+                        "d38u": [int(v.scaleb(10)) for v in d38],
+                        "u": u,
+                    }
+                )
+
+    files = spark.read.format("binaryFile").load(d)
+    raw = files.select("content").mapInPandas(
+        batches, "okey long, d30u long, d38u long, u string"
+    )
+    return raw.agg(
+        F.count("*").alias("n"),
+        F.sum("d30u").cast("bigint").alias("d30_sum"),
+        F.sum("d38u").cast("bigint").alias("d38_sum"),
+        F.min("u").alias("u_min"),
+        F.max("u").alias("u_max"),
+    )
+
+
+@q(
     "source_parquet_rawread_zstd",
     """
     SELECT o_orderpriority, cast(count(*) AS bigint) AS n,

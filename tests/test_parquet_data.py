@@ -61,6 +61,94 @@ def test_column_errors_and_gates():
         read_column(b"garbage", "x")
 
 
+def _flba_fixture_table(n=200):
+    import decimal
+
+    import numpy as np
+    import pyarrow as pa
+
+    dec = [None if i % 17 == 0 else decimal.Decimal(i * 7919 - 500000).scaleb(-4) for i in range(n)]
+    big = [
+        None if i % 23 == 0 else decimal.Decimal((i * 982451653 - 10**15) * 10**6 + i).scaleb(-10)
+        for i in range(n)
+    ]
+    f16 = pa.array(np.array([i / 8.0 for i in range(n)], dtype=np.float16), type=pa.float16())
+    return pa.table(
+        {
+            "dec30": pa.array(dec, type=pa.decimal128(30, 4)),
+            "dec38": pa.array(big, type=pa.decimal128(38, 10)),
+            "h": f16,
+        }
+    )
+
+
+def test_flba_decimal_float16_all_encodings():
+    """FIXED_LEN_BYTE_ARRAY — the physical type of DECIMAL(p>18) and
+    FLOAT16 — under PLAIN, dictionary, DELTA_BYTE_ARRAY-over-FLBA and
+    BYTE_STREAM_SPLIT-over-FLBA pages.  Decimals cross-checked against
+    DuckDB where its reader supports the encoding, and against pyarrow
+    everywhere (DuckDB 1.0 can't read DELTA_BYTE_ARRAY FLBA, and reads
+    FLOAT16 as raw BLOB — pyarrow is the independent reader there)."""
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    t = _flba_fixture_table()
+    with tempfile.TemporaryDirectory() as d:
+        files = {
+            "plain": dict(compression="snappy", use_dictionary=False),
+            "dict": dict(compression="zstd", use_dictionary=True),
+            "delta": dict(
+                compression="snappy",
+                use_dictionary=False,
+                column_encoding={
+                    "dec30": "DELTA_BYTE_ARRAY",
+                    "dec38": "BYTE_STREAM_SPLIT",
+                    "h": "BYTE_STREAM_SPLIT",
+                },
+            ),
+        }
+        for tag, kw in files.items():
+            p = f"{d}/flba_{tag}.parquet"
+            pq.write_table(t, p, **kw)
+            buf = open(p, "rb").read()
+            arrow = pq.read_table(p)
+            for col in ("dec30", "dec38", "h"):
+                got = read_column(buf, col)
+                want = arrow[col].to_pylist()
+                if col == "h":
+                    want = [None if v is None else float(v) for v in want]
+                assert got == want, (tag, col)
+                if tag != "delta" and col != "h":  # DuckDB second opinion
+                    dd = [r[0] for r in duckdb.sql(f"SELECT {col} FROM read_parquet('{p}')").fetchall()]
+                    assert got == dd, (tag, col)
+
+
+def test_flba_uuid_logical_type():
+    """UUID logical type (FLBA(16)) — DuckDB both writes the fixture and
+    reads it back as uuid.UUID for the comparison."""
+    import tempfile
+
+    import duckdb
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/uuid.parquet"
+        duckdb.sql(
+            "COPY (SELECT cast(concat(substr(md5(cast(range AS varchar)), 1, 8), '-', "
+            "substr(md5(cast(range AS varchar)), 9, 4), '-', "
+            "substr(md5(cast(range AS varchar)), 13, 4), '-', "
+            "substr(md5(cast(range AS varchar)), 17, 4), '-', "
+            "substr(md5(cast(range AS varchar)), 21, 12)) AS uuid) AS u, "
+            f"range AS i FROM range(100)) TO '{p}' (FORMAT PARQUET, COMPRESSION SNAPPY)"
+        )
+        buf = open(p, "rb").read()
+        got = read_column(buf, "u")
+        want = [r[0] for r in duckdb.sql(f"SELECT u FROM read_parquet('{p}')").fetchall()]
+        assert got == want
+        assert read_column(buf, "i") == list(range(100))
+
+
 def test_list_reassembly_levels():
     """Null list / empty list / null element def-level mapping through a
     pyarrow-written file with all four cases present."""
@@ -245,3 +333,30 @@ def test_int96_legacy_timestamps_match_duckdb():
         got = read_column(buf, "ts")
         want = [r[0] for r in duckdb.sql(f"SELECT ts FROM read_parquet('{f.name}')").fetchall()]
         assert got == want
+
+
+def test_int96_pre_epoch_timestamps_signed_nanos():
+    """Pre-1970 INT96: Arrow's writer uses TRUNCATING division, so legacy
+    lakes store NEGATIVE nanos-of-day for pre-epoch timestamps; an unsigned
+    read decodes them ~584 years in the future (2^64 ns off). Regression for
+    the round-7 advice finding — nanos must be read signed."""
+    import datetime as dt
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = [
+        None if i % 41 == 0 else dt.datetime(1950, 1, 1) + dt.timedelta(seconds=i * 8641, microseconds=i * 7)
+        for i in range(500)
+    ]
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+        pq.write_table(t, f.name, compression="snappy", use_deprecated_int96_timestamps=True)
+        assert pq.ParquetFile(f.name).metadata.schema.column(0).physical_type == "INT96"
+        buf = open(f.name, "rb").read()
+        got = read_column(buf, "ts")
+        want = [r[0] for r in duckdb.sql(f"SELECT ts FROM read_parquet('{f.name}')").fetchall()]
+        assert got == want
+        assert min(v for v in got if v is not None) < dt.datetime(1970, 1, 1)
