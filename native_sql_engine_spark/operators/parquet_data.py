@@ -29,9 +29,10 @@ the storage stack, stdlib + numpy only:
 - definition-level reassembly for flat OPTIONAL columns (nulls).
 
 Honest gates: repeated (nested/list) columns beyond the 3-level LIST
-shape, codecs beyond snappy/uncompressed/gzip/lz4/zstd (lz4 and zstd via the
-from-scratch decoders in operators/{lz4,zstd}.py), DECIMAL over the
-BYTE_ARRAY physical type, and
+shape, codecs beyond snappy/uncompressed/gzip/brotli/lz4/zstd (brotli,
+lz4 and zstd via the from-scratch decoders in
+operators/{brotli,lz4,zstd}.py; LZO remains gated — no fixture tool in
+the container), DECIMAL over the BYTE_ARRAY physical type, and
 encrypted files raise ``NotImplementedError``.  Scope is
 deliberate: this is the verification path (read a column with zero
 engine code and cross-check the engine's own scan), not a replacement
@@ -486,9 +487,9 @@ def _assemble_lists(defs, reps, present, desc):
 def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int, type_length: int | None = None):
     ptype = cm.get(1)
     codec = cm.get(4, 0)
-    if codec not in (0, 1, 2, 5, 6, 7):
+    if codec not in (0, 1, 2, 4, 5, 6, 7):
         raise NotImplementedError(
-            f"codec {codec} not supported (uncompressed/snappy/gzip/lz4/zstd)"
+            f"codec {codec} not supported (uncompressed/snappy/gzip/brotli/lz4/zstd)"
         )
     n_values = cm.get(5, 0)
     start = cm.get(11, cm.get(9))  # dictionary page first when present
@@ -560,6 +561,10 @@ def _decompress(raw: bytes, codec: int) -> bytes:
         return raw
     if codec == 1:
         return snappy_decompress(raw)
+    if codec == 4:  # Brotli (RFC 7932, from-scratch decoder)
+        from .brotli import brotli_decompress
+
+        return brotli_decompress(raw)
     if codec == 5:  # legacy LZ4: Hadoop framing with bare-block fallback
         from .lz4 import lz4_hadoop_decompress
 

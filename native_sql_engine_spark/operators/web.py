@@ -339,6 +339,64 @@ def synthesize_zstd_corpus(
     return df.select(id_col, text_col).mapInPandas(batches, schema)
 
 
+def synthesize_brotli_corpus(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-row brotli shard over the raw document text, written by the
+    REAL encoder (pyarrow's bundled libbrotli) with the quality level
+    cycling 1/5/11 by id — so the from-scratch RFC 7932 decoder
+    (operators/brotli.py) sees the fast, balanced and max-effort code
+    shapes (uncompressed meta-blocks, context maps, static-dictionary
+    references) rather than one encoder mode."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codecs = {q: pa.Codec("brotli", compression_level=q) for q in (1, 5, 11)}
+        levels = (1, 5, 11)
+        for pdf in it:
+            payloads = [
+                codecs[levels[int(i) % 3]].compress(str(t).encode(), asbytes=True)
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def decompress_brotli_text(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Brotli shard decompression (the `.br` ingestion door).  Brotli has
+    NO magic bytes, so unlike :func:`decompress_text` the codec is keyed
+    by provenance (file extension / content-encoding header), exactly as
+    real crawl pipelines do — this operator is that extension-keyed path,
+    decoding every payload with the from-scratch RFC 7932 decoder."""
+    import pandas as pd
+
+    from .brotli import brotli_decompress
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                data = brotli_decompress(bytes(raw))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "codec": "brotli",
+                        "n_bytes": len(data),
+                        "text": data.decode("utf-8", "replace"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECOMPRESSED.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, DECOMPRESSED)
+
+
 def synthesize_warc_corpus(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -655,6 +655,42 @@ def corpus_decompress_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_decompress_brotli",
+    """
+    SELECT doc_id, 'brotli' AS codec,
+           cast(length(text) AS bigint) AS n_bytes,
+           md5(text) AS text_md5
+    FROM documents WHERE doc_id < 400 ORDER BY doc_id
+    """,
+)
+def corpus_decompress_brotli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brotli shard decompression through the from-scratch RFC 7932
+    decoder (operators/brotli.py: simple+complex prefix codes, block-switch
+    machines, context modeling, the 704-symbol insert-and-copy code,
+    distance ring buffer, static dictionary with the 121 transforms).
+    Fixtures are written by the REAL encoder (pyarrow's libbrotli) with
+    quality cycling 1/5/11 per row, so fast/balanced/max code shapes all
+    flow through.  Brotli has no magic bytes, so this is the
+    extension-keyed ingestion door (decompress_brotli_text), not the
+    magic-dispatch one.  The oracle recomputes byte length and md5 from
+    the source column — a prefix-code, context-map or dictionary-transform
+    bug fails the hash.  Partition-parallel, zero shuffle."""
+    from native_sql_engine_spark.operators.web import (
+        decompress_brotli_text,
+        synthesize_brotli_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    dec = decompress_brotli_text(synthesize_brotli_corpus(docs), "payload", "doc_id")
+    return dec.select(
+        F.col("media_id").alias("doc_id"),
+        "codec",
+        "n_bytes",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+@q(
     "fuzzy_match_suppliers",
     """
     SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
@@ -2620,6 +2656,60 @@ def source_parquet_rawread_encodings(spark: SparkSession, sf_dir: str) -> DataFr
             F.unix_micros(F.max("o_orderdate")).cast("bigint").alias("last_us"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@q(
+    "source_parquet_rawread_brotli",
+    """
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def source_parquet_rawread_brotli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BROTLI pages (codec 4) through the from-scratch RFC 7932
+    decoder — a codec DuckDB's reader doesn't even support, so the oracle
+    aggregates the ORIGINAL snappy file and the only path to the numbers
+    is our own page walk + brotli decode.  Fixture write is a bounded
+    driver-side step (<4000 rows); the decode itself is partition-parallel
+    mapInPandas."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.parquet_data import read_table
+
+    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    t = t.filter(pc.field("o_orderkey") < 4000)
+    path = os.path.join(tempfile.mkdtemp(prefix="src_br_"), "orders_brotli.parquet")
+    pq.write_table(t, path, compression="brotli")
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                cols = read_table(
+                    bytes(content), ["o_orderkey", "o_orderpriority", "o_totalprice"]
+                )
+                yield pd.DataFrame(cols)
+
+    files = spark.read.format("binaryFile").load(path)
+    raw = files.select("content").mapInPandas(
+        batches, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    return (
+        raw.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
