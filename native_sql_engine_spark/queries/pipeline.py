@@ -587,6 +587,101 @@ def web_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _crawl_pipeline_oracle() -> str:
+    case = _langid_case_sql()
+    return f"""
+    WITH crawl AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+    ),
+    page AS (
+      SELECT doc_id, text AS body,
+             'T' || doc_id || ' ' || text || ' & tail' AS text
+      FROM crawl
+    ),
+    tagged AS (
+      SELECT doc_id, {case} AS lang_guess,
+             cast(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                  AS bigint) AS n_tokens,
+             md5(trim(regexp_replace(regexp_replace(lower(body), '[^a-z0-9\\s]', ' ', 'g'),
+                                     '\\s+', ' ', 'g'))) AS fp
+      FROM page
+    ),
+    kept AS (
+      SELECT * FROM tagged QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+    )
+    SELECT lang_guess, doc_id, n_tokens,
+           cast(floor((sum(n_tokens) OVER (PARTITION BY lang_guess ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens)
+                      / 2048) AS bigint) AS bin
+    FROM kept ORDER BY doc_id
+    """
+
+
+@q("web_crawl_pipeline", _crawl_pipeline_oracle())
+def web_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonCrawl-style pipeline END TO END in one plan — the composed
+    form of the crawl-ingestion surface: WARC bytes (per-record gzip,
+    operators/warc.py) → record explode + HTTP split → html_to_text →
+    language ID → exact content dedup on the normalized BODY fingerprint
+    (title/tail stripped, so true duplicate bodies collapse) → per-language
+    token-budget sequence packing (pack_sequences, 2048-token bins).  The
+    crawl re-fetches the first 50 pages under new URLs (doc_id+100000) —
+    the standard mirror-page situation — so the dedup stage is
+    load-bearing: its 50 winners decide the row count AND shift every
+    packing prefix sum.  The oracle recomputes every stage in closed form
+    from the documents table:
+    the extracted page text, the marker-stopword language call, the dedup
+    winner set and the packing prefix sums — so a regression anywhere in
+    the chain (gzip member walk, HTTP framing, tag stripping, langid
+    markers, fingerprint normalization, window packing) shifts a hash.
+    Scale shape: WARC parse is Arrow-batched and partition-parallel;
+    everything from html_to_text to the fingerprint is codegen'd column
+    math pipelined into it; the only shuffles are the dedup digest window
+    and the per-language packing window — never the page bodies."""
+    from native_sql_engine_spark.operators.text import (
+        language_id,
+        pack_sequences,
+        token_count,
+    )
+    from native_sql_engine_spark.operators.text import fingerprint as fp_expr
+    from native_sql_engine_spark.operators.web import (
+        html_to_text,
+        synthesize_warc_corpus,
+        warc_records,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    mirrors = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    crawl = docs.unionByName(mirrors)
+    recs = warc_records(synthesize_warc_corpus(crawl), "payload", "doc_id")
+    pages = recs.filter(F.col("warc_type") == "response").select(
+        F.col("media_id").alias("doc_id"), html_to_text(F.col("body")).alias("text")
+    )
+    body = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "^T[0-9]+ ", ""), " & tail$", ""
+    )
+    tagged = language_id(pages, "text").select(
+        "doc_id",
+        "lang_guess",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        fp_expr(body).alias("fp"),
+    )
+    kept = (
+        tagged.withColumn(
+            "_keep", F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fp"))
+        )
+        .filter(F.col("_keep"))
+        .drop("_keep", "fp")
+    )
+    return pack_sequences(
+        kept, "doc_id", "lang_guess", F.col("n_tokens"), capacity=2048
+    ).orderBy("doc_id")
+
+
 @q(
     "corpus_decompress",
     """
