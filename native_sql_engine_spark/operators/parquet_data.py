@@ -506,6 +506,9 @@ def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int, type_length: i
         comp_size = hdr.get(3)
         raw = buf[hend : hend + comp_size]
         pos = hend + comp_size
+        if 4 in hdr:  # optional page CRC: crc32 over the on-disk page bytes
+            if zlib.crc32(raw) != hdr[4] & 0xFFFFFFFF:
+                raise ValueError(f"page checksum mismatch at byte {hend}")
         if page_type == 2:  # DICTIONARY_PAGE
             data = _decompress(raw, codec)
             dph = hdr.get(7, {})

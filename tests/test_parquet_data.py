@@ -125,6 +125,46 @@ def test_flba_decimal_float16_all_encodings():
                     assert got == dd, (tag, col)
 
 
+def test_page_crc_verified_and_small_decimals():
+    """Optional page CRCs (PageHeader field 4, crc32 of the on-disk page
+    bytes) are verified when present — a flipped byte fails loudly.  The
+    fixture also covers DECIMAL on the INT32/INT64 physical types (what
+    DuckDB's writer emits for p<=18, unlike pyarrow which always uses
+    FLBA)."""
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/crc.parquet"
+        duckdb.sql(
+            "COPY (SELECT range AS a, "
+            "cast(range AS DECIMAL(7,0)) * cast(0.25 AS DECIMAL(2,2)) AS d9, "
+            "cast(range * 7 - 100 AS DECIMAL(14,0)) * cast(0.0625 AS DECIMAL(4,4)) AS d18 "
+            "FROM range(500)) "
+            f"TO '{p}' (FORMAT PARQUET, COMPRESSION SNAPPY)"
+        )
+        phys = {pq.ParquetFile(p).metadata.schema.column(i).physical_type for i in (1, 2)}
+        assert phys == {"INT32", "INT64"}
+        buf = open(p, "rb").read()
+        for col in ("a", "d9", "d18"):
+            got = read_column(buf, col)
+            want = [r[0] for r in duckdb.sql(f"SELECT {col} FROM read_parquet('{p}')").fetchall()]
+            assert got == want, col
+        # pyarrow fixture WITH checksums: verify, then corrupt one page byte
+        import pyarrow as pa
+
+        p2 = f"{d}/crc2.parquet"
+        t = pa.table({"x": [f"v{i}" for i in range(2000)]})
+        pq.write_table(t, p2, compression="snappy", write_page_checksum=True)
+        buf2 = bytearray(open(p2, "rb").read())
+        assert read_column(bytes(buf2), "x") == t["x"].to_pylist()
+        buf2[len(buf2) // 3] ^= 0xFF  # inside page data, before the footer
+        with pytest.raises(ValueError, match="checksum|snappy|length|overruns"):
+            read_column(bytes(buf2), "x")
+
+
 def test_flba_uuid_logical_type():
     """UUID logical type (FLBA(16)) — DuckDB both writes the fixture and
     reads it back as uuid.UUID for the comparison."""
