@@ -5,8 +5,11 @@ record schemas over null / boolean / int / long / float / double /
 string / bytes (including ["null", T] unions — how nullable columns are
 spelled in Avro), zigzag-varint integers, little-endian IEEE floats,
 length-prefixed strings, container framing (Obj\\x01 magic, metadata map
-with the embedded JSON schema, 16-byte sync markers) and the null +
-deflate codecs (raw DEFLATE via stdlib zlib).
+with the embedded JSON schema, 16-byte sync markers) and the null,
+deflate (raw DEFLATE via stdlib zlib) and snappy codecs (each snappy
+block carries the spec's 4-byte big-endian CRC32 of the uncompressed
+data; decode via the from-scratch snappy in parquet_data.py, encode as a
+minimal all-literal snappy stream any conformant decoder reads).
 
 Reference parity: the reference's arrow-data-source module reads
 columnar interchange formats next to parquet/csv; here the container
@@ -122,10 +125,36 @@ def _field_type(t):
 # -- container -----------------------------------------------------------------
 
 
+def _snappy_compress_literal(data: bytes) -> bytes:
+    """Minimal VALID snappy stream: uvarint(total) + all-literal tokens
+    (the compressor side of the fixture story; any conformant decoder —
+    ours or pyarrow's — reads it)."""
+    out = bytearray()
+    n = len(data)
+    v = n
+    while True:  # uvarint total length
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            break
+    pos = 0
+    while pos < n:
+        run = min(n - pos, 65536)
+        if run <= 60:
+            out.append((run - 1) << 2)
+        else:
+            out += bytes([61 << 2, (run - 1) & 0xFF, (run - 1) >> 8])
+        out += data[pos : pos + run]
+        pos += run
+    return bytes(out)
+
+
 def write_avro(rows: list[dict], schema: dict, codec: str = "deflate", block_rows: int = 1000) -> bytes:
     """Serialize dict rows under a record ``schema`` into an OCF byte
-    string.  ``codec``: 'null' or 'deflate'."""
-    if codec not in ("null", "deflate"):
+    string.  ``codec``: 'null', 'deflate' or 'snappy' (snappy blocks carry
+    the spec's 4-byte big-endian CRC32 of the UNCOMPRESSED data)."""
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
     fields = [(f["name"], *_field_type(f["type"])) for f in schema["fields"]]
     meta = {
@@ -155,6 +184,9 @@ def write_avro(rows: list[dict], schema: dict, codec: str = "deflate", block_row
         data = bytes(body)
         if codec == "deflate":
             data = zlib.compress(data, 6)[2:-4]  # raw DEFLATE per spec
+        elif codec == "snappy":
+            crc = zlib.crc32(data) & 0xFFFFFFFF
+            data = _snappy_compress_literal(data) + crc.to_bytes(4, "big")
         out += _zigzag_encode(len(blk)) + _zigzag_encode(len(data)) + data + _SYNC
     return bytes(out)
 
@@ -183,8 +215,8 @@ def read_avro(buf: bytes) -> tuple[dict, list[dict]]:
     except (KeyError, ValueError) as ex:
         raise ValueError(f"missing or invalid avro.schema: {ex}") from ex
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
-        raise NotImplementedError(f"Avro codec {codec!r} not supported (null/deflate)")
+    if codec not in ("null", "deflate", "snappy"):
+        raise NotImplementedError(f"Avro codec {codec!r} not supported (null/deflate/snappy)")
     sync = buf[pos : pos + 16]
     pos += 16
 
@@ -202,6 +234,15 @@ def read_avro(buf: bytes) -> tuple[dict, list[dict]]:
         pos += 16
         if codec == "deflate":
             data = zlib.decompress(data, -15)
+        elif codec == "snappy":
+            if len(data) < 4:
+                raise ValueError(f"snappy block at byte {pos} too short for its CRC")
+            from .parquet_data import snappy_decompress
+
+            payload, crc = data[:-4], int.from_bytes(data[-4:], "big")
+            data = snappy_decompress(payload)
+            if zlib.crc32(data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"snappy block CRC mismatch at byte {pos}")
         dpos = 0
         for _ in range(count):
             row = {}

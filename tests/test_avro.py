@@ -58,7 +58,7 @@ def test_zigzag_pinned_values():
         assert dec == v
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_roundtrip_multiblock(codec):
     rows = _rows(2500)
     buf = write_avro(rows, SCHEMA, codec=codec, block_rows=700)
@@ -81,8 +81,10 @@ def test_errors_and_gates():
     with pytest.raises(NotImplementedError, match="subset"):
         write_avro([{"m": {}}], {"type": "record", "name": "x",
                                  "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]})
+    # snappy landed (round 8); the codec gate moved to the spec's remaining
+    # optional codecs (zstandard/bzip2/xz)
     with pytest.raises(ValueError, match="codec"):
-        write_avro([], SCHEMA, codec="snappy")
+        write_avro([], SCHEMA, codec="zstandard")
 
 
 def test_empty_file_and_empty_strings():
@@ -123,3 +125,56 @@ def test_union_branch_index_is_positional():
     assert out2 == rows
     body2 = zz(1) + zz(7) + zz(0) + zz(1) + zz(-3)
     assert body2 in buf2
+
+
+def test_snappy_blocks_real_encoder_and_crc():
+    """Snappy blocks written by the REAL encoder (pyarrow's libsnappy)
+    decode through the from-scratch reader; our literal-only encoder is
+    itself valid snappy (pyarrow round-trips it); a flipped CRC fails."""
+    import zlib
+
+    import pyarrow as pa
+
+    from native_sql_engine_spark.operators.avro import (
+        _snappy_compress_literal,
+        _zigzag_encode as zz,
+    )
+
+    rows = _rows(300)
+    buf = bytearray(write_avro(rows, SCHEMA, codec="snappy", block_rows=100))
+    _, out = read_avro(bytes(buf))
+    assert out == rows
+    # our literal-only stream is readable by the real decoder
+    payload = b"avro literal snappy " * 40
+    assert pa.Codec("snappy").decompress(
+        _snappy_compress_literal(payload), decompressed_size=len(payload), asbytes=True
+    ) == payload
+    # rebuild one file whose block data is REAL-encoder snappy
+    one = write_avro(rows[:50], SCHEMA, codec="snappy", block_rows=50)
+    # locate the single block: header ends after meta map + sync
+    hdr_end = one.index(b"\x00", 4)  # end-of-map marker
+    sync = one[hdr_end + 1 : hdr_end + 17]
+    # re-encode the uncompressed body with the real encoder
+    import native_sql_engine_spark.operators.avro as A
+
+    body = bytearray()
+    fields = [(f["name"], *A._field_type(f["type"])) for f in SCHEMA["fields"]]
+    for row in rows[:50]:
+        for name, typ, nb in fields:
+            v = row.get(name)
+            if nb is not None:
+                if v is None:
+                    body += zz(nb)
+                    continue
+                body += zz(1 - nb)
+            body += A._encode_value(v, typ)
+    real = pa.Codec("snappy").compress(bytes(body), asbytes=True)
+    data = real + (zlib.crc32(bytes(body)) & 0xFFFFFFFF).to_bytes(4, "big")
+    rebuilt = one[: hdr_end + 17] + zz(50) + zz(len(data)) + data + sync
+    _, out2 = read_avro(rebuilt)
+    assert out2 == rows[:50]
+    # flipped CRC byte -> positioned ValueError
+    bad = bytearray(rebuilt)
+    bad[-17] ^= 0xFF  # last CRC byte sits just before the trailing sync
+    with pytest.raises(ValueError, match="CRC|snappy"):
+        read_avro(bytes(bad))
