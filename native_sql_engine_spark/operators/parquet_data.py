@@ -32,8 +32,11 @@ Honest gates: repeated (nested/list) columns beyond the 3-level LIST
 shape, codecs beyond snappy/uncompressed/gzip/brotli/lz4/zstd (brotli,
 lz4 and zstd via the from-scratch decoders in
 operators/{brotli,lz4,zstd}.py; LZO remains gated — no fixture tool in
-the container), DECIMAL over the BYTE_ARRAY physical type, and
-encrypted files raise ``NotImplementedError``.  Scope is
+the container) and DECIMAL over the BYTE_ARRAY physical type raise
+``NotImplementedError``.  Modular-encryption files (``PARE`` magic or
+signed plaintext footers) read through
+``operators/parquet_crypto.read_encrypted_column`` (from-scratch
+AES-GCM); this module handles only plaintext payloads.  Scope is
 deliberate: this is the verification path (read a column with zero
 engine code and cross-check the engine's own scan), not a replacement
 for Spark's vectorized reader.
@@ -417,6 +420,10 @@ def read_column(buf: bytes, column: str):
     columns return a list (None for nulls); standard 3-level LIST columns
     return a list of lists (None for null lists / elements).  Values are
     concatenated over all row groups."""
+    if buf[-4:] == b"PARE":
+        raise ValueError(
+            "encrypted-footer parquet file: use parquet_crypto.read_encrypted_column"
+        )
     if buf[-4:] != b"PAR1":
         raise ValueError("not a parquet payload")
     (flen,) = struct.unpack_from("<I", buf, len(buf) - 8)
@@ -485,6 +492,30 @@ def _assemble_lists(defs, reps, present, desc):
 
 
 def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int, type_length: int | None = None):
+    start = cm.get(11, cm.get(9))  # dictionary page first when present
+    if start is None:
+        raise ValueError("column chunk has no page offset")
+
+    def pages():
+        pos = start
+        while True:
+            hdr, hend = thrift_compact_decode(buf, pos)
+            comp_size = hdr.get(3)
+            raw = buf[hend : hend + comp_size]
+            pos = hend + comp_size
+            if 4 in hdr:  # optional page CRC: crc32 over the on-disk page bytes
+                if zlib.crc32(raw) != hdr[4] & 0xFFFFFFFF:
+                    raise ValueError(f"page checksum mismatch at byte {hend}")
+            yield hdr, raw
+
+    return _decode_pages(pages(), cm, max_def, max_rep, type_length)
+
+
+def _decode_pages(pages, cm: dict, max_def: int, max_rep: int, type_length: int | None = None):
+    """Decode (page_header, raw_page_bytes) pairs from ``pages`` until the
+    chunk's value count is reached.  Shared by the plaintext walk above and
+    the modular-encryption reader (parquet_crypto), which feeds decrypted
+    modules through the same logic."""
     ptype = cm.get(1)
     codec = cm.get(4, 0)
     if codec not in (0, 1, 2, 4, 5, 6, 7):
@@ -492,23 +523,19 @@ def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int, type_length: i
             f"codec {codec} not supported (uncompressed/snappy/gzip/brotli/lz4/zstd)"
         )
     n_values = cm.get(5, 0)
-    start = cm.get(11, cm.get(9))  # dictionary page first when present
-    if start is None:
-        raise ValueError("column chunk has no page offset")
-    pos = start
     dictionary = None
     defs: list[int] = []
     reps: list[int] = []
     present: list = []
+    it = iter(pages)
     while len(defs) < n_values:
-        hdr, hend = thrift_compact_decode(buf, pos)
+        try:
+            hdr, raw = next(it)
+        except StopIteration:
+            raise ValueError(
+                f"column chunk ended after {len(defs)} of {n_values} values"
+            ) from None
         page_type = hdr.get(1)
-        comp_size = hdr.get(3)
-        raw = buf[hend : hend + comp_size]
-        pos = hend + comp_size
-        if 4 in hdr:  # optional page CRC: crc32 over the on-disk page bytes
-            if zlib.crc32(raw) != hdr[4] & 0xFFFFFFFF:
-                raise ValueError(f"page checksum mismatch at byte {hend}")
         if page_type == 2:  # DICTIONARY_PAGE
             data = _decompress(raw, codec)
             dph = hdr.get(7, {})

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["parse_footer", "thrift_compact_decode"]
+__all__ = ["parse_footer", "thrift_compact_decode", "thrift_compact_encode"]
 
 _CODECS = {
     0: "UNCOMPRESSED",
@@ -133,6 +133,68 @@ def thrift_compact_decode(buf: bytes, pos: int = 0):
             continue
         fields[fid], pos = _read_value(buf, pos, ttype)
     # unreachable
+
+
+# -- thrift compact encoding (fixture writers) -----------------------------------
+
+
+def _write_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_value(ttype: int, value) -> bytes:
+    if ttype in (4, 5, 6):  # I16 / I32 / I64: zigzag varint
+        return _write_varint((value << 1) ^ (value >> 63))
+    if ttype == 7:  # DOUBLE, little-endian in compact protocol
+        return struct.pack("<d", value)
+    if ttype == 8:  # BINARY / STRING
+        raw = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+        return _write_varint(len(raw)) + raw
+    if ttype == 9:  # LIST: value = (elem_type, [items])
+        etype, items = value
+        hdr = (
+            bytes([(len(items) << 4) | etype])
+            if len(items) < 15
+            else bytes([0xF0 | etype]) + _write_varint(len(items))
+        )
+        return hdr + b"".join(_encode_value(etype, it) for it in items)
+    if ttype == 12:  # STRUCT: value = field list
+        return thrift_compact_encode(value)
+    raise ValueError(f"unsupported thrift compact type {ttype} for encoding")
+
+
+def thrift_compact_encode(fields: list[tuple[int, int, object]]) -> bytes:
+    """Serialize one compact-protocol struct from ``(field_id, type,
+    value)`` triples (must be in ascending field-id order).  Booleans pass
+    ``ttype=2`` with a bool value (the value rides in the type nibble);
+    lists pass ``(elem_type, items)``; structs nest as field lists.
+    Inverse of :func:`thrift_compact_decode` for the subset parquet
+    fixture-writing needs."""
+    out = bytearray()
+    last_id = 0
+    for fid, ttype, value in fields:
+        wire_type = ttype
+        if ttype in (1, 2):  # bool: value in the type nibble
+            wire_type = 1 if value else 2
+        delta = fid - last_id
+        if 0 < delta < 16:
+            out.append((delta << 4) | wire_type)
+        else:
+            out.append(wire_type)
+            out += _write_varint((fid << 1) ^ (fid >> 63))
+        last_id = fid
+        if ttype not in (1, 2):
+            out += _encode_value(ttype, value)
+    out.append(0)  # STOP
+    return bytes(out)
 
 
 # -- parquet FileMetaData interpretation ----------------------------------------
