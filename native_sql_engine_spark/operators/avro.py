@@ -5,11 +5,13 @@ record schemas over null / boolean / int / long / float / double /
 string / bytes (including ["null", T] unions — how nullable columns are
 spelled in Avro), zigzag-varint integers, little-endian IEEE floats,
 length-prefixed strings, container framing (Obj\\x01 magic, metadata map
-with the embedded JSON schema, 16-byte sync markers) and the null,
-deflate (raw DEFLATE via stdlib zlib) and snappy codecs (each snappy
-block carries the spec's 4-byte big-endian CRC32 of the uncompressed
-data; decode via the from-scratch snappy in parquet_data.py, encode as a
-minimal all-literal snappy stream any conformant decoder reads).
+with the embedded JSON schema, 16-byte sync markers) and ALL six spec
+codecs: null, deflate (raw DEFLATE via stdlib zlib), snappy (each block
+carries the spec's 4-byte big-endian CRC32 of the uncompressed data;
+decode via the from-scratch snappy in parquet_data.py, encode as a
+minimal all-literal snappy stream any conformant decoder reads), bzip2
+and xz (stdlib), and zstandard (decode via the from-scratch RFC 8878
+decoder in zstd.py, encode as store-mode frames).
 
 Reference parity: the reference's arrow-data-source module reads
 columnar interchange formats next to parquet/csv; here the container
@@ -152,9 +154,10 @@ def _snappy_compress_literal(data: bytes) -> bytes:
 
 def write_avro(rows: list[dict], schema: dict, codec: str = "deflate", block_rows: int = 1000) -> bytes:
     """Serialize dict rows under a record ``schema`` into an OCF byte
-    string.  ``codec``: 'null', 'deflate' or 'snappy' (snappy blocks carry
-    the spec's 4-byte big-endian CRC32 of the UNCOMPRESSED data)."""
-    if codec not in ("null", "deflate", "snappy"):
+    string.  ``codec``: 'null', 'deflate', 'snappy' (blocks carry the
+    spec's 4-byte big-endian CRC32 of the UNCOMPRESSED data), 'bzip2',
+    'xz' or 'zstandard' (raw frames, no CRC — per the spec)."""
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
     fields = [(f["name"], *_field_type(f["type"])) for f in schema["fields"]]
     meta = {
@@ -187,6 +190,18 @@ def write_avro(rows: list[dict], schema: dict, codec: str = "deflate", block_row
         elif codec == "snappy":
             crc = zlib.crc32(data) & 0xFFFFFFFF
             data = _snappy_compress_literal(data) + crc.to_bytes(4, "big")
+        elif codec == "bzip2":
+            import bz2
+
+            data = bz2.compress(data)
+        elif codec == "xz":
+            import lzma
+
+            data = lzma.compress(data, format=lzma.FORMAT_XZ)
+        elif codec == "zstandard":
+            from .zstd import zstd_compress_store
+
+            data = zstd_compress_store(data)
         out += _zigzag_encode(len(blk)) + _zigzag_encode(len(data)) + data + _SYNC
     return bytes(out)
 
@@ -215,8 +230,11 @@ def read_avro(buf: bytes) -> tuple[dict, list[dict]]:
     except (KeyError, ValueError) as ex:
         raise ValueError(f"missing or invalid avro.schema: {ex}") from ex
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy"):
-        raise NotImplementedError(f"Avro codec {codec!r} not supported (null/deflate/snappy)")
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
+        raise NotImplementedError(
+            f"Avro codec {codec!r} not supported "
+            "(null/deflate/snappy/bzip2/xz/zstandard)"
+        )
     sync = buf[pos : pos + 16]
     pos += 16
 
@@ -243,6 +261,24 @@ def read_avro(buf: bytes) -> tuple[dict, list[dict]]:
             data = snappy_decompress(payload)
             if zlib.crc32(data) & 0xFFFFFFFF != crc:
                 raise ValueError(f"snappy block CRC mismatch at byte {pos}")
+        elif codec == "bzip2":
+            import bz2
+
+            try:
+                data = bz2.decompress(data)
+            except OSError as ex:
+                raise ValueError(f"bad bzip2 block at byte {pos}: {ex}") from ex
+        elif codec == "xz":
+            import lzma
+
+            try:
+                data = lzma.decompress(data)
+            except lzma.LZMAError as ex:
+                raise ValueError(f"bad xz block at byte {pos}: {ex}") from ex
+        elif codec == "zstandard":
+            from .zstd import zstd_decompress
+
+            data = zstd_decompress(data)
         dpos = 0
         for _ in range(count):
             row = {}

@@ -2301,9 +2301,11 @@ def source_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro OCF interchange e2e through the from-scratch codec
-    (operators/avro.py: zigzag varints, ["null", T] unions, deflate
-    blocks, sync-marker framing) — every Arrow batch serializes to a
-    container and parses back, partition-parallel, and the aggregate is
+    (operators/avro.py: zigzag varints, ["null", T] unions, sync-marker
+    framing) — every Arrow batch serializes to a container and parses
+    back, partition-parallel, cycling through ALL SIX spec codecs
+    (null/deflate/snappy/bzip2/xz/zstandard, keyed off each batch's first
+    orderkey so every run exercises every arm), and the aggregate is
     oracle-matched against the original parquet.  A varint off-by-one,
     wrong union branch, or block framing slip changes the sums.  Parity:
     the reference's arrow-data-source reads interchange formats beside
@@ -2322,6 +2324,7 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "opt_custkey", "type": ["null", "long"]},
         ],
     }
+    codecs = ("null", "deflate", "snappy", "bzip2", "xz", "zstandard")
 
     def roundtrip(it):
         for pdf in it:
@@ -2331,7 +2334,8 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     r["opt_custkey"] = None
                 else:
                     r["opt_custkey"] = int(r["opt_custkey"])
-            _sch, back = read_avro(write_avro(rows, schema, codec="deflate"))
+            codec = codecs[int(rows[0]["o_orderkey"]) % 6] if rows else "null"
+            _sch, back = read_avro(write_avro(rows, schema, codec=codec))
             yield pd.DataFrame(back, columns=[f["name"] for f in schema["fields"]])
 
     orders = (

@@ -58,7 +58,7 @@ def test_zigzag_pinned_values():
         assert dec == v
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz", "zstandard"])
 def test_roundtrip_multiblock(codec):
     rows = _rows(2500)
     buf = write_avro(rows, SCHEMA, codec=codec, block_rows=700)
@@ -81,10 +81,9 @@ def test_errors_and_gates():
     with pytest.raises(NotImplementedError, match="subset"):
         write_avro([{"m": {}}], {"type": "record", "name": "x",
                                  "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]})
-    # snappy landed (round 8); the codec gate moved to the spec's remaining
-    # optional codecs (zstandard/bzip2/xz)
+    # all six spec codecs landed (round 8); non-spec names stay rejected
     with pytest.raises(ValueError, match="codec"):
-        write_avro([], SCHEMA, codec="zstandard")
+        write_avro([], SCHEMA, codec="lzo")
 
 
 def test_empty_file_and_empty_strings():
@@ -178,3 +177,39 @@ def test_snappy_blocks_real_encoder_and_crc():
     bad[-17] ^= 0xFF  # last CRC byte sits just before the trailing sync
     with pytest.raises(ValueError, match="CRC|snappy"):
         read_avro(bytes(bad))
+
+
+def test_zstandard_blocks_real_encoder():
+    """Zstandard blocks written by the REAL encoder (pyarrow's libzstd)
+    decode through the from-scratch RFC 8878 decoder; our store-mode
+    frames round-trip through the real decoder too (spec: raw frames,
+    no CRC suffix)."""
+    import pyarrow as pa
+
+    from native_sql_engine_spark.operators.avro import _zigzag_encode as zz
+    import native_sql_engine_spark.operators.avro as A
+    from native_sql_engine_spark.operators.zstd import zstd_compress_store
+
+    rows = _rows(120)
+    one = write_avro(rows, SCHEMA, codec="zstandard", block_rows=120)
+    hdr_end = one.index(b"\x00", 4)
+    sync = one[hdr_end + 1 : hdr_end + 17]
+    body = bytearray()
+    fields = [(f["name"], *A._field_type(f["type"])) for f in SCHEMA["fields"]]
+    for row in rows:
+        for name, typ, nb in fields:
+            v = row.get(name)
+            if nb is not None:
+                if v is None:
+                    body += zz(nb)
+                    continue
+                body += zz(1 - nb)
+            body += A._encode_value(v, typ)
+    real = pa.Codec("zstd", compression_level=9).compress(bytes(body), asbytes=True)
+    rebuilt = one[: hdr_end + 17] + zz(120) + zz(len(real)) + real + sync
+    _, out = read_avro(rebuilt)
+    assert out == rows
+    # and the file we write is readable by the real decoder at block level
+    assert pa.Codec("zstd").decompress(
+        zstd_compress_store(bytes(body)), decompressed_size=len(body), asbytes=True
+    ) == bytes(body)
