@@ -1,0 +1,511 @@
+"""From-scratch ORC file reading — stdlib + repo codecs only.
+
+Implements the public ORC v1 specification (orc.apache.org/specification)
+deep enough to read what real writers (pyarrow / ORC-java / Spark) emit
+for flat tabular data:
+
+- **tail walk**: 1-byte postscript length, protobuf PostScript
+  (footer/metadata lengths, compression kind + block size, version,
+  ``ORC`` magic), compressed Footer (schema type tree, stripe directory,
+  row counts) and per-stripe StripeFooter (stream directory + column
+  encodings) — all via a schema-agnostic protobuf wire-format decoder
+  (the ORC sibling of parquet_meta's thrift walker);
+- **compression framing**: ORC chunks each carry a 3-byte little-endian
+  header ``(len << 1) | is_original``; codecs NONE / ZLIB (raw deflate) /
+  SNAPPY / LZ4 (block) / ZSTD route through stdlib zlib and the
+  from-scratch snappy (parquet_data), lz4 and zstd (RFC 8878) decoders;
+- **run-length codecs**: byte RLE, boolean (bit) RLE, and all four RLEv2
+  sub-encodings — SHORT_REPEAT, DIRECT, DELTA (fixed and variable
+  width), PATCHED_BASE (sign-magnitude base, patch gap/value ORing) —
+  with the spec's 5-bit closest-fixed-bit width table and big-endian
+  bit packing;
+- **column types**: boolean, tinyint, smallint/int/long, float, double,
+  string/varchar/char (DIRECT_V2 and DICTIONARY_V2), binary, date,
+  timestamp (base 2015-01-01 epoch seconds + SECONDARY nanos with the
+  trailing-zero scale trick), and decimal64 (DIRECT_V2 zigzag +
+  SECONDARY scale stream);
+- **NULLs** via PRESENT bit streams, values re-expanded positionally;
+  multiple stripes concatenate.
+
+Honest gates: nested types (list/map/struct/union beyond the root),
+decimal128, and LZO chunks raise ``NotImplementedError``.  Malformed
+payloads raise positioned ``ValueError`` (shared codec-layer contract).
+Cross-validated against pyarrow's ORC writer/reader in
+tests/test_orc.py; the oracle battery entry aggregates the ORIGINAL
+parquet through DuckDB.
+
+Reference parity: the reference's arrow-data-source reads ORC beside
+parquet/csv (arrow Dataset FileFormat); here the byte-level decode is
+first-class so a lake's ORC files can be verified with zero engine code.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+__all__ = ["read_orc_column", "read_orc_table", "orc_metadata"]
+
+_MAGIC = b"ORC"
+
+#: Type.Kind enum (orc_proto)
+_KINDS = {
+    0: "boolean", 1: "tinyint", 2: "smallint", 3: "int", 4: "long",
+    5: "float", 6: "double", 7: "string", 8: "binary", 9: "timestamp",
+    10: "list", 11: "map", 12: "struct", 13: "union", 14: "decimal",
+    15: "date", 16: "varchar", 17: "char", 18: "timestamp_instant",
+}
+_INT_KINDS = {1, 2, 3, 4}
+_STR_KINDS = {7, 16, 17}
+
+#: Stream.Kind enum
+_PRESENT, _DATA, _LENGTH, _DICT_DATA, _SECONDARY = 0, 1, 2, 3, 5
+
+
+# -- protobuf wire format --------------------------------------------------------------
+
+
+def _pb_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    v = s = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError(f"truncated protobuf varint at byte {pos}")
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << s
+        s += 7
+        if not b & 0x80:
+            return v, pos
+
+
+def pb_decode(buf: bytes) -> dict[int, list]:
+    """Decode one protobuf message schema-agnostically into
+    ``{field_number: [values...]}`` (repeated fields accumulate; callers
+    interpret per the orc_proto IDL).  Length-delimited fields stay bytes."""
+    out: dict[int, list] = {}
+    pos = 0
+    while pos < len(buf):
+        key, pos = _pb_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, pos = _pb_varint(buf, pos)
+        elif wire == 1:
+            v = buf[pos : pos + 8]
+            pos += 8
+        elif wire == 2:
+            n, pos = _pb_varint(buf, pos)
+            if pos + n > len(buf):
+                raise ValueError(f"protobuf field {field} overruns the buffer")
+            v = buf[pos : pos + n]
+            pos += n
+        elif wire == 5:
+            v = buf[pos : pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wire} at byte {pos}")
+        out.setdefault(field, []).append(v)
+    return out
+
+
+def _one(msg: dict, field: int, default=None):
+    v = msg.get(field)
+    return v[0] if v else default
+
+
+def _repeated_uints(msg: dict, field: int) -> list[int]:
+    """A repeated integer field: either one-per-entry varints or a single
+    PACKED length-delimited blob of varints (proto3 default)."""
+    out: list[int] = []
+    for v in msg.get(field, []):
+        if isinstance(v, int):
+            out.append(v)
+        else:
+            pos = 0
+            while pos < len(v):
+                u, pos = _pb_varint(v, pos)
+                out.append(u)
+    return out
+
+
+# -- compression framing ---------------------------------------------------------------
+
+
+def _inflate(raw: bytes, codec: int) -> bytes:
+    if codec == 1:  # ZLIB: raw deflate
+        return zlib.decompress(raw, -15)
+    if codec == 2:
+        from .parquet_data import snappy_decompress
+
+        return snappy_decompress(raw)
+    if codec == 4:
+        from .lz4 import lz4_block_decompress
+
+        return lz4_block_decompress(raw)
+    if codec == 5:
+        from .zstd import zstd_decompress
+
+        return zstd_decompress(raw)
+    raise NotImplementedError(f"ORC compression kind {codec} not supported (LZO)")
+
+
+def _decompress_stream(buf: bytes, codec: int) -> bytes:
+    """Walk ORC compression chunks: 3-byte LE header = (len << 1) |
+    is_original, then len bytes (stored verbatim when is_original)."""
+    if codec == 0:
+        return buf
+    out = bytearray()
+    pos = 0
+    while pos < len(buf):
+        if pos + 3 > len(buf):
+            raise ValueError(f"truncated ORC chunk header at byte {pos}")
+        hdr = buf[pos] | buf[pos + 1] << 8 | buf[pos + 2] << 16
+        n = hdr >> 1
+        pos += 3
+        if pos + n > len(buf):
+            raise ValueError(f"ORC chunk at byte {pos} overruns the stream")
+        raw = buf[pos : pos + n]
+        pos += n
+        out += raw if hdr & 1 else _inflate(raw, codec)
+    return bytes(out)
+
+
+# -- varints and run-length codecs -----------------------------------------------------
+
+
+def _uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    return _pb_varint(buf, pos)
+
+
+def _svarint(buf: bytes, pos: int) -> tuple[int, int]:
+    u, pos = _pb_varint(buf, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _byte_rle(buf: bytes, n: int | None = None) -> list[int]:
+    """ORC byte RLE: header 0..127 = run of (h+3) copies of the next
+    byte; 128..255 = (256-h) literal bytes."""
+    out: list[int] = []
+    pos = 0
+    while pos < len(buf) and (n is None or len(out) < n):
+        h = buf[pos]
+        pos += 1
+        if h < 128:
+            out.extend([buf[pos]] * (h + 3))
+            pos += 1
+        else:
+            cnt = 256 - h
+            out.extend(buf[pos : pos + cnt])
+            pos += cnt
+    return out if n is None else out[:n]
+
+
+def _bool_rle(buf: bytes, n: int) -> list[bool]:
+    """Boolean RLE: byte RLE over bit-packed bytes, MSB first."""
+    out: list[bool] = []
+    for byte in _byte_rle(buf, (n + 7) // 8):
+        for k in range(7, -1, -1):
+            out.append(bool((byte >> k) & 1))
+    return out[:n]
+
+
+#: 5-bit closest-fixed-bit width table (FixedBitSizes): codes 0..23 ->
+#: 1..24 bits, then 26/28/30/32/40/48/56/64.
+_WIDTHS = list(range(1, 25)) + [26, 28, 30, 32, 40, 48, 56, 64]
+
+
+def _unpack_bits(buf: bytes, pos: int, width: int, count: int) -> tuple[list[int], int]:
+    """Big-endian bit-unpack `count` unsigned ints of `width` bits."""
+    if width == 0:
+        return [0] * count, pos
+    total_bits = width * count
+    nbytes = (total_bits + 7) // 8
+    if pos + nbytes > len(buf):
+        raise ValueError(f"bit-packed run at byte {pos} overruns the stream")
+    big = int.from_bytes(buf[pos : pos + nbytes], "big")
+    pad = nbytes * 8 - total_bits
+    big >>= pad
+    mask = (1 << width) - 1
+    out = [(big >> (width * i)) & mask for i in range(count - 1, -1, -1)]
+    return out, pos + nbytes
+
+
+def _rlev2(buf: bytes, n: int | None, signed: bool) -> list[int]:
+    """ORC RLEv2: SHORT_REPEAT / DIRECT / PATCHED_BASE / DELTA.
+    ``n=None`` drains the buffer (dictionary LENGTH streams carry exactly
+    dictionary-size entries, not row counts)."""
+    out: list[int] = []
+    pos = 0
+    while (len(out) < n) if n is not None else (pos < len(buf)):
+        if pos >= len(buf):
+            raise ValueError(f"RLEv2 stream ended after {len(out)} of {n} values")
+        first = buf[pos]
+        enc = first >> 6
+        if enc == 0:  # SHORT_REPEAT
+            width = ((first >> 3) & 7) + 1
+            repeat = (first & 7) + 3
+            pos += 1
+            if pos + width > len(buf):
+                raise ValueError(f"SHORT_REPEAT at byte {pos} overruns the stream")
+            v = int.from_bytes(buf[pos : pos + width], "big")
+            pos += width
+            if signed:
+                v = (v >> 1) ^ -(v & 1)
+            out.extend([v] * repeat)
+        elif enc == 1:  # DIRECT
+            width = _WIDTHS[(first >> 1) & 0x1F]
+            length = ((first & 1) << 8 | buf[pos + 1]) + 1
+            pos += 2
+            vals, pos = _unpack_bits(buf, pos, width, length)
+            if signed:
+                vals = [(v >> 1) ^ -(v & 1) for v in vals]
+            out.extend(vals)
+        elif enc == 3:  # DELTA
+            wcode = (first >> 1) & 0x1F
+            width = 0 if wcode == 0 else _WIDTHS[wcode]
+            length = ((first & 1) << 8 | buf[pos + 1]) + 1  # total values
+            pos += 2
+            base, pos = (_svarint if signed else _uvarint)(buf, pos)
+            delta0, pos = _svarint(buf, pos)
+            vals = [base]
+            if length > 1:
+                vals.append(base + delta0)
+                if width == 0:
+                    for _ in range(length - 2):
+                        vals.append(vals[-1] + delta0)
+                else:
+                    deltas, pos = _unpack_bits(buf, pos, width, length - 2)
+                    sign = 1 if delta0 >= 0 else -1
+                    for d in deltas:
+                        vals.append(vals[-1] + sign * d)
+            out.extend(vals)
+        else:  # PATCHED_BASE
+            width = _WIDTHS[(first >> 1) & 0x1F]
+            length = ((first & 1) << 8 | buf[pos + 1]) + 1
+            b3, b4 = buf[pos + 2], buf[pos + 3]
+            base_bytes = ((b3 >> 5) & 7) + 1
+            patch_width = _WIDTHS[b3 & 0x1F]
+            gap_width = ((b4 >> 5) & 7) + 1
+            patch_count = b4 & 0x1F
+            pos += 4
+            if pos + base_bytes > len(buf):
+                raise ValueError(f"PATCHED_BASE base at byte {pos} overruns the stream")
+            base = int.from_bytes(buf[pos : pos + base_bytes], "big")
+            # sign-magnitude: MSB of the base's width is the sign bit
+            sign_mask = 1 << (base_bytes * 8 - 1)
+            if base & sign_mask:
+                base = -(base & (sign_mask - 1))
+            pos += base_bytes
+            vals, pos = _unpack_bits(buf, pos, width, length)
+            # patch list: (gap, patch) pairs, each entry bit-packed at
+            # closestFixedBits(gap_width + patch_width); the padding lands
+            # in the gap's (zero) high bits
+            pgpw = next(w for w in _WIDTHS if w >= gap_width + patch_width)
+            patches, pos = _unpack_bits(buf, pos, pgpw, patch_count)
+            idx = 0
+            gmask = (1 << patch_width) - 1
+            for p in patches:
+                gap = p >> patch_width
+                pval = p & gmask
+                idx += gap
+                vals[idx] |= pval << width
+            out.extend(base + v for v in vals)
+    return out[:n]
+
+
+# -- stripe/column assembly ------------------------------------------------------------
+
+
+def _tail(buf: bytes):
+    """Parse postscript + footer; returns (footer_msg, codec, types)."""
+    if len(buf) < 16 or buf[:3] != _MAGIC:
+        raise ValueError("not an ORC payload (missing ORC magic)")
+    ps_len = buf[-1]
+    ps = pb_decode(buf[len(buf) - 1 - ps_len : len(buf) - 1])
+    if _one(ps, 8000, b"") != _MAGIC:
+        raise ValueError("not an ORC payload (postscript magic mismatch)")
+    codec = _one(ps, 2, 0)
+    flen = _one(ps, 1, 0)
+    fstart = len(buf) - 1 - ps_len - flen
+    if fstart < 0:
+        raise ValueError("ORC footer length exceeds the payload")
+    footer = pb_decode(_decompress_stream(buf[fstart : fstart + flen], codec))
+    types = [pb_decode(t) for t in footer.get(4, [])]
+    return footer, codec, types
+
+
+def orc_metadata(buf: bytes) -> dict:
+    """File-level metadata: schema, row count, stripe directory, codec."""
+    footer, codec, types = _tail(buf)
+    root = types[0] if types else {}
+    names = [n.decode("utf-8", "replace") for n in root.get(3, [])]
+    cols = {}
+    for name, tid in zip(names, _repeated_uints(root, 2)):
+        cols[name] = _KINDS.get(_one(types[tid], 1, 0), "unknown")
+    return {
+        "num_rows": _one(footer, 6, 0),
+        "codec": {0: "none", 1: "zlib", 2: "snappy", 3: "lzo", 4: "lz4", 5: "zstd"}.get(
+            codec, str(codec)
+        ),
+        "columns": cols,
+        "num_stripes": len(footer.get(3, [])),
+        "stripe_rows": [_one(pb_decode(s), 5, 0) for s in footer.get(3, [])],
+    }
+
+
+def _decode_column(streams: dict[int, bytes], kind: int, enc: int, nrows: int, scale: int):
+    """Decode one column's value list (with None for nulls) from its
+    decompressed streams within a single stripe."""
+    if kind in ({2, 3, 4, 8, 9, 14, 15, 18} | _STR_KINDS) and enc in (0, 1):
+        # DIRECT / DICTIONARY (v1 encodings) carry RLEv1 integer streams
+        raise NotImplementedError(
+            "ORC RLEv1 column encodings (pre-0.12 writers) not supported"
+        )
+    present = None
+    if _PRESENT in streams:
+        present = _bool_rle(streams[_PRESENT], nrows)
+        n_vals = sum(present)
+    else:
+        n_vals = nrows
+
+    if kind == 0:  # boolean
+        vals = [bool(b) for b in _bool_rle(streams[_DATA], n_vals)]
+    elif kind == 1:  # tinyint: byte RLE, signed
+        vals = [v - 256 if v > 127 else v for v in _byte_rle(streams[_DATA], n_vals)]
+    elif kind in _INT_KINDS:
+        vals = _rlev2(streams[_DATA], n_vals, signed=True)
+    elif kind == 5:  # float
+        raw = streams[_DATA]
+        vals = list(struct.unpack(f"<{n_vals}f", raw[: 4 * n_vals]))
+    elif kind == 6:  # double
+        raw = streams[_DATA]
+        vals = list(struct.unpack(f"<{n_vals}d", raw[: 8 * n_vals]))
+    elif kind in _STR_KINDS or kind == 8:  # string family / binary
+        if enc in (1, 3):  # DICTIONARY / DICTIONARY_V2
+            dict_blob = streams[_DICT_DATA]
+            # LENGTH carries one entry per dictionary item; drain it
+            lens = _rlev2(streams[_LENGTH], None, signed=False)
+            entries = []
+            off = 0
+            for ln in lens:
+                entries.append(dict_blob[off : off + ln])
+                off += ln
+            idx = _rlev2(streams[_DATA], n_vals, signed=False)
+            try:
+                raw_vals = [entries[i] for i in idx]
+            except IndexError:
+                raise ValueError("ORC dictionary index out of range") from None
+        else:  # DIRECT / DIRECT_V2
+            lens = _rlev2(streams[_LENGTH], n_vals, signed=False)
+            blob = streams[_DATA]
+            raw_vals = []
+            off = 0
+            for ln in lens:
+                raw_vals.append(blob[off : off + ln])
+                off += ln
+        vals = raw_vals if kind == 8 else [v.decode("utf-8", "replace") for v in raw_vals]
+    elif kind == 15:  # date: days since unix epoch
+        import datetime as dt
+
+        epoch = dt.date(1970, 1, 1)
+        days = _rlev2(streams[_DATA], n_vals, signed=True)
+        vals = [epoch + dt.timedelta(days=d) for d in days]
+    elif kind in (9, 18):  # timestamp (+_INSTANT): 2015-01-01 base + nanos
+        import datetime as dt
+
+        secs = _rlev2(streams[_DATA], n_vals, signed=True)
+        nanos_enc = _rlev2(streams[_SECONDARY], n_vals, signed=False)
+        base = dt.datetime(2015, 1, 1)
+        vals = []
+        for s, ne in zip(secs, nanos_enc):
+            # bottom 3 bits z: nanos had z+1 trailing zeros trimmed (z>0)
+            zeros = ne & 7
+            nanos = ne >> 3
+            if zeros:
+                nanos *= 10 ** (zeros + 1)
+            # the writer floors seconds, so nanos always add forward
+            vals.append(base + dt.timedelta(seconds=s, microseconds=nanos // 1000))
+    elif kind == 14:  # decimal (precision <= 18: DIRECT_V2 zigzag + scale)
+        import decimal
+
+        if _SECONDARY in streams:
+            scales = _rlev2(streams[_SECONDARY], n_vals, signed=True)
+        else:
+            scales = [scale] * n_vals
+        unscaled = _varint128_stream(streams[_DATA], n_vals)
+        vals = [decimal.Decimal(u).scaleb(-s) for u, s in zip(unscaled, scales)]
+    else:
+        raise NotImplementedError(
+            f"ORC column kind {_KINDS.get(kind, kind)} not supported "
+            "(nested/union types are out of the flat-tabular subset)"
+        )
+
+    if present is None:
+        return vals[:nrows]
+    it = iter(vals)
+    return [next(it) if p else None for p in present]
+
+
+def _varint128_stream(buf: bytes, n: int) -> list[int]:
+    """Decimal DATA stream: n zigzag base-128 varints (unbounded width)."""
+    out = []
+    pos = 0
+    for _ in range(n):
+        v, pos = _svarint(buf, pos)
+        out.append(v)
+    return out
+
+
+def read_orc_column(buf: bytes, column: str):
+    """Read one top-level column of an ORC file entirely from scratch.
+    Returns a list (None for nulls), concatenated over all stripes."""
+    return read_orc_table(buf, [column])[column]
+
+
+def read_orc_table(buf: bytes, columns: list[str]) -> dict[str, list]:
+    """Read several top-level columns; returns {name: values}."""
+    footer, codec, types = _tail(buf)
+    root = types[0] if types else {}
+    if _one(root, 1, 0) != 12:
+        raise NotImplementedError("ORC root type is not a struct")
+    names = [n.decode("utf-8", "replace") for n in root.get(3, [])]
+    subtypes = _repeated_uints(root, 2)
+    col_ids: dict[str, int] = {}
+    for want in columns:
+        if want not in names:
+            raise ValueError(f"column {want!r} not in ORC schema {names}")
+        col_ids[want] = subtypes[names.index(want)]
+
+    out: dict[str, list] = {c: [] for c in columns}
+    for s in footer.get(3, []):
+        st = pb_decode(s)
+        offset, ilen, dlen, sflen, nrows = (
+            _one(st, 1, 0),
+            _one(st, 2, 0),
+            _one(st, 3, 0),
+            _one(st, 4, 0),
+            _one(st, 5, 0),
+        )
+        sf = pb_decode(
+            _decompress_stream(buf[offset + ilen + dlen : offset + ilen + dlen + sflen], codec)
+        )
+        encodings = [pb_decode(e) for e in sf.get(2, [])]
+        # walk the stream directory to locate each column's data streams
+        pos = offset
+        located: dict[int, dict[int, tuple[int, int]]] = {}
+        for sm in sf.get(1, []):
+            m = pb_decode(sm)
+            skind, scol, slen = _one(m, 1, 0), _one(m, 2, 0), _one(m, 3, 0)
+            located.setdefault(scol, {})[skind] = (pos, slen)
+            pos += slen
+        for want, tid in col_ids.items():
+            tmsg = types[tid]
+            kind = _one(tmsg, 1, 0)
+            scale = _one(tmsg, 6, 0)
+            enc = _one(encodings[tid], 1, 0) if tid < len(encodings) else 0
+            streams = {
+                k: _decompress_stream(buf[p : p + ln], codec)
+                for k, (p, ln) in located.get(tid, {}).items()
+                if k in (_PRESENT, _DATA, _LENGTH, _DICT_DATA, _SECONDARY)
+            }
+            out[want].extend(_decode_column(streams, kind, enc, nrows, scale))
+    return out

@@ -2993,6 +2993,72 @@ def source_parquet_rawread_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_orc_rawread",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total,
+           cast(epoch_us(min(o_orderdate)) AS bigint) AS first_us
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def source_orc_rawread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC read entirely from scratch (operators/orc.py): protobuf
+    postscript/footer/stripe-footer walk, zstd chunk framing through the
+    RFC 8878 decoder, RLEv2 integer runs (DELTA/DIRECT/PATCHED_BASE),
+    DICTIONARY_V2 strings, timestamp DATA+SECONDARY reassembly — zero ORC
+    library code touches the bytes.  The fixture is written by pyarrow's
+    real ORC writer (zstd, forced dictionary encoding); the oracle
+    aggregates the ORIGINAL parquet through DuckDB (which cannot read ORC
+    at all), so the only route to matching numbers is a spec-correct
+    decode.  Fixture write is a bounded driver-side step (<4000 rows); the
+    decode is partition-parallel mapInPandas."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.orc as po
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.orc import read_orc_table
+
+    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    t = t.filter(pc.field("o_orderkey") < 4000).select(
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="src_orc_"), "orders.orc")
+    po.write_table(t, path, compression="zstd", dictionary_key_size_threshold=1.0)
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                cols = read_orc_table(
+                    bytes(content),
+                    ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+                )
+                yield pd.DataFrame(cols)
+
+    files = spark.read.format("binaryFile").load(path)
+    raw = files.select("content").mapInPandas(
+        batches,
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp",
+    )
+    return (
+        raw.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.unix_micros(F.min("o_orderdate")).cast("bigint").alias("first_us"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "source_parquet_rawread_encrypted",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,

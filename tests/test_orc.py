@@ -1,0 +1,213 @@
+"""From-scratch ORC reader (operators/orc.py): protobuf tail walk, chunk
+framing over five codecs, byte/boolean RLE, all four RLEv2 sub-encodings,
+string dictionary/direct, PRESENT nulls, timestamps/dates/decimals —
+cross-validated against pyarrow's C++ ORC writer AND Spark's java writer.
+Reference parity: the reference's arrow-data-source reads ORC beside
+parquet/csv (arrow Dataset FileFormat)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import random
+
+import pytest
+
+from native_sql_engine_spark.operators.orc import (
+    _byte_rle,
+    _bool_rle,
+    _rlev2,
+    orc_metadata,
+    read_orc_column,
+    read_orc_table,
+)
+
+pa = pytest.importorskip("pyarrow")
+po = pytest.importorskip("pyarrow.orc")
+
+
+def _table(n=5000, seed=42):
+    rng = random.Random(seed)
+    return pa.table(
+        {
+            "b": pa.array([rng.random() < 0.5 for _ in range(n)], pa.bool_()),
+            "i8": pa.array([rng.randint(-128, 127) for _ in range(n)], pa.int8()),
+            "i16": pa.array([rng.randint(-(2**15), 2**15 - 1) for _ in range(n)], pa.int16()),
+            "i32": pa.array([rng.randint(-(2**31), 2**31 - 1) for _ in range(n)], pa.int32()),
+            "i64": pa.array([rng.randint(-(2**62), 2**62) for _ in range(n)], pa.int64()),
+            "f32": pa.array([rng.uniform(-1e5, 1e5) for _ in range(n)], pa.float32()),
+            "f64": pa.array([rng.uniform(-1e9, 1e9) for _ in range(n)], pa.float64()),
+            "s": pa.array([f"val-{rng.randint(0, 50)}-{'x' * rng.randint(0, 8)}" for _ in range(n)]),
+            "bin": pa.array(
+                [bytes(rng.randint(0, 255) for _ in range(rng.randint(0, 12))) for _ in range(n)],
+                pa.binary(),
+            ),
+            "d": pa.array(
+                [dt.date(1970, 1, 1) + dt.timedelta(days=rng.randint(-20000, 20000)) for _ in range(n)],
+                pa.date32(),
+            ),
+            "ts": pa.array(
+                [
+                    dt.datetime(2014, 12, 25)  # spans the 2015-01-01 ORC epoch
+                    + dt.timedelta(seconds=rng.randint(0, 10**8), microseconds=rng.randint(0, 999999))
+                    for _ in range(n)
+                ],
+                pa.timestamp("us"),
+            ),
+            "opt": pa.array(
+                [None if rng.random() < 0.3 else rng.randint(0, 10**6) for _ in range(n)], pa.int64()
+            ),
+            "dec": pa.array(
+                [decimal.Decimal(rng.randint(-(10**12), 10**12)).scaleb(-4) for _ in range(n)],
+                pa.decimal128(18, 4),
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize("comp", ["uncompressed", "snappy", "zlib", "lz4", "zstd"])
+@pytest.mark.parametrize("dict_thresh", [0.0, 1.0])
+def test_pyarrow_matrix(tmp_path, comp, dict_thresh):
+    tbl = _table()
+    path = tmp_path / "m.orc"
+    po.write_table(
+        tbl,
+        path,
+        compression=comp,
+        dictionary_key_size_threshold=dict_thresh,
+        stripe_size=64 * 1024 if dict_thresh else 64 * 1024 * 1024,
+    )
+    buf = path.read_bytes()
+    got = read_orc_table(buf, tbl.column_names)
+    ref = po.ORCFile(path).read()
+    for col in tbl.column_names:
+        assert got[col] == ref.column(col).to_pylist(), (comp, dict_thresh, col)
+
+
+def test_multi_stripe_and_metadata(tmp_path):
+    tbl = _table(20000, seed=1)
+    path = tmp_path / "ms.orc"
+    po.write_table(tbl, path, compression="zlib", stripe_size=64 * 1024)
+    buf = path.read_bytes()
+    meta = orc_metadata(buf)
+    assert meta["num_rows"] == 20000
+    assert meta["codec"] == "zlib"
+    assert meta["num_stripes"] > 1
+    assert sum(meta["stripe_rows"]) == 20000
+    assert meta["columns"]["i64"] == "long" and meta["columns"]["s"] == "string"
+    got = read_orc_column(buf, "i64")
+    assert got == po.ORCFile(path).read().column("i64").to_pylist()
+
+
+def test_patched_base_with_outliers(tmp_path):
+    """Clustered small values + rare huge outliers force PATCHED_BASE runs
+    (gap>255 zero-patch splits and rounded patch-entry widths included);
+    a negative shift exercises the sign-magnitude base."""
+    rng = random.Random(7)
+    vals = [rng.randint(0, 100) for _ in range(5000)]
+    for i in range(0, 5000, 137):
+        vals[i] = rng.randint(2**40, 2**45)
+    neg = [v - 50 for v in vals]
+    sparse = list(vals)
+    sparse[0] = 2**44  # lone outlier -> gap > 255 split entries
+    for i in range(1, 5000):
+        sparse[i] = rng.randint(0, 60)
+    sparse[4600] = 2**43
+    t = pa.table(
+        {
+            "p": pa.array(vals, pa.int64()),
+            "pn": pa.array(neg, pa.int64()),
+            "sp": pa.array(sparse, pa.int64()),
+        }
+    )
+    path = tmp_path / "pb.orc"
+    po.write_table(t, path, compression="uncompressed")
+    got = read_orc_table(path.read_bytes(), ["p", "pn", "sp"])
+    assert got["p"] == vals and got["pn"] == neg and got["sp"] == sparse
+
+
+def test_spark_java_writer_roundtrip(spark, tmp_path):
+    """Spark's java ORC writer (zstd stripes, java RLEv2 encoder) is a
+    second independent real writer; every column must match collect()."""
+    sdf = spark.createDataFrame(
+        [
+            (i, f"s{i % 9}", float(i) * 0.5, dt.date(2000, 1, 1) + dt.timedelta(days=i % 3000))
+            for i in range(20000)
+        ],
+        "k long, s string, v double, d date",
+    )
+    d = str(tmp_path / "sparkorc")
+    sdf.coalesce(1).write.mode("overwrite").orc(d)
+    import glob
+
+    f = glob.glob(d + "/*.orc")[0]
+    buf = open(f, "rb").read()
+    assert orc_metadata(buf)["num_rows"] == 20000
+    got = read_orc_table(buf, ["k", "s", "v", "d"])
+    want = sorted((r.k, r.s, r.v, r.d) for r in sdf.collect())
+    assert sorted(zip(got["k"], got["s"], got["v"], got["d"])) == want
+
+
+def test_rle_primitives():
+    # byte RLE: run of 3+h, literals of 256-h
+    assert _byte_rle(bytes([0, 7]), 3) == [7, 7, 7]
+    assert _byte_rle(bytes([0x80 | 0x7E, 1, 2]), 2) == [1, 2]  # 0xFE -> 2 literals
+    # boolean RLE: 0x01 run-of-3 bytes 0xAA
+    bits = _bool_rle(bytes([0, 0xAA]), 10)
+    assert bits == [True, False, True, False, True, False, True, False, True, False]
+    # RLEv2 SHORT_REPEAT: spec example 10000 x5 -> 0a 27 10
+    assert _rlev2(bytes.fromhex("0a2710"), 5, signed=False) == [10000] * 5
+    # RLEv2 DIRECT: spec example [23713, 43806, 57005, 48879] -> 5e 03 5c a1 ab 1e de ad be ef
+    assert _rlev2(bytes.fromhex("5e035ca1ab1edeadbeef"), 4, signed=False) == [
+        23713,
+        43806,
+        57005,
+        48879,
+    ]
+    # RLEv2 DELTA: spec example [2,3,5,7,11,13,17,19,23,29] -> c6 09 02 02 22 42 42 46
+    assert _rlev2(bytes.fromhex("c609020222424246"), 10, signed=False) == [
+        2, 3, 5, 7, 11, 13, 17, 19, 23, 29,
+    ]
+    # PATCHED_BASE correctness rides the constructed-outlier fixtures above
+    # (the spec's hex example differs across doc revisions).
+
+
+def test_errors_and_gates(tmp_path):
+    with pytest.raises(ValueError, match="magic"):
+        read_orc_column(b"PAR1" + bytes(20), "x")
+    tbl = pa.table({"x": pa.array(range(10), pa.int64())})
+    path = tmp_path / "g.orc"
+    po.write_table(tbl, path, compression="snappy")
+    buf = path.read_bytes()
+    with pytest.raises(ValueError, match="not in ORC schema"):
+        read_orc_column(buf, "nope")
+    # truncated tail
+    with pytest.raises(ValueError):
+        read_orc_column(buf[: len(buf) // 2] + buf[-1:], "x")
+    # nested types are gated
+    nested = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    npath = tmp_path / "n.orc"
+    po.write_table(nested, npath)
+    with pytest.raises(NotImplementedError, match="kind|subset"):
+        read_orc_column(npath.read_bytes(), "l")
+
+
+def test_empty_and_single_row(tmp_path):
+    tbl = pa.table({"x": pa.array([], pa.int64()), "s": pa.array([], pa.string())})
+    path = tmp_path / "e.orc"
+    po.write_table(tbl, path)
+    got = read_orc_table(path.read_bytes(), ["x", "s"])
+    assert got == {"x": [], "s": []}
+    one = pa.table({"x": pa.array([-(2**60)], pa.int64()), "s": pa.array(["only"])})
+    po.write_table(one, path)
+    got = read_orc_table(path.read_bytes(), ["x", "s"])
+    assert got == {"x": [-(2**60)], "s": ["only"]}
+
+
+def test_all_null_column(tmp_path):
+    tbl = pa.table({"n": pa.array([None] * 100, pa.int64()), "k": pa.array(range(100), pa.int64())})
+    path = tmp_path / "nul.orc"
+    po.write_table(tbl, path, compression="zstd")
+    got = read_orc_table(path.read_bytes(), ["n", "k"])
+    assert got["n"] == [None] * 100
+    assert got["k"] == list(range(100))
