@@ -2992,6 +2992,150 @@ def source_parquet_rawread_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _delta_orders_fixture(sf_dir: str) -> str:
+    """Build a Delta table over orders slices with a real history:
+    v0 adds [0,1000)+[1000,2000), v1 removes [0,1000) and adds
+    [2000,3000), checkpoint at 1, v2 adds [3000,4000).  Latest snapshot
+    therefore covers keys [1000,4000); version 0 covers [0,2000)."""
+    import json
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.delta import (
+        write_delta_checkpoint,
+        write_delta_commit,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_delta_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def slice_file(name, lo, hi):
+        part = t.filter((pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi))
+        pq.write_table(part, os.path.join(d, name))
+        return {
+            "path": name,
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "o_orderkey", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "o_orderstatus", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "o_totalprice", "type": "double", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    meta = {
+        "id": "orders-fixture",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema,
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    a = slice_file("part-a.parquet", 0, 1000)
+    b = slice_file("part-b.parquet", 1000, 2000)
+    c = slice_file("part-c.parquet", 2000, 3000)
+    dd = slice_file("part-d.parquet", 3000, 4000)
+    write_delta_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+            {"add": a},
+            {"add": b},
+        ],
+    )
+    write_delta_commit(
+        d,
+        1,
+        [
+            {"remove": {"path": "part-a.parquet", "deletionTimestamp": 1, "dataChange": True}},
+            {"add": c},
+        ],
+    )
+    write_delta_checkpoint(d, 1)
+    write_delta_commit(d, 2, [{"add": dd}])
+    return d
+
+
+@q(
+    "lake_delta_snapshot",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 4000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake snapshot read WITHOUT delta-spark (operators/delta.py):
+    the transaction log (JSON commits + checkpoint parquet) is replayed to
+    the latest version — a removed file must disappear, a post-checkpoint
+    add must appear — and the active files go straight to Spark's own
+    parquet scan (pushdown/pruning intact).  The oracle aggregates the key
+    range the live file set covers from the ORIGINAL parquet, so unioning
+    a removed file or missing an add changes every group.  Fixture build
+    is a bounded driver-side step (<4000 rows)."""
+    from native_sql_engine_spark.operators.delta import read_delta
+
+    d = _delta_orders_fixture(sf_dir)
+    df = read_delta(spark, d)  # latest: keys [1000, 4000)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
+    "lake_delta_time_travel",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta time travel (versionAsOf semantics): replaying the log to
+    version 0 must resurrect the since-removed file and exclude every
+    later add — the oracle covers exactly the v0 key range [0, 2000), so
+    a replay that leaks later versions (or applies the remove) cannot
+    match.  Same fixture and Spark-side scan as lake_delta_snapshot."""
+    from native_sql_engine_spark.operators.delta import read_delta
+
+    d = _delta_orders_fixture(sf_dir)
+    df = read_delta(spark, d, version=0)  # keys [0, 2000)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @q(
     "source_orc_rawread",
     """
