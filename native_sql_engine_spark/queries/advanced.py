@@ -373,6 +373,68 @@ def expr_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "expr_variant_semistructured",
+    """
+    SELECT o_orderstatus AS grp,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total,
+           cast(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                AS bigint) AS n_urgent,
+           cast(count(NULL) AS bigint) AS miss_n
+    FROM orders WHERE o_orderkey < 8000
+    GROUP BY o_orderstatus ORDER BY grp
+    """,
+)
+def expr_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT semi-structured pipeline: each order row becomes a
+    JSON document, `parse_json` ingests it as an open-schema VARIANT, and
+    typed `variant_get` path extraction (`$.k`, `$.nested.s`, array index
+    `$.tags[0]`) feeds a normal relational aggregate; `try_variant_get` on
+    a missing path must yield NULL (counted: 0), not error.  The oracle
+    computes the identical aggregate straight from the base columns, so a
+    path/typing slip in the VARIANT layer changes every group.  VARIANT
+    binary encoding stays JVM-side end-to-end (no Python in the loop) —
+    at 100 TB this is the schema-drift-tolerant ingestion path: one
+    VARIANT column instead of a brittle wide schema, shredded on read.
+    Beyond the reference: Gandiva has no semi-structured type (SURVEY
+    §2.8); this is the modern replacement for its JSON string UDF chains."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 8000)
+    doc = orders.select(
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("k"),
+                    F.struct(
+                        F.col("o_orderstatus").alias("s"),
+                        F.col("o_totalprice").alias("p"),
+                    ).alias("nested"),
+                    F.array(F.col("o_orderpriority")).alias("tags"),
+                )
+            )
+        ).alias("v")
+    )
+    got = doc.select(
+        F.expr("variant_get(v, '$.nested.s', 'string')").alias("grp"),
+        F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+        F.expr("variant_get(v, '$.nested.p', 'double')").alias("p"),
+        F.expr("variant_get(v, '$.tags[0]', 'string')").alias("pri"),
+        F.expr("try_variant_get(v, '$.zzz.nope', 'long')").alias("miss"),
+    )
+    return (
+        got.groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.round(F.sum("p"), 2).alias("total"),
+            F.count(F.when(F.col("pri") == "1-URGENT", 1)).alias("n_urgent"),
+            F.count("miss").alias("miss_n"),
+        )
+        .orderBy("grp")
+    )
+
+
 # --------------------------------------------------------------------------
 # Join-key skew profiler: feeds the salt factor of skew.py::salted_join.
 # --------------------------------------------------------------------------
