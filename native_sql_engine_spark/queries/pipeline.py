@@ -3106,6 +3106,73 @@ def lake_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_iceberg_snapshot",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 4000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg snapshot read with zero iceberg-runtime jars
+    (operators/iceberg.py): metadata JSON → manifest-list Avro → manifest
+    Avro (nested data_file records through the from-scratch Avro codec) →
+    live data files → Spark's own parquet scan.  The current snapshot
+    marks one file DELETED and adds another, so an entry walk that keeps
+    status=2 files (or misses adds) cannot match the oracle, which
+    aggregates the live key range [1000,4000) from the ORIGINAL parquet.
+    Fixture build is a bounded driver-side step (<4000 rows)."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.iceberg import (
+        read_iceberg,
+        write_iceberg_fixture,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_ice_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def slice_file(name, lo, hi):
+        p = os.path.join(d, "data", name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        part = t.filter((pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi))
+        pq.write_table(part, p)
+        return p
+
+    a = slice_file("part-a.parquet", 0, 1000)
+    b = slice_file("part-b.parquet", 1000, 2000)
+    c = slice_file("part-c.parquet", 2000, 3000)
+    dd = slice_file("part-d.parquet", 3000, 4000)
+    write_iceberg_fixture(
+        d,
+        {
+            1: [(1, a), (1, b)],  # snapshot 1: a,b added
+            2: [(2, a), (0, b), (1, c), (1, dd)],  # 2: a DELETED, c,d added
+        },
+        current=2,
+    )
+    df = read_iceberg(spark, d)  # live keys [1000, 4000)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_delta_time_travel",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,

@@ -78,12 +78,104 @@ def test_errors_and_gates():
     bad[-1] ^= 0xFF
     with pytest.raises(ValueError, match="sync"):
         read_avro(bytes(bad))
-    with pytest.raises(NotImplementedError, match="subset"):
-        write_avro([{"m": {}}], {"type": "record", "name": "x",
-                                 "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]})
+    # unresolved named-type references stay gated
+    with pytest.raises(NotImplementedError, match="unresolved|not supported"):
+        write_avro([{"m": 1}], {"type": "record", "name": "x",
+                                "fields": [{"name": "m", "type": "NoSuchType"}]})
     # all six spec codecs landed (round 8); non-spec names stay rejected
     with pytest.raises(ValueError, match="codec"):
         write_avro([], SCHEMA, codec="lzo")
+
+
+def test_nested_types_roundtrip():
+    """Full type-system round-trip (round 8): nested records, arrays of
+    records, maps, enums, fixed, general unions, recursive named types —
+    the shapes Iceberg manifests and Kafka archives actually contain."""
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "props", "type": {"type": "map", "values": ["null", "long"]}},
+            {"name": "color", "type": {"type": "enum", "name": "Color",
+                                       "symbols": ["RED", "GREEN", "BLUE"]}},
+            {"name": "digest", "type": {"type": "fixed", "name": "Md5", "size": 4}},
+            {
+                "name": "points",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "pt",
+                        "fields": [
+                            {"name": "x", "type": "double"},
+                            {"name": "y", "type": ["null", "double"]},
+                        ],
+                    },
+                },
+            },
+            {"name": "alt", "type": ["null", "string", "long"]},
+            {
+                "name": "next",
+                "type": ["null", {
+                    "type": "record",
+                    "name": "node",
+                    "fields": [
+                        {"name": "v", "type": "long"},
+                        {"name": "next", "type": ["null", "node"]},  # recursive
+                    ],
+                }],
+            },
+        ],
+    }
+    rows = [
+        {
+            "id": 1,
+            "tags": ["a", "b", "c"],
+            "props": {"k1": 7, "k2": None},
+            "color": "GREEN",
+            "digest": b"\x01\x02\x03\x04",
+            "points": [{"x": 1.5, "y": 2.5}, {"x": -1.0, "y": None}],
+            "alt": "s-branch",
+            "next": {"v": 1, "next": {"v": 2, "next": None}},
+        },
+        {
+            "id": 2,
+            "tags": [],
+            "props": {},
+            "color": "RED",
+            "digest": b"\xff\xfe\xfd\xfc",
+            "points": [],
+            "alt": 42,
+            "next": None,
+        },
+    ]
+    for codec in ("null", "deflate", "zstandard"):
+        got_schema, got = read_avro(write_avro(rows, schema, codec=codec))
+        assert got == rows, codec
+
+
+def test_negative_block_count_arrays():
+    """Writers may emit array/map blocks with NEGATIVE counts followed by
+    a byte-size long (for skippability); the decoder must honor both."""
+    from native_sql_engine_spark.operators.avro import (
+        _decode_value,
+        _encode_value,
+        _zigzag_encode as zz,
+    )
+
+    typ = {"type": "array", "items": "long"}
+    items = [5, -7, 900]
+    body = b"".join(_encode_value(x, "long") for x in items)
+    framed = zz(-3) + zz(len(body)) + body + zz(0)
+    got, pos = _decode_value(framed, 0, typ)
+    assert got == items and pos == len(framed)
+    # two blocks concatenated
+    framed2 = zz(2) + b"".join(_encode_value(x, "long") for x in items[:2]) + \
+        zz(-1) + zz(len(_encode_value(900, "long"))) + _encode_value(900, "long") + zz(0)
+    got2, _ = _decode_value(framed2, 0, typ)
+    assert got2 == items
 
 
 def test_empty_file_and_empty_strings():

@@ -1,0 +1,93 @@
+"""Iceberg snapshot resolution (operators/iceberg.py): metadata walk,
+manifest-list/manifest Avro decode through the from-scratch nested Avro
+codec, DELETED-entry semantics, time travel, delete-file gates."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from native_sql_engine_spark.operators.iceberg import (
+    iceberg_snapshot,
+    read_iceberg,
+    write_iceberg_fixture,
+)
+
+pa = pytest.importorskip("pyarrow")
+pq = pytest.importorskip("pyarrow.parquet")
+
+
+def _mk(d, name, lo, hi):
+    p = os.path.join(d, "data", name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    pq.write_table(pa.table({"k": pa.array(range(lo, hi), pa.int64())}), p)
+    return p
+
+
+def _fixture(d):
+    a = _mk(d, "a.parquet", 0, 100)
+    b = _mk(d, "b.parquet", 100, 200)
+    c = _mk(d, "c.parquet", 200, 300)
+    write_iceberg_fixture(d, {1: [(1, a), (1, b)], 2: [(2, a), (0, b), (1, c)]}, current=2)
+    return a, b, c
+
+
+def test_snapshot_semantics(tmp_path):
+    d = str(tmp_path)
+    _fixture(d)
+    s = iceberg_snapshot(d)
+    assert s["snapshot_id"] == 2
+    assert sorted(os.path.basename(f) for f in s["files"]) == ["b.parquet", "c.parquet"]
+    s1 = iceberg_snapshot(d, snapshot_id=1)
+    assert sorted(os.path.basename(f) for f in s1["files"]) == ["a.parquet", "b.parquet"]
+    with pytest.raises(ValueError, match="snapshot 99"):
+        iceberg_snapshot(d, snapshot_id=99)
+
+
+def test_spark_scan(spark, tmp_path):
+    d = str(tmp_path)
+    _fixture(d)
+    assert sorted(r.k for r in read_iceberg(spark, d).collect()) == list(range(100, 300))
+    assert sorted(r.k for r in read_iceberg(spark, d, snapshot_id=1).collect()) == list(
+        range(0, 200)
+    )
+
+
+def test_manifests_are_real_avro(tmp_path):
+    """The fixture's manifest list and manifests must be valid OCFs with
+    nested records — decoded by the same reader any Avro tool would use."""
+    from native_sql_engine_spark.operators.avro import read_avro
+
+    d = str(tmp_path)
+    _fixture(d)
+    md = os.path.join(d, "metadata")
+    mlists = [n for n in os.listdir(md) if n.startswith("snap-")]
+    assert mlists
+    _, rows = read_avro(open(os.path.join(md, mlists[0]), "rb").read())
+    assert rows[0]["manifest_path"].endswith(".avro")
+    _, entries = read_avro(open(rows[0]["manifest_path"], "rb").read())
+    assert {"status", "data_file"} <= set(entries[0])
+    assert entries[0]["data_file"]["file_format"] == "PARQUET"
+
+
+def test_gates(tmp_path):
+    d = str(tmp_path)
+    with pytest.raises(ValueError, match="not an Iceberg table"):
+        iceberg_snapshot(d)
+    a = _mk(d, "a.parquet", 0, 10)
+    # a delete-file manifest entry (content=1) must hard-fail
+    write_iceberg_fixture(d, {1: [(1, a)]}, current=1)
+    import json
+
+    md = os.path.join(d, "metadata")
+    # rewrite the manifest with a delete-content data_file
+    from native_sql_engine_spark.operators.avro import read_avro, write_avro
+    from native_sql_engine_spark.operators.iceberg import _MANIFEST_ENTRY_SCHEMA
+
+    mpath = os.path.join(md, "manifest-1.avro")
+    _, entries = read_avro(open(mpath, "rb").read())
+    entries[0]["data_file"]["content"] = 1
+    open(mpath, "wb").write(write_avro(entries, _MANIFEST_ENTRY_SCHEMA))
+    with pytest.raises(NotImplementedError, match="delete"):
+        iceberg_snapshot(d)
