@@ -3013,6 +3013,7 @@ def _delta_orders_fixture(sf_dir: str) -> str:
     t = pq.read_table(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 4000)],  # row-group pruned at the scan
     )
 
     def slice_file(name, lo, hi):
@@ -3139,6 +3140,7 @@ def lake_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = pq.read_table(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 4000)],  # row-group pruned at the scan
     )
 
     def slice_file(name, lo, hi):
@@ -3235,10 +3237,12 @@ def source_orc_rawread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from native_sql_engine_spark.operators.orc import read_orc_table
 
-    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
-    t = t.filter(pc.field("o_orderkey") < 4000).select(
-        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+        filters=[("o_orderkey", "<", 4000)],  # row-group pruned at the scan
     )
+    t = t.filter(pc.field("o_orderkey") < 4000)
     path = os.path.join(tempfile.mkdtemp(prefix="src_orc_"), "orders.orc")
     po.write_table(t, path, compression="zstd", dictionary_key_size_threshold=1.0)
 
@@ -3328,7 +3332,10 @@ def source_parquet_rawread_encrypted(spark: SparkSession, sf_dir: str) -> DataFr
             data_key_length_bits=128,
         ),
     )
-    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        filters=[("o_orderkey", "<", 4000)],  # row-group pruned at the scan
+    )
     t = t.filter(pc.field("o_orderkey") < 4000)
     path = os.path.join(tempfile.mkdtemp(prefix="src_crypt_"), "orders_enc.parquet")
     pq.write_table(t, path, compression="snappy", encryption_properties=fep)
