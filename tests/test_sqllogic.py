@@ -796,11 +796,11 @@ CASES: dict[str, str] = {
         FROM nation, LATERAL (SELECT n_nationkey * 2 AS double_key) t
         ORDER BY n_nationkey
     """,
-    "values_inline_table": """
+    "values_inline_table_v2": """
         SELECT a, b FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) t(a, b)
         WHERE a >= 2 ORDER BY a
     """,
-    "group_by_ordinal": """
+    "group_by_ordinal_v2": """
         SELECT n_regionkey, cast(count(*) AS bigint) AS n
         FROM nation GROUP BY 1 ORDER BY 1
     """,
@@ -811,7 +811,7 @@ CASES: dict[str, str] = {
           SELECT '10% off' AS s UNION ALL SELECT '100 total') t
         WHERE s LIKE '10!%%' ESCAPE '!'
     """,
-    "ilike_case_insensitive": """
+    "ilike_case_insensitive_v2": """
         SELECT count(*) AS n FROM nation WHERE n_name ILIKE '%united%'
     """,
     "repeat_reverse_translate": """
@@ -828,7 +828,7 @@ CASES: dict[str, str] = {
                cast(TIMESTAMP '2021-01-01 23:30:00' + INTERVAL 45 MINUTE
                     AS varchar(30)) AS t1
     """,
-    "order_by_nulls_first_last": """
+    "order_by_nulls_first_last_v2": """
         SELECT v FROM (
           SELECT CASE WHEN n_nationkey % 11 = 0 THEN NULL
                       ELSE n_nationkey END AS v FROM nation) t
@@ -860,7 +860,7 @@ CASES: dict[str, str] = {
         SELECT count(*) AS n FROM (
           SELECT cast(NULL AS int) AS v UNION SELECT NULL UNION SELECT 1) t
     """,
-    "cross_join_cardinality": """
+    "cross_join_cardinality_v2": """
         SELECT cast(count(*) AS bigint) AS n FROM region a CROSS JOIN region b
     """,
     "full_outer_using_coalesces_key": """
@@ -873,19 +873,19 @@ CASES: dict[str, str] = {
     # -- batch 6 (round 6): modern shared surface — GROUP BY ALL, lateral
     # column aliases, FILTER clauses, ordered-set aggregates, ILIKE/ESCAPE,
     # VALUES tables, standard string functions ------------------------------
-    "group_by_all": """
+    "group_by_all_v2": """
         SELECT n_regionkey, count(*) AS n FROM nation GROUP BY ALL ORDER BY n_regionkey
     """,
     "lateral_column_alias": """
         SELECT n_nationkey + 1 AS a, a * 2 AS b FROM nation ORDER BY a LIMIT 5
     """,
-    "agg_filter_clause": """
+    "agg_filter_clause_v2": """
         SELECT cast(count(*) FILTER (WHERE n_regionkey = 0) AS bigint) AS n0,
                cast(sum(n_nationkey) FILTER (WHERE n_regionkey > 2) AS bigint) AS s2
         FROM nation
     """,
     "count_if_portable": "SELECT cast(count_if(n_regionkey = 1) AS bigint) AS n FROM nation",
-    "bool_and_or": """
+    "bool_and_or_v2": """
         SELECT bool_and(n_nationkey >= 0) AS ba, bool_or(n_nationkey > 23) AS bo FROM nation
     """,
     "median_interpolates_even_count": """
@@ -902,9 +902,6 @@ CASES: dict[str, str] = {
     "trim_both_chars": "SELECT trim(BOTH 'x' FROM 'xxhixx') AS v",
     "position_in_string": "SELECT position('b' IN 'abc') AS p",
     "repeat_fn": "SELECT repeat('ab', 3) AS v",
-    "ilike_case_insensitive": """
-        SELECT count(*) AS n FROM nation WHERE n_name ILIKE '%uni%'
-    """,
     "like_custom_escape": """
         SELECT 'a_b' LIKE 'a!_b' ESCAPE '!' AS v, 'axb' LIKE 'a!_b' ESCAPE '!' AS w
     """,
@@ -913,7 +910,7 @@ CASES: dict[str, str] = {
         WHERE EXISTS (SELECT 1 FROM nation n
                       WHERE n.n_regionkey = r.r_regionkey AND n.n_nationkey > 20)
     """,
-    "values_inline_table": """
+    "values_inline_table_v3": """
         SELECT * FROM (VALUES (1, 'a'), (2, 'b')) AS t(id, s) ORDER BY id
     """,
     "order_by_ordinal_positions": """
@@ -935,7 +932,7 @@ CASES: dict[str, str] = {
                  ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS bigint) AS prev2
         FROM nation ORDER BY n_nationkey LIMIT 6
     """,
-    "having_without_groupby": """
+    "having_without_groupby_v2": """
         SELECT cast(count(*) AS bigint) AS n FROM nation HAVING count(*) > 3
     """,
     "union_type_widening": """
@@ -947,7 +944,6 @@ CASES: dict[str, str] = {
     "cast_string_trim_to_int": "SELECT cast('  42  ' AS int) AS v",
     "substr_negative_start": "SELECT substr('abcdef', -3) AS a, substr('abcdef', 2, 3) AS b",
     "string_comparison_no_padding": "SELECT 'abc' = 'abc ' AS a, 'abc' < 'abd' AS b",
-    "concat_ws_skips_nulls": "SELECT concat_ws('-', 'a', NULL, 'b') AS v",
     "exists_constant_false": """
         SELECT count(*) AS n FROM region r
         WHERE EXISTS (SELECT 1 FROM nation WHERE 1 = 0)
@@ -968,7 +964,7 @@ CASES: dict[str, str] = {
     """,
     # -- batch 8 (round 7): boolean/bit aggregates, ordered-set and
     # regression aggregates, string pack 3, IGNORE NULLS windows ------------
-    "bool_and_or_aggregates": """
+    "bool_and_or_aggregates_v2": """
         SELECT bool_and(n_nationkey >= 0) AS all_pos,
                bool_or(n_nationkey > 23) AS any_big,
                bool_and(n_nationkey > 5) AS all_big
@@ -1036,7 +1032,7 @@ CASES: dict[str, str] = {
         SELECT greatest(3, 1, 4, 1, 5) AS g, least(2, 7, 1, 8) AS l,
                greatest('apple', 'pear', 'fig') AS gs
     """,
-    "percentile_cont_within_group": """
+    "percentile_cont_within_group_v2": """
         SELECT round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_nationkey), 4) AS p50,
                round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_nationkey), 4) AS p90
         FROM nation
@@ -1056,6 +1052,75 @@ CASES: dict[str, str] = {
     "numeric_string_concat_cast": """
         SELECT 'id-' || cast(n_nationkey AS string) AS tag
         FROM nation WHERE n_nationkey < 3 ORDER BY tag
+    """,
+    # -- batch 9 (round 8): lateral aliases, simple-CASE null corner,
+    # quantified mod/interval arithmetic, correlated EXISTS with HAVING,
+    # parenthesized set-op limits, shared modern aggregates ------------------
+    "lateral_column_alias_v2": """
+        SELECT n_nationkey + 1 AS a, a * 2 AS b, b - n_nationkey AS c
+        FROM nation ORDER BY n_nationkey LIMIT 5
+    """,
+    "simple_case_null_never_matches": """
+        SELECT CASE cast(NULL AS int) WHEN NULL THEN 'matched' ELSE 'not' END AS v
+    """,
+    "mod_negative_operands_v2": """
+        SELECT mod(-7, 3) AS a, mod(7, -3) AS b, mod(-7, -3) AS c
+    """,
+    "mode_single_valued_group": """
+        SELECT mode(n_regionkey) AS m FROM nation WHERE n_regionkey = 2
+    """,
+    "any_value_single_group": """
+        SELECT any_value(n_name) AS v FROM nation WHERE n_nationkey = 3
+    """,
+    "string_agg_single_row": """
+        SELECT string_agg(n_name, '+') AS v FROM nation WHERE n_nationkey = 3
+    """,
+    "corr_covar": """
+        SELECT round(corr(n_nationkey, n_regionkey), 4) AS c,
+               round(covar_samp(n_nationkey, n_regionkey), 4) AS cs,
+               round(covar_pop(n_nationkey, n_regionkey), 4) AS cp
+        FROM nation
+    """,
+    "having_without_groupby_v3": """
+        SELECT count(*) AS n FROM nation HAVING count(*) > 3
+    """,
+    "parenthesized_setop_limits": """
+        (SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 2)
+        UNION ALL
+        (SELECT n_nationkey FROM nation ORDER BY n_nationkey DESC LIMIT 2)
+        ORDER BY n_nationkey
+    """,
+    "trunc_date_variants": """
+        SELECT date_trunc('month', TIMESTAMP '2024-03-17 10:11:12') AS m,
+               date_trunc('quarter', TIMESTAMP '2024-05-02 00:00:00') AS q,
+               date_trunc('week', TIMESTAMP '2024-03-17 10:11:12') AS w
+    """,
+    "exists_correlated_agg": """
+        SELECT count(*) AS n FROM region r
+        WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey
+                      GROUP BY n.n_regionkey HAVING count(*) >= 5)
+    """,
+    "distinct_concat_pairs": """
+        SELECT cast(count(DISTINCT concat(cast(n_regionkey AS varchar(10)), '|',
+                                          cast(n_nationkey % 2 AS varchar(10))))
+               AS bigint) AS n
+        FROM nation
+    """,
+    "nullif_div_guard": """
+        SELECT n_nationkey, cast(n_nationkey / nullif(n_regionkey, 0) AS double) AS ratio
+        FROM nation WHERE n_nationkey < 6 ORDER BY n_nationkey
+    """,
+    "interval_day_second_arith": """
+        SELECT TIMESTAMP '2024-03-31 23:30:00' + INTERVAL '90' MINUTE AS t1,
+               TIMESTAMP '2024-01-01 00:00:00' - INTERVAL '1' SECOND AS t2
+    """,
+    "array_membership_via_split": """
+        SELECT array_contains(split('a,b,c', ','), 'b') AS t,
+               array_contains(split('a,b,c', ','), 'z') AS f
+    """,
+    "group_by_all_multi": """
+        SELECT n_regionkey, n_nationkey % 2 AS parity, count(*) AS n
+        FROM nation GROUP BY ALL ORDER BY n_regionkey, parity
     """,
 }
 
