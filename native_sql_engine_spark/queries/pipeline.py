@@ -3274,6 +3274,72 @@ def source_orc_rawread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_parquet_page_pruning",
+    """
+    SELECT cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           cast(min(o_orderkey) AS bigint) AS k_min,
+           cast(max(o_orderkey) AS bigint) AS k_max,
+           TRUE AS pruned
+    FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 600
+    """,
+)
+def source_parquet_page_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet PageIndex pruning (operators/parquet_index.py): the fixture
+    is written sorted with 4 KB pages + a PageIndex; the scan consults the
+    ColumnIndex min/max per page, seeks through the OffsetIndex, and
+    decodes ONLY intersecting pages.  The emitted ``pruned`` column is the
+    live assertion ``pages_read < pages_total`` — if skipping ever stops
+    working the oracle (which emits literal TRUE) mismatches, so the
+    efficiency claim is driver-checked, not just unit-tested.  Values are
+    exact-filtered after pruning; the aggregate must equal DuckDB over the
+    ORIGINAL file.  This is the page-granular version of the row-group
+    pushdown the engine's normal scans get from Spark."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.parquet_index import read_column_pruned
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"]
+    ).sort_by("o_orderkey")
+    path = os.path.join(tempfile.mkdtemp(prefix="src_pidx_"), "orders_sorted.parquet")
+    pq.write_table(
+        t,
+        path,
+        data_page_size=4096,
+        write_page_index=True,
+        compression="snappy",
+        use_dictionary=False,  # dictionary indices would fold into one page
+    )
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                vals, read, total = read_column_pruned(
+                    bytes(content), "o_orderkey", 100, 599
+                )
+                ok = read < total or total == 1  # single-page files can't skip
+                yield pd.DataFrame({"o_orderkey": vals, "pruned": [ok] * len(vals)})
+
+    files = spark.read.format("binaryFile").load(path)
+    raw = files.select("content").mapInPandas(
+        batches, "o_orderkey long, pruned boolean"
+    )
+    return raw.agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.min("o_orderkey").cast("bigint").alias("k_min"),
+        F.max("o_orderkey").cast("bigint").alias("k_max"),
+        F.bool_and("pruned").alias("pruned"),
+    )
+
+
+@q(
     "source_parquet_rawread_encrypted",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
