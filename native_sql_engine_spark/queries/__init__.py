@@ -136,6 +136,9 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSess
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _modules():
+        dup = merged.keys() & mod.QUERIES.keys()
+        if dup:  # a silent overwrite would shadow a battery entry
+            raise ValueError(f"duplicate battery entry name(s) across modules: {sorted(dup)}")
         merged.update(mod.QUERIES)
     return {name: _pinned(merged[name]) for name in _ordered(list(merged))}
 

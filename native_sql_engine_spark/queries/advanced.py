@@ -435,6 +435,86 @@ def expr_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "expr_recursive_date_spine",
+    """
+    WITH RECURSIVE spine(d) AS (
+      SELECT DATE '1992-01-01'
+      UNION ALL
+      SELECT cast(d + INTERVAL '1' MONTH AS date) FROM spine
+      WHERE d < DATE '1992-12-01'
+    )
+    SELECT cast(count(*) AS bigint) AS months,
+           cast(min(d) AS string) AS first_month,
+           cast(max(d) AS string) AS last_month,
+           cast(sum(extract(month FROM d)) AS bigint) AS month_sum
+    FROM spine
+    """,
+)
+def expr_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 recursive CTE (`WITH RECURSIVE`, SPARK-24497): a date-spine
+    generator — the canonical analytics use (calendar fill for gap-free
+    time series) — run as the SAME SQL text on both engines; the oracle is
+    the identical recursion in DuckDB, so anchor/step semantics and the
+    termination condition must agree exactly.  Recursion executes as
+    iterated union steps on the driver plan; each step is a distributed
+    job, so a 10^4-row spine costs 12 tiny steps, never a collect.  Beyond
+    the reference: Gandiva has no iterative construct (SURVEY §2.8)."""
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT DATE '1992-01-01'
+          UNION ALL
+          SELECT cast(d + INTERVAL '1' MONTH AS date) FROM spine
+          WHERE d < DATE '1992-12-01'
+        )
+        SELECT cast(count(*) AS bigint) AS months,
+               cast(min(d) AS string) AS first_month,
+               cast(max(d) AS string) AS last_month,
+               cast(sum(extract(month FROM d)) AS bigint) AS month_sum
+        FROM spine
+        """
+    )
+
+
+@q(
+    "expr_sql_scripting",
+    """
+    SELECT cast(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey END) AS bigint)
+             AS even_sum,
+           cast(385 AS bigint) AS loop_sum
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def expr_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 SQL scripting (`BEGIN … END`, session variables, WHILE):
+    a procedural block declares variables, runs a WHILE loop (sum of
+    squares 1..10 = 385 — the oracle pins the closed form) and finishes
+    with a query that mixes the loop result into a real aggregate over
+    orders.  The loop is driver-side control flow over tiny state; the
+    final SELECT is the only distributed job — the right division of
+    labor for procedural SQL on a cluster."""
+    from native_sql_engine_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE i INT DEFAULT 1;
+          DECLARE acc BIGINT DEFAULT 0;
+          WHILE i <= 10 DO
+            SET acc = acc + i * i;
+            SET i = i + 1;
+          END WHILE;
+          SELECT cast(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey END)
+                      AS bigint) AS even_sum,
+                 cast(acc AS bigint) AS loop_sum
+          FROM orders WHERE o_orderkey < 1000;
+        END
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Join-key skew profiler: feeds the salt factor of skew.py::salted_join.
 # --------------------------------------------------------------------------

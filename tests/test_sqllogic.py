@@ -1122,6 +1122,22 @@ CASES: dict[str, str] = {
         SELECT n_regionkey, n_nationkey % 2 AS parity, count(*) AS n
         FROM nation GROUP BY ALL ORDER BY n_regionkey, parity
     """,
+    "recursive_cte_series": """
+        WITH RECURSIVE t(n) AS (
+          SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 10)
+        SELECT cast(sum(n) AS bigint) AS s, count(*) AS c FROM t
+    """,
+    "recursive_cte_transitive_closure": """
+        WITH RECURSIVE
+        edges(src, dst) AS (
+          SELECT * FROM (VALUES (1, 2), (2, 3), (3, 4), (5, 6)) e(src, dst)),
+        reach(node) AS (
+          SELECT 1
+          UNION ALL
+          SELECT e.dst FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT cast(count(*) AS bigint) AS n, cast(sum(node) AS bigint) AS s
+        FROM reach
+    """,
 }
 
 #: Negative corpus (the reference's subquery/negative territory): SQL both
