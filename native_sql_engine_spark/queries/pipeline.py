@@ -3107,6 +3107,67 @@ def lake_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_hudi_snapshot",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey < 1000 OR (o_orderkey >= 2000 AND o_orderkey < 4000)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_hudi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi copy-on-write snapshot read with zero hudi jars
+    (operators/hudi.py): the timeline's COMPLETED instants pick the latest
+    file slice per file group — an upsert at instant 002 replaces file
+    group A's base file (shrinking it to keys <1000), and a PENDING
+    instant's half-written file must stay invisible.  The oracle covers
+    exactly the live slices' key range, so reading a stale slice, the
+    inflight file, or both versions of a file group cannot match.  The
+    scan itself is Spark's own parquet reader.  Fixture build is a bounded
+    driver-side step (<4000 rows)."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.hudi import read_hudi, write_hudi_fixture
+
+    d = tempfile.mkdtemp(prefix="lake_hudi_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 99000)],
+    )
+
+    def slice_file(fid, instant, lo, hi):
+        part = t.filter((pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi))
+        pq.write_table(part, os.path.join(d, f"{fid}_0-0-0_{instant}.parquet"))
+
+    slice_file("fg-a", "001", 0, 2000)
+    slice_file("fg-b", "001", 2000, 4000)
+    slice_file("fg-a", "002", 0, 1000)  # upsert shrinks file group A
+    slice_file("fg-a", "003", 0, 99000)  # pending writer: must be invisible
+    write_hudi_fixture(
+        d,
+        [("001", "", "fg-a"), ("001", "", "fg-b"), ("002", "", "fg-a")],
+        pending=["003"],
+    )
+    df = read_hudi(spark, d)  # live keys: [0,1000) + [2000,4000)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_iceberg_snapshot",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
