@@ -478,6 +478,50 @@ def expr_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "expr_xml_roundtrip",
+    """
+    SELECT o_orderstatus AS grp,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 8000
+    GROUP BY o_orderstatus ORDER BY grp
+    """,
+)
+def expr_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 built-in XML expressions: each order row serializes to an
+    XML document (`to_xml`) and parses back through a typed schema
+    (`from_xml`) before aggregating — the XML sibling of the VARIANT and
+    Avro interchange entries, covering the last first-class semi-structured
+    text format Spark 4 added (SPARK-44751).  Both directions are JVM
+    codegen'd expressions (no Python in the loop).  The oracle computes
+    the same aggregate from the base columns, so any escaping/typing loss
+    in the XML layer changes the sums."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 8000)
+    xml = orders.select(
+        F.to_xml(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+                F.col("o_totalprice").alias("p"),
+            )
+        ).alias("doc")
+    )
+    back = xml.select(
+        F.from_xml("doc", "k bigint, s string, p double").alias("r")
+    ).select("r.*")
+    return (
+        back.groupBy(F.col("s").alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.round(F.sum("p"), 2).alias("total"),
+        )
+        .orderBy("grp")
+    )
+
+
+@q(
     "expr_sql_scripting",
     """
     SELECT cast(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey END) AS bigint)
