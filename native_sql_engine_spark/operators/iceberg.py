@@ -20,11 +20,12 @@ Implements the read side of the public Iceberg table spec
   pushdown and pruning apply; this module only decides WHICH files are
   in the snapshot.
 
-Honest gates: delete-file manifests (v2 row-level deletes), non-parquet
-data files (ORC data files would route through operators/orc.py — left
-gated until a real mixed-format fixture exists), and metadata without a
-reachable manifest list raise ``NotImplementedError`` / positioned
-``ValueError``.
+Mixed-format snapshots are first-class: PARQUET and ORC data files each
+read through Spark's native vectorized source and union by name (a table
+migrated between formats keeps both kinds live).  Honest gates:
+delete-file manifests (v2 row-level deletes), AVRO data files, and
+metadata without a reachable manifest list raise ``NotImplementedError``
+/ positioned ``ValueError``.
 
 No Iceberg writer ships in this container, so fixtures come from
 :func:`write_iceberg_fixture` (same spec shapes: metadata JSON +
@@ -109,27 +110,42 @@ def iceberg_snapshot(table_dir: str, snapshot_id: int | None = None) -> dict:
                 raise NotImplementedError(
                     "Iceberg row-level delete files not supported"
                 )
-            fmt = (df.get("file_format") or "PARQUET").upper()
-            if fmt != "PARQUET":
+            fmt = df.get("file_format")
+            fmt = (fmt.decode() if isinstance(fmt, bytes) else fmt or "PARQUET").upper()
+            if fmt not in ("PARQUET", "ORC"):
                 raise NotImplementedError(
-                    f"Iceberg data file format {fmt} not wired (only PARQUET)"
+                    f"Iceberg data file format {fmt} not wired (PARQUET/ORC)"
                 )
-            files.append(_local_path(table_dir, df["file_path"]))
+            files.append((fmt, _local_path(table_dir, df["file_path"])))
     return {
         "snapshot_id": want,
-        "files": files,
+        "files": [p for _, p in files],
+        "files_by_format": files,
         "schema": meta.get("schemas") or meta.get("schema"),
         "sequence_number": snap.get("sequence-number", 0),
     }
 
 
 def read_iceberg(spark, table_dir: str, snapshot_id: int | None = None):
-    """Open an Iceberg snapshot as a DataFrame via Spark's own parquet
-    scan of the manifest-resolved live files."""
+    """Open an Iceberg snapshot as a DataFrame via Spark's own scans of
+    the manifest-resolved live files.  Mixed-format snapshots (a table
+    migrated from ORC to parquet keeps its old ORC data files) read each
+    format through its native vectorized source and union by name."""
     snap = iceberg_snapshot(table_dir, snapshot_id)
     if not snap["files"]:
         raise ValueError(f"Iceberg snapshot {snap['snapshot_id']} has no data files")
-    return spark.read.parquet(*snap["files"])
+    by_fmt: dict[str, list[str]] = {}
+    for fmt, p in snap["files_by_format"]:
+        by_fmt.setdefault(fmt, []).append(p)
+    parts = []
+    if "PARQUET" in by_fmt:
+        parts.append(spark.read.parquet(*by_fmt["PARQUET"]))
+    if "ORC" in by_fmt:
+        parts.append(spark.read.orc(*by_fmt["ORC"]))
+    df = parts[0]
+    for other in parts[1:]:
+        df = df.unionByName(other, allowMissingColumns=False)
+    return df
 
 
 # -- fixture write side (spec shapes; no Iceberg writer ships here) -------------------
@@ -199,7 +215,7 @@ def write_iceberg_fixture(
                 "data_file": {
                     "content": 0,
                     "file_path": path,
-                    "file_format": "PARQUET",
+                    "file_format": "ORC" if path.endswith(".orc") else "PARQUET",
                     "record_count": 0,
                     "file_size_in_bytes": 0,
                     "lower_bounds": None,

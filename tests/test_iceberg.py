@@ -71,6 +71,21 @@ def test_manifests_are_real_avro(tmp_path):
     assert entries[0]["data_file"]["file_format"] == "PARQUET"
 
 
+def test_mixed_format_snapshot(spark, tmp_path):
+    """A table migrated from ORC to parquet keeps old ORC data files live:
+    both formats must read through their native sources and union."""
+    po = pytest.importorskip("pyarrow.orc")
+    d = str(tmp_path)
+    a = _mk(d, "a.parquet", 0, 100)
+    orc_path = os.path.join(d, "data", "b.orc")
+    po.write_table(pa.table({"k": pa.array(range(100, 200), pa.int64())}), orc_path)
+    write_iceberg_fixture(d, {1: [(1, a), (1, orc_path)]}, current=1)
+    snap = iceberg_snapshot(d)
+    assert sorted(f for _, f in snap["files_by_format"]) == sorted([a, orc_path])
+    got = sorted(r.k for r in read_iceberg(spark, d).collect())
+    assert got == list(range(0, 200))
+
+
 def test_gates(tmp_path):
     d = str(tmp_path)
     with pytest.raises(ValueError, match="not an Iceberg table"):
