@@ -112,6 +112,41 @@ def _one(msg: dict, field: int, default=None):
     return v[0] if v else default
 
 
+def _pb_write_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def pb_encode(fields: list[tuple[int, object]]) -> bytes:
+    """Serialize one protobuf message from ``(field_number, value)`` pairs:
+    int → varint, bytes/str → length-delimited, list of pairs → nested
+    message.  Repeat a field number for repeated fields.  Inverse of
+    :func:`pb_decode` for the subset ORC fixture-writing needs."""
+    out = bytearray()
+    for field, value in fields:
+        if isinstance(value, bool):
+            value = int(value)
+        if isinstance(value, int):
+            out += _pb_write_varint(field << 3 | 0)
+            out += _pb_write_varint(value)
+        else:
+            if isinstance(value, str):
+                value = value.encode("utf-8")
+            elif isinstance(value, list):
+                value = pb_encode(value)
+            out += _pb_write_varint(field << 3 | 2)
+            out += _pb_write_varint(len(value))
+            out += bytes(value)
+    return bytes(out)
+
+
 def _repeated_uints(msg: dict, field: int) -> list[int]:
     """A repeated integer field: either one-per-entry varints or a single
     PACKED length-delimited blob of varints (proto3 default)."""
@@ -453,6 +488,112 @@ def _varint128_stream(buf: bytes, n: int) -> list[int]:
         v, pos = _svarint(buf, pos)
         out.append(v)
     return out
+
+
+# -- minimal writer (fixtures; real readers must accept the output) -------------------
+
+
+def _rlev2_encode(values: list[int], signed: bool) -> bytes:
+    """Naive spec-valid RLEv2: DIRECT runs of ≤512 values at the smallest
+    supported width (readers don't care that it's not the densest choice)."""
+    out = bytearray()
+    for start in range(0, len(values), 512):
+        run = values[start : start + 512]
+        enc = [((v << 1) ^ (v >> 63)) & (2**64 - 1) if signed else v for v in run]
+        need = max(1, max(v.bit_length() for v in enc) if any(enc) else 1)
+        width = next(w for w in _WIDTHS if w >= need)
+        code = _WIDTHS.index(width)
+        length = len(run) - 1
+        out.append(0x40 | (code << 1) | (length >> 8))
+        out.append(length & 0xFF)
+        big = 0
+        for v in enc:
+            big = (big << width) | v
+        nbits = width * len(run)
+        pad = (-nbits) % 8
+        out += (big << pad).to_bytes((nbits + pad) // 8, "big")
+    return bytes(out)
+
+
+def write_orc(columns: dict[str, list]) -> bytes:
+    """Write a minimal uncompressed ORC file: one stripe, REQUIRED
+    columns, types inferred from the first value (int → LONG via RLEv2
+    DIRECT runs, float → DOUBLE, str → STRING DIRECT_V2).  A fixture
+    writer in the same spirit as the encrypted-parquet one — its output
+    is cross-validated against pyarrow's AND Spark's ORC readers in the
+    tests, which is what makes the from-scratch reader's spec reading
+    trustworthy in both directions."""
+    n_rows = None
+    out = bytearray(_MAGIC)
+    streams = []  # (kind, col_id, length)
+    types = [[]]  # root placeholder
+    encodings = [[(1, 0)]]  # root DIRECT
+    names = []
+    for col_id, (name, values) in enumerate(columns.items(), start=1):
+        if n_rows is None:
+            n_rows = len(values)
+        elif len(values) != n_rows:
+            raise ValueError("all columns must have the same length")
+        v0 = values[0]
+        names.append(name)
+        if isinstance(v0, bool) or not isinstance(v0, (int, float, str)):
+            raise ValueError(f"unsupported fixture value type {type(v0).__name__}")
+        if isinstance(v0, int):
+            types.append([(1, 4)])  # LONG
+            encodings.append([(1, 2)])  # DIRECT_V2
+            data = _rlev2_encode(values, signed=True)
+            out += data
+            streams.append((_DATA, col_id, len(data)))
+        elif isinstance(v0, float):
+            types.append([(1, 6)])  # DOUBLE
+            encodings.append([(1, 0)])  # DIRECT
+            data = b"".join(struct.pack("<d", v) for v in values)
+            out += data
+            streams.append((_DATA, col_id, len(data)))
+        else:
+            types.append([(1, 7)])  # STRING
+            encodings.append([(1, 2)])  # DIRECT_V2
+            blobs = [v.encode("utf-8") for v in values]
+            data = b"".join(blobs)
+            lens = _rlev2_encode([len(b) for b in blobs], signed=False)
+            out += data
+            streams.append((_DATA, col_id, len(data)))
+            out += lens
+            streams.append((_LENGTH, col_id, len(lens)))
+    types[0] = [(1, 12)] + [(2, i) for i in range(1, len(columns) + 1)] + [
+        (3, nm) for nm in names
+    ]
+    data_len = len(out) - 3
+    sf = pb_encode(
+        [(1, [(1, k), (2, c), (3, ln)]) for k, c, ln in streams]
+        + [(2, e) for e in encodings]
+        + [(3, "GMT")]
+    )
+    out += sf
+    footer = pb_encode(
+        [
+            (1, 3),  # headerLength (the magic)
+            (2, 3 + data_len + len(sf)),  # contentLength
+            (3, [(1, 3), (2, 0), (3, data_len), (4, len(sf)), (5, n_rows or 0)]),
+            *[(4, t) for t in types],
+            (6, n_rows or 0),
+        ]
+    )
+    out += footer
+    ps = pb_encode(
+        [
+            (1, len(footer)),
+            (2, 0),  # compression NONE
+            (3, 65536),
+            (4, b"\x00\x0c"),  # packed version [0, 12]
+            (5, 0),  # metadataLength
+            (6, 6),  # writerVersion
+            (8000, _MAGIC),
+        ]
+    )
+    out += ps
+    out.append(len(ps))
+    return bytes(out)
 
 
 def read_orc_column(buf: bytes, column: str):

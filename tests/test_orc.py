@@ -204,6 +204,45 @@ def test_empty_and_single_row(tmp_path):
     assert got == {"x": [-(2**60)], "s": ["only"]}
 
 
+def _writer_cols():
+    return {
+        "k": list(range(2000)) + [-5, 2**40, 0],
+        "v": [i * 0.25 for i in range(2003)],
+        "s": [f"name-{i % 13}" for i in range(2003)],
+    }
+
+
+def test_own_writer_roundtrip():
+    from native_sql_engine_spark.operators.orc import write_orc
+
+    cols = _writer_cols()
+    buf = write_orc(cols)
+    assert orc_metadata(buf)["columns"] == {"k": "long", "v": "double", "s": "string"}
+    assert read_orc_table(buf, ["k", "v", "s"]) == cols
+
+
+def test_own_writer_read_by_pyarrow():
+    import io
+
+    from native_sql_engine_spark.operators.orc import write_orc
+
+    cols = _writer_cols()
+    t = po.ORCFile(io.BytesIO(write_orc(cols))).read()
+    for name, want in cols.items():
+        assert t.column(name).to_pylist() == want
+
+
+def test_own_writer_read_by_spark(spark, tmp_path):
+    from native_sql_engine_spark.operators.orc import write_orc
+
+    cols = {"k": list(range(1000)), "s": [f"x{i % 7}" for i in range(1000)]}
+    d = tmp_path / "ours"
+    d.mkdir()
+    (d / "part-0.orc").write_bytes(write_orc(cols))
+    df = spark.read.orc(str(d))
+    assert sorted((r.k, r.s) for r in df.collect()) == sorted(zip(cols["k"], cols["s"]))
+
+
 def test_all_null_column(tmp_path):
     tbl = pa.table({"n": pa.array([None] * 100, pa.int64()), "k": pa.array(range(100), pa.int64())})
     path = tmp_path / "nul.orc"
