@@ -3236,6 +3236,65 @@ def lake_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_iceberg_time_travel",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg snapshot time travel: reading snapshot 1 must resurrect the
+    later-DELETED file and exclude the later adds — the oracle covers
+    exactly snapshot 1's key range [0, 2000), so replaying the wrong
+    snapshot's manifests cannot match.  Same fixture shape as
+    lake_iceberg_snapshot; the scan is Spark's parquet source."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.iceberg import (
+        read_iceberg,
+        write_iceberg_fixture,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_ice_tt_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 4000)],
+    )
+
+    def slice_file(name, lo, hi):
+        p = os.path.join(d, "data", name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        part = t.filter((pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi))
+        pq.write_table(part, p)
+        return p
+
+    a = slice_file("part-a.parquet", 0, 1000)
+    b = slice_file("part-b.parquet", 1000, 2000)
+    c = slice_file("part-c.parquet", 2000, 4000)
+    write_iceberg_fixture(
+        d, {1: [(1, a), (1, b)], 2: [(2, a), (0, b), (1, c)]}, current=2
+    )
+    df = read_iceberg(spark, d, snapshot_id=1)  # keys [0, 2000)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_delta_time_travel",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
@@ -3397,6 +3456,57 @@ def source_parquet_page_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("bigint").alias("k_min"),
         F.max("o_orderkey").cast("bigint").alias("k_max"),
         F.bool_and("pruned").alias("pruned"),
+    )
+
+
+@q(
+    "source_orc_writeread",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def source_orc_writeread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from-scratch ORC WRITER under Spark's own java reader
+    (operators/orc.py::write_orc — protobuf encoder, RLEv2 DIRECT runs,
+    DIRECT_V2 strings): the orders subset is serialized by our writer and
+    scanned back by Spark's native vectorized ORC source, then aggregated
+    against the DuckDB oracle over the ORIGINAL parquet.  A mis-encoded
+    varint, RLEv2 run header, or stream directory entry would make
+    Spark's reader (a fully independent implementation) see different
+    numbers.  Fixture write is a bounded driver-side step (<4000 rows)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.orc import write_orc
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 4000)],
+    )
+    cols = {
+        "o_orderkey": t.column("o_orderkey").to_pylist(),
+        "o_orderstatus": t.column("o_orderstatus").to_pylist(),
+        "o_totalprice": t.column("o_totalprice").to_pylist(),
+    }
+    d = tempfile.mkdtemp(prefix="src_orcw_")
+    with open(os.path.join(d, "part-0.orc"), "wb") as fh:
+        fh.write(write_orc(cols))
+    back = spark.read.orc(d)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
     )
 
 
