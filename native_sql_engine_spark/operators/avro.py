@@ -73,6 +73,63 @@ def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
 
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "string", "bytes"}
 
+_EPOCH_DATE = None  # lazy datetime imports (hot path stays import-free)
+
+
+def _logical_decode(raw, logical: str, typ: dict):
+    """Avro logical types (spec §Logical Types): typed views over the
+    primitive encodings.  Unknown logical names fall back to the raw
+    underlying value, exactly as the spec instructs readers to do."""
+    import datetime as dt
+    import decimal
+    import uuid as _uuid
+
+    if raw is None:
+        return None
+    if logical == "decimal":
+        unscaled = int.from_bytes(bytes(raw), "big", signed=True)
+        return decimal.Decimal(unscaled).scaleb(-typ.get("scale", 0))
+    if logical == "uuid":
+        return _uuid.UUID(str(raw))
+    if logical == "date":
+        return dt.date(1970, 1, 1) + dt.timedelta(days=raw)
+    if logical == "time-millis":
+        return (dt.datetime.min + dt.timedelta(milliseconds=raw)).time()
+    if logical == "time-micros":
+        return (dt.datetime.min + dt.timedelta(microseconds=raw)).time()
+    if logical in ("timestamp-millis", "local-timestamp-millis"):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=raw)
+    if logical in ("timestamp-micros", "local-timestamp-micros"):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=raw)
+    return raw
+
+
+def _logical_encode(v, kind: str, logical: str, typ: dict):
+    """Inverse of :func:`_logical_decode`; raw-compatible values pass
+    through so callers may hand either typed or primitive values."""
+    import datetime as dt
+    import decimal
+    import uuid as _uuid
+
+    if v is None:
+        return None
+    if logical == "decimal" and isinstance(v, decimal.Decimal):
+        unscaled = int(v.scaleb(typ.get("scale", 0)))
+        size = typ.get("size") or max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(size, "big", signed=True)
+    if logical == "uuid" and isinstance(v, _uuid.UUID):
+        return str(v)
+    if logical == "date" and isinstance(v, dt.date) and not isinstance(v, dt.datetime):
+        return (v - dt.date(1970, 1, 1)).days
+    if logical in ("time-millis", "time-micros") and isinstance(v, dt.time):
+        us = ((v.hour * 60 + v.minute) * 60 + v.second) * 10**6 + v.microsecond
+        return us // 1000 if logical == "time-millis" else us
+    if logical and logical.endswith(("timestamp-millis", "timestamp-micros")) and isinstance(v, dt.datetime):
+        delta = v - dt.datetime(1970, 1, 1)
+        us = delta // dt.timedelta(microseconds=1)
+        return us // 1000 if logical.endswith("millis") else us
+    return v
+
 
 def _register_named(t, named: dict) -> None:
     """Pre-register named types (record/enum/fixed) so later references —
@@ -137,6 +194,12 @@ def _encode_value(v, typ, named: dict | None = None) -> bytes:
         return _zigzag_encode(idx) + _encode_value(v, typ[idx], named)
     if isinstance(typ, dict):
         kind = typ.get("type")
+        logical = typ.get("logicalType")
+        if logical:
+            v = _logical_encode(v, kind, logical, typ)
+            if kind in _PRIMITIVES:
+                return _encode_value(v, kind, named)
+            # fixed-backed decimals fall through with converted bytes
         if kind in _PRIMITIVES:
             return _encode_value(v, kind, named)
         if kind == "record":
@@ -196,8 +259,15 @@ def _decode_value(buf: bytes, pos: int, typ, named: dict | None = None):
         return _decode_value(buf, pos, typ[idx], named)
     if isinstance(typ, dict):
         kind = typ.get("type")
+        logical = typ.get("logicalType")
+        if logical and kind in _PRIMITIVES:
+            raw, pos = _decode_value(buf, pos, kind, named)
+            return _logical_decode(raw, logical, typ), pos
         if kind in _PRIMITIVES:
             return _decode_value(buf, pos, kind, named)
+        if logical and kind == "fixed":
+            raw, pos = _decode_value(buf, pos, dict(typ, logicalType=None), named)
+            return _logical_decode(raw, logical, typ), pos
         if kind == "record":
             _register_named(typ, named)
             row = {}

@@ -156,6 +156,43 @@ def test_nested_types_roundtrip():
         assert got == rows, codec
 
 
+def test_logical_types_roundtrip():
+    """Avro logical types: typed views over the primitive encodings —
+    date, timestamp-millis/micros (incl. pre-1970 and null-union), decimal
+    over bytes AND fixed, uuid, time-micros.  Unknown logical names fall
+    back to the raw value per the spec."""
+    import datetime as dt
+    import decimal
+    import uuid
+
+    schema = {"type": "record", "name": "lt", "fields": [
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "tsm", "type": ["null", {"type": "long", "logicalType": "timestamp-millis"}]},
+        {"name": "dec", "type": {"type": "bytes", "logicalType": "decimal",
+                                 "precision": 20, "scale": 4}},
+        {"name": "decf", "type": {"type": "fixed", "name": "d16", "size": 8,
+                                  "logicalType": "decimal", "precision": 18, "scale": 2}},
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+        {"name": "t", "type": {"type": "long", "logicalType": "time-micros"}},
+        {"name": "raw", "type": {"type": "long", "logicalType": "no-such-logical"}},
+    ]}
+    rows = [
+        {"d": dt.date(2024, 2, 29), "ts": dt.datetime(2024, 1, 1, 12, 34, 56, 789012),
+         "tsm": dt.datetime(1969, 12, 31, 23, 59, 59),
+         "dec": decimal.Decimal("-1234567890.1234"), "decf": decimal.Decimal("99.25"),
+         "u": uuid.UUID("12345678-1234-5678-1234-567812345678"),
+         "t": dt.time(23, 59, 59, 123456), "raw": 42},
+        {"d": dt.date(1950, 6, 1), "ts": dt.datetime(1900, 1, 1),
+         "tsm": None, "dec": decimal.Decimal("0.0001"),
+         "decf": decimal.Decimal("-0.01"), "u": uuid.UUID(int=7),
+         "t": dt.time(0, 0, 0), "raw": -1},
+    ]
+    for codec in ("null", "deflate", "zstandard"):
+        _, back = read_avro(write_avro(rows, schema, codec=codec))
+        assert back == rows, codec
+
+
 def test_negative_block_count_arrays():
     """Writers may emit array/map blocks with NEGATIVE counts followed by
     a byte-size long (for skippability); the decoder must honor both."""
