@@ -14,16 +14,35 @@ table WITHOUT the delta-spark runtime:
   the requested version, so opening a long-lived table is
   O(checkpoint + tail commits), not O(history);
 - **time travel**: ``version=`` replays to that commit exactly;
+- **deletion vectors** (PROTOCOL.md — Deletion Vectors): an ``add`` may
+  carry a ``deletionVector`` descriptor marking row indexes of the
+  parquet file as deleted without rewriting it.  All three storage
+  types are read — ``u`` (relative ``deletion_vector_<uuid>.bin`` file,
+  uuid Z85-encoded in the descriptor), ``p`` (absolute path), ``i``
+  (inline, Z85-encoded payload).  The on-disk blob is ``version byte
+  0x01`` then per-DV ``int32-BE size / data / int32-BE CRC-32(data)``;
+  the data is a little-endian magic ``1681511377`` + a 64-bit
+  RoaringBitmapArray (operators/roaring.py).  :func:`read_delta`
+  expands descriptors to ``(file, row_index)`` pairs EXECUTOR-side
+  (``mapInPandas`` over the descriptor rows — the driver never holds
+  position lists) and anti-joins them against the scan's
+  ``_metadata.row_index``, broadcasting only when the descriptors'
+  summed cardinality says the delete side is small;
 - **Spark-first scan**: :func:`read_delta` hands the active parquet
   paths straight to ``spark.read.parquet`` (with ``basePath`` so
   hive-layout partition directories resolve to partition columns) — the
   engine's own vectorized reader, predicate pushdown and partition
   pruning all apply; this module only decides WHICH files are live.
 
-Honest gates: reader protocol versions above 1 (column mapping, deletion
-vectors, v2 checkpoints) raise ``NotImplementedError`` — silently
-ignoring a deletion vector would return deleted rows.  Malformed logs
-raise positioned ``ValueError``.
+Honest gates: column mapping (``minReaderVersion`` 2, or the
+``delta.columnMapping.mode`` table config on any version — physical
+``col-<uuid>`` names would leak into results), v2 checkpoints and other
+unknown reader features raise ``NotImplementedError``.  Malformed logs,
+DV checksum/cardinality mismatches and truncated DV blobs raise
+positioned ``ValueError``.  Single-writer caveat: no real Delta writer
+ships in this container, so the DV byte layout cannot be
+cross-validated against delta-spark output here; it follows
+PROTOCOL.md's published layout and the fixtures are self-written.
 
 No real Delta writer ships in this container, so the test fixtures are
 written by :func:`write_delta_commit` / :func:`write_delta_checkpoint`
@@ -43,12 +62,20 @@ from __future__ import annotations
 import json
 import os
 import re
+import struct
+import uuid as _uuidlib
+import zlib
 
 __all__ = [
     "delta_snapshot",
     "read_delta",
+    "read_deletion_vector",
     "write_delta_commit",
     "write_delta_checkpoint",
+    "write_deletion_vector",
+    "inline_dv_descriptor",
+    "z85_encode",
+    "z85_decode",
 ]
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -62,32 +89,53 @@ def _log_dir(table_dir: str) -> str:
     return d
 
 
+#: readerFeatures this module actually honors.  timestampNtz affects only
+#: the type mapping Spark already handles; deletionVectors are applied as a
+#: row_index anti-join (see :func:`read_delta`).
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+
+
 def _check_protocol(proto: dict) -> None:
     rv = proto.get("minReaderVersion", 1)
-    feats = set(proto.get("readerFeatures") or [])
-    # timestampNtz affects only the type mapping Spark already handles
-    feats.discard("timestampNtz")
-    if rv > 1 and feats:
+    if rv == 2:
+        # reader version 2 predates feature flags and means exactly "column
+        # mapping": the parquet files carry physical col-<uuid> names, so a
+        # naive scan would silently return a wrong schema.
         raise NotImplementedError(
-            f"Delta reader features {sorted(feats)} not supported "
-            "(column mapping / deletion vectors / v2 checkpoints)"
+            "Delta minReaderVersion 2 (column mapping) not supported "
+            "(physical column names would leak into results)"
+        )
+    feats = set(proto.get("readerFeatures") or [])
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if rv > 1 and unsupported:
+        raise NotImplementedError(
+            f"Delta reader features {sorted(unsupported)} not supported "
+            "(column mapping / v2 checkpoints / type widening ...)"
         )
     if rv > 3:
         raise NotImplementedError(f"Delta minReaderVersion {rv} not supported")
 
 
+def _check_metadata(meta: dict) -> None:
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+    if mode in ("id", "name"):
+        # column mapping can also be enabled purely via table config on
+        # legacy protocol versions — same wrong-schema hazard as rv=2
+        raise NotImplementedError(
+            f"Delta column mapping mode {mode!r} not supported "
+            "(physical column names would leak into results)"
+        )
+
+
 def _apply_action(state: dict, action: dict) -> None:
     if "metaData" in action:
+        _check_metadata(action["metaData"])
         state["metaData"] = action["metaData"]
     elif "protocol" in action:
         _check_protocol(action["protocol"])
         state["protocol"] = action["protocol"]
     elif "add" in action:
         add = action["add"]
-        if add.get("deletionVector"):
-            raise NotImplementedError(
-                "Delta deletion vectors not supported (rows would resurrect)"
-            )
         state["files"][add["path"]] = add
     elif "remove" in action:
         state["files"].pop(action["remove"]["path"], None)
@@ -179,19 +227,281 @@ def _strip_nones(v):
     return v
 
 
+# -- deletion vectors (PROTOCOL.md — Deletion Vectors) ---------------------------------
+
+#: ZeroMQ Z85 alphabet (rfc.zeromq.org/spec/32) — Delta encodes DV uuids and
+#: inline DV payloads with it.
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INV = {c: i for i, c in enumerate(_Z85)}
+_DV_MAGIC = 1681511377  # little-endian prefix of the serialized bitmap data
+_DV_FILE_VERSION = 1
+#: broadcast the deleted-position side of the anti-join only below this many
+#: positions (past it, a shuffled anti-join is the safe 100-TB plan)
+_DV_BROADCAST_POSITIONS = 4_000_000
+
+
+def z85_encode(data: bytes) -> str:
+    """Z85: 4 bytes -> 5 chars, big-endian base-85 (input length % 4 == 0)."""
+    if len(data) % 4:
+        raise ValueError(f"z85 input length {len(data)} not a multiple of 4")
+    out = []
+    for i in range(0, len(data), 4):
+        n = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85[n % 85])
+            n //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(s: str) -> bytes:
+    """Inverse of :func:`z85_encode` (input length % 5 == 0)."""
+    if len(s) % 5:
+        raise ValueError(f"z85 input length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        n = 0
+        for c in s[i : i + 5]:
+            if c not in _Z85_INV:
+                raise ValueError(f"z85 invalid character {c!r} at offset {i}")
+            n = n * 85 + _Z85_INV[c]
+        if n > 0xFFFFFFFF:
+            raise ValueError(f"z85 group at offset {i} overflows 32 bits")
+        out += n.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _dv_resolve_path(table_dir: str, dv: dict) -> str:
+    """Absolute path of a 'u'/'p' descriptor's .bin file."""
+    st = dv.get("storageType")
+    enc = dv.get("pathOrInlineDv", "")
+    if st == "p":
+        return enc[len("file://") :] if enc.startswith("file://") else enc
+    # 'u': optional random-prefix dir + 20-char Z85 uuid
+    prefix, uz = enc[:-20], enc[-20:]
+    u = _uuidlib.UUID(bytes=z85_decode(uz))
+    parts = [table_dir] + ([prefix] if prefix else []) + [f"deletion_vector_{u}.bin"]
+    return os.path.join(*parts)
+
+
+def _dv_data_bytes(dv: dict, table_dir: str) -> bytes:
+    """Fetch + integrity-check one descriptor's serialized DV data
+    (magic + bitmap), from its .bin file or inline payload."""
+    st = dv.get("storageType")
+    if st == "i":
+        data = z85_decode(dv["pathOrInlineDv"])
+    elif st in ("u", "p"):
+        path = _dv_resolve_path(table_dir, dv)
+        with open(path, "rb") as fh:
+            blob = fh.read()
+        if not blob or blob[0] != _DV_FILE_VERSION:
+            raise ValueError(
+                f"{path}: bad DV file version {blob[:1]!r} (want {_DV_FILE_VERSION})"
+            )
+        off = int(dv.get("offset", 1))
+        if off + 4 > len(blob):
+            raise ValueError(f"{path}: DV offset {off} beyond file end {len(blob)}")
+        size = struct.unpack_from(">i", blob, off)[0]
+        if size < 4 or off + 4 + size + 4 > len(blob):
+            raise ValueError(f"{path}: DV at offset {off} truncated (size {size})")
+        data = blob[off + 4 : off + 4 + size]
+        want_crc = struct.unpack_from(">I", blob, off + 4 + size)[0]
+        if zlib.crc32(data) != want_crc:
+            raise ValueError(f"{path}: DV checksum mismatch at offset {off}")
+    else:
+        raise ValueError(f"unknown DV storageType {st!r}")
+    declared = dv.get("sizeInBytes")
+    if declared is not None and int(declared) != len(data):
+        raise ValueError(
+            f"DV sizeInBytes {declared} != actual payload {len(data)} bytes"
+        )
+    return data
+
+
+def _dv_positions(data: bytes, cardinality: int | None) -> list[int]:
+    """Decode DV data into sorted row indexes; validate the magic and the
+    descriptor's declared cardinality."""
+    from .roaring import deserialize_roaring64
+
+    if len(data) < 4 or struct.unpack_from("<I", data, 0)[0] != _DV_MAGIC:
+        raise ValueError(f"DV data magic mismatch (head {data[:4]!r})")
+    positions, end = deserialize_roaring64(data, 4)
+    if end != len(data):
+        raise ValueError(f"DV data has {len(data) - end} trailing bytes")
+    if cardinality is not None and len(positions) != int(cardinality):
+        raise ValueError(
+            f"DV cardinality {cardinality} != decoded {len(positions)} positions"
+        )
+    return positions
+
+
+def read_deletion_vector(table_dir: str, dv: dict) -> list[int]:
+    """Resolve + decode one ``deletionVector`` descriptor into the sorted
+    row indexes it marks deleted (driver-side helper for tests/tools; the
+    scan path expands descriptors executor-side)."""
+    return _dv_positions(_dv_data_bytes(dv, table_dir), dv.get("cardinality"))
+
+
+def _dv_deleted_positions_df(spark, table_dir: str, dv_files: dict):
+    """DataFrame of ``(__dv_path, __dv_ri)`` deleted positions, expanded
+    from the (tiny) descriptor rows executor-side so the driver never
+    materializes a position list.  ``dv_files`` maps the data file's
+    absolute path -> descriptor dict.  The .bin reads happen in the
+    executors — on a cluster the DV files sit beside the data files on
+    the same store, exactly where scan tasks already read."""
+    import pandas as pd
+
+    rows = [
+        {
+            "data_path": data_path,
+            "storage": dv.get("storageType", ""),
+            "bin_path": (
+                "" if dv.get("storageType") == "i" else _dv_resolve_path(table_dir, dv)
+            ),
+            "offset": int(dv.get("offset", 1)),
+            "size_in_bytes": int(dv.get("sizeInBytes", -1)),
+            "cardinality": int(dv.get("cardinality", -1)),
+            "inline": dv.get("pathOrInlineDv", "") if dv.get("storageType") == "i" else "",
+        }
+        for data_path, dv in dv_files.items()
+    ]
+    desc = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "data_path string, storage string, bin_path string, offset long, "
+        "size_in_bytes long, cardinality long, inline string",
+    ).repartition(min(len(rows), 32))
+
+    def expand(it):
+        for pdf in it:
+            for r in pdf.itertuples(index=False):
+                dv = {
+                    "storageType": r.storage,
+                    "pathOrInlineDv": r.inline if r.storage == "i" else None,
+                    "offset": r.offset,
+                    "sizeInBytes": None if r.size_in_bytes < 0 else r.size_in_bytes,
+                    "cardinality": None if r.cardinality < 0 else r.cardinality,
+                }
+                if r.storage == "i":
+                    data = _dv_data_bytes(dv, "")
+                else:
+                    with open(r.bin_path, "rb") as fh:
+                        blob = fh.read()
+                    if not blob or blob[0] != _DV_FILE_VERSION:
+                        raise ValueError(f"{r.bin_path}: bad DV file version")
+                    size = struct.unpack_from(">i", blob, r.offset)[0]
+                    data = blob[r.offset + 4 : r.offset + 4 + size]
+                    want = struct.unpack_from(">I", blob, r.offset + 4 + size)[0]
+                    if zlib.crc32(data) != want:
+                        raise ValueError(f"{r.bin_path}: DV checksum mismatch")
+                pos = _dv_positions(
+                    data, None if r.cardinality < 0 else r.cardinality
+                )
+                yield pd.DataFrame({"__dv_path": r.data_path, "__dv_ri": pos})
+
+    return desc.mapInPandas(expand, "__dv_path string, __dv_ri long")
+
+
 def read_delta(spark, table_dir: str, version: int | None = None):
     """Open a Delta table as a DataFrame via Spark's own parquet scan of
     the snapshot's active files (basePath keeps hive-layout partition
     directories resolving to partition columns).  Predicate pushdown,
-    column pruning and partition pruning are Spark's as usual."""
+    column pruning and partition pruning are Spark's as usual.
+
+    Files carrying a ``deletionVector`` get their deleted row indexes
+    removed by a ``left_anti`` join on ``(_metadata.file_path,
+    _metadata.row_index)`` — the Spark-first formulation of the
+    protocol's "apply the DV before returning rows" rule.  The delete
+    side is broadcast when the descriptors' summed cardinality (known
+    before any decode) is small, else it shuffles like any other join."""
+    from pyspark.sql import functions as F
+
     snap = delta_snapshot(table_dir, version)
     if not snap["files"]:
         raise ValueError(f"Delta snapshot v{snap['version']} has no files")
     paths = [os.path.join(table_dir, p) for p in snap["files"]]
-    return spark.read.option("basePath", table_dir).parquet(*paths)
+    df = spark.read.option("basePath", table_dir).parquet(*paths)
+
+    dv_files = {
+        os.path.abspath(os.path.join(table_dir, p)): add["deletionVector"]
+        for p, add in snap["files"].items()
+        if add.get("deletionVector")
+    }
+    if not dv_files:
+        return df
+
+    deleted = _dv_deleted_positions_df(spark, table_dir, dv_files)
+    total_card = sum(int(dv.get("cardinality", 0)) for dv in dv_files.values())
+    if 0 <= total_card <= _DV_BROADCAST_POSITIONS:
+        deleted = F.broadcast(deleted)
+    cols = df.columns
+    # _metadata.file_path is a file: URI; normalize to a plain absolute path
+    scan = df.withColumn(
+        "__dv_path", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    ).withColumn("__dv_ri", F.col("_metadata.row_index"))
+    return scan.join(deleted, ["__dv_path", "__dv_ri"], "left_anti").select(*cols)
 
 
 # -- fixture write side (same spec) ----------------------------------------------------
+
+
+def write_deletion_vector(
+    table_dir: str,
+    positions,
+    prefix: str = "",
+    dv_uuid: _uuidlib.UUID | None = None,
+) -> dict:
+    """Write a ``deletion_vector_<uuid>.bin`` file holding ``positions``
+    (row indexes) and return the ``deletionVector`` descriptor to embed in
+    an ``add`` action (fixture writer — storageType ``u``)."""
+    pos = sorted(set(int(p) for p in positions))
+    from .roaring import serialize_roaring64
+
+    data = struct.pack("<I", _DV_MAGIC) + serialize_roaring64(pos)
+    u = dv_uuid or _uuidlib.uuid4()
+    out_dir = os.path.join(table_dir, prefix) if prefix else table_dir
+    os.makedirs(out_dir, exist_ok=True)
+    blob = (
+        bytes([_DV_FILE_VERSION])
+        + struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data))
+    )
+    with open(os.path.join(out_dir, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(blob)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": prefix + z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(pos),
+    }
+
+
+def inline_dv_descriptor(positions) -> dict:
+    """Descriptor with the DV payload inline (storageType ``i``).  Z85
+    needs a 4-byte-multiple payload; the magic(4) + int64 count(8) +
+    bucket key(4) + roaring cookie/count(8) prefix and 4-byte headers
+    keep everything aligned except the 2-byte array-container entries, so
+    an odd cardinality is padded by using file storage instead."""
+    pos = sorted(set(int(p) for p in positions))
+    from .roaring import serialize_roaring64
+
+    data = struct.pack("<I", _DV_MAGIC) + serialize_roaring64(pos)
+    if len(data) % 4:
+        raise ValueError(
+            f"inline DV payload is {len(data)} bytes (not a multiple of 4); "
+            "use write_deletion_vector (file storage) for this position set"
+        )
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data),
+        "sizeInBytes": len(data),
+        "cardinality": len(pos),
+    }
 
 
 def write_delta_commit(table_dir: str, version: int, actions: list[dict]) -> str:
@@ -242,6 +552,20 @@ def write_delta_checkpoint(table_dir: str, version: int) -> str:
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        # a checkpoint that drops DV descriptors silently
+                        # resurrects deleted rows for checkpoint-resumed reads
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -277,6 +601,17 @@ def write_delta_checkpoint(table_dir: str, version: int) -> str:
                     "size": a.get("size", 0),
                     "modificationTime": a.get("modificationTime", 0),
                     "dataChange": bool(a.get("dataChange", True)),
+                    "deletionVector": (
+                        {
+                            "storageType": dv.get("storageType"),
+                            "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                            "offset": int(dv.get("offset", 1)),
+                            "sizeInBytes": int(dv.get("sizeInBytes", -1)),
+                            "cardinality": int(dv.get("cardinality", -1)),
+                        }
+                        if (dv := a.get("deletionVector"))
+                        else None
+                    ),
                 },
             }
         )

@@ -46,6 +46,16 @@ _BASEFILE_RE = re.compile(r"^(?P<fid>.+)_(?P<token>[0-9-]+)_(?P<instant>\d+)\.pa
 _INSTANT_RE = re.compile(r"^(\d+)\.(commit|replacecommit)$")
 
 
+def _instant_key(instant: str) -> str:
+    """Chronological sort key for an instant time.  Hudi widened instants
+    from 14-digit seconds to 17-digit millis (HUDI-1623); right-padding the
+    legacy format with zeros maps it onto the .000 millisecond of the same
+    second, so a timeline spanning both widths orders chronologically
+    instead of lexicographically (where '2021...' 14-digit would sort
+    between 17-digit values char-by-char and could pick a stale slice)."""
+    return instant.ljust(17, "0") if len(instant) < 17 else instant
+
+
 def _timeline(table_dir: str):
     hoodie = os.path.join(table_dir, ".hoodie")
     if not os.path.isdir(hoodie):
@@ -63,7 +73,7 @@ def _timeline(table_dir: str):
             completed.append((m.group(1), m.group(2)))
     if not completed:
         raise ValueError(f"{table_dir!r} has no completed Hudi instants")
-    return hoodie, sorted(completed)
+    return hoodie, sorted(completed, key=lambda ik: (_instant_key(ik[0]), ik[1]))
 
 
 def hudi_snapshot(table_dir: str, as_of: str | None = None) -> dict:
@@ -78,7 +88,7 @@ def hudi_snapshot(table_dir: str, as_of: str | None = None) -> dict:
     # file groups replaced by clustering at or before the target drop out
     replaced: set[tuple[str, str]] = set()
     for instant, kind in completed:
-        if kind != "replacecommit" or instant > target:
+        if kind != "replacecommit" or _instant_key(instant) > _instant_key(target):
             continue
         try:
             with open(os.path.join(hoodie, f"{instant}.replacecommit")) as fh:
@@ -104,12 +114,12 @@ def hudi_snapshot(table_dir: str, as_of: str | None = None) -> dict:
             if not m:
                 continue
             instant = m.group("instant")
-            if instant > target or instant not in instants:
+            if _instant_key(instant) > _instant_key(target) or instant not in instants:
                 continue  # future or non-completed (inflight writer) version
             key = (part, m.group("fid"))
             if key in replaced:
                 continue
-            if key not in best or instant > best[key][0]:
+            if key not in best or _instant_key(instant) > _instant_key(best[key][0]):
                 best[key] = (instant, os.path.join(root, name))
     return {"instant": target, "files": sorted(p for _, p in best.values())}
 

@@ -408,12 +408,16 @@ def _decode_column(streams: dict[int, bytes], kind: int, enc: int, nrows: int, s
         vals = [v - 256 if v > 127 else v for v in _byte_rle(streams[_DATA], n_vals)]
     elif kind in _INT_KINDS:
         vals = _rlev2(streams[_DATA], n_vals, signed=True)
-    elif kind == 5:  # float
+    elif kind in (5, 6):  # float / double
         raw = streams[_DATA]
-        vals = list(struct.unpack(f"<{n_vals}f", raw[: 4 * n_vals]))
-    elif kind == 6:  # double
-        raw = streams[_DATA]
-        vals = list(struct.unpack(f"<{n_vals}d", raw[: 8 * n_vals]))
+        width = 4 if kind == 5 else 8
+        if len(raw) < width * n_vals:
+            raise ValueError(
+                f"ORC DATA stream truncated: need {width * n_vals} bytes for "
+                f"{n_vals} {'float' if kind == 5 else 'double'} values, have {len(raw)}"
+            )
+        fmt = "f" if kind == 5 else "d"
+        vals = list(struct.unpack(f"<{n_vals}{fmt}", raw[: width * n_vals]))
     elif kind in _STR_KINDS or kind == 8:  # string family / binary
         if enc in (1, 3):  # DICTIONARY / DICTIONARY_V2
             dict_blob = streams[_DICT_DATA]

@@ -37,6 +37,7 @@ tests/test_parquet_crypto.py.
 
 from __future__ import annotations
 
+import hmac
 import struct
 
 __all__ = [
@@ -171,7 +172,7 @@ def aes_gcm_decrypt(key: bytes, nonce: bytes, ct: bytes, tag: bytes, aad: bytes 
     j0 = int.from_bytes(nonce + b"\x00\x00\x00\x01", "big")
     s = _ghash(h, aad, ct)
     want = (int.from_bytes(_encrypt_block(rk, j0.to_bytes(16, "big")), "big") ^ s).to_bytes(16, "big")
-    if want != tag:
+    if not hmac.compare_digest(want, tag):
         raise ValueError("GCM tag mismatch (wrong key, tampered data, or wrong AAD)")
     return bytes(a ^ b for a, b in zip(ct, _ctr_stream(rk, j0, len(ct))))
 

@@ -3326,6 +3326,126 @@ def lake_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_delta_dv",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE (o_orderkey >= 1500 AND o_orderkey < 2500)
+       OR (o_orderkey >= 3200 AND o_orderkey < 4000)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake DELETION VECTORS (operators/delta.py, PROTOCOL.md —
+    Deletion Vectors): v1 re-adds file A [1000,3000) with a .bin DV
+    (Z85 uuid, CRC-checked RoaringBitmapArray) deleting row positions
+    [0,500)+[1500,2000), and file B [3000,4000) with an INLINE DV deleting
+    positions [0,200).  Because the driver's orders are dense and in key
+    order, position p of a slice [lo,hi) is exactly key lo+p, so the
+    oracle is the surviving key ranges [1500,2500)+[3200,4000) of the
+    ORIGINAL parquet — a reader that ignores a DV resurrects deleted keys,
+    one that misapplies offsets kills the wrong keys, and neither can
+    match.  Deleted positions expand EXECUTOR-side (mapInPandas over
+    descriptor rows) and anti-join the scan's _metadata.row_index;
+    the delete side broadcasts because the descriptors' summed
+    cardinality is known small before any decode."""
+    import json
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.delta import (
+        inline_dv_descriptor,
+        read_delta,
+        write_delta_commit,
+        write_deletion_vector,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_dv_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 4000)],  # row-group pruned at the scan
+    )
+
+    def slice_file(name, lo, hi):
+        part = t.filter((pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi))
+        pq.write_table(part, os.path.join(d, name))
+        return {
+            "path": name,
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "o_orderkey", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "o_orderstatus", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "o_totalprice", "type": "double", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    meta = {
+        "id": "orders-dv-fixture",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema,
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    a = slice_file("part-a.parquet", 1000, 3000)
+    b = slice_file("part-b.parquet", 3000, 4000)
+    write_delta_commit(
+        d,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                }
+            },
+            {"metaData": meta},
+            {"add": a},
+            {"add": b},
+        ],
+    )
+    dv_a = write_deletion_vector(
+        d, list(range(0, 500)) + list(range(1500, 2000)), prefix="ab"
+    )
+    dv_b = inline_dv_descriptor(range(0, 200))
+    write_delta_commit(
+        d,
+        1,
+        [
+            {"remove": {"path": "part-a.parquet", "dataChange": True}},
+            {"add": {**a, "deletionVector": dv_a}},
+            {"remove": {"path": "part-b.parquet", "dataChange": True}},
+            {"add": {**b, "deletionVector": dv_b}},
+        ],
+    )
+    df = read_delta(spark, d)  # live keys [1500,2500) + [3200,4000)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "source_orc_rawread",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,

@@ -84,12 +84,33 @@ PINNED_SEMANTICS: dict[str, str] = {
 def pin_session_semantics(spark: SparkSession) -> None:
     """Re-assert the engine's semantics confs on an arbitrary host session.
 
-    Idempotent and cheap (3 runtime ``conf.set`` calls); every battery entry
-    runs through this via ``queries.all_queries()`` so results are identical
-    whether the host session was built by :func:`get_spark` or by an external
-    harness with different defaults (ANSI on, non-UTC TZ, ...)."""
+    Every battery entry runs through this via ``queries.all_queries()`` so
+    results are identical whether the host session was built by
+    :func:`get_spark` or by an external harness with different defaults
+    (ANSI on, non-UTC TZ, ...).
+
+    Read-before-write: ``conf.set`` is only issued when the session value
+    actually differs.  A redundant ``set`` is not free — every write bumps
+    the session's SQLConf epoch, which invalidates cached logical-plan
+    state, so re-asserting three confs before each of 450+ entries showed
+    up as a measurable per-query regression (round-8 TPC-H drift).  On an
+    already-pinned session this is now three reads and zero writes.
+
+    The pin intentionally PERSISTS on the host session (no restore):
+    Spark reads SQLConf both at analysis and at execution time, so
+    restoring a hostile value (ANSI on) after building the DataFrame but
+    before the harness materializes it would silently change runtime
+    semantics — exactly the bug class this pin exists to prevent.  A host
+    that needs its own semantics back must re-set them after draining the
+    battery results."""
+    conf = spark.conf
     for k, v in PINNED_SEMANTICS.items():
-        spark.conf.set(k, v)
+        try:
+            cur = conf.get(k)
+        except Exception:
+            cur = None
+        if cur != v:
+            conf.set(k, v)
 
 
 def get_spark(app_name: str = "native_sql_engine_spark", **overrides: str) -> SparkSession:

@@ -153,16 +153,35 @@ def test_gates(tmp_path):
     with pytest.raises(ValueError, match="not a Delta table"):
         delta_snapshot(d)
     a = _mkfile(d, "p.parquet", 0, 10)
-    write_delta_commit(d, 0, [{"metaData": META}, {"add": a}])
-    # deletion vectors must hard-fail, not resurrect rows
+    # column mapping via minReaderVersion=2 (no feature flags at rv=2)
     write_delta_commit(
         d,
-        1,
-        [{"add": {**a, "deletionVector": {"storageType": "u", "pathOrInlineDv": "x"}}}],
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": META},
+            {"add": a},
+        ],
     )
-    with pytest.raises(NotImplementedError, match="deletion vector"):
+    with pytest.raises(NotImplementedError, match="column mapping"):
         delta_snapshot(d)
-    # reader version 3 with unsupported features
+    # column mapping via table config on a legacy protocol
+    d1 = str(tmp_path / "cmcfg")
+    os.makedirs(d1)
+    a1 = _mkfile(d1, "p.parquet", 0, 10)
+    metacm = dict(META, configuration={"delta.columnMapping.mode": "name"})
+    write_delta_commit(
+        d1,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": metacm},
+            {"add": a1},
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        delta_snapshot(d1)
+    # reader version 3 with an unsupported feature (deletionVectors is fine now)
     d2 = str(tmp_path / "v3")
     os.makedirs(d2)
     write_delta_commit(
@@ -173,13 +192,13 @@ def test_gates(tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
+                    "readerFeatures": ["deletionVectors", "v2Checkpoint"],
                 }
             },
             {"metaData": META},
         ],
     )
-    with pytest.raises(NotImplementedError, match="reader features"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         delta_snapshot(d2)
     # malformed JSON is positioned
     d3 = str(tmp_path / "bad")
@@ -188,3 +207,109 @@ def test_gates(tmp_path):
         fh.write('{"add": not-json}\n')
     with pytest.raises(ValueError, match="line 1"):
         delta_snapshot(d3)
+
+
+# -- deletion vectors ------------------------------------------------------------------
+
+
+def _dv_history(d):
+    """v0: add A[0,100) B[100,200); v1: DV on A (rows 3,7,50) + inline DV
+    on B (rows 5,10 -> keys 105,110)."""
+    from native_sql_engine_spark.operators.delta import (
+        inline_dv_descriptor,
+        write_deletion_vector,
+    )
+
+    a = _mkfile(d, "A.parquet", 0, 100)
+    b = _mkfile(d, "B.parquet", 100, 200)
+    dv_a = write_deletion_vector(d, [3, 7, 50], prefix="ab")
+    dv_b = inline_dv_descriptor([5, 10])
+    write_delta_commit(
+        d,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                }
+            },
+            {"metaData": META},
+            {"add": a},
+            {"add": b},
+        ],
+    )
+    write_delta_commit(
+        d,
+        1,
+        [
+            {"remove": {"path": "A.parquet", "dataChange": True}},
+            {"add": {**a, "deletionVector": dv_a}},
+            {"remove": {"path": "B.parquet", "dataChange": True}},
+            {"add": {**b, "deletionVector": dv_b}},
+        ],
+    )
+    return a, dv_a, dv_b
+
+
+def test_dv_decode_driver_side(tmp_path):
+    from native_sql_engine_spark.operators.delta import (
+        read_deletion_vector,
+        write_deletion_vector,
+    )
+
+    d = str(tmp_path)
+    dv = write_deletion_vector(d, [9, 1, 9, 4], prefix="xy")
+    assert dv["cardinality"] == 3  # deduped
+    assert read_deletion_vector(d, dv) == [1, 4, 9]
+    # big + cross-bucket positions exercise bitset containers and 64-bit keys
+    big = sorted(set(range(10_000)) | {(1 << 32) + 3})
+    dv2 = write_deletion_vector(d, big)
+    assert read_deletion_vector(d, dv2) == big
+
+
+def test_dv_scan_and_time_travel(spark, tmp_path):
+    d = str(tmp_path)
+    _dv_history(d)
+    got = sorted(r.k for r in read_delta(spark, d).collect())
+    assert got == sorted(set(range(200)) - {3, 7, 50, 105, 110})
+    # pre-DV version must resurrect nothing-is-deleted
+    assert sorted(r.k for r in read_delta(spark, d, version=0).collect()) == list(
+        range(200)
+    )
+
+
+def test_dv_survives_checkpoint(spark, tmp_path):
+    d = str(tmp_path)
+    _dv_history(d)
+    write_delta_checkpoint(d, 1)
+    c = _mkfile(d, "C.parquet", 200, 250)
+    write_delta_commit(d, 2, [{"add": c}])
+    snap = delta_snapshot(d)  # resumes from the checkpoint
+    assert snap["files"]["A.parquet"].get("deletionVector"), "checkpoint dropped DV"
+    got = sorted(r.k for r in read_delta(spark, d).collect())
+    assert got == sorted(set(range(250)) - {3, 7, 50, 105, 110})
+
+
+def test_dv_integrity_checks(tmp_path):
+    from native_sql_engine_spark.operators.delta import (
+        read_deletion_vector,
+        write_deletion_vector,
+    )
+
+    d = str(tmp_path)
+    dv = write_deletion_vector(d, [1, 2, 3])
+    # corrupt one payload byte -> CRC must catch it
+    import glob
+
+    [binpath] = glob.glob(os.path.join(d, "deletion_vector_*.bin"))
+    blob = bytearray(open(binpath, "rb").read())
+    blob[10] ^= 0xFF
+    open(binpath, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        read_deletion_vector(d, dv)
+    # cardinality lie must be rejected
+    dv2 = write_deletion_vector(d, [1, 2, 3], prefix="ok")
+    with pytest.raises(ValueError, match="cardinality"):
+        read_deletion_vector(d, {**dv2, "cardinality": 99})
