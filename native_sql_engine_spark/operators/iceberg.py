@@ -12,9 +12,18 @@ Implements the read side of the public Iceberg table spec
   type support (records in records, maps, unions) exists precisely
   because these files are deeply nested;
 - **entry semantics**: manifest entries with ``status=2`` (DELETED)
-  drop out of the scan; v2 ``content`` routing gates delete-file
-  manifests (position/equality deletes) rather than silently returning
-  deleted rows — same policy as the Delta deletion-vector gate;
+  drop out of the scan; v2 ``content`` routing sends DELETES manifests
+  (``manifest_file.content=1``) down the row-level-delete path instead
+  of the data path;
+- **positional deletes (v2 merge-on-read)**: delete files with
+  ``data_file.content=1`` are plain parquet of ``(file_path, pos)``
+  pairs (spec §Position Delete Files); :func:`read_iceberg` scans them
+  with Spark and ``left_anti``-joins against the data scan's
+  ``(_metadata.file_path, _metadata.row_index)``.  Applying every LIVE
+  positional delete to every data file is sequence-safe because data
+  file paths are unique and a delete row can only name an
+  already-committed path (delete.seq >= data.seq by construction);
+  retired delete files (entry ``status=2``) stop applying;
 - **Spark-first scan**: :func:`read_iceberg` hands the live data-file
   paths to ``spark.read.parquet`` — Spark's vectorized reader,
   pushdown and pruning apply; this module only decides WHICH files are
@@ -23,9 +32,10 @@ Implements the read side of the public Iceberg table spec
 Mixed-format snapshots are first-class: PARQUET and ORC data files each
 read through Spark's native vectorized source and union by name (a table
 migrated between formats keeps both kinds live).  Honest gates:
-delete-file manifests (v2 row-level deletes), AVRO data files, and
-metadata without a reachable manifest list raise ``NotImplementedError``
-/ positioned ``ValueError``.
+EQUALITY delete files (``content=2`` — correct application needs
+per-entry sequence-number tracking the fixture layer doesn't model yet),
+AVRO data files, and metadata without a reachable manifest list raise
+``NotImplementedError`` / positioned ``ValueError``.
 
 No Iceberg writer ships in this container, so fixtures come from
 :func:`write_iceberg_fixture` (same spec shapes: metadata JSON +
@@ -45,7 +55,12 @@ import json
 import os
 import re
 
-__all__ = ["iceberg_snapshot", "read_iceberg", "write_iceberg_fixture"]
+__all__ = [
+    "iceberg_snapshot",
+    "read_iceberg",
+    "write_iceberg_fixture",
+    "write_position_delete_file",
+]
 
 _META_RE = re.compile(r"^(?:v(\d+)|(\d+)-[0-9a-f-]+)\.metadata\.json$")
 
@@ -93,34 +108,52 @@ def iceberg_snapshot(table_dir: str, snapshot_id: int | None = None) -> dict:
     with open(mlist_path, "rb") as fh:
         _, mlist = read_avro(fh.read())
 
-    files: list[str] = []
+    files: list[tuple[str, str]] = []
+    pos_deletes: list[str] = []
     for entry in mlist:
         mpath = _local_path(table_dir, entry["manifest_path"])
-        if entry.get("content", 0) == 1:  # DELETES manifest (v2)
-            raise NotImplementedError(
-                "Iceberg delete-file manifests not supported (rows would resurrect)"
-            )
+        is_deletes_manifest = entry.get("content", 0) == 1
         with open(mpath, "rb") as fh:
             _, entries = read_avro(fh.read())
         for e in entries:
-            if e.get("status") == 2:  # DELETED
+            if e.get("status") == 2:  # DELETED entry: file left the snapshot
                 continue
             df = e.get("data_file") or {}
-            if df.get("content", 0) != 0:  # position/equality delete file
-                raise NotImplementedError(
-                    "Iceberg row-level delete files not supported"
-                )
+            content = df.get("content", 1 if is_deletes_manifest else 0)
             fmt = df.get("file_format")
             fmt = (fmt.decode() if isinstance(fmt, bytes) else fmt or "PARQUET").upper()
-            if fmt not in ("PARQUET", "ORC"):
-                raise NotImplementedError(
-                    f"Iceberg data file format {fmt} not wired (PARQUET/ORC)"
-                )
-            files.append((fmt, _local_path(table_dir, df["file_path"])))
+            if is_deletes_manifest:
+                if content == 1:  # positional delete file: (file_path, pos) rows
+                    if fmt != "PARQUET":
+                        raise NotImplementedError(
+                            f"Iceberg positional delete files in {fmt} not wired"
+                        )
+                    pos_deletes.append(_local_path(table_dir, df["file_path"]))
+                elif content == 2:
+                    raise NotImplementedError(
+                        "Iceberg equality delete files not supported "
+                        "(need per-entry sequence numbers to apply safely)"
+                    )
+                else:
+                    raise ValueError(
+                        f"{mpath}: data file (content=0) inside a DELETES manifest"
+                    )
+            else:
+                if content != 0:
+                    raise ValueError(
+                        f"{mpath}: delete file (content={content}) inside a "
+                        "data manifest (spec requires a content=1 manifest)"
+                    )
+                if fmt not in ("PARQUET", "ORC"):
+                    raise NotImplementedError(
+                        f"Iceberg data file format {fmt} not wired (PARQUET/ORC)"
+                    )
+                files.append((fmt, _local_path(table_dir, df["file_path"])))
     return {
         "snapshot_id": want,
         "files": [p for _, p in files],
         "files_by_format": files,
+        "position_delete_files": pos_deletes,
         "schema": meta.get("schemas") or meta.get("schema"),
         "sequence_number": snap.get("sequence-number", 0),
     }
@@ -130,22 +163,50 @@ def read_iceberg(spark, table_dir: str, snapshot_id: int | None = None):
     """Open an Iceberg snapshot as a DataFrame via Spark's own scans of
     the manifest-resolved live files.  Mixed-format snapshots (a table
     migrated from ORC to parquet keeps its old ORC data files) read each
-    format through its native vectorized source and union by name."""
+    format through its native vectorized source and union by name.
+
+    Positional delete files (merge-on-read) are themselves scanned by
+    Spark and removed with a ``left_anti`` join on ``(_metadata.file_path,
+    _metadata.row_index)`` — delete files are tiny next to data files, so
+    Catalyst's size-based planning broadcasts the delete side; at 100 TB
+    the join degrades gracefully to a shuffled anti-join instead of
+    failing."""
+    from pyspark.sql import functions as F
+
     snap = iceberg_snapshot(table_dir, snapshot_id)
     if not snap["files"]:
         raise ValueError(f"Iceberg snapshot {snap['snapshot_id']} has no data files")
     by_fmt: dict[str, list[str]] = {}
     for fmt, p in snap["files_by_format"]:
         by_fmt.setdefault(fmt, []).append(p)
+    with_deletes = bool(snap["position_delete_files"])
+
+    def meta_cols(part):
+        # file: URI -> plain absolute path, matching manifest file_path values
+        return part.withColumn(
+            "__ice_fp",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        ).withColumn("__ice_ri", F.col("_metadata.row_index"))
+
     parts = []
     if "PARQUET" in by_fmt:
         parts.append(spark.read.parquet(*by_fmt["PARQUET"]))
     if "ORC" in by_fmt:
         parts.append(spark.read.orc(*by_fmt["ORC"]))
+    if with_deletes:
+        parts = [meta_cols(p) for p in parts]
     df = parts[0]
     for other in parts[1:]:
         df = df.unionByName(other, allowMissingColumns=False)
-    return df
+    if not with_deletes:
+        return df
+
+    cols = [c for c in df.columns if c not in ("__ice_fp", "__ice_ri")]
+    deletes = spark.read.parquet(*snap["position_delete_files"]).select(
+        F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias("__ice_fp"),
+        F.col("pos").alias("__ice_ri"),
+    )
+    return df.join(deletes, ["__ice_fp", "__ice_ri"], "left_anti").select(*cols)
 
 
 # -- fixture write side (spec shapes; no Iceberg writer ships here) -------------------
@@ -192,39 +253,73 @@ _MANIFEST_ENTRY_SCHEMA = {
 }
 
 
+def write_position_delete_file(path: str, deletes: list[tuple[str, int]]) -> str:
+    """Write a positional delete file (spec §Position Delete Files): plain
+    parquet of ``(file_path string, pos long)`` rows, sorted by (file_path,
+    pos) as the spec requires."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = sorted(deletes)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([fp for fp, _ in rows], pa.string()),
+                "pos": pa.array([p for _, p in rows], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 def write_iceberg_fixture(
     table_dir: str,
-    snapshots: dict[int, list[tuple[int, str]]],
+    snapshots: dict[int, list[tuple]],
     current: int,
 ) -> None:
     """Build an Iceberg-shaped table (fixture writer).  ``snapshots`` maps
-    snapshot-id -> [(status, data_file_path)]; each snapshot gets its own
-    manifest + manifest list, all serialized through the from-scratch
-    nested Avro codec."""
+    snapshot-id -> entries, each ``(status, file_path)`` for a data file or
+    ``(status, file_path, content)`` with content 1 for a positional delete
+    file.  Data entries go into a content=0 manifest, delete entries into a
+    separate content=1 DELETES manifest (as the spec requires); each
+    snapshot gets its own manifest list, all serialized through the
+    from-scratch nested Avro codec."""
     from .avro import write_avro
 
     md = os.path.join(table_dir, "metadata")
     os.makedirs(md, exist_ok=True)
     snap_meta = []
-    for sid, entries in snapshots.items():
-        manifest = os.path.join(md, f"manifest-{sid}.avro")
-        rows = [
-            {
-                "status": status,
-                "snapshot_id": sid,
-                "data_file": {
-                    "content": 0,
-                    "file_path": path,
-                    "file_format": "ORC" if path.endswith(".orc") else "PARQUET",
-                    "record_count": 0,
-                    "file_size_in_bytes": 0,
-                    "lower_bounds": None,
-                },
-            }
-            for status, path in entries
-        ]
-        with open(manifest, "wb") as fh:
-            fh.write(write_avro(rows, _MANIFEST_ENTRY_SCHEMA, codec="deflate"))
+    for sid, raw_entries in snapshots.items():
+        entries = [(e[0], e[1], e[2] if len(e) > 2 else 0) for e in raw_entries]
+        manifests = []  # (path, manifest_content, entries)
+        for manifest_content in (0, 1):
+            # content 1 (positional) and 2 (equality) both live in DELETES manifests
+            wanted = (0,) if manifest_content == 0 else (1, 2)
+            sub = [e for e in entries if e[2] in wanted]
+            if not sub:
+                continue
+            suffix = "" if manifest_content == 0 else "-deletes"
+            manifest = os.path.join(md, f"manifest-{sid}{suffix}.avro")
+            rows = [
+                {
+                    "status": status,
+                    "snapshot_id": sid,
+                    "data_file": {
+                        "content": content,
+                        "file_path": path,
+                        "file_format": "ORC" if path.endswith(".orc") else "PARQUET",
+                        "record_count": 0,
+                        "file_size_in_bytes": 0,
+                        "lower_bounds": None,
+                    },
+                }
+                for status, path, content in sub
+            ]
+            with open(manifest, "wb") as fh:
+                fh.write(write_avro(rows, _MANIFEST_ENTRY_SCHEMA, codec="deflate"))
+            manifests.append((manifest, manifest_content, sub))
         mlist = os.path.join(md, f"snap-{sid}.avro")
         with open(mlist, "wb") as fh:
             fh.write(
@@ -234,11 +329,12 @@ def write_iceberg_fixture(
                             "manifest_path": manifest,
                             "manifest_length": os.path.getsize(manifest),
                             "partition_spec_id": 0,
-                            "content": 0,
-                            "added_files_count": sum(1 for s, _ in entries if s == 1),
-                            "existing_files_count": sum(1 for s, _ in entries if s == 0),
-                            "deleted_files_count": sum(1 for s, _ in entries if s == 2),
+                            "content": manifest_content,
+                            "added_files_count": sum(1 for s, _, _ in sub if s == 1),
+                            "existing_files_count": sum(1 for s, _, _ in sub if s == 0),
+                            "deleted_files_count": sum(1 for s, _, _ in sub if s == 2),
                         }
+                        for manifest, manifest_content, sub in manifests
                     ],
                     _MANIFEST_FILE_SCHEMA,
                     codec="deflate",

@@ -3295,6 +3295,77 @@ def lake_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_iceberg_pos_delete",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE (o_orderkey >= 1500 AND o_orderkey < 3000)
+       OR (o_orderkey >= 3300 AND o_orderkey < 4000)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 POSITIONAL DELETES (merge-on-read): snapshot 2 keeps
+    both data files and adds a DELETES manifest (content=1) whose delete
+    file is plain parquet ``(file_path, pos)`` rows killing positions
+    [0,500) of file A [1000,3000) and [0,300) of file B [3000,4000).
+    Orders are dense/in key order, so position p of slice [lo,hi) is key
+    lo+p and the oracle is the surviving key ranges [1500,3000)+[3300,4000)
+    of the ORIGINAL parquet — ignoring the delete file resurrects keys,
+    applying it to the wrong file kills the wrong keys.  Both the data
+    scan and the delete-file scan are Spark's own parquet source; the
+    anti-join on (_metadata.file_path, _metadata.row_index) broadcasts the
+    tiny delete side via Catalyst's size-based planning."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.iceberg import (
+        read_iceberg,
+        write_iceberg_fixture,
+        write_position_delete_file,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_ice_pd_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 4000)],  # row-group pruned at the scan
+    )
+
+    def slice_file(name, lo, hi):
+        p = os.path.join(d, "data", name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        part = t.filter((pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi))
+        pq.write_table(part, p)
+        return p
+
+    a = slice_file("part-a.parquet", 1000, 3000)
+    b = slice_file("part-b.parquet", 3000, 4000)
+    deletes = [(a, p) for p in range(0, 500)] + [(b, p) for p in range(0, 300)]
+    pd1 = write_position_delete_file(os.path.join(d, "data", "del-1.parquet"), deletes)
+    write_iceberg_fixture(
+        d,
+        {1: [(1, a), (1, b)], 2: [(0, a), (0, b), (1, pd1, 1)]},
+        current=2,
+    )
+    df = read_iceberg(spark, d)  # live keys [1500,3000) + [3300,4000)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_delta_time_travel",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,

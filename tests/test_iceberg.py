@@ -104,5 +104,57 @@ def test_gates(tmp_path):
     _, entries = read_avro(open(mpath, "rb").read())
     entries[0]["data_file"]["content"] = 1
     open(mpath, "wb").write(write_avro(entries, _MANIFEST_ENTRY_SCHEMA))
-    with pytest.raises(NotImplementedError, match="delete"):
+    with pytest.raises(ValueError, match="inside a data manifest"):
         iceberg_snapshot(d)
+    # equality delete files (content=2) stay gated
+    d2 = os.path.join(d, "eq")
+    a2 = _mk(d2, "a.parquet", 0, 10)
+    write_iceberg_fixture(d2, {1: [(1, a2), (1, a2, 2)]}, current=1)
+    with pytest.raises(NotImplementedError, match="equality delete"):
+        iceberg_snapshot(d2)
+
+
+# -- positional deletes (v2 merge-on-read) ---------------------------------------------
+
+
+def test_positional_deletes(spark, tmp_path):
+    from native_sql_engine_spark.operators.iceberg import write_position_delete_file
+
+    d = str(tmp_path)
+    a = _mk(d, "a.parquet", 0, 100)
+    b = _mk(d, "b.parquet", 100, 200)
+    pd1 = write_position_delete_file(
+        os.path.join(d, "data", "del-1.parquet"), [(a, 3), (a, 7), (b, 5)]
+    )
+    write_iceberg_fixture(
+        d, {1: [(1, a), (1, b)], 2: [(0, a), (0, b), (1, pd1, 1)]}, current=2
+    )
+    snap = iceberg_snapshot(d)
+    assert snap["position_delete_files"] == [pd1]
+    got = sorted(r.k for r in read_iceberg(spark, d).collect())
+    assert got == sorted(set(range(200)) - {3, 7, 105})
+    # the pre-delete snapshot must not apply the delete file
+    assert sorted(r.k for r in read_iceberg(spark, d, snapshot_id=1).collect()) == list(
+        range(200)
+    )
+
+
+def test_positional_delete_retired(spark, tmp_path):
+    """A delete file whose entry is status=2 in a later snapshot stops
+    applying (e.g. after compaction rewrote the data file)."""
+    from native_sql_engine_spark.operators.iceberg import write_position_delete_file
+
+    d = str(tmp_path)
+    a = _mk(d, "a.parquet", 0, 100)
+    pd1 = write_position_delete_file(os.path.join(d, "data", "del.parquet"), [(a, 0)])
+    write_iceberg_fixture(
+        d,
+        {1: [(1, a), (1, pd1, 1)], 2: [(0, a), (2, pd1, 1)]},
+        current=2,
+    )
+    assert iceberg_snapshot(d, snapshot_id=1)["position_delete_files"] == [pd1]
+    assert iceberg_snapshot(d)["position_delete_files"] == []
+    assert sorted(r.k for r in read_iceberg(spark, d).collect()) == list(range(100))
+    assert sorted(r.k for r in read_iceberg(spark, d, snapshot_id=1).collect()) == list(
+        range(1, 100)
+    )
