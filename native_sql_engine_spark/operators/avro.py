@@ -33,7 +33,18 @@ import json
 import struct
 import zlib
 
-__all__ = ["write_avro", "read_avro"]
+__all__ = ["write_avro", "read_avro", "encode_datum", "decode_datum"]
+
+
+def encode_datum(value, schema: dict) -> bytes:
+    """Avro BINARY-encode one datum against ``schema`` (no OCF framing) —
+    the wire form used inside container formats like Hudi log data blocks."""
+    return _encode_value(value, schema, {})
+
+
+def decode_datum(buf: bytes, schema: dict, pos: int = 0):
+    """Decode one binary-encoded datum; returns ``(value, end_pos)``."""
+    return _decode_value(buf, pos, schema, {})
 
 _MAGIC = b"Obj\x01"
 _SYNC = bytes(range(16))  # deterministic sync marker (spec: any 16 bytes)

@@ -1,34 +1,59 @@
-"""Apache Hudi copy-on-write table reading — Spark-first, no hudi-spark jars.
+"""Apache Hudi table reading (COW + MOR) — Spark-first, no hudi-spark jars.
 
-Implements the read side of Hudi's COW layout (hudi.apache.org/docs —
+Implements the read side of Hudi's layout (hudi.apache.org/docs —
 timeline + file-group model) deep enough to open a snapshot:
 
 - **timeline**: ``.hoodie/`` holds one file per instant state —
-  ``<instant>.commit`` (completed), ``.inflight`` / ``.requested``
-  (pending, must be invisible), ``<instant>.replacecommit`` (clustering /
-  insert-overwrite).  The snapshot is defined by COMPLETED instants only;
-  an inflight writer must never leak half-written files into a read;
+  ``<instant>.commit`` / ``<instant>.deltacommit`` (completed),
+  ``.inflight`` / ``.requested`` (pending, must be invisible),
+  ``<instant>.replacecommit`` (clustering / insert-overwrite).  The
+  snapshot is defined by COMPLETED instants only; an inflight writer
+  must never leak half-written files into a read;
 - **file groups**: every base file is named
   ``<fileId>_<writeToken>_<instantTime>.parquet``; a file group (one
   ``fileId`` per partition path) is a chain of versions, and the reader
   picks the LATEST version whose instant is completed and ≤ the requested
   instant — that's how Hudi upserts replace rows without tombstones;
-- **time travel**: ``as_of`` replays to any completed instant;
+- **merge-on-read**: a file slice is the base file plus its
+  ``.<fileId>_<baseInstant>.log.<version>_<writeToken>`` delta logs.
+  Log files are walked block-by-block (magic ``#HUDI#``, sizes, version,
+  type, header map, content — the step sequence of Hudi's
+  ``HoodieLogFormatWriter.appendBlock``); AVRO data block content is
+  ``format version / record count / length-prefixed binary Avro datums``
+  against the block's SCHEMA header, decoded by the repo's own Avro
+  codec (operators/avro.py).  Blocks whose INSTANT_TIME header is not a
+  completed instant ≤ the target are skipped (rolled-back or inflight
+  writers stay invisible).  The merge itself is Spark-first: base rows
+  union the executor-decoded log records and a window ``row_number``
+  over the record key (ordered by instant, then block sequence) keeps
+  the newest version; records whose latest version carries
+  ``_hoodie_is_deleted = true`` (Hudi's public soft-delete field) drop
+  out.  The record key column comes from
+  ``hoodie.table.recordkey.fields`` in ``hoodie.properties``;
+- **time travel**: ``as_of`` replays to any completed instant (log
+  blocks after the target are skipped too);
 - **replacecommit**: file groups listed in a replacecommit's
   ``partitionToReplaceFileIds`` drop out of later snapshots (clustering
   rewrote them);
 - **Spark-first scan**: :func:`read_hudi` hands the chosen base files to
-  ``spark.read.parquet`` — pushdown/pruning stay Spark's.
+  ``spark.read.parquet`` — pushdown/pruning stay Spark's; log decode is
+  partition-parallel ``mapInPandas`` over ``binaryFile`` (log files are
+  the small delta tail of a slice, never the data volume).
 
-Honest gates: merge-on-read tables (``.log`` delta files would need
-record-level merging) and bootstrap indexes raise ``NotImplementedError``;
-malformed timelines raise positioned ``ValueError``.
+Honest gates: DELETE/CDC/HFILE/PARQUET log block types raise
+``NotImplementedError`` (their payloads are Kryo/format-specific;
+soft-deletes cover the tested delete path), as do bootstrap indexes;
+malformed timelines and truncated log blocks raise positioned
+``ValueError``.
 
 No Hudi writer ships in this container; fixtures come from
-:func:`write_hudi_fixture` (same layout), and the battery oracle stays
-independent because each file-slice version maps to a key range of the
-ORIGINAL parquet — reading a stale slice or a pending instant cannot
-match.
+:func:`write_hudi_fixture` + :func:`write_hudi_log_file` (same layout —
+single-writer caveat: the log block byte layout follows the public
+writer's documented step sequence but cannot be cross-validated against
+real Hudi output here), and the battery oracle stays independent because
+each file-slice version and log upsert maps to a key range of the
+ORIGINAL parquet — reading a stale slice, a pending instant, or missing
+a log upsert cannot match.
 
 Reference parity: third member of the lakehouse trio beside
 operators/delta.py and operators/iceberg.py over the same parquet scans.
@@ -36,14 +61,33 @@ operators/delta.py and operators/iceberg.py over the same parquet scans.
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import re
+import struct
 
-__all__ = ["hudi_snapshot", "read_hudi", "write_hudi_fixture"]
+__all__ = [
+    "hudi_snapshot",
+    "read_hudi",
+    "write_hudi_fixture",
+    "write_hudi_log_file",
+    "read_hudi_log_blocks",
+]
 
 _BASEFILE_RE = re.compile(r"^(?P<fid>.+)_(?P<token>[0-9-]+)_(?P<instant>\d+)\.parquet$")
-_INSTANT_RE = re.compile(r"^(\d+)\.(commit|replacecommit)$")
+_LOGFILE_RE = re.compile(
+    r"^\.(?P<fid>.+)_(?P<base>\d+)\.log\.(?P<ver>\d+)_(?P<token>[0-9-]+)$"
+)
+_INSTANT_RE = re.compile(r"^(\d+)\.(commit|deltacommit|replacecommit)$")
+
+_LOG_MAGIC = b"#HUDI#"
+_LOG_FORMAT_VERSION = 1
+#: HoodieLogBlockType ordinals (org.apache.hudi.common.table.log.block)
+_BLOCK_COMMAND, _BLOCK_DELETE, _BLOCK_CORRUPT, _BLOCK_AVRO_DATA = 0, 1, 2, 3
+#: HeaderMetadataType ordinals
+_HDR_INSTANT_TIME, _HDR_TARGET_INSTANT, _HDR_SCHEMA = 0, 1, 2
+_AVRO_BLOCK_CONTENT_VERSION = 3
 
 
 def _instant_key(instant: str) -> str:
@@ -64,10 +108,6 @@ def _timeline(table_dir: str):
     for name in os.listdir(hoodie):
         if name.endswith((".inflight", ".requested")):
             continue
-        if name.endswith(".deltacommit"):
-            raise NotImplementedError(
-                "Hudi merge-on-read tables not supported (log-file merging)"
-            )
         m = _INSTANT_RE.match(name)
         if m:
             completed.append((m.group(1), m.group(2)))
@@ -76,9 +116,24 @@ def _timeline(table_dir: str):
     return hoodie, sorted(completed, key=lambda ik: (_instant_key(ik[0]), ik[1]))
 
 
+def _table_properties(table_dir: str) -> dict:
+    props: dict[str, str] = {}
+    path = os.path.join(table_dir, ".hoodie", "hoodie.properties")
+    if os.path.exists(path):
+        with open(path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith("#") and "=" in line:
+                    k, _, v = line.partition("=")
+                    props[k.strip()] = v.strip()
+    return props
+
+
 def hudi_snapshot(table_dir: str, as_of: str | None = None) -> dict:
-    """Resolve the COW snapshot at ``as_of`` (a completed instant time;
-    default latest).  Returns ``{"instant", "files": [paths]}``."""
+    """Resolve the snapshot at ``as_of`` (a completed instant time; default
+    latest).  Returns ``{"instant", "files": [base paths], "logs":
+    {base_path: [log paths, version order]}, "instants": [completed ≤
+    target]}`` — ``logs`` is empty for a pure COW table."""
     hoodie, completed = _timeline(table_dir)
     instants = [i for i, _ in completed]
     target = as_of if as_of is not None else instants[-1]
@@ -101,15 +156,20 @@ def hudi_snapshot(table_dir: str, as_of: str | None = None) -> dict:
 
     # newest base file per (partition, fileId) with instant <= target
     best: dict[tuple[str, str], tuple[str, str]] = {}
+    logfiles: dict[tuple[str, str], list[tuple[str, int, str]]] = {}
     for root, dirs, names in os.walk(table_dir):
         dirs[:] = [d for d in dirs if d != ".hoodie"]
         part = os.path.relpath(root, table_dir)
         part = "" if part == "." else part
         for name in names:
-            if name.endswith(".log") or ".log." in name:
-                raise NotImplementedError(
-                    "Hudi merge-on-read tables not supported (log-file merging)"
+            lm = _LOGFILE_RE.match(name)
+            if lm:
+                logfiles.setdefault((part, lm.group("fid")), []).append(
+                    (lm.group("base"), int(lm.group("ver")), os.path.join(root, name))
                 )
+                continue
+            if name.endswith(".log") or ".log." in name:
+                raise ValueError(f"unrecognized Hudi log file name {name!r}")
             m = _BASEFILE_RE.match(name)
             if not m:
                 continue
@@ -121,16 +181,279 @@ def hudi_snapshot(table_dir: str, as_of: str | None = None) -> dict:
                 continue
             if key not in best or _instant_key(instant) > _instant_key(best[key][0]):
                 best[key] = (instant, os.path.join(root, name))
-    return {"instant": target, "files": sorted(p for _, p in best.values())}
+
+    # attach delta logs to the chosen slice: a log file belongs to the file
+    # slice whose base instant it was written against; logs of superseded
+    # (older-base) or replaced slices drop out with their base
+    logs: dict[str, list[str]] = {}
+    for key, entries in sorted(logfiles.items()):
+        if key in replaced:
+            continue
+        if key not in best:
+            raise NotImplementedError(
+                "Hudi log-only file groups (no base file) not supported"
+            )
+        base_instant, base_path = best[key]
+        attached = sorted(
+            (ver, p) for b, ver, p in entries if b == base_instant
+        )
+        if attached:
+            logs[base_path] = [p for _, p in attached]
+    visible = [i for i in instants if _instant_key(i) <= _instant_key(target)]
+    return {
+        "instant": target,
+        "files": sorted(p for _, p in best.values()),
+        "logs": logs,
+        "instants": visible,
+    }
+
+
+# -- MOR log format ---------------------------------------------------------------------
+
+
+def write_hudi_log_file(path: str, blocks: list[dict]) -> None:
+    """Write a Hudi log file (fixture writer; layout documented in the
+    module docstring).  Each block dict is either
+    ``{"type": "avro_data", "instant", "schema": <avro schema dict>,
+    "records": [dict]}`` or ``{"type": "command", "instant",
+    "target_instant"}`` (rollback)."""
+    from native_sql_engine_spark.operators.avro import encode_datum
+
+    out = io.BytesIO()
+    for blk in blocks:
+        if blk["type"] == "avro_data":
+            btype = _BLOCK_AVRO_DATA
+            headers = {
+                _HDR_INSTANT_TIME: blk["instant"],
+                _HDR_SCHEMA: json.dumps(blk["schema"]),
+            }
+            body = io.BytesIO()
+            body.write(struct.pack(">i", _AVRO_BLOCK_CONTENT_VERSION))
+            body.write(struct.pack(">i", len(blk["records"])))
+            for rec in blk["records"]:
+                datum = encode_datum(rec, blk["schema"])
+                body.write(struct.pack(">i", len(datum)))
+                body.write(datum)
+            content = body.getvalue()
+        elif blk["type"] == "command":
+            btype = _BLOCK_COMMAND
+            headers = {
+                _HDR_INSTANT_TIME: blk["instant"],
+                _HDR_TARGET_INSTANT: blk["target_instant"],
+            }
+            content = b""
+        else:
+            raise ValueError(f"unknown fixture block type {blk['type']!r}")
+        hdr = io.BytesIO()
+        hdr.write(struct.pack(">i", len(headers)))
+        for ordinal, val in sorted(headers.items()):
+            raw = val.encode("utf-8")
+            hdr.write(struct.pack(">ii", ordinal, len(raw)) + raw)
+        payload = (
+            struct.pack(">i", _LOG_FORMAT_VERSION)
+            + struct.pack(">i", btype)
+            + hdr.getvalue()
+            + struct.pack(">q", len(content))
+            + content
+            + struct.pack(">i", 0)  # footer map (empty)
+        )
+        total = len(_LOG_MAGIC) + 8 + len(payload) + 8
+        out.write(_LOG_MAGIC)
+        out.write(struct.pack(">q", len(payload) + 8))  # size after this field
+        out.write(payload)
+        out.write(struct.pack(">q", total))  # trailing total for reverse seeks
+    with open(path, "wb") as fh:
+        fh.write(out.getvalue())
+
+
+def _need(buf: bytes, pos: int, n: int, what: str):
+    if pos + n > len(buf):
+        raise ValueError(
+            f"Hudi log truncated at byte {pos}: need {n} bytes for {what}, "
+            f"have {len(buf) - pos}"
+        )
+
+
+def read_hudi_log_blocks(buf: bytes) -> list[dict]:
+    """Walk a log file's blocks.  Returns
+    ``[{"type", "instant", "target_instant", "schema", "records", "seq"}]``
+    with Avro datums decoded against each block's SCHEMA header.  DELETE /
+    HFILE / PARQUET / CDC blocks raise ``NotImplementedError``; CORRUPT
+    blocks are skipped (that is their meaning: a writer crashed mid-append
+    and a later recovery marked the half-block)."""
+    from native_sql_engine_spark.operators.avro import decode_datum
+
+    blocks: list[dict] = []
+    pos, seq = 0, 0
+    while pos < len(buf):
+        _need(buf, pos, len(_LOG_MAGIC), "magic")
+        if buf[pos : pos + len(_LOG_MAGIC)] != _LOG_MAGIC:
+            raise ValueError(f"Hudi log bad magic at byte {pos}")
+        pos += len(_LOG_MAGIC)
+        _need(buf, pos, 8, "block size")
+        (size,) = struct.unpack_from(">q", buf, pos)
+        pos += 8
+        _need(buf, pos, size, "block body")
+        end = pos + size
+        (version,) = struct.unpack_from(">i", buf, pos)
+        if version != _LOG_FORMAT_VERSION:
+            raise NotImplementedError(f"Hudi log format version {version}")
+        (btype,) = struct.unpack_from(">i", buf, pos + 4)
+        pos += 8
+        _need(buf, pos, 4, "header count")
+        (nhdr,) = struct.unpack_from(">i", buf, pos)
+        pos += 4
+        headers: dict[int, str] = {}
+        for _ in range(nhdr):
+            _need(buf, pos, 8, "header entry")
+            ordinal, ln = struct.unpack_from(">ii", buf, pos)
+            pos += 8
+            _need(buf, pos, ln, "header value")
+            headers[ordinal] = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+        _need(buf, pos, 8, "content length")
+        (clen,) = struct.unpack_from(">q", buf, pos)
+        pos += 8
+        _need(buf, pos, clen, "block content")
+        content = buf[pos : pos + clen]
+        pos = end  # footer map + trailing total live inside `size`
+
+        if btype == _BLOCK_CORRUPT:
+            seq += 1
+            continue
+        blk = {
+            "type": btype,
+            "instant": headers.get(_HDR_INSTANT_TIME),
+            "target_instant": headers.get(_HDR_TARGET_INSTANT),
+            "schema": None,
+            "records": None,
+            "seq": seq,
+        }
+        if btype == _BLOCK_AVRO_DATA:
+            schema = json.loads(headers[_HDR_SCHEMA])
+            (cver,) = struct.unpack_from(">i", content, 0)
+            if cver != _AVRO_BLOCK_CONTENT_VERSION:
+                raise NotImplementedError(f"Hudi avro block content version {cver}")
+            (nrec,) = struct.unpack_from(">i", content, 4)
+            off = 8
+            records = []
+            for _ in range(nrec):
+                _need(content, off, 4, "record length")
+                (rlen,) = struct.unpack_from(">i", content, off)
+                off += 4
+                _need(content, off, rlen, "record datum")
+                val, _ = decode_datum(content[off : off + rlen], schema)
+                records.append(val)
+                off += rlen
+            blk["schema"] = schema
+            blk["records"] = records
+        elif btype != _BLOCK_COMMAND:
+            raise NotImplementedError(
+                f"Hudi log block type ordinal {btype} not supported "
+                "(DELETE/HFILE/PARQUET/CDC payloads are format-specific)"
+            )
+        blocks.append(blk)
+        seq += 1
+    return blocks
+
+
+def _decode_slice_logs(log_paths: list[str], base_cols: list[str], visible: set):
+    """Decode one file slice's ordered log chain into
+    ``(row_values..., is_deleted, ord_instant, ord_seq)`` tuples (runs on
+    executors).  Rollback command blocks suppress data blocks targeting the
+    rolled-back instant — the chain is read whole so a rollback appended in
+    log v2 hides a block written in v1; blocks whose instant is not in
+    ``visible`` (completed ≤ target) stay invisible."""
+    blocks: list[dict] = []
+    for path in log_paths:
+        with open(path, "rb") as fh:
+            blocks.extend(read_hudi_log_blocks(fh.read()))
+    rolled = {b["target_instant"] for b in blocks if b["type"] == _BLOCK_COMMAND}
+    out = []
+    for gseq, blk in enumerate(blocks):
+        if blk["type"] != _BLOCK_AVRO_DATA:
+            continue
+        if blk["instant"] not in visible or blk["instant"] in rolled:
+            continue
+        for rec in blk["records"]:
+            row = tuple(rec.get(c) for c in base_cols)
+            out.append(
+                row
+                + (
+                    bool(rec.get("_hoodie_is_deleted", False)),
+                    _instant_key(blk["instant"]),
+                    gseq,
+                )
+            )
+    return out
 
 
 def read_hudi(spark, table_dir: str, as_of: str | None = None):
-    """Open a Hudi COW snapshot as a DataFrame via Spark's parquet scan of
-    the latest file slice per file group."""
+    """Open a Hudi snapshot as a DataFrame.  COW: Spark's parquet scan of
+    the latest file slice per file group.  MOR: base rows union the decoded
+    log records, then one ``row_number`` window per record key (ordered by
+    instant, then block sequence) keeps the newest version and drops
+    soft-deleted keys — the same shuffle shape as Spark's own dedup, so the
+    merge scales with the key cardinality, not the log count."""
     snap = hudi_snapshot(table_dir, as_of)
     if not snap["files"]:
         raise ValueError(f"Hudi snapshot {snap['instant']} has no base files")
-    return spark.read.option("basePath", table_dir).parquet(*snap["files"])
+    base = spark.read.option("basePath", table_dir).parquet(*snap["files"])
+    if not snap["logs"]:
+        return base
+
+    from pyspark.sql import Window, functions as F
+
+    props = _table_properties(table_dir)
+    key_fields = [
+        k for k in props.get("hoodie.table.recordkey.fields", "").split(",") if k
+    ]
+    if not key_fields:
+        raise ValueError(
+            "Hudi MOR merge needs hoodie.table.recordkey.fields in "
+            ".hoodie/hoodie.properties"
+        )
+    base_cols = [c for c in base.columns if c != "_hoodie_is_deleted"]
+    log_schema = (
+        base.select(*base_cols)
+        .withColumn("_h_del", F.lit(True))
+        .withColumn("_h_ord", F.lit("z"))
+        .withColumn("_h_seq", F.lit(0).cast("long"))
+        .schema
+    )
+    # one row per file slice; decode runs executor-side via mapInPandas, so
+    # the log tail of every slice is read in parallel, never on the driver
+    visible = set(snap["instants"])
+    slices = [(base_path, paths) for base_path, paths in sorted(snap["logs"].items())]
+    out_cols = [f.name for f in log_schema.fields]
+
+    def _decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                tuples = _decode_slice_logs(list(row["logs"]), base_cols, visible)
+                yield pd.DataFrame(tuples, columns=out_cols)
+
+    slices_df = spark.createDataFrame(
+        slices, "base string, logs array<string>"
+    ).repartition(len(slices))
+    log_df = slices_df.mapInPandas(_decode, schema=log_schema)
+    based = (
+        base.select(*base_cols)
+        .withColumn("_h_del", F.lit(False))
+        .withColumn("_h_ord", F.lit(""))  # base sorts below every log instant
+        .withColumn("_h_seq", F.lit(-1).cast("long"))
+    )
+    merged = based.unionByName(log_df)
+    w = Window.partitionBy(*key_fields).orderBy(
+        F.col("_h_ord").desc(), F.col("_h_seq").desc()
+    )
+    return (
+        merged.withColumn("_h_rn", F.row_number().over(w))
+        .filter((F.col("_h_rn") == 1) & (~F.col("_h_del")))
+        .drop("_h_rn", "_h_del", "_h_ord", "_h_seq")
+    )
 
 
 # -- fixture write side (same layout) --------------------------------------------------
@@ -141,17 +464,29 @@ def write_hudi_fixture(
     versions: list[tuple[str, str, str]],
     pending: list[str] = (),
     replaced: dict[str, dict[str, list[str]]] | None = None,
+    deltacommits: list[str] = (),
+    record_key: str | None = None,
 ) -> None:
-    """Lay out a COW table (fixture writer): ``versions`` is
+    """Lay out a Hudi table (fixture writer): ``versions`` is
     ``[(instant, partition, file_id)]`` — the parquet files themselves must
     already exist at
     ``<table>/<partition>/<file_id>_0-0-0_<instant>.parquet``;
     ``pending`` instants get ``.inflight`` markers only;
-    ``replaced`` maps a replacecommit instant -> partitionToReplaceFileIds."""
+    ``replaced`` maps a replacecommit instant -> partitionToReplaceFileIds;
+    ``deltacommits`` instants get completed ``.deltacommit`` markers (MOR —
+    the log files themselves come from :func:`write_hudi_log_file`);
+    ``record_key`` sets ``hoodie.table.recordkey.fields`` (the MOR merge
+    key)."""
     hoodie = os.path.join(table_dir, ".hoodie")
     os.makedirs(hoodie, exist_ok=True)
+    table_type = "MERGE_ON_READ" if deltacommits else "COPY_ON_WRITE"
     with open(os.path.join(hoodie, "hoodie.properties"), "w") as fh:
-        fh.write("hoodie.table.name=fixture\nhoodie.table.type=COPY_ON_WRITE\n")
+        fh.write(f"hoodie.table.name=fixture\nhoodie.table.type={table_type}\n")
+        if record_key:
+            fh.write(f"hoodie.table.recordkey.fields={record_key}\n")
+    for instant in deltacommits:
+        with open(os.path.join(hoodie, f"{instant}.deltacommit"), "w") as fh:
+            json.dump({"operation": "upsert"}, fh)
     for instant in sorted({i for i, _, _ in versions}):
         stats = {}
         for i, part, fid in versions:

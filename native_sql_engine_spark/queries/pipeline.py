@@ -3168,6 +3168,111 @@ def lake_hudi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_hudi_mor",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(CASE WHEN o_orderkey >= 600 AND o_orderkey < 800
+                          THEN o_totalprice + 10000.0 ELSE o_totalprice END), 2)
+             AS total
+    FROM orders
+    WHERE o_orderkey < 200 OR (o_orderkey >= 400 AND o_orderkey < 1200)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MERGE_ON_READ snapshot read with zero hudi jars
+    (operators/hudi.py): the base file (keys [0,1000)) plus its delta-log
+    chain, walked block-by-block (#HUDI# framing, binary-Avro data blocks
+    decoded by operators/avro.py) and merged Spark-first — one row_number
+    window over the record key keeps the newest version per key.
+    Deltacommit 002 soft-deletes [200,400) and inserts [1000,1200);
+    deltacommit 003 bumps o_totalprice by 10000 for [600,800); a block
+    stamped with a NEVER-COMPLETED instant re-inserts [200,300) with a
+    corrupted status and must stay invisible.  The oracle (original
+    parquet, CASE-adjusted) fails if any arm misbehaves: a resurrected
+    soft-delete changes n, a missed upsert changes total, a leaked
+    uncommitted block changes both.  Fixture build is a bounded
+    driver-side step (<1300 rows)."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.hudi import (
+        read_hudi,
+        write_hudi_fixture,
+        write_hudi_log_file,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_hudi_mor_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 1300)],
+    )
+    pq.write_table(
+        t.filter(pc.field("o_orderkey") < 1000),
+        os.path.join(d, "fg1_0-0-0_001.parquet"),
+    )
+    schema = {
+        "type": "record",
+        "name": "orders",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "o_totalprice", "type": "double"},
+            {"name": "_hoodie_is_deleted", "type": "boolean"},
+        ],
+    }
+
+    def recs(lo, hi, bump=0.0, deleted=False, status=None):
+        part = t.filter(
+            (pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi)
+        ).to_pylist()
+        return [
+            {
+                "o_orderkey": r["o_orderkey"],
+                "o_orderstatus": status or r["o_orderstatus"],
+                "o_totalprice": float(r["o_totalprice"]) + bump,
+                "_hoodie_is_deleted": deleted,
+            }
+            for r in part
+        ]
+
+    write_hudi_log_file(
+        os.path.join(d, ".fg1_001.log.1_0-0-0"),
+        [
+            {"type": "avro_data", "instant": "002", "schema": schema,
+             "records": recs(200, 400, deleted=True) + recs(1000, 1200)},
+            # instant 009 never completes: its rows must stay invisible
+            {"type": "avro_data", "instant": "009", "schema": schema,
+             "records": recs(200, 300, status="Z")},
+        ],
+    )
+    write_hudi_log_file(
+        os.path.join(d, ".fg1_001.log.2_0-0-0"),
+        [{"type": "avro_data", "instant": "003", "schema": schema,
+          "records": recs(600, 800, bump=10000.0)}],
+    )
+    write_hudi_fixture(
+        d, [("001", "", "fg1")], deltacommits=["002", "003"],
+        record_key="o_orderkey",
+    )
+    df = read_hudi(spark, d)  # live: [0,200) ∪ [400,1200), [600,800) bumped
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_iceberg_snapshot",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,

@@ -1,6 +1,6 @@
-"""Hudi COW snapshot resolution (operators/hudi.py): file-slice
-supersedence, pending-instant invisibility, time travel, replacecommit
-clustering, MOR gates."""
+"""Hudi snapshot resolution (operators/hudi.py): file-slice supersedence,
+pending-instant invisibility, time travel, replacecommit clustering,
+merge-on-read log decode + merge, rollback command blocks, MOR gates."""
 
 from __future__ import annotations
 
@@ -11,7 +11,9 @@ import pytest
 from native_sql_engine_spark.operators.hudi import (
     hudi_snapshot,
     read_hudi,
+    read_hudi_log_blocks,
     write_hudi_fixture,
+    write_hudi_log_file,
 )
 
 pa = pytest.importorskip("pyarrow")
@@ -96,7 +98,140 @@ def test_gates(tmp_path):
     with pytest.raises(ValueError, match="not a Hudi table"):
         hudi_snapshot(d)
     _table(d)
-    # a MOR log file anywhere hard-fails (rows would be stale without merging)
+    # a log file against a SUPERSEDED base (fg1@001; latest base is 003) is
+    # ignored with its base; one with no base at all is a log-only file
+    # group, which stays gated (rows would be missing without it)
     open(os.path.join(d, ".fg1_001.log.1_0-0-0"), "w").close()
-    with pytest.raises(NotImplementedError, match="merge-on-read"):
+    assert hudi_snapshot(d)["logs"] == {}
+    open(os.path.join(d, ".fg9_001.log.1_0-0-0"), "w").close()
+    with pytest.raises(NotImplementedError, match="log-only"):
         hudi_snapshot(d)
+
+
+# -- merge-on-read ----------------------------------------------------------------------
+
+_SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "v", "type": "string"},
+        {"name": "_hoodie_is_deleted", "type": "boolean"},
+    ],
+}
+
+
+def _rec(k, v, deleted=False):
+    return {"k": k, "v": v, "_hoodie_is_deleted": deleted}
+
+
+def _mk_kv(d, fid, instant, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([k for k, _ in rows], pa.int64()),
+                "v": pa.array([v for _, v in rows], pa.string()),
+            }
+        ),
+        os.path.join(d, f"{fid}_0-0-0_{instant}.parquet"),
+    )
+
+
+def test_log_block_roundtrip(tmp_path):
+    p = str(tmp_path / "log")
+    write_hudi_log_file(
+        p,
+        [
+            {"type": "avro_data", "instant": "002", "schema": _SCHEMA,
+             "records": [_rec(1, "a"), _rec(2, "b", True)]},
+            {"type": "command", "instant": "003", "target_instant": "002"},
+        ],
+    )
+    raw = open(p, "rb").read()
+    blocks = read_hudi_log_blocks(raw)
+    assert [b["type"] for b in blocks] == [3, 0]
+    assert blocks[0]["instant"] == "002"
+    assert blocks[0]["records"] == [_rec(1, "a"), _rec(2, "b", True)]
+    assert blocks[1]["target_instant"] == "002"
+    # truncation anywhere raises a positioned ValueError, not struct.error
+    for cut in (3, 10, 20, len(raw) - 5):
+        with pytest.raises(ValueError, match="truncated|bad magic"):
+            read_hudi_log_blocks(raw[:cut] + b"\x00")
+
+
+def _mor_table(d):
+    """Base fg1@001 has k 0..4 = 'base'; deltacommit 002 upserts k 2,3 and
+    inserts k 10; deltacommit 003 soft-deletes k 0 and re-upserts k 2."""
+    _mk_kv(d, "fg1", "001", [(k, "base") for k in range(5)])
+    write_hudi_log_file(
+        os.path.join(d, ".fg1_001.log.1_0-0-0"),
+        [{"type": "avro_data", "instant": "002", "schema": _SCHEMA,
+          "records": [_rec(2, "v2"), _rec(3, "v2"), _rec(10, "v2")]}],
+    )
+    write_hudi_log_file(
+        os.path.join(d, ".fg1_001.log.2_0-0-0"),
+        [{"type": "avro_data", "instant": "003", "schema": _SCHEMA,
+          "records": [_rec(0, "", True), _rec(2, "v3")]}],
+    )
+    write_hudi_fixture(
+        d, [("001", "", "fg1")], deltacommits=["002", "003"], record_key="k"
+    )
+
+
+def test_mor_merge_and_soft_delete(spark, tmp_path):
+    d = str(tmp_path)
+    _mor_table(d)
+    got = {r.k: r.v for r in read_hudi(spark, d).collect()}
+    # k=0 deleted, k=2 newest version wins (v3 over v2 over base), k=10 inserted
+    assert got == {1: "base", 2: "v3", 3: "v2", 4: "base", 10: "v2"}
+
+
+def test_mor_time_travel_skips_future_blocks(spark, tmp_path):
+    d = str(tmp_path)
+    _mor_table(d)
+    got = {r.k: r.v for r in read_hudi(spark, d, as_of="002").collect()}
+    assert got == {0: "base", 1: "base", 2: "v2", 3: "v2", 4: "base", 10: "v2"}
+    got1 = {r.k: r.v for r in read_hudi(spark, d, as_of="001").collect()}
+    assert got1 == {k: "base" for k in range(5)}
+
+
+def test_mor_uncommitted_and_rolled_back_blocks_invisible(spark, tmp_path):
+    d = str(tmp_path)
+    _mor_table(d)
+    # instant 004 wrote a block then was rolled back by a command block in a
+    # later log version; instant 005 never completed (no timeline file)
+    write_hudi_log_file(
+        os.path.join(d, ".fg1_001.log.3_0-0-0"),
+        [{"type": "avro_data", "instant": "004", "schema": _SCHEMA,
+          "records": [_rec(1, "BAD")]},
+         {"type": "avro_data", "instant": "005", "schema": _SCHEMA,
+          "records": [_rec(4, "BAD")]}],
+    )
+    write_hudi_log_file(
+        os.path.join(d, ".fg1_001.log.4_0-0-0"),
+        [{"type": "command", "instant": "006", "target_instant": "004"}],
+    )
+    write_hudi_fixture(
+        d, [("001", "", "fg1")], deltacommits=["002", "003", "004", "006"],
+        record_key="k",
+    )
+    got = {r.k: r.v for r in read_hudi(spark, d).collect()}
+    assert got == {1: "base", 2: "v3", 3: "v2", 4: "base", 10: "v2"}
+
+
+def test_mor_gate_block_types(tmp_path):
+    import struct as _s
+
+    p = str(tmp_path / "log")
+    write_hudi_log_file(
+        p, [{"type": "avro_data", "instant": "002", "schema": _SCHEMA,
+             "records": [_rec(1, "a")]}]
+    )
+    raw = bytearray(open(p, "rb").read())
+    # type ordinal lives 4 bytes after the 4-byte version, after magic+size
+    off = 6 + 8 + 4
+    raw[off:off + 4] = _s.pack(">i", 1)  # DELETE block
+    with pytest.raises(NotImplementedError, match="block type"):
+        read_hudi_log_blocks(bytes(raw))
+    raw[off:off + 4] = _s.pack(">i", 2)  # CORRUPT block: skipped, not fatal
+    assert read_hudi_log_blocks(bytes(raw)) == []
