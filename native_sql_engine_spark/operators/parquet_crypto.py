@@ -392,7 +392,13 @@ def read_encrypted_column(
     Same return contract as ``parquet_data.read_column``; every module is
     authenticated (key + position AAD) before its bytes are trusted.
     Unencrypted files fall through to the plaintext reader."""
-    from .parquet_data import _convert, _decode_pages, _schema_leaves, read_column
+    from .parquet_data import (
+        _convert,
+        _decode_pages,
+        _schema_leaves,
+        _wants_binary,
+        read_column,
+    )
 
     meta, crypto = _file_crypto(buf, footer_key, column_keys, key_unwrapper, aad_prefix)
     if crypto is None:
@@ -442,7 +448,7 @@ def read_encrypted_column(
                     cm, _ = thrift_compact_decode(cm_pt)
                 pages = _encrypted_pages(buf, cm, key, crypto, rg_idx, col_idx)
                 defs, reps, present = _decode_pages(
-                    pages, cm, max_def, max_rep, desc.get("type_length")
+                    pages, cm, max_def, max_rep, desc.get("type_length"), _wants_binary(desc)
                 )
             present = _convert(present, desc)
             if desc["kind"] == "flat":
@@ -456,9 +462,9 @@ def read_encrypted_column(
 
 
 def __plaintext_chunk(buf, cm, max_def, max_rep, desc):
-    from .parquet_data import _read_chunk
+    from .parquet_data import _read_chunk, _wants_binary
 
-    return _read_chunk(buf, cm, max_def, max_rep, desc.get("type_length"))
+    return _read_chunk(buf, cm, max_def, max_rep, desc.get("type_length"), _wants_binary(desc))
 
 
 def read_encrypted_table(buf: bytes, columns: list[str], **kw) -> dict[str, list]:

@@ -28,12 +28,17 @@ the storage stack, stdlib + numpy only:
   BYTE_STREAM_SPLIT pages;
 - definition-level reassembly for flat OPTIONAL columns (nulls).
 
+- **DECIMAL over BYTE_ARRAY** (variable-length big-endian
+  two's-complement unscaled — the Hive/parquet-mr legacy layout), PLAIN
+  and dictionary pages; fixtures come from this module's own
+  ``write_ba_decimal_fixture`` since no writer in the container emits
+  the layout (pyarrow/DuckDB/Spark all pick INT/FLBA).
+
 Honest gates: repeated (nested/list) columns beyond the 3-level LIST
-shape, codecs beyond snappy/uncompressed/gzip/brotli/lz4/zstd (brotli,
+shape and codecs beyond snappy/uncompressed/gzip/brotli/lz4/zstd (brotli,
 lz4 and zstd via the from-scratch decoders in
 operators/{brotli,lz4,zstd}.py; LZO remains gated — no fixture tool in
-the container) and DECIMAL over the BYTE_ARRAY physical type raise
-``NotImplementedError``.  Modular-encryption files (``PARE`` magic or
+the container) raise ``NotImplementedError``.  Modular-encryption files (``PARE`` magic or
 signed plaintext footers) read through
 ``operators/parquet_crypto.read_encrypted_column`` (from-scratch
 AES-GCM); this module handles only plaintext payloads.  Scope is
@@ -149,7 +154,14 @@ def _rle_hybrid(data: bytes, pos: int, bit_width: int, count: int) -> tuple[list
 _FIXED = {1: ("i", 4), 2: ("q", 8), 4: ("f", 4), 5: ("d", 8)}  # parquet Type
 
 
-def _plain_values(data: bytes, pos: int, ptype: int, count: int, type_length: int | None = None):
+def _plain_values(
+    data: bytes,
+    pos: int,
+    ptype: int,
+    count: int,
+    type_length: int | None = None,
+    binary: bool = False,
+):
     if ptype == 0:  # BOOLEAN: bit-packed LSB-first
         out = [(data[pos + (i >> 3)] >> (i & 7)) & 1 == 1 for i in range(count)]
         return out, pos + (count + 7) // 8
@@ -162,7 +174,10 @@ def _plain_values(data: bytes, pos: int, ptype: int, count: int, type_length: in
         for _ in range(count):
             (ln,) = struct.unpack_from("<I", data, pos)
             pos += 4
-            out.append(data[pos : pos + ln].decode("utf-8", "replace"))
+            raw = data[pos : pos + ln]
+            # binary view: DECIMAL columns store big-endian two's-complement
+            # unscaled ints here — a UTF-8 decode would be lossy ("replace")
+            out.append(raw if binary else raw.decode("utf-8", "replace"))
             pos += ln
         return out, pos
     if ptype == 3:  # INT96 legacy timestamp: 8-byte nanos-of-day + 4-byte Julian day
@@ -367,6 +382,13 @@ def _schema_leaves(meta: dict) -> dict[str, dict]:
     return out
 
 
+def _wants_binary(desc: dict) -> bool:
+    """True when a BYTE_ARRAY column must be decoded as raw bytes, not
+    UTF-8: DECIMAL stores big-endian two's-complement unscaled ints in the
+    byte array (the layout Spark/Arrow emit for DECIMAL over BYTE_ARRAY)."""
+    return desc.get("converted") == 5 or 5 in (desc.get("logical") or {})
+
+
 def _convert(values: list, desc: dict) -> list:
     """Apply the logical-type view.  ConvertedType enum: TIMESTAMP_MICROS
     (10) / TIMESTAMP_MILLIS (9) → naive datetimes, DATE (6) → dates,
@@ -398,8 +420,10 @@ def _convert(values: list, desc: dict) -> list:
         def to_dec(v):
             if v is None:
                 return None
-            if isinstance(v, str):  # ptype-6 pages decode to str upstream
-                raise NotImplementedError("DECIMAL over BYTE_ARRAY physical type not supported")
+            if isinstance(v, str):  # _wants_binary must have kept these as bytes
+                raise ValueError(
+                    "DECIMAL BYTE_ARRAY page decoded as UTF-8 — binary flag lost upstream"
+                )
             unscaled = int.from_bytes(v, "big", signed=True) if isinstance(v, (bytes, bytearray)) else int(v)
             return decimal.Decimal(unscaled).scaleb(-scale)
 
@@ -447,7 +471,9 @@ def read_column(buf: bytes, column: str):
             path = ".".join(p.decode("utf-8", "replace") for p in cm.get(3, []))
             if path != chunk_path:
                 continue
-            defs, reps, present = _read_chunk(buf, cm, max_def, max_rep, desc.get("type_length"))
+            defs, reps, present = _read_chunk(
+                buf, cm, max_def, max_rep, desc.get("type_length"), _wants_binary(desc)
+            )
             present = _convert(present, desc)
             if desc["kind"] == "flat":
                 it = iter(present)
@@ -491,7 +517,9 @@ def _assemble_lists(defs, reps, present, desc):
     return rows
 
 
-def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int, type_length: int | None = None):
+def _read_chunk(
+    buf: bytes, cm: dict, max_def: int, max_rep: int, type_length: int | None = None, binary: bool = False
+):
     start = cm.get(11, cm.get(9))  # dictionary page first when present
     if start is None:
         raise ValueError("column chunk has no page offset")
@@ -508,10 +536,12 @@ def _read_chunk(buf: bytes, cm: dict, max_def: int, max_rep: int, type_length: i
                     raise ValueError(f"page checksum mismatch at byte {hend}")
             yield hdr, raw
 
-    return _decode_pages(pages(), cm, max_def, max_rep, type_length)
+    return _decode_pages(pages(), cm, max_def, max_rep, type_length, binary)
 
 
-def _decode_pages(pages, cm: dict, max_def: int, max_rep: int, type_length: int | None = None):
+def _decode_pages(
+    pages, cm: dict, max_def: int, max_rep: int, type_length: int | None = None, binary: bool = False
+):
     """Decode (page_header, raw_page_bytes) pairs from ``pages`` until the
     chunk's value count is reached.  Shared by the plaintext walk above and
     the modular-encryption reader (parquet_crypto), which feeds decrypted
@@ -539,7 +569,7 @@ def _decode_pages(pages, cm: dict, max_def: int, max_rep: int, type_length: int 
         if page_type == 2:  # DICTIONARY_PAGE
             data = _decompress(raw, codec)
             dph = hdr.get(7, {})
-            dictionary, _ = _plain_values(data, 0, ptype, dph.get(1, 0), type_length)
+            dictionary, _ = _plain_values(data, 0, ptype, dph.get(1, 0), type_length, binary)
             continue
         if page_type == 0:  # DATA_PAGE (v1): whole page compressed together
             data = _decompress(raw, codec)
@@ -560,7 +590,9 @@ def _decode_pages(pages, cm: dict, max_def: int, max_rep: int, type_length: int 
                 page_defs, _ = _rle_hybrid(data, dpos, max_def.bit_length(), nv)
                 dpos += ln
             n_present = sum(1 for d in page_defs if d == max_def)
-            page_vals = _decode_values(data, dpos, enc, ptype, n_present, dictionary, type_length)
+            page_vals = _decode_values(
+                data, dpos, enc, ptype, n_present, dictionary, type_length, binary
+            )
         elif page_type == 3:  # DATA_PAGE_V2: levels stored uncompressed up front
             dp = hdr.get(8, {})
             nv = dp.get(1, 0)
@@ -577,7 +609,9 @@ def _decode_pages(pages, cm: dict, max_def: int, max_rep: int, type_length: int 
             if dp.get(7, True):  # is_compressed applies to the values only
                 body = _decompress(body, codec)
             n_present = sum(1 for d in page_defs if d == max_def)
-            page_vals = _decode_values(body, 0, enc, ptype, n_present, dictionary, type_length)
+            page_vals = _decode_values(
+                body, 0, enc, ptype, n_present, dictionary, type_length, binary
+            )
         else:
             raise NotImplementedError(f"page type {page_type} not supported")
         defs.extend(page_defs)
@@ -611,12 +645,19 @@ def _decompress(raw: bytes, codec: int) -> bytes:
 
 
 def _decode_values(
-    data: bytes, pos: int, enc: int, ptype: int, count: int, dictionary, type_length: int | None = None
+    data: bytes,
+    pos: int,
+    enc: int,
+    ptype: int,
+    count: int,
+    dictionary,
+    type_length: int | None = None,
+    binary: bool = False,
 ):
     if count == 0:
         return []
     if enc == 0:  # PLAIN
-        vals, _ = _plain_values(data, pos, ptype, count, type_length)
+        vals, _ = _plain_values(data, pos, ptype, count, type_length, binary)
         return vals
     if enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
         if dictionary is None:
@@ -652,6 +693,8 @@ def _decode_values(
         vals, _ = decode(data, pos)
         if len(vals) < count:
             raise ValueError(f"DELTA page holds {len(vals)} values, need {count}")
+        if binary:
+            return vals[:count]
         return [v.decode("utf-8", "replace") for v in vals[:count]]
     if enc == 9:  # BYTE_STREAM_SPLIT: K byte planes of `count` values each
         if ptype == 7:  # FLBA planes reassemble to bytes (float16/decimal)
@@ -680,3 +723,156 @@ def _decode_values(
 def read_table(buf: bytes, columns: list[str]) -> dict[str, list]:
     """Read several flat columns; returns {name: values}."""
     return {c: read_column(buf, c) for c in columns}
+
+
+# -- BYTE_ARRAY DECIMAL fixture writer --------------------------------------------
+#
+# DECIMAL may legally annotate the BYTE_ARRAY physical type (variable-length
+# big-endian two's-complement unscaled int — parquet LogicalTypes spec), but
+# none of the writers in this container emit it: pyarrow, DuckDB and Spark
+# all choose INT32/INT64/FLBA.  Real lakes do contain such files (Hive and
+# parquet-mr with older schema mappings), so the read path above supports
+# them and this writer exists to produce test fixtures — single row group,
+# OPTIONAL columns with def-levels, PLAIN or dictionary pages, uncompressed.
+
+
+def _uvarint_bytes(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _bitpack1(bits: list[int]) -> bytes:
+    """RLE-hybrid payload: one bit-packed run of bit-width-1 levels."""
+    groups = (len(bits) + 7) // 8
+    data = bytearray(groups)
+    for i, b in enumerate(bits):
+        data[i >> 3] |= (b & 1) << (i & 7)
+    return _uvarint_bytes((groups << 1) | 1) + bytes(data)
+
+
+def _signed_be(u: int) -> bytes:
+    ln = 1
+    while True:
+        try:
+            return u.to_bytes(ln, "big", signed=True)
+        except OverflowError:
+            ln += 1
+
+
+def write_ba_decimal_fixture(
+    columns: dict[str, tuple[list, int, int]], dictionary: bool = False
+) -> bytes:
+    """Write a plaintext parquet file whose DECIMAL columns use the
+    BYTE_ARRAY physical type.  ``columns``: name -> (values, precision,
+    scale) with values ``decimal.Decimal | None`` (all columns OPTIONAL —
+    None writes def-level 0).  ``dictionary=True`` emits a PLAIN
+    dictionary page + RLE_DICTIONARY-indexed data page instead of PLAIN."""
+    from .parquet_meta import thrift_compact_encode
+
+    out = bytearray(b"PAR1")
+    n_rows = None
+    chunks = []  # (name, precision, scale, dict_start|None, data_start, end, n)
+    for name, (values, precision, scale) in columns.items():
+        if n_rows is None:
+            n_rows = len(values)
+        elif len(values) != n_rows:
+            raise ValueError("all columns must have the same length")
+        defs = [0 if v is None else 1 for v in values]
+        raws = [_signed_be(int(v.scaleb(scale))) for v in values if v is not None]
+        chunk_start = len(out)
+        dict_start = None
+        if dictionary:
+            uniq = sorted(set(raws))
+            page = b"".join(struct.pack("<I", len(r)) + r for r in uniq)
+            hdr = thrift_compact_encode(
+                [
+                    (1, 5, 2),  # DICTIONARY_PAGE
+                    (2, 5, len(page)),
+                    (3, 5, len(page)),
+                    (7, 12, [(1, 5, len(uniq)), (2, 5, 0)]),  # PLAIN dict
+                ]
+            )
+            dict_start = chunk_start
+            out += hdr + page
+            index = {r: i for i, r in enumerate(uniq)}
+            bw = max(1, (len(uniq) - 1).bit_length())
+            idx = [index[r] for r in raws]
+            groups = (len(idx) + 7) // 8
+            packed = bytearray(groups * bw)
+            acc = 0
+            for i, v in enumerate(idx):
+                acc |= v << (i * bw)
+            packed = acc.to_bytes(groups * bw, "little")
+            vals = bytes([bw]) + _uvarint_bytes((groups << 1) | 1) + packed
+            enc = 8  # RLE_DICTIONARY
+        else:
+            vals = b"".join(struct.pack("<I", len(r)) + r for r in raws)
+            enc = 0  # PLAIN
+        dl = _bitpack1(defs)
+        body = struct.pack("<I", len(dl)) + dl + vals
+        hdr = thrift_compact_encode(
+            [
+                (1, 5, 0),  # DATA_PAGE
+                (2, 5, len(body)),
+                (3, 5, len(body)),
+                (5, 12, [(1, 5, len(values)), (2, 5, enc), (3, 5, 3), (4, 5, 3)]),
+            ]
+        )
+        data_start = len(out)
+        out += hdr + body
+        chunks.append((name, precision, scale, dict_start, data_start, len(out), len(values)))
+
+    schema = [[(4, 8, b"schema"), (5, 5, len(columns))]]
+    for name, precision, scale, *_ in chunks:
+        schema.append(
+            [
+                (1, 5, 6),  # BYTE_ARRAY
+                (3, 5, 1),  # OPTIONAL
+                (4, 8, name.encode()),
+                (6, 5, 5),  # ConvertedType DECIMAL
+                (7, 5, scale),
+                (8, 5, precision),
+            ]
+        )
+
+    cc_fields = []
+    for name, precision, scale, dict_start, data_start, end, nv in chunks:
+        start = dict_start if dict_start is not None else data_start
+        cm = [
+            (1, 5, 6),
+            (2, 9, (5, [0, 3, 8] if dict_start is not None else [0, 3])),
+            (3, 9, (8, [name.encode()])),
+            (4, 5, 0),  # UNCOMPRESSED
+            (5, 6, nv),
+            (6, 6, end - start),
+            (7, 6, end - start),
+            (9, 6, data_start),
+        ]
+        if dict_start is not None:
+            cm.append((11, 6, dict_start))
+        cc_fields.append([(2, 6, start), (3, 12, cm)])
+
+    rg = [
+        (1, 9, (12, cc_fields)),
+        (2, 6, sum(c[5] - (c[3] if c[3] is not None else c[4]) for c in chunks)),
+        (3, 6, n_rows or 0),
+    ]
+    meta = thrift_compact_encode(
+        [
+            (1, 5, 1),
+            (2, 9, (12, schema)),
+            (3, 6, n_rows or 0),
+            (4, 9, (12, [rg])),
+            (6, 8, b"native_sql_engine_spark ba-decimal fixture writer"),
+        ]
+    )
+    out += meta
+    out += struct.pack("<I", len(meta)) + b"PAR1"
+    return bytes(out)

@@ -2937,6 +2937,92 @@ def source_parquet_rawread_flba(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_parquet_rawread_ba_decimal",
+    """
+    SELECT cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey * 10007 + o_custkey) AS bigint) AS d20_sum,
+           cast(count(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END) AS bigint) AS n30,
+           cast(sum(CASE WHEN o_orderkey % 7 <> 0
+                         THEN o_orderkey * 982451653 + o_custkey END) AS bigint)
+             AS d30_sum
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def source_parquet_rawread_ba_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL over the BYTE_ARRAY physical type — the Hive/parquet-mr
+    legacy layout (variable-length big-endian two's-complement unscaled),
+    the last mainstream physical-type gap in the rawread path (round-8
+    verdict order #7).  No writer in the container emits it (pyarrow,
+    DuckDB and Spark all pick INT32/INT64/FLBA), so the fixtures come from
+    the engine's own ``write_ba_decimal_fixture`` — itself cross-validated
+    against pyarrow's and DuckDB's readers in tests/test_parquet_data.py,
+    so the fixture writer can't conspire with the reader.  Two files split
+    the key range so every row flows through exactly one page layout:
+    PLAIN for keys <1500, dictionary (PLAIN dict page + RLE_DICTIONARY
+    indices) for 1500-2999; the d30 column carries nulls (def-levels).
+    Decimals are reduced to exact unscaled bigints and the oracle computes
+    the same integers from the ORIGINAL orders table, so the decoder can't
+    self-certify.  Fixture write is a bounded driver-side step (<3000
+    rows); the decode is partition-parallel mapInPandas."""
+    import decimal
+    import os
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    from native_sql_engine_spark.operators.parquet_data import (
+        read_column,
+        write_ba_decimal_fixture,
+    )
+
+    D = decimal.Decimal
+    d = tempfile.mkdtemp(prefix="src_ba_dec_")
+    src = os.path.join(sf_dir, "orders.parquet")
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_custkey FROM read_parquet('{src}') "
+        f"WHERE o_orderkey < 3000 ORDER BY o_orderkey"
+    ).fetchall()
+    for name, dic in (("plain", False), ("dict", True)):
+        part = [(k, c) for k, c in rows if (k >= 1500) == dic]
+        cols = {
+            "okey": ([D(k) for k, _ in part], 10, 0),
+            "d20": ([D(k * 10007 + c).scaleb(-4) for k, c in part], 20, 4),
+            "d30": (
+                [None if k % 7 == 0 else D(k * 982451653 + c).scaleb(-10) for k, c in part],
+                30,
+                10,
+            ),
+        }
+        with open(os.path.join(d, f"ba_{name}.parquet"), "wb") as f:
+            f.write(write_ba_decimal_fixture(cols, dictionary=dic))
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                buf = bytes(content)
+                okey = [int(v) for v in read_column(buf, "okey")]
+                d20 = read_column(buf, "d20")
+                d30 = read_column(buf, "d30")
+                yield pd.DataFrame(
+                    {
+                        "okey": okey,
+                        "d20u": [int(v.scaleb(4)) for v in d20],
+                        "d30u": [None if v is None else int(v.scaleb(10)) for v in d30],
+                    }
+                )
+
+    files = spark.read.format("binaryFile").load(d)
+    raw = files.select("content").mapInPandas(batches, "okey long, d20u long, d30u long")
+    return raw.agg(
+        F.count("*").alias("n"),
+        F.sum("d20u").cast("bigint").alias("d20_sum"),
+        F.count("d30u").cast("bigint").alias("n30"),
+        F.sum("d30u").cast("bigint").alias("d30_sum"),
+    )
+
+
+@q(
     "source_parquet_rawread_zstd",
     """
     SELECT o_orderpriority, cast(count(*) AS bigint) AS n,

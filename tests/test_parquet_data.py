@@ -400,3 +400,49 @@ def test_int96_pre_epoch_timestamps_signed_nanos():
         want = [r[0] for r in duckdb.sql(f"SELECT ts FROM read_parquet('{f.name}')").fetchall()]
         assert got == want
         assert min(v for v in got if v is not None) < dt.datetime(1970, 1, 1)
+
+
+def test_byte_array_decimal_plain_and_dictionary():
+    """DECIMAL over the BYTE_ARRAY physical type (variable-length
+    big-endian two's-complement unscaled — Hive/parquet-mr legacy layout;
+    no writer in this container emits it, so the fixture is self-written
+    via write_ba_decimal_fixture).  Cross-validated three ways: our
+    reader, pyarrow, and DuckDB all agree on both PLAIN and
+    dictionary-encoded pages, including nulls and negative unscaled
+    values wider than 16 bytes."""
+    import decimal
+    import io
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.parquet_data import (
+        write_ba_decimal_fixture,
+    )
+
+    D = decimal.Decimal
+    n = 300
+    d9 = [None if i % 7 == 0 else D(i * 98765 - 300000).scaleb(-3) for i in range(n)]
+    d30 = [None if i % 11 == 0 else D((i - 150) * 10**22 + i).scaleb(-8) for i in range(n)]
+    # > 16 bytes unscaled: beyond decimal128, pyarrow maps it to decimal256
+    d44 = [None if i % 13 == 0 else D((i - 150) * 10**40 + i * 17).scaleb(-2) for i in range(n)]
+    cols = {"d9": (d9, 9, 3), "d30": (d30, 30, 8), "d44": (d44, 44, 2)}
+    for dic in (False, True):
+        buf = write_ba_decimal_fixture(cols, dictionary=dic)
+        for name, (vals, _, _) in cols.items():
+            assert read_column(buf, name) == vals, (name, dic)
+        t = pq.read_table(io.BytesIO(buf))
+        for name, (vals, _, _) in cols.items():
+            assert t.column(name).to_pylist() == vals, ("pyarrow", name, dic)
+    import os
+    import tempfile
+
+    p = tempfile.mktemp(suffix=".parquet")
+    try:
+        with open(p, "wb") as f:
+            f.write(write_ba_decimal_fixture(cols))
+        got = duckdb.sql(f"SELECT d9, d30 FROM read_parquet('{p}')").fetchall()
+        assert [g[0] for g in got] == d9
+        assert [g[1] for g in got] == d30
+    finally:
+        os.unlink(p)
