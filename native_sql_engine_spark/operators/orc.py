@@ -27,8 +27,14 @@ for flat tabular data:
 - **NULLs** via PRESENT bit streams, values re-expanded positionally;
   multiple stripes concatenate.
 
-Honest gates: nested types (list/map/struct/union beyond the root),
-decimal128, and LZO chunks raise ``NotImplementedError``.  Malformed
+- **Nested types**: struct / list / map at arbitrary depth via
+  ``_decode_tree`` — LENGTH streams (unsigned RLEv2) for list/map, child
+  value counts derived from the parent's PRESENT bits (ORC has no
+  parquet-style def/rep levels; children store values only for rows
+  where every ancestor is non-null).
+
+Honest gates: union columns, RLEv1 (pre-0.12 writers), decimal128, and
+LZO chunks raise ``NotImplementedError``.  Malformed
 payloads raise positioned ``ValueError`` (shared codec-layer contract).
 Cross-validated against pyarrow's ORC writer/reader in
 tests/test_orc.py; the oracle battery entry aggregates the ORIGINAL
@@ -475,11 +481,77 @@ def _decode_column(streams: dict[int, bytes], kind: int, enc: int, nrows: int, s
     else:
         raise NotImplementedError(
             f"ORC column kind {_KINDS.get(kind, kind)} not supported "
-            "(nested/union types are out of the flat-tabular subset)"
+            "(union remains gated; struct/list/map decode via _decode_tree)"
         )
 
     if present is None:
         return vals[:nrows]
+    it = iter(vals)
+    return [next(it) if p else None for p in present]
+
+
+def _decode_tree(
+    buf: bytes,
+    tid: int,
+    types: list[dict],
+    encodings: list[dict],
+    located: dict[int, dict[int, tuple[int, int]]],
+    codec: int,
+    nrows: int,
+):
+    """Recursively decode a (possibly nested) ORC column subtree.
+
+    ORC nesting semantics: a child column physically stores values only
+    for rows where every ancestor is non-null, so each child decodes with
+    the PARENT's present count (struct) or the sum of LENGTH entries
+    (list/map) — there is no parquet-style def/rep level stream.  STRUCT
+    rows come back as dicts, LIST rows as lists, MAP rows as lists of
+    (key, value) tuples (pyarrow's to_pylist rendering, which the matrix
+    tests compare against).  UNION stays gated."""
+    tmsg = types[tid]
+    kind = _one(tmsg, 1, 0)
+    streams = {
+        k: _decompress_stream(buf[p : p + ln], codec)
+        for k, (p, ln) in located.get(tid, {}).items()
+        if k in (_PRESENT, _DATA, _LENGTH, _DICT_DATA, _SECONDARY)
+    }
+    enc = _one(encodings[tid], 1, 0) if tid < len(encodings) else 0
+    if kind not in (10, 11, 12):  # leaf
+        scale = _one(tmsg, 6, 0)
+        return _decode_column(streams, kind, enc, nrows, scale)
+
+    present = _bool_rle(streams[_PRESENT], nrows) if _PRESENT in streams else None
+    n_present = sum(present) if present is not None else nrows
+    children = _repeated_uints(tmsg, 2)
+    if kind == 12:  # struct
+        names = [n.decode("utf-8", "replace") for n in tmsg.get(3, [])]
+        cols = [
+            _decode_tree(buf, c, types, encodings, located, codec, n_present)
+            for c in children
+        ]
+        vals = [dict(zip(names, row)) for row in zip(*cols)] if cols else [{}] * n_present
+    else:  # list (10) / map (11): LENGTH stream, children hold the flattened entries
+        if enc in (0, 1):
+            raise NotImplementedError(
+                "ORC RLEv1 column encodings (pre-0.12 writers) not supported"
+            )
+        lengths = _rlev2(streams[_LENGTH], n_present, signed=False)
+        total = sum(lengths)
+        if kind == 10:
+            child = _decode_tree(buf, children[0], types, encodings, located, codec, total)
+            vals, i = [], 0
+            for ln in lengths:
+                vals.append(child[i : i + ln])
+                i += ln
+        else:
+            keys = _decode_tree(buf, children[0], types, encodings, located, codec, total)
+            vs = _decode_tree(buf, children[1], types, encodings, located, codec, total)
+            vals, i = [], 0
+            for ln in lengths:
+                vals.append(list(zip(keys[i : i + ln], vs[i : i + ln])))
+                i += ln
+    if present is None:
+        return vals
     it = iter(vals)
     return [next(it) if p else None for p in present]
 
@@ -643,14 +715,5 @@ def read_orc_table(buf: bytes, columns: list[str]) -> dict[str, list]:
             located.setdefault(scol, {})[skind] = (pos, slen)
             pos += slen
         for want, tid in col_ids.items():
-            tmsg = types[tid]
-            kind = _one(tmsg, 1, 0)
-            scale = _one(tmsg, 6, 0)
-            enc = _one(encodings[tid], 1, 0) if tid < len(encodings) else 0
-            streams = {
-                k: _decompress_stream(buf[p : p + ln], codec)
-                for k, (p, ln) in located.get(tid, {}).items()
-                if k in (_PRESENT, _DATA, _LENGTH, _DICT_DATA, _SECONDARY)
-            }
-            out[want].extend(_decode_column(streams, kind, enc, nrows, scale))
+            out[want].extend(_decode_tree(buf, tid, types, encodings, located, codec, nrows))
     return out

@@ -3776,6 +3776,109 @@ def source_orc_rawread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_orc_rawread_nested",
+    """
+    SELECT o_orderstatus AS status, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           cast(sum(CASE WHEN o_orderkey % 9 = 0 THEN 0
+                         ELSE o_orderkey % 4 END) AS bigint) AS elems,
+           cast(sum(CASE WHEN o_orderkey % 9 = 0 THEN 0
+                         ELSE o_orderkey * (((o_orderkey % 4) * (o_orderkey % 4 + 1)) // 2)
+                    END) AS bigint) AS psum,
+           cast(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 5 END) AS bigint)
+             AS tagsum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def source_orc_rawread_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested ORC decode from scratch (round-8 verdict order #6):
+    struct/list/map subtrees via LENGTH streams and parent-present child
+    counts (operators/orc.py _decode_tree — ORC has no parquet def/rep
+    levels; children store values only where every ancestor is non-null).
+    The fixture is written by pyarrow's real ORC writer with a
+    struct<status,price>, a nullable list<long> of data-dependent length,
+    and a map<string,long>; the oracle recomputes every reduction (list
+    element count/sum, map lookup, struct-field group-by) from the
+    ORIGINAL parquet through DuckDB, which cannot read ORC at all.
+    Fixture write is a bounded driver-side step (<4000 rows); the decode
+    is partition-parallel mapInPandas."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from native_sql_engine_spark.operators.orc import read_orc_table
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_orderstatus, o_totalprice FROM read_parquet('{src}') "
+        f"WHERE o_orderkey < 4000 ORDER BY o_orderkey"
+    ).fetchall()
+    t = pa.table(
+        {
+            "okey": pa.array([k for k, _, _ in rows], pa.int64()),
+            "info": pa.array(
+                [{"status": s, "price": p} for _, s, p in rows],
+                pa.struct([("status", pa.string()), ("price", pa.float64())]),
+            ),
+            "parts": pa.array(
+                [
+                    None if k % 9 == 0 else [k * (j + 1) for j in range(k % 4)]
+                    for k, _, _ in rows
+                ],
+                pa.list_(pa.int64()),
+            ),
+            "tags": pa.array(
+                [[("m", k % 5)] if k % 2 == 1 else [] for k, _, _ in rows],
+                pa.map_(pa.string(), pa.int64()),
+            ),
+        }
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="src_orc_nested_"), "orders.orc")
+    po.write_table(t, path, compression="zstd")
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                cols = read_orc_table(bytes(content), ["okey", "info", "parts", "tags"])
+                yield pd.DataFrame(
+                    {
+                        "okey": cols["okey"],
+                        "status": [v["status"] for v in cols["info"]],
+                        "price": [v["price"] for v in cols["info"]],
+                        "parts": cols["parts"],
+                        "tagm": [dict(m).get("m") if m else None for m in cols["tags"]],
+                    }
+                )
+
+    files = spark.read.format("binaryFile").load(path)
+    raw = files.select("content").mapInPandas(
+        batches, "okey long, status string, price double, parts array<bigint>, tagm bigint"
+    )
+    return (
+        raw.groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("okey").cast("bigint").alias("key_sum"),
+            F.sum(F.when(F.col("parts").isNull(), F.lit(0)).otherwise(F.size("parts")))
+            .cast("bigint")
+            .alias("elems"),
+            F.sum(F.expr("aggregate(coalesce(parts, array()), 0L, (a, x) -> a + x)"))
+            .cast("bigint")
+            .alias("psum"),
+            F.sum("tagm").cast("bigint").alias("tagsum"),
+            F.round(F.sum("price"), 2).alias("total"),
+        )
+        .orderBy("status")
+    )
+
+
+@q(
     "source_parquet_page_pruning",
     """
     SELECT cast(count(*) AS bigint) AS n,

@@ -184,12 +184,11 @@ def test_errors_and_gates(tmp_path):
     # truncated tail
     with pytest.raises(ValueError):
         read_orc_column(buf[: len(buf) // 2] + buf[-1:], "x")
-    # nested types are gated
+    # nested list/struct/map now decode (test_nested_types_matrix); union stays gated
     nested = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
     npath = tmp_path / "n.orc"
     po.write_table(nested, npath)
-    with pytest.raises(NotImplementedError, match="kind|subset"):
-        read_orc_column(npath.read_bytes(), "l")
+    assert read_orc_column(npath.read_bytes(), "l") == [[1, 2], [3]]
 
 
 def test_empty_and_single_row(tmp_path):
@@ -250,3 +249,72 @@ def test_all_null_column(tmp_path):
     got = read_orc_table(path.read_bytes(), ["n", "k"])
     assert got["n"] == [None] * 100
     assert got["k"] == list(range(100))
+
+
+@pytest.mark.parametrize("comp", ["UNCOMPRESSED", "ZLIB", "SNAPPY", "ZSTD"])
+def test_nested_types_matrix(tmp_path, comp):
+    """Nested struct/list/map decode (round-8 verdict order #6): LENGTH
+    streams, parent-present child counts (ORC has no def/rep levels —
+    children store values only for rows where every ancestor is non-null),
+    dict rows for structs, (key, value) tuples for maps, arbitrary depth.
+    Compared against pyarrow's own reader per codec."""
+    import io
+
+    n = 400
+    li = [None if i % 9 == 0 else [j * i for j in range(i % 5)] for i in range(n)]
+    ls = [
+        None if i % 13 == 0 else [f"s{i}_{j}" if j % 2 else None for j in range(i % 4)]
+        for i in range(n)
+    ]
+    st = [None if i % 7 == 0 else {"a": i if i % 3 else None, "b": f"x{i}"} for i in range(n)]
+    mp = [None if i % 11 == 0 else [(f"k{j}", i * j) for j in range(i % 3)] for i in range(n)]
+    deep = [
+        None if i % 17 == 0 else [{"v": [i, i + 1], "t": f"d{i}"}] * (i % 2 + 1)
+        for i in range(n)
+    ]
+    t = pa.table(
+        {
+            "li": pa.array(li, type=pa.list_(pa.int64())),
+            "ls": pa.array(ls, type=pa.list_(pa.string())),
+            "st": pa.array(st, type=pa.struct([("a", pa.int64()), ("b", pa.string())])),
+            "mp": pa.array(mp, type=pa.map_(pa.string(), pa.int64())),
+            "deep": pa.array(
+                deep,
+                type=pa.list_(pa.struct([("v", pa.list_(pa.int64())), ("t", pa.string())])),
+            ),
+        }
+    )
+    b = io.BytesIO()
+    po.write_table(t, b, compression=comp)
+    buf = b.getvalue()
+    got = read_orc_table(buf, ["li", "ls", "st", "mp", "deep"])
+    back = po.read_table(io.BytesIO(buf))
+    for c in got:
+        assert got[c] == back.column(c).to_pylist(), (comp, c)
+
+
+def test_nested_spark_java_writer(spark, tmp_path):
+    """Spark's java ORC writer emits nested columns with its own RLEv2
+    encoder and stripe layout — a second independent real writer for the
+    nested path."""
+    rows = [
+        (
+            i,
+            None if i % 9 == 0 else [float(j) * 0.25 for j in range(i % 4)],
+            (i % 5, f"p{i % 7}"),
+        )
+        for i in range(5000)
+    ]
+    sdf = spark.createDataFrame(rows, "k long, v array<double>, s struct<x: int, y: string>")
+    d = str(tmp_path / "sparknested")
+    sdf.coalesce(1).write.mode("overwrite").orc(d)
+    import glob
+
+    f = glob.glob(d + "/*.orc")[0]
+    got = read_orc_table(open(f, "rb").read(), ["k", "v", "s"])
+    want = {r.k: (r.v, r.s) for r in sdf.collect()}
+    assert len(got["k"]) == 5000
+    for k, v, s in zip(got["k"], got["v"], got["s"]):
+        wv, ws = want[k]
+        assert v == wv, k
+        assert s == {"x": ws.x, "y": ws.y}, k
