@@ -24,6 +24,14 @@ Implements the read side of the public Iceberg table spec
   file paths are unique and a delete row can only name an
   already-committed path (delete.seq >= data.seq by construction);
   retired delete files (entry ``status=2``) stop applying;
+- **partition-spec pruning**: an identity-transform ``partition_filter``
+  prunes at BOTH spec levels before any data byte is read — whole
+  manifests via the manifest list's per-field lower/upper bound
+  summaries (spec ``manifest_file.partitions``, Appendix-D single-value
+  serialization for int/long/string), then individual files via each
+  entry's ``partition`` tuple; semantics are conservative (a file drops
+  only when it provably cannot match — missing bounds, unknown types and
+  non-identity transforms always keep);
 - **Spark-first scan**: :func:`read_iceberg` hands the live data-file
   paths to ``spark.read.parquet`` — Spark's vectorized reader,
   pushdown and pruning apply; this module only decides WHICH files are
@@ -90,9 +98,91 @@ def _local_path(table_dir: str, p: str) -> str:
     return os.path.join(table_dir, p)
 
 
-def iceberg_snapshot(table_dir: str, snapshot_id: int | None = None) -> dict:
+# Iceberg "single-value serialization" (spec appendix D) for the bound
+# types the pruning path understands; everything else is left undecoded
+# (and therefore never pruned on — skipping must be provably safe).
+_BOUND_DECODERS = {
+    "int": lambda b: int.from_bytes(b[:4], "little", signed=True),
+    "long": lambda b: int.from_bytes(b[:8], "little", signed=True),
+    "string": lambda b: b.decode("utf-8"),
+}
+
+
+def _encode_bound(v, typ: str) -> bytes:
+    if typ == "int":
+        return int(v).to_bytes(4, "little", signed=True)
+    if typ == "long":
+        return int(v).to_bytes(8, "little", signed=True)
+    return str(v).encode("utf-8")
+
+
+def _filter_range(cond) -> tuple:
+    """Normalize a partition-filter condition to (lo, hi) inclusive."""
+    if isinstance(cond, tuple) and cond and cond[0] == "between":
+        return cond[1], cond[2]
+    if isinstance(cond, tuple) and cond and cond[0] == "in":
+        return min(cond[1]), max(cond[1])
+    return cond, cond
+
+
+def _partition_matches(part: dict, flt: dict) -> bool:
+    """Entry-level check of a partition tuple against the filter.  A field
+    absent from the tuple gives no information — the file is KEPT (pruning
+    may only drop files that provably cannot match)."""
+    for name, cond in flt.items():
+        if name not in part:
+            continue
+        v = part[name]
+        if v is None:
+            return False  # identity value is null; every cond here is non-null
+        if isinstance(cond, tuple) and cond and cond[0] == "between":
+            if not (cond[1] <= v <= cond[2]):
+                return False
+        elif isinstance(cond, tuple) and cond and cond[0] == "in":
+            if v not in cond[1]:
+                return False
+        elif v != cond:
+            return False
+    return True
+
+
+def _manifest_may_match(summaries, spec_fields, flt) -> bool:
+    """Manifest-list-level check: per-field lower/upper bound summaries
+    (spec ``manifest_file.partitions``, positionally aligned with the
+    spec's fields).  Missing/undecodable bounds keep the manifest."""
+    for i, (name, typ) in enumerate(spec_fields):
+        if name not in flt or i >= len(summaries):
+            continue
+        dec = _BOUND_DECODERS.get(typ)
+        s = summaries[i] or {}
+        lo_b, hi_b = s.get("lower_bound"), s.get("upper_bound")
+        if dec is None or lo_b is None or hi_b is None:
+            continue
+        lo, hi = dec(lo_b), dec(hi_b)
+        want_lo, want_hi = _filter_range(flt[name])
+        if want_hi < lo or want_lo > hi:
+            return False
+    return True
+
+
+def iceberg_snapshot(
+    table_dir: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> dict:
     """Resolve one snapshot's live data files.  Returns ``{"snapshot_id",
-    "files": [local paths], "schema", "sequence_number"}``."""
+    "files": [local paths], "schema", "sequence_number"}`` plus pruning
+    stats (``files_total``, ``manifests_skipped``).
+
+    ``partition_filter``: {field_name: cond} over identity partition
+    fields, where cond is a value (equality), ``("between", lo, hi)`` or
+    ``("in", [v, ...])``.  Pruning happens at BOTH spec levels before any
+    data byte is read: whole manifests drop via the manifest list's
+    per-field bound summaries, then individual files drop via each
+    entry's ``partition`` tuple.  DELETES manifests are never pruned (a
+    positional delete for a kept file may live in a manifest whose data
+    partitions don't match).  Semantics are conservative: a file is
+    skipped only when its partition tuple provably cannot match."""
     from .avro import read_avro
 
     with open(_latest_metadata(table_dir), "r", encoding="utf-8") as fh:
@@ -108,15 +198,53 @@ def iceberg_snapshot(table_dir: str, snapshot_id: int | None = None) -> dict:
     with open(mlist_path, "rb") as fh:
         _, mlist = read_avro(fh.read())
 
+    # resolve the partition spec's (name, type) pairs: spec fields carry
+    # only source-ids; types come from the schema's field list
+    spec_fields: list[tuple[str, str]] = []
+    if partition_filter:
+        schemas = meta.get("schemas") or []
+        schema = next(
+            (s for s in schemas if s.get("schema-id") == meta.get("current-schema-id", 0)),
+            schemas[0] if schemas else {},
+        )
+        by_id = {f.get("id"): f for f in schema.get("fields", [])}
+        specs = meta.get("partition-specs") or []
+        spec = next(
+            (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
+            specs[0] if specs else {},
+        )
+        for f in spec.get("fields", []):
+            if f.get("transform") != "identity":
+                continue  # non-identity fields are never pruned on here
+            src = by_id.get(f.get("source-id"), {})
+            spec_fields.append((f.get("name"), src.get("type", "")))
+
     files: list[tuple[str, str]] = []
     pos_deletes: list[str] = []
+    manifests_skipped = files_pruned = 0
     for entry in mlist:
         mpath = _local_path(table_dir, entry["manifest_path"])
         is_deletes_manifest = entry.get("content", 0) == 1
+        if (
+            partition_filter
+            and not is_deletes_manifest
+            and entry.get("partitions") is not None
+            and not _manifest_may_match(entry["partitions"], spec_fields, partition_filter)
+        ):
+            manifests_skipped += 1
+            continue
         with open(mpath, "rb") as fh:
             _, entries = read_avro(fh.read())
         for e in entries:
             if e.get("status") == 2:  # DELETED entry: file left the snapshot
+                continue
+            if (
+                partition_filter
+                and not is_deletes_manifest
+                and isinstance((e.get("data_file") or {}).get("partition"), dict)
+                and not _partition_matches(e["data_file"]["partition"], partition_filter)
+            ):
+                files_pruned += 1
                 continue
             df = e.get("data_file") or {}
             content = df.get("content", 1 if is_deletes_manifest else 0)
@@ -156,10 +284,17 @@ def iceberg_snapshot(table_dir: str, snapshot_id: int | None = None) -> dict:
         "position_delete_files": pos_deletes,
         "schema": meta.get("schemas") or meta.get("schema"),
         "sequence_number": snap.get("sequence-number", 0),
+        "manifests_skipped": manifests_skipped,
+        "files_pruned": files_pruned,
     }
 
 
-def read_iceberg(spark, table_dir: str, snapshot_id: int | None = None):
+def read_iceberg(
+    spark,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+):
     """Open an Iceberg snapshot as a DataFrame via Spark's own scans of
     the manifest-resolved live files.  Mixed-format snapshots (a table
     migrated from ORC to parquet keeps its old ORC data files) read each
@@ -173,7 +308,7 @@ def read_iceberg(spark, table_dir: str, snapshot_id: int | None = None):
     failing."""
     from pyspark.sql import functions as F
 
-    snap = iceberg_snapshot(table_dir, snapshot_id)
+    snap = iceberg_snapshot(table_dir, snapshot_id, partition_filter)
     if not snap["files"]:
         raise ValueError(f"Iceberg snapshot {snap['snapshot_id']} has no data files")
     by_fmt: dict[str, list[str]] = {}
@@ -222,35 +357,67 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "added_files_count", "type": "int"},
         {"name": "existing_files_count", "type": "int"},
         {"name": "deleted_files_count", "type": "int"},
-    ],
-}
-
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
         {
-            "name": "data_file",
-            "type": {
-                "type": "record",
-                "name": "r2",
-                "fields": [
-                    {"name": "content", "type": "int"},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
-                    {
-                        "name": "lower_bounds",
-                        "type": ["null", {"type": "map", "values": "bytes"}],
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean"},
+                            {"name": "lower_bound", "type": ["null", "bytes"]},
+                            {"name": "upper_bound", "type": ["null", "bytes"]},
+                        ],
                     },
-                ],
-            },
+                },
+            ],
         },
     ],
 }
+
+
+def _manifest_entry_schema(partition_fields: list[tuple[str, str]] | None) -> dict:
+    """Manifest-entry Avro schema; when the table is partitioned the
+    ``data_file.partition`` record mirrors the partition spec's fields
+    (identity transforms: the source column's type carries over)."""
+    df_fields = [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+    ]
+    if partition_fields:
+        df_fields.append(
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": [
+                        {"name": n, "type": ["null", t]} for n, t in partition_fields
+                    ],
+                },
+            }
+        )
+    df_fields += [
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "lower_bounds", "type": ["null", {"type": "map", "values": "bytes"}]},
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": df_fields}},
+        ],
+    }
+
+
+_MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema(None)
 
 
 def write_position_delete_file(path: str, deletes: list[tuple[str, int]]) -> str:
@@ -278,29 +445,48 @@ def write_iceberg_fixture(
     table_dir: str,
     snapshots: dict[int, list[tuple]],
     current: int,
+    partition_spec: list[tuple[str, str]] | None = None,
 ) -> None:
     """Build an Iceberg-shaped table (fixture writer).  ``snapshots`` maps
     snapshot-id -> entries, each ``(status, file_path)`` for a data file or
     ``(status, file_path, content)`` with content 1 for a positional delete
-    file.  Data entries go into a content=0 manifest, delete entries into a
-    separate content=1 DELETES manifest (as the spec requires); each
-    snapshot gets its own manifest list, all serialized through the
-    from-scratch nested Avro codec."""
+    file; with ``partition_spec`` (list of (name, avro_type) identity
+    fields) an entry may extend to ``(status, file_path, content,
+    partition_dict[, manifest_group])`` — entries sharing a manifest_group
+    land in the same data manifest, and each data manifest's manifest-list
+    row carries per-field lower/upper bound summaries so the read side can
+    skip whole manifests.  Data entries go into content=0 manifests,
+    delete entries into a separate content=1 DELETES manifest (as the spec
+    requires); each snapshot gets its own manifest list, all serialized
+    through the from-scratch nested Avro codec."""
     from .avro import write_avro
 
+    entry_schema = _manifest_entry_schema(partition_spec)
     md = os.path.join(table_dir, "metadata")
     os.makedirs(md, exist_ok=True)
     snap_meta = []
     for sid, raw_entries in snapshots.items():
-        entries = [(e[0], e[1], e[2] if len(e) > 2 else 0) for e in raw_entries]
-        manifests = []  # (path, manifest_content, entries)
-        for manifest_content in (0, 1):
-            # content 1 (positional) and 2 (equality) both live in DELETES manifests
+        entries = [
+            (
+                e[0],
+                e[1],
+                e[2] if len(e) > 2 else 0,
+                e[3] if len(e) > 3 else None,
+                e[4] if len(e) > 4 else 0,
+            )
+            for e in raw_entries
+        ]
+        manifests = []  # (path, manifest_content, entries, summaries)
+        groups: list[tuple[int, int]] = [(0, g) for g in sorted({e[4] for e in entries})]
+        groups.append((1, 0))  # one DELETES manifest per snapshot
+        for manifest_content, group in groups:
             wanted = (0,) if manifest_content == 0 else (1, 2)
-            sub = [e for e in entries if e[2] in wanted]
+            sub = [e for e in entries if e[2] in wanted and (manifest_content == 1 or e[4] == group)]
             if not sub:
                 continue
-            suffix = "" if manifest_content == 0 else "-deletes"
+            suffix = f"-g{group}" if manifest_content == 0 and group else (
+                "" if manifest_content == 0 else "-deletes"
+            )
             manifest = os.path.join(md, f"manifest-{sid}{suffix}.avro")
             rows = [
                 {
@@ -310,16 +496,33 @@ def write_iceberg_fixture(
                         "content": content,
                         "file_path": path,
                         "file_format": "ORC" if path.endswith(".orc") else "PARQUET",
+                        **(
+                            {"partition": {n: (part or {}).get(n) for n, _ in partition_spec}}
+                            if partition_spec
+                            else {}
+                        ),
                         "record_count": 0,
                         "file_size_in_bytes": 0,
                         "lower_bounds": None,
                     },
                 }
-                for status, path, content in sub
+                for status, path, content, part, _g in sub
             ]
             with open(manifest, "wb") as fh:
-                fh.write(write_avro(rows, _MANIFEST_ENTRY_SCHEMA, codec="deflate"))
-            manifests.append((manifest, manifest_content, sub))
+                fh.write(write_avro(rows, entry_schema, codec="deflate"))
+            summaries = None
+            if partition_spec and manifest_content == 0:
+                summaries = []
+                for name, typ in partition_spec:
+                    vals = [p[name] for *_a, p, _g in sub if p and p.get(name) is not None]
+                    summaries.append(
+                        {
+                            "contains_null": any(p is None or p.get(name) is None for *_a, p, _g in sub),
+                            "lower_bound": _encode_bound(min(vals), typ) if vals else None,
+                            "upper_bound": _encode_bound(max(vals), typ) if vals else None,
+                        }
+                    )
+            manifests.append((manifest, manifest_content, sub, summaries))
         mlist = os.path.join(md, f"snap-{sid}.avro")
         with open(mlist, "wb") as fh:
             fh.write(
@@ -330,11 +533,12 @@ def write_iceberg_fixture(
                             "manifest_length": os.path.getsize(manifest),
                             "partition_spec_id": 0,
                             "content": manifest_content,
-                            "added_files_count": sum(1 for s, _, _ in sub if s == 1),
-                            "existing_files_count": sum(1 for s, _, _ in sub if s == 0),
-                            "deleted_files_count": sum(1 for s, _, _ in sub if s == 2),
+                            "added_files_count": sum(1 for s, *_ in sub if s == 1),
+                            "existing_files_count": sum(1 for s, *_ in sub if s == 0),
+                            "deleted_files_count": sum(1 for s, *_ in sub if s == 2),
+                            "partitions": summaries,
                         }
-                        for manifest, manifest_content, sub in manifests
+                        for manifest, manifest_content, sub, summaries in manifests
                     ],
                     _MANIFEST_FILE_SCHEMA,
                     codec="deflate",
@@ -358,5 +562,31 @@ def write_iceberg_fixture(
         "snapshots": snap_meta,
         "schemas": [],
     }
+    if partition_spec:
+        meta["current-schema-id"] = 0
+        meta["schemas"] = [
+            {
+                "schema-id": 0,
+                "fields": [
+                    {"id": i + 1, "name": n, "required": False, "type": t}
+                    for i, (n, t) in enumerate(partition_spec)
+                ],
+            }
+        ]
+        meta["default-spec-id"] = 0
+        meta["partition-specs"] = [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": n,
+                        "transform": "identity",
+                        "source-id": i + 1,
+                        "field-id": 1000 + i,
+                    }
+                    for i, (n, _t) in enumerate(partition_spec)
+                ],
+            }
+        ]
     with open(os.path.join(md, f"v{len(snapshots)}.metadata.json"), "w") as fh:
         json.dump(meta, fh)

@@ -158,3 +158,60 @@ def test_positional_delete_retired(spark, tmp_path):
     assert sorted(r.k for r in read_iceberg(spark, d, snapshot_id=1).collect()) == list(
         range(1, 100)
     )
+
+
+def test_partition_pruning_two_levels(spark, tmp_path):
+    """Partition-spec pruning: (a) whole manifests skip via manifest-list
+    bound summaries — their entry files are never opened; (b) individual
+    files skip via each entry's partition tuple; (c) equality / between /
+    in conditions; (d) conservative semantics — missing bounds or
+    non-identity transforms never prune."""
+    d = str(tmp_path)
+    files = {}
+    for g, (bucket, lo) in enumerate([(10, 0), (20, 100), (30, 200), (40, 300)]):
+        files[bucket] = _mk(d, f"b{bucket}.parquet", lo, lo + 100)
+    # manifests: {10,20} group 0, {30,40} group 1
+    entries = [
+        (1, p, 0, {"bucket": b}, 0 if b <= 20 else 1) for b, p in files.items()
+    ]
+    write_iceberg_fixture(d, {1: entries}, 1, partition_spec=[("bucket", "int")])
+
+    snap = iceberg_snapshot(d, partition_filter={"bucket": 30})
+    assert [os.path.basename(f) for f in snap["files"]] == ["b30.parquet"]
+    assert snap["manifests_skipped"] == 1  # group 0 dropped on bounds [10,20]
+    assert snap["files_pruned"] == 1  # b40 dropped at entry level
+
+    snap = iceberg_snapshot(d, partition_filter={"bucket": ("between", 15, 35)})
+    assert sorted(os.path.basename(f) for f in snap["files"]) == [
+        "b20.parquet",
+        "b30.parquet",
+    ]
+    snap = iceberg_snapshot(d, partition_filter={"bucket": ("in", [10, 40])})
+    assert sorted(os.path.basename(f) for f in snap["files"]) == [
+        "b10.parquet",
+        "b40.parquet",
+    ]
+    # no bounds intersection at all -> everything prunes before any scan
+    snap = iceberg_snapshot(d, partition_filter={"bucket": 99})
+    assert snap["files"] == [] and snap["manifests_skipped"] == 2
+
+    # unfiltered read unchanged; filtered Spark read sees only kept files
+    assert len(iceberg_snapshot(d)["files"]) == 4
+    got = sorted(
+        r.k for r in read_iceberg(spark, d, partition_filter={"bucket": 20}).collect()
+    )
+    assert got == list(range(100, 200))
+
+    # unknown field in the filter: no information -> nothing prunes
+    snap = iceberg_snapshot(d, partition_filter={"nope": 1})
+    assert len(snap["files"]) == 4 and snap["manifests_skipped"] == 0
+
+
+def test_partition_pruning_backward_compat(tmp_path):
+    """Unpartitioned fixtures (no partition records, null summaries) are
+    untouched by a partition filter — conservative keep-everything."""
+    d = str(tmp_path)
+    a, b, c = _fixture(d)
+    snap = iceberg_snapshot(d, partition_filter={"status": "X"})
+    assert sorted(snap["files"]) == sorted([b, c])
+    assert snap["manifests_skipped"] == 0 and snap["files_pruned"] == 0
