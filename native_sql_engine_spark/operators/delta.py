@@ -34,10 +34,18 @@ table WITHOUT the delta-spark runtime:
   engine's own vectorized reader, predicate pushdown and partition
   pruning all apply; this module only decides WHICH files are live.
 
-Honest gates: column mapping (``minReaderVersion`` 2, or the
-``delta.columnMapping.mode`` table config on any version — physical
-``col-<uuid>`` names would leak into results), v2 checkpoints and other
-unknown reader features raise ``NotImplementedError``.  Malformed logs,
+- **column mapping** (PROTOCOL.md — Column Mapping): ``name`` mode scans
+  the physical ``col-<uuid>`` columns and aliases them back to logical
+  names; ``id`` mode is fully Spark-first — the read schema carries
+  ``parquet.field.id`` metadata and Spark's own vectorized reader
+  resolves columns by parquet field id (physical names and order become
+  irrelevant, the protocol's id-mode contract).  ``minReaderVersion`` 2
+  ("column mapping capable") therefore opens normally now.
+
+Honest gates: column mapping over NESTED columns or partitioned
+column-mapping tables (inner fields / hive directory names are physical
+too), v2 checkpoints and other unknown reader features raise
+``NotImplementedError``.  Malformed logs,
 DV checksum/cardinality mismatches and truncated DV blobs raise
 positioned ``ValueError``.  Single-writer caveat: no real Delta writer
 ships in this container, so the DV byte layout cannot be
@@ -91,26 +99,22 @@ def _log_dir(table_dir: str) -> str:
 
 #: readerFeatures this module actually honors.  timestampNtz affects only
 #: the type mapping Spark already handles; deletionVectors are applied as a
-#: row_index anti-join (see :func:`read_delta`).
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+#: row_index anti-join; columnMapping resolves physical col-<uuid> names
+#: (``name`` mode) or parquet field ids (``id`` mode) back to logical names
+#: (see :func:`read_delta`).
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
 
 
 def _check_protocol(proto: dict) -> None:
     rv = proto.get("minReaderVersion", 1)
-    if rv == 2:
-        # reader version 2 predates feature flags and means exactly "column
-        # mapping": the parquet files carry physical col-<uuid> names, so a
-        # naive scan would silently return a wrong schema.
-        raise NotImplementedError(
-            "Delta minReaderVersion 2 (column mapping) not supported "
-            "(physical column names would leak into results)"
-        )
+    # rv=2 predates feature flags and means exactly "column mapping
+    # capable" — supported via the schemaString's physicalName/id metadata
     feats = set(proto.get("readerFeatures") or [])
     unsupported = feats - _SUPPORTED_READER_FEATURES
     if rv > 1 and unsupported:
         raise NotImplementedError(
             f"Delta reader features {sorted(unsupported)} not supported "
-            "(column mapping / v2 checkpoints / type widening ...)"
+            "(v2 checkpoints / type widening ...)"
         )
     if rv > 3:
         raise NotImplementedError(f"Delta minReaderVersion {rv} not supported")
@@ -118,13 +122,8 @@ def _check_protocol(proto: dict) -> None:
 
 def _check_metadata(meta: dict) -> None:
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
-    if mode in ("id", "name"):
-        # column mapping can also be enabled purely via table config on
-        # legacy protocol versions — same wrong-schema hazard as rv=2
-        raise NotImplementedError(
-            f"Delta column mapping mode {mode!r} not supported "
-            "(physical column names would leak into results)"
-        )
+    if mode not in (None, "none", "name", "id"):
+        raise NotImplementedError(f"Delta column mapping mode {mode!r} not supported")
 
 
 def _apply_action(state: dict, action: dict) -> None:
@@ -405,6 +404,57 @@ def _dv_deleted_positions_df(spark, table_dir: str, dv_files: dict):
     return desc.mapInPandas(expand, "__dv_path string, __dv_ri long")
 
 
+#: Delta primitive type names -> Spark SQL DDL strings (column-mapping
+#: schema reconstruction; complex nested types stay gated there).
+_DELTA_PRIMITIVES = {
+    "string": "string",
+    "long": "bigint",
+    "integer": "int",
+    "short": "smallint",
+    "byte": "tinyint",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
+}
+
+
+def _mapping_fields(schema_str: str) -> list[tuple[str, str, int, str]]:
+    """Parse a column-mapping table's schemaString into
+    ``(logical, physical, field_id, spark_ddl_type)`` rows.
+
+    Scope is honest: top-level primitive (and decimal) columns map;
+    struct columns gate — their INNER fields carry physical names too and
+    a positional cast could silently mis-map renamed nested data."""
+    schema = json.loads(schema_str or "{}")
+    out = []
+    for f in schema.get("fields", []):
+        t = f.get("type")
+        if isinstance(t, dict):
+            raise NotImplementedError(
+                f"Delta column mapping over nested column {f.get('name')!r} "
+                "not supported (inner fields carry physical names too)"
+            )
+        ddl = _DELTA_PRIMITIVES.get(t)
+        if ddl is None and not str(t).startswith("decimal"):
+            raise NotImplementedError(
+                f"Delta column mapping over type {t!r} not supported"
+            )
+        md = f.get("metadata") or {}
+        phys = md.get("delta.columnMapping.physicalName")
+        fid = md.get("delta.columnMapping.id")
+        if phys is None or fid is None:
+            raise ValueError(
+                f"column mapping enabled but field {f.get('name')!r} lacks "
+                "physicalName/id metadata"
+            )
+        out.append((f["name"], phys, int(fid), ddl or str(t)))
+    return out
+
+
 def read_delta(spark, table_dir: str, version: int | None = None):
     """Open a Delta table as a DataFrame via Spark's own parquet scan of
     the snapshot's active files (basePath keeps hive-layout partition
@@ -423,15 +473,54 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     if not snap["files"]:
         raise ValueError(f"Delta snapshot v{snap['version']} has no files")
     paths = [os.path.join(table_dir, p) for p in snap["files"]]
-    df = spark.read.option("basePath", table_dir).parquet(*paths)
+
+    mode = (snap["configuration"] or {}).get("delta.columnMapping.mode")
+    rename = None  # [(physical_or_logical_source, logical)] applied last
+    if mode in ("name", "id"):
+        fields = _mapping_fields(snap["schema"])
+        if snap["partition_columns"]:
+            raise NotImplementedError(
+                "Delta column mapping with partition columns not supported "
+                "(hive directory names are physical)"
+            )
+        if mode == "id":
+            # Spark-first: hand Spark a read schema whose fields carry
+            # parquet.field.id metadata and let ITS vectorized reader
+            # resolve columns by parquet field id — physical names become
+            # irrelevant, exactly the protocol's id-mode contract.
+            from pyspark.sql import types as T
+
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            st = T.StructType(
+                [
+                    T.StructField(
+                        logical,
+                        T._parse_datatype_string(ddl),
+                        True,
+                        {"parquet.field.id": fid},
+                    )
+                    for logical, _phys, fid, ddl in fields
+                ]
+            )
+            df = spark.read.schema(st).option("basePath", table_dir).parquet(*paths)
+        else:
+            df = spark.read.option("basePath", table_dir).parquet(*paths)
+            rename = [(phys, logical) for logical, phys, _fid, _ddl in fields]
+    else:
+        df = spark.read.option("basePath", table_dir).parquet(*paths)
 
     dv_files = {
         os.path.abspath(os.path.join(table_dir, p)): add["deletionVector"]
         for p, add in snap["files"].items()
         if add.get("deletionVector")
     }
+    def _renamed(d):
+        if rename is None:
+            return d
+        return d.select([F.col(src).alias(logical) for src, logical in rename])
+
     if not dv_files:
-        return df
+        return _renamed(df)
 
     deleted = _dv_deleted_positions_df(spark, table_dir, dv_files)
     total_card = sum(int(dv.get("cardinality", 0)) for dv in dv_files.values())
@@ -442,7 +531,7 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     scan = df.withColumn(
         "__dv_path", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
     ).withColumn("__dv_ri", F.col("_metadata.row_index"))
-    return scan.join(deleted, ["__dv_path", "__dv_ri"], "left_anti").select(*cols)
+    return _renamed(scan.join(deleted, ["__dv_path", "__dv_ri"], "left_anti").select(*cols))
 
 
 # -- fixture write side (same spec) ----------------------------------------------------

@@ -3773,6 +3773,120 @@ def lake_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_delta_column_mapping",
+    """
+    SELECT o_orderstatus AS status, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta column mapping — the gate the round-8 verdict ranked as the
+    likeliest real-lake hit after DVs, now resolved for both modes.  The
+    fixture stores orders under physical ``col-<uuid>`` parquet names:
+    file A is read in 'name' mode (physical→logical alias select), and
+    the same logical table is re-committed in 'id' mode over file B whose
+    physical names AND column order are scrambled — resolution happens
+    purely through Spark's parquet field-id reader, so a name- or
+    position-based scan cannot produce these numbers.  The oracle
+    aggregates the ORIGINAL orders under logical names; leaked physical
+    names would change the schema hash, mis-mapped columns the values."""
+    import json as _json
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.delta import (
+        read_delta,
+        write_delta_commit,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def cm_schema(phys):
+        fields = []
+        for i, (logical, typ) in enumerate(
+            [("o_orderkey", "long"), ("o_orderstatus", "string"), ("o_totalprice", "double")]
+        ):
+            fields.append(
+                {
+                    "name": logical,
+                    "type": typ,
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": phys[i],
+                    },
+                }
+            )
+        return _json.dumps({"type": "struct", "fields": fields})
+
+    def fixture(mode, lo, hi, phys, scramble):
+        d = tempfile.mkdtemp(prefix=f"lake_delta_cm_{mode}_")
+        rows = duckdb.sql(
+            f"SELECT o_orderkey, o_orderstatus, o_totalprice FROM read_parquet('{src}') "
+            f"WHERE o_orderkey >= {lo} AND o_orderkey < {hi}"
+        ).fetchall()
+        arrays = {
+            phys[0]: pa.array([r[0] for r in rows], pa.int64()),
+            phys[1]: pa.array([r[1] for r in rows], pa.string()),
+            phys[2]: pa.array([r[2] for r in rows], pa.float64()),
+        }
+        order = list(reversed(phys)) if scramble else phys
+        fid = {phys[0]: 1, phys[1]: 2, phys[2]: 3}
+        schema = pa.schema(
+            [
+                pa.field(
+                    p,
+                    arrays[p].type,
+                    metadata={b"PARQUET:field_id": str(fid[p]).encode()},
+                )
+                for p in order
+            ]
+        )
+        pq.write_table(
+            pa.table({p: arrays[p] for p in order}, schema=schema),
+            os.path.join(d, "p.parquet"),
+        )
+        meta = {
+            "id": f"cm-{mode}",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": cm_schema(phys),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": mode},
+            "createdTime": 0,
+        }
+        write_delta_commit(
+            d,
+            0,
+            [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {"metaData": meta},
+                {"add": {"path": "p.parquet", "dataChange": True}},
+            ],
+        )
+        return read_delta(spark, d)
+
+    name_df = fixture("name", 0, 2000, ["col-1a2b", "col-3c4d", "col-5e6f"], False)
+    id_df = fixture("id", 2000, 4000, ["col-zz99", "col-aa11", "col-mm55"], True)
+    df = name_df.unionByName(id_df)
+    return (
+        df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("status")
+    )
+
+
+@q(
     "source_orc_rawread",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,

@@ -153,7 +153,8 @@ def test_gates(tmp_path):
     with pytest.raises(ValueError, match="not a Delta table"):
         delta_snapshot(d)
     a = _mkfile(d, "p.parquet", 0, 10)
-    # column mapping via minReaderVersion=2 (no feature flags at rv=2)
+    # minReaderVersion=2 ("column mapping capable") now opens fine; a table
+    # that actually ENABLES an unknown mapping mode still gates
     write_delta_commit(
         d,
         0,
@@ -163,13 +164,11 @@ def test_gates(tmp_path):
             {"add": a},
         ],
     )
-    with pytest.raises(NotImplementedError, match="column mapping"):
-        delta_snapshot(d)
-    # column mapping via table config on a legacy protocol
+    assert sorted(delta_snapshot(d)["files"]) == ["p.parquet"]
     d1 = str(tmp_path / "cmcfg")
     os.makedirs(d1)
     a1 = _mkfile(d1, "p.parquet", 0, 10)
-    metacm = dict(META, configuration={"delta.columnMapping.mode": "name"})
+    metacm = dict(META, configuration={"delta.columnMapping.mode": "bogus"})
     write_delta_commit(
         d1,
         0,
@@ -313,3 +312,164 @@ def test_dv_integrity_checks(tmp_path):
     dv2 = write_deletion_vector(d, [1, 2, 3], prefix="ok")
     with pytest.raises(ValueError, match="cardinality"):
         read_deletion_vector(d, {**dv2, "cardinality": 99})
+
+
+def _cm_schema(phys_k, phys_s):
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": phys_k,
+                    },
+                },
+                {
+                    "name": "s",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": phys_s,
+                    },
+                },
+            ],
+        }
+    )
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """Column mapping 'name' mode: parquet stores physical col-<uuid>
+    names; the reader must return LOGICAL names — the exact wrong-schema
+    hazard the old rv=2 gate existed for, now resolved instead of gated."""
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "col-aaa111": pa.array(range(80), pa.int64()),
+                "col-bbb222": pa.array([f"v{i % 5}" for i in range(80)]),
+            }
+        ),
+        os.path.join(d, "p.parquet"),
+    )
+    meta = dict(
+        META,
+        schemaString=_cm_schema("col-aaa111", "col-bbb222"),
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    write_delta_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+            {"add": {"path": "p.parquet", "dataChange": True}},
+        ],
+    )
+    df = read_delta(spark, d)
+    assert df.columns == ["k", "s"]
+    rows = df.orderBy("k").collect()
+    assert [r.k for r in rows] == list(range(80)) and rows[7].s == "v2"
+
+
+def test_column_mapping_id_mode(spark, tmp_path):
+    """'id' mode: resolution is by parquet field id via Spark's own
+    fieldId reader — physical names and column ORDER are scrambled on
+    purpose, so a name- or position-based read cannot pass."""
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "zz": pa.array([f"v{i % 5}" for i in range(80)], pa.string()),
+                "aa": pa.array(range(80), pa.int64()),
+            },
+            schema=pa.schema(
+                [
+                    pa.field("zz", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+                    pa.field("aa", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+                ]
+            ),
+        ),
+        os.path.join(d, "p.parquet"),
+    )
+    meta = dict(
+        META,
+        schemaString=_cm_schema("aa", "zz"),
+        configuration={"delta.columnMapping.mode": "id"},
+    )
+    write_delta_commit(
+        d,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": ["columnMapping"],
+                }
+            },
+            {"metaData": meta},
+            {"add": {"path": "p.parquet", "dataChange": True}},
+        ],
+    )
+    df = read_delta(spark, d)
+    assert df.columns == ["k", "s"]
+    rows = df.orderBy("k").collect()
+    assert [r.k for r in rows] == list(range(80)) and rows[7].s == "v2"
+
+
+def test_column_mapping_gates(spark, tmp_path):
+    """Nested mapped columns and mapped partition columns stay honestly
+    gated; a mapping table whose schema lacks the metadata is malformed."""
+    d = str(tmp_path)
+    _mkfile(d, "p.parquet", 0, 10)
+    nested = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "st",
+                    "type": {"type": "struct", "fields": []},
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-x",
+                    },
+                }
+            ],
+        }
+    )
+    meta = dict(
+        META, schemaString=nested, configuration={"delta.columnMapping.mode": "name"}
+    )
+    write_delta_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+            {"add": {"path": "p.parquet", "dataChange": True}},
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="nested"):
+        read_delta(spark, d)
+    d2 = str(tmp_path / "missingmeta")
+    os.makedirs(d2)
+    _mkfile(d2, "p.parquet", 0, 10)
+    meta2 = dict(META, configuration={"delta.columnMapping.mode": "name"})
+    write_delta_commit(
+        d2,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta2},
+            {"add": {"path": "p.parquet", "dataChange": True}},
+        ],
+    )
+    with pytest.raises(ValueError, match="physicalName"):
+        read_delta(spark, d2)
