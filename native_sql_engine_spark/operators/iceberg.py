@@ -37,13 +37,21 @@ Implements the read side of the public Iceberg table spec
   pushdown and pruning apply; this module only decides WHICH files are
   in the snapshot.
 
+- **equality deletes (v2)**: delete files with ``data_file.content=2``
+  (the Flink streaming-upsert path) carry rows of equality-column values;
+  a data row dies iff its DATA sequence number is strictly lower than
+  the delete's (manifest-entry ``sequence_number`` tracking) and all
+  equality columns match null-safely.  Application is an anti-join with
+  an equality + sequence residual; the per-file sequence map (one row
+  per live data file) broadcasts.  Re-added rows at a higher sequence
+  survive — the upsert semantics a seq-blind reader gets wrong.
+
 Mixed-format snapshots are first-class: PARQUET and ORC data files each
 read through Spark's native vectorized source and union by name (a table
 migrated between formats keeps both kinds live).  Honest gates:
-EQUALITY delete files (``content=2`` — correct application needs
-per-entry sequence-number tracking the fixture layer doesn't model yet),
-AVRO data files, and metadata without a reachable manifest list raise
-``NotImplementedError`` / positioned ``ValueError``.
+partition-scoped equality deletes (global application could
+over-delete), AVRO data files, and metadata without a reachable manifest
+list raise ``NotImplementedError`` / positioned ``ValueError``.
 
 No Iceberg writer ships in this container, so fixtures come from
 :func:`write_iceberg_fixture` (same spec shapes: metadata JSON +
@@ -220,8 +228,11 @@ def iceberg_snapshot(
             spec_fields.append((f.get("name"), src.get("type", "")))
 
     files: list[tuple[str, str]] = []
+    file_seqs: dict[str, int] = {}
     pos_deletes: list[str] = []
+    eq_deletes: list[tuple[str, int, list[int]]] = []  # (path, seq, equality_ids)
     manifests_skipped = files_pruned = 0
+    snap_seq = snap.get("sequence-number", 0)
     for entry in mlist:
         mpath = _local_path(table_dir, entry["manifest_path"])
         is_deletes_manifest = entry.get("content", 0) == 1
@@ -258,9 +269,26 @@ def iceberg_snapshot(
                         )
                     pos_deletes.append(_local_path(table_dir, df["file_path"]))
                 elif content == 2:
-                    raise NotImplementedError(
-                        "Iceberg equality delete files not supported "
-                        "(need per-entry sequence numbers to apply safely)"
+                    # equality delete: applies to data rows whose data
+                    # sequence number is STRICTLY LOWER than the delete's
+                    if fmt != "PARQUET":
+                        raise NotImplementedError(
+                            f"Iceberg equality delete files in {fmt} not wired"
+                        )
+                    if df.get("partition"):
+                        raise NotImplementedError(
+                            "partition-scoped equality deletes not supported "
+                            "(applying them globally could over-delete)"
+                        )
+                    ids = df.get("equality_ids") or []
+                    if not ids:
+                        raise ValueError(f"{mpath}: equality delete without equality_ids")
+                    eq_deletes.append(
+                        (
+                            _local_path(table_dir, df["file_path"]),
+                            e.get("sequence_number") or snap_seq,
+                            list(ids),
+                        )
                     )
                 else:
                     raise ValueError(
@@ -276,12 +304,16 @@ def iceberg_snapshot(
                     raise NotImplementedError(
                         f"Iceberg data file format {fmt} not wired (PARQUET/ORC)"
                     )
-                files.append((fmt, _local_path(table_dir, df["file_path"])))
+                p = _local_path(table_dir, df["file_path"])
+                files.append((fmt, p))
+                file_seqs[p] = e.get("sequence_number") or snap_seq
     return {
         "snapshot_id": want,
         "files": [p for _, p in files],
         "files_by_format": files,
         "position_delete_files": pos_deletes,
+        "equality_delete_files": eq_deletes,
+        "file_sequence_numbers": file_seqs,
         "schema": meta.get("schemas") or meta.get("schema"),
         "sequence_number": snap.get("sequence-number", 0),
         "manifests_skipped": manifests_skipped,
@@ -314,7 +346,9 @@ def read_iceberg(
     by_fmt: dict[str, list[str]] = {}
     for fmt, p in snap["files_by_format"]:
         by_fmt.setdefault(fmt, []).append(p)
-    with_deletes = bool(snap["position_delete_files"])
+    with_deletes = bool(snap["position_delete_files"]) or bool(
+        snap["equality_delete_files"]
+    )
 
     def meta_cols(part):
         # file: URI -> plain absolute path, matching manifest file_path values
@@ -337,11 +371,46 @@ def read_iceberg(
         return df
 
     cols = [c for c in df.columns if c not in ("__ice_fp", "__ice_ri")]
-    deletes = spark.read.parquet(*snap["position_delete_files"]).select(
-        F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias("__ice_fp"),
-        F.col("pos").alias("__ice_ri"),
-    )
-    return df.join(deletes, ["__ice_fp", "__ice_ri"], "left_anti").select(*cols)
+    if snap["position_delete_files"]:
+        deletes = spark.read.parquet(*snap["position_delete_files"]).select(
+            F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias("__ice_fp"),
+            F.col("pos").alias("__ice_ri"),
+        )
+        df = df.join(deletes, ["__ice_fp", "__ice_ri"], "left_anti")
+
+    if snap["equality_delete_files"]:
+        # id -> name through the table schema (the same resolution the
+        # partition-pruning path uses)
+        schemas = snap["schema"] or []
+        if isinstance(schemas, dict):
+            schemas = [schemas]
+        by_id = {
+            f.get("id"): f.get("name")
+            for s in schemas
+            for f in (s.get("fields") or [])
+        }
+        # each data row carries its file's data sequence number; the map is
+        # tiny (one row per live file) so Catalyst broadcasts it
+        seq_rows = [(fp, seq) for fp, seq in snap["file_sequence_numbers"].items()]
+        seq_df = spark.createDataFrame(seq_rows, "__ice_fp string, __ice_seq long")
+        df = df.join(F.broadcast(seq_df), "__ice_fp", "left")
+        for path, dseq, ids in snap["equality_delete_files"]:
+            names = [by_id.get(i) for i in ids]
+            if any(n is None for n in names):
+                raise ValueError(
+                    f"equality delete {path}: ids {ids} not all resolvable "
+                    "through the table schema"
+                )
+            dd = spark.read.parquet(path).select(
+                *[F.col(n).alias(f"__eq_{n}") for n in names]
+            )
+            # spec: the delete applies to rows whose data sequence number is
+            # STRICTLY LOWER; equality matching is null-safe (null == null)
+            cond = F.col("__ice_seq") < F.lit(int(dseq))
+            for n in names:
+                cond = cond & F.col(n).eqNullSafe(F.col(f"__eq_{n}"))
+            df = df.join(dd, cond, "left_anti")
+    return df.select(*cols)
 
 
 # -- fixture write side (spec shapes; no Iceberg writer ships here) -------------------
@@ -387,6 +456,7 @@ def _manifest_entry_schema(partition_fields: list[tuple[str, str]] | None) -> di
         {"name": "content", "type": "int"},
         {"name": "file_path", "type": "string"},
         {"name": "file_format", "type": "string"},
+        {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}]},
     ]
     if partition_fields:
         df_fields.append(
@@ -412,6 +482,7 @@ def _manifest_entry_schema(partition_fields: list[tuple[str, str]] | None) -> di
         "fields": [
             {"name": "status", "type": "int"},
             {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
             {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": df_fields}},
         ],
     }
@@ -441,11 +512,23 @@ def write_position_delete_file(path: str, deletes: list[tuple[str, int]]) -> str
     return path
 
 
+def write_equality_delete_file(path: str, columns: dict[str, list]) -> str:
+    """Write an equality delete file (spec §Equality Delete Files): plain
+    parquet whose columns are the equality field values to delete."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(pa.table(columns), path)
+    return path
+
+
 def write_iceberg_fixture(
     table_dir: str,
-    snapshots: dict[int, list[tuple]],
+    snapshots: dict[int, list],
     current: int,
     partition_spec: list[tuple[str, str]] | None = None,
+    schema_fields: list[tuple[int, str, str]] | None = None,
 ) -> None:
     """Build an Iceberg-shaped table (fixture writer).  ``snapshots`` maps
     snapshot-id -> entries, each ``(status, file_path)`` for a data file or
@@ -466,22 +549,44 @@ def write_iceberg_fixture(
     os.makedirs(md, exist_ok=True)
     snap_meta = []
     for sid, raw_entries in snapshots.items():
-        entries = [
-            (
-                e[0],
-                e[1],
-                e[2] if len(e) > 2 else 0,
-                e[3] if len(e) > 3 else None,
-                e[4] if len(e) > 4 else 0,
-            )
-            for e in raw_entries
-        ]
+        entries = []
+        for e in raw_entries:
+            if isinstance(e, dict):
+                entries.append(
+                    {
+                        "status": e["status"],
+                        "path": e["path"],
+                        "content": e.get("content", 0),
+                        "partition": e.get("partition"),
+                        "group": e.get("group", 0),
+                        "sequence": e.get("sequence", sid),
+                        "equality_ids": e.get("equality_ids"),
+                    }
+                )
+            else:
+                entries.append(
+                    {
+                        "status": e[0],
+                        "path": e[1],
+                        "content": e[2] if len(e) > 2 else 0,
+                        "partition": e[3] if len(e) > 3 else None,
+                        "group": e[4] if len(e) > 4 else 0,
+                        "sequence": sid,
+                        "equality_ids": None,
+                    }
+                )
         manifests = []  # (path, manifest_content, entries, summaries)
-        groups: list[tuple[int, int]] = [(0, g) for g in sorted({e[4] for e in entries})]
+        groups: list[tuple[int, int]] = [
+            (0, g) for g in sorted({e["group"] for e in entries})
+        ]
         groups.append((1, 0))  # one DELETES manifest per snapshot
         for manifest_content, group in groups:
             wanted = (0,) if manifest_content == 0 else (1, 2)
-            sub = [e for e in entries if e[2] in wanted and (manifest_content == 1 or e[4] == group)]
+            sub = [
+                e
+                for e in entries
+                if e["content"] in wanted and (manifest_content == 1 or e["group"] == group)
+            ]
             if not sub:
                 continue
             suffix = f"-g{group}" if manifest_content == 0 and group else (
@@ -490,14 +595,21 @@ def write_iceberg_fixture(
             manifest = os.path.join(md, f"manifest-{sid}{suffix}.avro")
             rows = [
                 {
-                    "status": status,
+                    "status": e["status"],
                     "snapshot_id": sid,
+                    "sequence_number": e["sequence"],
                     "data_file": {
-                        "content": content,
-                        "file_path": path,
-                        "file_format": "ORC" if path.endswith(".orc") else "PARQUET",
+                        "content": e["content"],
+                        "file_path": e["path"],
+                        "file_format": "ORC" if e["path"].endswith(".orc") else "PARQUET",
+                        "equality_ids": e["equality_ids"],
                         **(
-                            {"partition": {n: (part or {}).get(n) for n, _ in partition_spec}}
+                            {
+                                "partition": {
+                                    n: (e["partition"] or {}).get(n)
+                                    for n, _ in partition_spec
+                                }
+                            }
                             if partition_spec
                             else {}
                         ),
@@ -506,7 +618,7 @@ def write_iceberg_fixture(
                         "lower_bounds": None,
                     },
                 }
-                for status, path, content, part, _g in sub
+                for e in sub
             ]
             with open(manifest, "wb") as fh:
                 fh.write(write_avro(rows, entry_schema, codec="deflate"))
@@ -514,10 +626,18 @@ def write_iceberg_fixture(
             if partition_spec and manifest_content == 0:
                 summaries = []
                 for name, typ in partition_spec:
-                    vals = [p[name] for *_a, p, _g in sub if p and p.get(name) is not None]
+                    vals = [
+                        e["partition"][name]
+                        for e in sub
+                        if e["partition"] and e["partition"].get(name) is not None
+                    ]
                     summaries.append(
                         {
-                            "contains_null": any(p is None or p.get(name) is None for *_a, p, _g in sub),
+                            "contains_null": any(
+                                e["partition"] is None
+                                or e["partition"].get(name) is None
+                                for e in sub
+                            ),
                             "lower_bound": _encode_bound(min(vals), typ) if vals else None,
                             "upper_bound": _encode_bound(max(vals), typ) if vals else None,
                         }
@@ -533,9 +653,9 @@ def write_iceberg_fixture(
                             "manifest_length": os.path.getsize(manifest),
                             "partition_spec_id": 0,
                             "content": manifest_content,
-                            "added_files_count": sum(1 for s, *_ in sub if s == 1),
-                            "existing_files_count": sum(1 for s, *_ in sub if s == 0),
-                            "deleted_files_count": sum(1 for s, *_ in sub if s == 2),
+                            "added_files_count": sum(1 for e in sub if e["status"] == 1),
+                            "existing_files_count": sum(1 for e in sub if e["status"] == 0),
+                            "deleted_files_count": sum(1 for e in sub if e["status"] == 2),
                             "partitions": summaries,
                         }
                         for manifest, manifest_content, sub, summaries in manifests
@@ -562,6 +682,17 @@ def write_iceberg_fixture(
         "snapshots": snap_meta,
         "schemas": [],
     }
+    if schema_fields and not partition_spec:
+        meta["current-schema-id"] = 0
+        meta["schemas"] = [
+            {
+                "schema-id": 0,
+                "fields": [
+                    {"id": i, "name": n, "required": False, "type": t}
+                    for i, n, t in schema_fields
+                ],
+            }
+        ]
     if partition_spec:
         meta["current-schema-id"] = 0
         meta["schemas"] = [

@@ -3557,6 +3557,89 @@ def lake_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_iceberg_eq_delete",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey < 500
+       OR (o_orderkey >= 1200 AND o_orderkey < 2000)
+       OR (o_orderkey >= 800 AND o_orderkey < 1000)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY DELETES — the Flink streaming-upsert path and
+    the last delete-file gate.  A delete applies only to rows whose DATA
+    sequence number is strictly lower than the delete's: the fixture holds
+    file A (keys [0,2000), seq 1), an equality delete on o_orderkey for
+    keys [500,1200) (seq 2), and file B re-adding keys [800,1000) at seq
+    3.  The surviving set is A minus the deleted range PLUS the re-added
+    keys — a seq-blind reader kills the re-adds, a delete-blind reader
+    resurrects [500,1200); neither can match the oracle, which is exactly
+    those key ranges of the ORIGINAL orders.  The application is an
+    anti-join with a null-safe equality + sequence residual; the per-file
+    sequence map (one row per live file) broadcasts."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.iceberg import (
+        read_iceberg,
+        write_equality_delete_file,
+        write_iceberg_fixture,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_ice_eq_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 2000)],
+    )
+    t = t.filter(pc.field("o_orderkey") < 2000)
+
+    def slice_file(name, lo, hi):
+        p = os.path.join(d, "data", name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        part = t.filter((pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi))
+        pq.write_table(part, p)
+        return p
+
+    a = slice_file("part-a.parquet", 0, 2000)
+    b = slice_file("part-b.parquet", 800, 1000)
+    eq = write_equality_delete_file(
+        os.path.join(d, "data", "eq-del.parquet"),
+        {"o_orderkey": pa.array(range(500, 1200), pa.int64())},
+    )
+    write_iceberg_fixture(
+        d,
+        {
+            3: [
+                {"status": 0, "path": a, "sequence": 1},
+                {"status": 1, "path": eq, "content": 2, "equality_ids": [1], "sequence": 2},
+                {"status": 1, "path": b, "sequence": 3},
+            ]
+        },
+        current=3,
+        schema_fields=[(1, "o_orderkey", "long")],
+    )
+    df = read_iceberg(spark, d)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_iceberg_partition_pruning",
     """
     SELECT cast(count(*) AS bigint) AS n,

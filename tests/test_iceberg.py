@@ -106,11 +106,12 @@ def test_gates(tmp_path):
     open(mpath, "wb").write(write_avro(entries, _MANIFEST_ENTRY_SCHEMA))
     with pytest.raises(ValueError, match="inside a data manifest"):
         iceberg_snapshot(d)
-    # equality delete files (content=2) stay gated
+    # equality deletes are supported now, but one without equality_ids is
+    # malformed per spec
     d2 = os.path.join(d, "eq")
     a2 = _mk(d2, "a.parquet", 0, 10)
     write_iceberg_fixture(d2, {1: [(1, a2), (1, a2, 2)]}, current=1)
-    with pytest.raises(NotImplementedError, match="equality delete"):
+    with pytest.raises(ValueError, match="equality_ids"):
         iceberg_snapshot(d2)
 
 
@@ -215,3 +216,76 @@ def test_partition_pruning_backward_compat(tmp_path):
     snap = iceberg_snapshot(d, partition_filter={"status": "X"})
     assert sorted(snap["files"]) == sorted([b, c])
     assert snap["manifests_skipped"] == 0 and snap["files_pruned"] == 0
+
+
+def test_equality_deletes_sequence_semantics(spark, tmp_path):
+    """Equality deletes (content=2, the Flink streaming-upsert path):
+    a delete applies only to rows whose DATA sequence number is strictly
+    lower than the delete's.  Snapshot 3 holds: file A (seq 1), equality
+    delete on k (seq 2), file B (seq 3) re-adding some of the deleted
+    keys — the re-added rows must SURVIVE (seq 3 > 2) while A's matching
+    rows die, the exact upsert semantics a seq-blind reader gets wrong."""
+    from native_sql_engine_spark.operators.iceberg import (
+        read_iceberg,
+        write_equality_delete_file,
+        write_iceberg_fixture,
+    )
+
+    d = str(tmp_path)
+    a = _mk(d, "a.parquet", 0, 100)  # keys 0..99 @ seq 1
+    b = _mk(d, "b.parquet", 40, 60)  # keys 40..59 re-added @ seq 3
+    eq = write_equality_delete_file(
+        os.path.join(d, "data", "eq-del.parquet"),
+        {"k": list(range(40, 70))},  # delete keys 40..69 @ seq 2
+    )
+    write_iceberg_fixture(
+        d,
+        {
+            3: [
+                {"status": 0, "path": a, "sequence": 1},
+                {"status": 1, "path": eq, "content": 2, "equality_ids": [1], "sequence": 2},
+                {"status": 1, "path": b, "sequence": 3},
+            ]
+        },
+        current=3,
+        schema_fields=[(1, "k", "long")],
+    )
+    snap = iceberg_snapshot(d)
+    assert [p for p, _s, _i in snap["equality_delete_files"]] == [eq]
+    assert snap["equality_delete_files"][0][1] == 2
+    got = sorted(r.k for r in read_iceberg(spark, d).collect())
+    # A keeps 0..39 and 70..99 (40..69 deleted at seq 2 > 1); B's 40..59
+    # all survive (seq 3 > 2)
+    assert got == sorted(list(range(0, 40)) + list(range(70, 100)) + list(range(40, 60)))
+
+
+def test_equality_delete_gates(tmp_path):
+    """Partition-scoped equality deletes stay gated (global application
+    could over-delete)."""
+    from native_sql_engine_spark.operators.iceberg import (
+        write_equality_delete_file,
+        write_iceberg_fixture,
+    )
+
+    d = str(tmp_path)
+    a = _mk(d, "a.parquet", 0, 10)
+    eq = write_equality_delete_file(os.path.join(d, "data", "e.parquet"), {"k": [1]})
+    write_iceberg_fixture(
+        d,
+        {
+            1: [
+                {"status": 1, "path": a, "partition": {"bucket": 1}},
+                {
+                    "status": 1,
+                    "path": eq,
+                    "content": 2,
+                    "equality_ids": [1],
+                    "partition": {"bucket": 1},
+                },
+            ]
+        },
+        current=1,
+        partition_spec=[("bucket", "int")],
+    )
+    with pytest.raises(NotImplementedError, match="partition-scoped equality"):
+        iceberg_snapshot(d)
