@@ -33,8 +33,10 @@ for flat tabular data:
   parquet-style def/rep levels; children store values only for rows
   where every ancestor is non-null).
 
-Honest gates: union columns, RLEv1 (pre-0.12 writers), decimal128, and
-LZO chunks raise ``NotImplementedError``.  Malformed
+Honest gates: union columns, RLEv1 (pre-0.12 writers) and LZO chunks
+raise ``NotImplementedError``.  (Wide decimals — precision > 18 — ride
+the same varint DATA + SECONDARY scale streams as decimal64 and decode
+exactly; pinned in the test matrix.)  Malformed
 payloads raise positioned ``ValueError`` (shared codec-layer contract).
 Cross-validated against pyarrow's ORC writer/reader in
 tests/test_orc.py; the oracle battery entry aggregates the ORIGINAL

@@ -61,6 +61,17 @@ def _table(n=5000, seed=42):
                 [decimal.Decimal(rng.randint(-(10**12), 10**12)).scaleb(-4) for _ in range(n)],
                 pa.decimal128(18, 4),
             ),
+            # precision > 18: same varint DATA + SECONDARY scale streams,
+            # unscaled values wider than 64 bits
+            "dec32": pa.array(
+                [
+                    None
+                    if rng.random() < 0.1
+                    else decimal.Decimal(rng.randint(-(10**25), 10**25)).scaleb(-6)
+                    for _ in range(n)
+                ],
+                pa.decimal128(32, 6),
+            ),
         }
     )
 
