@@ -28,11 +28,17 @@ Key management stays external, as the spec intends: callers hand
 ``key_unwrapper(key_metadata_bytes) -> key`` callback that resolves the
 file's key-metadata through whatever KMS wrapped it.
 
-Honest gate: the alternative AES_GCM_CTR_V1 cipher (unauthenticated CTR
-pages) raises ``NotImplementedError``.  Malformed or tampered payloads
-raise positioned ``ValueError`` (shared codec-layer contract).
-Cross-validated against pyarrow's real encryption writer in
-tests/test_parquet_crypto.py.
+Both spec ciphers read: **AES_GCM_V1** (everything GCM-authenticated)
+and **AES_GCM_CTR_V1** (page MODULES are AES-CTR with a nonce+counter=1
+initial block and no tag — the throughput trade-off that mode makes —
+while footers, page headers and column metadata stay GCM-authenticated
+with positional AADs).  Note the integrity consequence faithfully: in
+GCM_CTR files a flipped page-body byte decodes to garbage values rather
+than raising, exactly as the spec accepts.
+
+Malformed or tampered payloads raise positioned ``ValueError`` (shared
+codec-layer contract).  Cross-validated against pyarrow's real
+encryption writer in tests/test_parquet_crypto.py.
 """
 
 from __future__ import annotations
@@ -177,6 +183,19 @@ def aes_gcm_decrypt(key: bytes, nonce: bytes, ct: bytes, tag: bytes, aad: bytes 
     return bytes(a ^ b for a, b in zip(ct, _ctr_stream(rk, j0, len(ct))))
 
 
+def aes_ctr_decrypt(key: bytes, nonce: bytes, ct: bytes) -> bytes:
+    """AES-CTR decrypt for AES_GCM_CTR_V1 page modules: the initial
+    counter block is the 12-byte nonce + a 4-byte counter equal to 1
+    (Encryption.md), and decryption starts AT that block — unlike GCM,
+    where block 1 is reserved for the tag and the keystream starts at 2."""
+    if len(nonce) != 12:
+        raise ValueError("CTR needs a 12-byte nonce")
+    rk = _expand_key(key)
+    # _ctr_stream pre-increments, so seed it one below the initial counter
+    j0_minus_1 = int.from_bytes(nonce + b"\x00\x00\x00\x00", "big")
+    return bytes(a ^ b for a, b in zip(ct, _ctr_stream(rk, j0_minus_1, len(ct))))
+
+
 def aes_gcm_encrypt(key: bytes, nonce: bytes, pt: bytes, aad: bytes = b"") -> tuple[bytes, bytes]:
     """AES-GCM encrypt; returns (ciphertext, tag).  (Test/fixture helper —
     the parquet read path never encrypts.)"""
@@ -234,6 +253,21 @@ def decrypt_module(buf: bytes, pos: int, key: bytes, aad: bytes) -> tuple[bytes,
         raise ValueError(f"module at byte {pos}: {exc}") from exc
 
 
+def decrypt_ctr_module(buf: bytes, pos: int, key: bytes) -> tuple[bytes, int]:
+    """Decrypt one length-framed AES_GCM_CTR_V1 page module at ``pos``:
+    length(4 LE) + nonce(12) + ciphertext — no tag, no AAD (the
+    unauthenticated trade-off that mode makes for page throughput; all
+    metadata modules stay GCM-authenticated)."""
+    if pos + 4 > len(buf):
+        raise ValueError(f"truncated encrypted module length at byte {pos}")
+    (mlen,) = struct.unpack_from("<I", buf, pos)
+    start = pos + 4
+    end = start + mlen
+    if mlen < 12 or end > len(buf):
+        raise ValueError(f"encrypted module at byte {pos} overruns the buffer")
+    return aes_ctr_decrypt(key, buf[start : start + 12], buf[start + 12 : end]), end
+
+
 class FileCrypto:
     """Per-file decryption context resolved from FileCryptoMetaData (or a
     plaintext footer's column crypto metadata)."""
@@ -245,24 +279,29 @@ class FileCrypto:
         footer_key: bytes | None,
         column_keys: dict[str, bytes],
         key_unwrapper=None,
+        ctr: bool = False,
     ):
         self.aad_prefix = aad_prefix
         self.aad_file_unique = aad_file_unique
         self.footer_key = footer_key
         self.column_keys = dict(column_keys or {})
         self.key_unwrapper = key_unwrapper
+        self.ctr = ctr  # AES_GCM_CTR_V1: page MODULES are CTR, rest GCM
 
     @classmethod
     def from_algorithm(cls, algo: dict, footer_key, column_keys, key_unwrapper, supplied_aad_prefix: bytes = b""):
-        if 1 not in algo:
-            raise NotImplementedError(
-                "AES_GCM_CTR_V1 files not supported (unauthenticated CTR pages)"
-            )
-        gcm = algo[1]
+        # EncryptionAlgorithm union: 1 = AesGcmV1, 2 = AesGcmCtrV1 — the
+        # two structs carry identical fields
+        if 1 in algo:
+            gcm, ctr = algo[1], False
+        elif 2 in algo:
+            gcm, ctr = algo[2], True
+        else:
+            raise ValueError("unknown parquet EncryptionAlgorithm variant")
         aad_prefix = gcm.get(1, b"")
         if gcm.get(3, False):  # supply_aad_prefix: caller must provide it
             aad_prefix = supplied_aad_prefix
-        return cls(aad_prefix, gcm.get(2, b""), footer_key, column_keys, key_unwrapper)
+        return cls(aad_prefix, gcm.get(2, b""), footer_key, column_keys, key_unwrapper, ctr)
 
     def column_key(self, crypto_meta: dict | None, path: str) -> bytes:
         """Resolve the key for a column chunk from its ColumnCryptoMetaData
@@ -376,7 +415,10 @@ def _encrypted_pages(buf: bytes, cm: dict, key: bytes, crypto: "FileCrypto", rg:
         expect_dict = False
         hdr_pt, pos = decrypt_module(buf, pos, key, h_aad)
         hdr, _ = thrift_compact_decode(hdr_pt)
-        page_pt, pos = decrypt_module(buf, pos, key, p_aad)
+        if crypto.ctr:  # GCM_CTR: page bodies are CTR, headers stay GCM
+            page_pt, pos = decrypt_ctr_module(buf, pos, key)
+        else:
+            page_pt, pos = decrypt_module(buf, pos, key, p_aad)
         yield hdr, page_pt
 
 

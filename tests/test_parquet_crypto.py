@@ -72,7 +72,15 @@ def _pyarrow_crypto():
     return pe, conf, pe.CryptoFactory(lambda *a, **k: KMS(conf))
 
 
-def _pyarrow_encrypted(tmp_path, *, column_keys, plaintext_footer=False, bits=128, compression="snappy"):
+def _pyarrow_encrypted(
+    tmp_path,
+    *,
+    column_keys,
+    plaintext_footer=False,
+    bits=128,
+    compression="snappy",
+    algorithm="AES_GCM_V1",
+):
     pa = pytest.importorskip("pyarrow")
     pq = pytest.importorskip("pyarrow.parquet")
     pe, conf, factory = _pyarrow_crypto()
@@ -84,6 +92,7 @@ def _pyarrow_encrypted(tmp_path, *, column_keys, plaintext_footer=False, bits=12
             plaintext_footer=plaintext_footer,
             double_wrapping=False,
             data_key_length_bits=bits,
+            encryption_algorithm=algorithm,
         ),
     )
     tbl = pa.table(
@@ -277,10 +286,13 @@ def test_page_module_moved_between_columns_fails():
             read_encrypted_column(swapped, "a", footer_key=KF)
 
 
-def test_gcm_ctr_files_gated():
-    algo = {2: {}}  # AES_GCM_CTR_V1 union branch
-    with pytest.raises(NotImplementedError, match="AES_GCM_CTR_V1"):
-        FileCrypto.from_algorithm(algo, KF, {}, None)
+def test_algorithm_union_variants():
+    # AES_GCM_CTR_V1 resolves with ctr=True; an unknown variant is malformed
+    crypto = FileCrypto.from_algorithm({2: {}}, KF, {}, None)
+    assert crypto.ctr is True
+    assert FileCrypto.from_algorithm({1: {}}, KF, {}, None).ctr is False
+    with pytest.raises(ValueError, match="EncryptionAlgorithm"):
+        FileCrypto.from_algorithm({3: {}}, KF, {}, None)
 
 
 # -- our own fixture writer -----------------------------------------------------------
@@ -337,3 +349,59 @@ def test_unencrypted_file_falls_through(tmp_path):
     path = tmp_path / "plain.parquet"
     pq.write_table(pa.table({"x": pa.array(range(10), pa.int64())}), path)
     assert read_encrypted_column(path.read_bytes(), "x") == list(range(10))
+
+
+# -- AES_GCM_CTR_V1 (page modules CTR, metadata modules GCM) ---------------------------
+
+
+def test_gcm_ctr_encrypted_footer(tmp_path):
+    """GCM_CTR files from pyarrow's real writer: page bodies decrypt with
+    the nonce+counter=1 CTR scheme, headers/footer stay GCM-authenticated."""
+    buf = _pyarrow_encrypted(
+        tmp_path,
+        column_keys={"kc": ["name", "vals.list.element"]},
+        algorithm="AES_GCM_CTR_V1",
+    )
+    assert buf[:4] == b"PARE"
+    got = read_encrypted_table(buf, ["id", "name", "vals"], key_unwrapper=_unwrap_km)
+    assert got == EXPECT
+
+
+def test_gcm_ctr_plaintext_footer_upstream_writer_bug(tmp_path):
+    """Arrow's writer records AesGcmV1 (union branch 1) in a PLAINTEXT
+    footer even when the file's pages are CTR-encrypted — pyarrow's own
+    reader then GCM-decrypts the CTR pages and fails ('Failed decryption
+    finalization').  Our reader trusts the same footer field and fails
+    the same authenticated way (tag mismatch), never returning garbage;
+    this test pins the failure parity so an arrow fix shows up as a
+    (welcome) red."""
+    buf = _pyarrow_encrypted(
+        tmp_path,
+        column_keys={"kc": ["id", "name"]},
+        plaintext_footer=True,
+        algorithm="AES_GCM_CTR_V1",
+    )
+    assert buf[-4:] == b"PAR1"
+    with pytest.raises(ValueError, match="tag mismatch"):
+        read_encrypted_table(buf, ["id", "name"], key_unwrapper=_unwrap_km)
+    pa_ = pytest.importorskip("pyarrow")
+    pq_ = pytest.importorskip("pyarrow.parquet")
+    pe, conf, factory = _pyarrow_crypto()
+    dec = factory.file_decryption_properties(conf, pe.DecryptionConfiguration())
+    path = tmp_path / "enc.parquet"
+    with pytest.raises(OSError, match="decryption"):
+        pq_.ParquetFile(path, decryption_properties=dec).read()
+
+
+def test_gcm_ctr_header_tamper_still_detected(tmp_path):
+    """CTR page BODIES are unauthenticated by design, but page HEADERS
+    remain GCM modules — flipping a header byte must still hard-fail."""
+    buf = bytearray(
+        _pyarrow_encrypted(
+            tmp_path, column_keys={"kc": ["id"]}, algorithm="AES_GCM_CTR_V1"
+        )
+    )
+    # first page-header module of the first chunk starts at byte 4
+    buf[9] ^= 0x01
+    with pytest.raises(ValueError, match="tag mismatch|module"):
+        read_encrypted_table(bytes(buf), ["id"], key_unwrapper=_unwrap_km)
