@@ -33,8 +33,16 @@ for flat tabular data:
   parquet-style def/rep levels; children store values only for rows
   where every ancestor is non-null).
 
-Honest gates: union columns, RLEv1 (pre-0.12 writers) and LZO chunks
-raise ``NotImplementedError``.  (Wide decimals — precision > 18 — ride
+- **RLE v1** (the pre-0.12 DIRECT/DICTIONARY column encodings):
+  constant-delta runs + literal varint groups, signed zigzag; selected
+  per column from the stripe footer's encoding list, including
+  list/map LENGTH streams.  No writer in this container emits v1, so
+  :func:`write_orc` grows an ``rle_version=1`` mode whose files
+  pyarrow's real reader accepts — keeping the from-scratch decode honest
+  in both directions.
+
+Honest gates: union columns and LZO chunks raise
+``NotImplementedError``.  (Wide decimals — precision > 18 — ride
 the same varint DATA + SECONDARY scale streams as decimal64 and decode
 exactly; pinned in the test matrix.)  Malformed
 payloads raise positioned ``ValueError`` (shared codec-layer contract).
@@ -272,6 +280,40 @@ def _unpack_bits(buf: bytes, pos: int, width: int, count: int) -> tuple[list[int
     return out, pos + nbytes
 
 
+def _rlev1(buf: bytes, n: int | None, signed: bool) -> list[int]:
+    """ORC RLE version 1 (pre-0.12 writers; still the v1 DIRECT/DICTIONARY
+    column encodings).  Header byte 0..127 = run of (h+3) values: one
+    signed delta byte then a base varint, value[i] = base + i*delta;
+    header byte 128..255 = (256-h) literal varints.  Signed streams are
+    zigzag varints, unsigned plain."""
+    out: list[int] = []
+    pos = 0
+
+    def read(b, p):
+        try:
+            return (_svarint if signed else _uvarint)(b, p)
+        except ValueError as exc:
+            raise ValueError(f"RLEv1 value truncated at byte {p}: {exc}") from exc
+
+    while pos < len(buf) and (n is None or len(out) < n):
+        h = buf[pos]
+        pos += 1
+        if h < 128:  # run
+            if pos >= len(buf):
+                raise ValueError(f"RLEv1 run truncated at byte {pos}")
+            delta = buf[pos] - 256 if buf[pos] > 127 else buf[pos]
+            pos += 1
+            base, pos = read(buf, pos)
+            out.extend(base + i * delta for i in range(h + 3))
+        else:  # literals
+            for _ in range(256 - h):
+                v, pos = read(buf, pos)
+                out.append(v)
+    if n is not None and len(out) < n:
+        raise ValueError(f"RLEv1 stream ended after {len(out)} of {n} values")
+    return out if n is None else out[:n]
+
+
 def _rlev2(buf: bytes, n: int | None, signed: bool) -> list[int]:
     """ORC RLEv2: SHORT_REPEAT / DIRECT / PATCHED_BASE / DELTA.
     ``n=None`` drains the buffer (dictionary LENGTH streams carry exactly
@@ -398,11 +440,9 @@ def orc_metadata(buf: bytes) -> dict:
 def _decode_column(streams: dict[int, bytes], kind: int, enc: int, nrows: int, scale: int):
     """Decode one column's value list (with None for nulls) from its
     decompressed streams within a single stripe."""
-    if kind in ({2, 3, 4, 8, 9, 14, 15, 18} | _STR_KINDS) and enc in (0, 1):
-        # DIRECT / DICTIONARY (v1 encodings) carry RLEv1 integer streams
-        raise NotImplementedError(
-            "ORC RLEv1 column encodings (pre-0.12 writers) not supported"
-        )
+    # DIRECT / DICTIONARY (encodings 0/1) carry RLEv1 integer streams;
+    # DIRECT_V2 / DICTIONARY_V2 (2/3) carry RLEv2
+    ints = _rlev1 if enc in (0, 1) else _rlev2
     present = None
     if _PRESENT in streams:
         present = _bool_rle(streams[_PRESENT], nrows)
@@ -415,7 +455,7 @@ def _decode_column(streams: dict[int, bytes], kind: int, enc: int, nrows: int, s
     elif kind == 1:  # tinyint: byte RLE, signed
         vals = [v - 256 if v > 127 else v for v in _byte_rle(streams[_DATA], n_vals)]
     elif kind in _INT_KINDS:
-        vals = _rlev2(streams[_DATA], n_vals, signed=True)
+        vals = ints(streams[_DATA], n_vals, signed=True)
     elif kind in (5, 6):  # float / double
         raw = streams[_DATA]
         width = 4 if kind == 5 else 8
@@ -430,19 +470,19 @@ def _decode_column(streams: dict[int, bytes], kind: int, enc: int, nrows: int, s
         if enc in (1, 3):  # DICTIONARY / DICTIONARY_V2
             dict_blob = streams[_DICT_DATA]
             # LENGTH carries one entry per dictionary item; drain it
-            lens = _rlev2(streams[_LENGTH], None, signed=False)
+            lens = ints(streams[_LENGTH], None, signed=False)
             entries = []
             off = 0
             for ln in lens:
                 entries.append(dict_blob[off : off + ln])
                 off += ln
-            idx = _rlev2(streams[_DATA], n_vals, signed=False)
+            idx = ints(streams[_DATA], n_vals, signed=False)
             try:
                 raw_vals = [entries[i] for i in idx]
             except IndexError:
                 raise ValueError("ORC dictionary index out of range") from None
         else:  # DIRECT / DIRECT_V2
-            lens = _rlev2(streams[_LENGTH], n_vals, signed=False)
+            lens = ints(streams[_LENGTH], n_vals, signed=False)
             blob = streams[_DATA]
             raw_vals = []
             off = 0
@@ -454,13 +494,13 @@ def _decode_column(streams: dict[int, bytes], kind: int, enc: int, nrows: int, s
         import datetime as dt
 
         epoch = dt.date(1970, 1, 1)
-        days = _rlev2(streams[_DATA], n_vals, signed=True)
+        days = ints(streams[_DATA], n_vals, signed=True)
         vals = [epoch + dt.timedelta(days=d) for d in days]
     elif kind in (9, 18):  # timestamp (+_INSTANT): 2015-01-01 base + nanos
         import datetime as dt
 
-        secs = _rlev2(streams[_DATA], n_vals, signed=True)
-        nanos_enc = _rlev2(streams[_SECONDARY], n_vals, signed=False)
+        secs = ints(streams[_DATA], n_vals, signed=True)
+        nanos_enc = ints(streams[_SECONDARY], n_vals, signed=False)
         base = dt.datetime(2015, 1, 1)
         vals = []
         for s, ne in zip(secs, nanos_enc):
@@ -475,7 +515,7 @@ def _decode_column(streams: dict[int, bytes], kind: int, enc: int, nrows: int, s
         import decimal
 
         if _SECONDARY in streams:
-            scales = _rlev2(streams[_SECONDARY], n_vals, signed=True)
+            scales = ints(streams[_SECONDARY], n_vals, signed=True)
         else:
             scales = [scale] * n_vals
         unscaled = _varint128_stream(streams[_DATA], n_vals)
@@ -533,11 +573,9 @@ def _decode_tree(
         ]
         vals = [dict(zip(names, row)) for row in zip(*cols)] if cols else [{}] * n_present
     else:  # list (10) / map (11): LENGTH stream, children hold the flattened entries
-        if enc in (0, 1):
-            raise NotImplementedError(
-                "ORC RLEv1 column encodings (pre-0.12 writers) not supported"
-            )
-        lengths = _rlev2(streams[_LENGTH], n_present, signed=False)
+        lengths = (_rlev1 if enc in (0, 1) else _rlev2)(
+            streams[_LENGTH], n_present, signed=False
+        )
         total = sum(lengths)
         if kind == 10:
             child = _decode_tree(buf, children[0], types, encodings, located, codec, total)
@@ -571,6 +609,51 @@ def _varint128_stream(buf: bytes, n: int) -> list[int]:
 # -- minimal writer (fixtures; real readers must accept the output) -------------------
 
 
+def _zigzag_varint(v: int) -> bytes:
+    return _pb_write_varint((v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1)
+
+
+def _rlev1_encode(values: list[int], signed: bool) -> bytes:
+    """RLE v1 encoder (fixture writer): greedy constant-delta runs of
+    3..130 values, literal groups of up to 128 otherwise."""
+    enc1 = _zigzag_varint if signed else _pb_write_varint
+    out = bytearray()
+    i, n = 0, len(values)
+    while i < n:
+        run = 1
+        if i + 1 < n:
+            delta = values[i + 1] - values[i]
+            if -128 <= delta <= 127:
+                while (
+                    i + run < n
+                    and run < 130
+                    and values[i + run] - values[i + run - 1] == delta
+                ):
+                    run += 1
+        if run >= 3:
+            out.append(run - 3)
+            out.append(delta & 0xFF)
+            out += enc1(values[i])
+            i += run
+            continue
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            nxt = run = 1
+            if i + 2 < n and i - lit_start < 126:
+                d = values[i + 1] - values[i]
+                if (
+                    -128 <= d <= 127
+                    and values[i + 2] - values[i + 1] == d
+                    and i + 3 <= n
+                ):
+                    break  # a run starts here; flush literals first
+            i += nxt
+        out.append(256 - (i - lit_start))
+        for v in values[lit_start:i]:
+            out += enc1(v)
+    return bytes(out)
+
+
 def _rlev2_encode(values: list[int], signed: bool) -> bytes:
     """Naive spec-valid RLEv2: DIRECT runs of ≤512 values at the smallest
     supported width (readers don't care that it's not the densest choice)."""
@@ -593,14 +676,22 @@ def _rlev2_encode(values: list[int], signed: bool) -> bytes:
     return bytes(out)
 
 
-def write_orc(columns: dict[str, list]) -> bytes:
+def write_orc(columns: dict[str, list], rle_version: int = 2) -> bytes:
     """Write a minimal uncompressed ORC file: one stripe, REQUIRED
     columns, types inferred from the first value (int → LONG via RLEv2
     DIRECT runs, float → DOUBLE, str → STRING DIRECT_V2).  A fixture
     writer in the same spirit as the encrypted-parquet one — its output
     is cross-validated against pyarrow's AND Spark's ORC readers in the
     tests, which is what makes the from-scratch reader's spec reading
-    trustworthy in both directions."""
+    trustworthy in both directions.  ``rle_version=1`` emits the pre-0.12
+    DIRECT/DICTIONARY column encodings with RLEv1 integer streams —
+    nothing in this container writes those, so legacy-file coverage needs
+    this writer (and the same real-reader cross-validation keeps it
+    honest)."""
+    if rle_version not in (1, 2):
+        raise ValueError(f"rle_version must be 1 or 2, not {rle_version}")
+    int_enc = _rlev1_encode if rle_version == 1 else _rlev2_encode
+    direct = 0 if rle_version == 1 else 2  # DIRECT vs DIRECT_V2
     n_rows = None
     out = bytearray(_MAGIC)
     streams = []  # (kind, col_id, length)
@@ -618,8 +709,8 @@ def write_orc(columns: dict[str, list]) -> bytes:
             raise ValueError(f"unsupported fixture value type {type(v0).__name__}")
         if isinstance(v0, int):
             types.append([(1, 4)])  # LONG
-            encodings.append([(1, 2)])  # DIRECT_V2
-            data = _rlev2_encode(values, signed=True)
+            encodings.append([(1, direct)])
+            data = int_enc(values, signed=True)
             out += data
             streams.append((_DATA, col_id, len(data)))
         elif isinstance(v0, float):
@@ -630,10 +721,10 @@ def write_orc(columns: dict[str, list]) -> bytes:
             streams.append((_DATA, col_id, len(data)))
         else:
             types.append([(1, 7)])  # STRING
-            encodings.append([(1, 2)])  # DIRECT_V2
+            encodings.append([(1, direct)])
             blobs = [v.encode("utf-8") for v in values]
             data = b"".join(blobs)
-            lens = _rlev2_encode([len(b) for b in blobs], signed=False)
+            lens = int_enc([len(b) for b in blobs], signed=False)
             out += data
             streams.append((_DATA, col_id, len(data)))
             out += lens

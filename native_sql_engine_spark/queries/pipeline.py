@@ -4141,6 +4141,71 @@ def source_orc_rawread_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_orc_rawread_rlev1",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def source_orc_rawread_rlev1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC RLE v1 — the pre-0.12 DIRECT/DICTIONARY column encodings no
+    writer in this container emits, so the fixture comes from the
+    engine's own ``write_orc(rle_version=1)``; that writer's v1 output is
+    cross-validated against pyarrow's AND Spark's real ORC readers in
+    tests/test_orc.py, so the encoder and decoder can't conspire.  The
+    oracle aggregates the ORIGINAL parquet through DuckDB (which can't
+    read ORC at all).  Fixture write is a bounded driver-side step
+    (<4000 rows); the decode is partition-parallel mapInPandas."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    from native_sql_engine_spark.operators.orc import read_orc_table, write_orc
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_orderstatus, o_totalprice FROM read_parquet('{src}') "
+        f"WHERE o_orderkey < 4000 ORDER BY o_orderkey"
+    ).fetchall()
+    cols = {
+        "o_orderkey": [r[0] for r in rows],
+        "o_orderstatus": [r[1] for r in rows],
+        "o_totalprice": [float(r[2]) for r in rows],
+    }
+    path = os.path.join(tempfile.mkdtemp(prefix="src_orc_v1_"), "orders_v1.orc")
+    with open(path, "wb") as f:
+        f.write(write_orc(cols, rle_version=1))
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                yield pd.DataFrame(
+                    read_orc_table(
+                        bytes(content), ["o_orderkey", "o_orderstatus", "o_totalprice"]
+                    )
+                )
+
+    files = spark.read.format("binaryFile").load(path)
+    raw = files.select("content").mapInPandas(
+        batches, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    return (
+        raw.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "source_parquet_page_pruning",
     """
     SELECT cast(count(*) AS bigint) AS n,

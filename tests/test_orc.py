@@ -329,3 +329,50 @@ def test_nested_spark_java_writer(spark, tmp_path):
         wv, ws = want[k]
         assert v == wv, k
         assert s == {"x": ws.x, "y": ws.y}, k
+
+
+def test_rlev1_encodings(spark, tmp_path):
+    """RLE v1 (pre-0.12 DIRECT/DICTIONARY encodings): our rle_version=1
+    fixture files decode identically through our reader, pyarrow's C++
+    reader AND Spark's java reader — three independent spec readings of
+    the same bytes."""
+    import io
+    import random
+
+    from native_sql_engine_spark.operators.orc import (
+        _rlev1,
+        _rlev1_encode,
+        write_orc,
+    )
+
+    rng = random.Random(11)
+    # codec-level: runs, literals, negative deltas, singletons
+    for vals in (
+        list(range(500)),
+        [rng.randint(-(10**12), 10**12) for _ in range(333)],
+        [7] * 130 + list(range(100, 0, -1)) + [rng.randint(0, 5) for _ in range(40)],
+        [42],
+        [1, 2],
+    ):
+        for signed in (True, False):
+            vv = vals if signed else [abs(v) for v in vals]
+            assert _rlev1(_rlev1_encode(vv, signed), len(vv), signed) == vv
+    with pytest.raises(ValueError, match="RLEv1"):
+        _rlev1(b"\x00\x01", 3, signed=False)  # run header, truncated base
+
+    cols = {
+        "k": list(range(5000)),
+        "r": [rng.randint(-(10**9), 10**9) for _ in range(5000)],
+        "s": [f"name-{i % 97}-{'y' * (i % 5)}" for i in range(5000)],
+    }
+    buf = write_orc(cols, rle_version=1)
+    from native_sql_engine_spark.operators.orc import read_orc_table as rt
+
+    assert rt(buf, list(cols)) == cols
+    t = po.read_table(__import__("io").BytesIO(buf))
+    for c in cols:
+        assert t.column(c).to_pylist() == cols[c], c
+    p = tmp_path / "v1.orc"
+    p.write_bytes(buf)
+    got = {r.k: (r.r, r.s) for r in spark.read.orc(str(p)).collect()}
+    assert len(got) == 5000 and got[17] == (cols["r"][17], cols["s"][17])
