@@ -42,10 +42,15 @@ table WITHOUT the delta-spark runtime:
   irrelevant, the protocol's id-mode contract).  ``minReaderVersion`` 2
   ("column mapping capable") therefore opens normally now.
 
+- **V2 checkpoints** (the ``v2Checkpoint`` reader feature, Delta 3.x's
+  default): UUID-named json/parquet checkpoints whose file actions live
+  inline or in parquet SIDECAR files under ``_delta_log/_sidecars/``;
+  ``checkpointMetadata`` lines are recognized, a missing sidecar
+  hard-fails (silently dropping one would un-delete or lose files).
+
 Honest gates: column mapping over NESTED columns or partitioned
 column-mapping tables (inner fields / hive directory names are physical
-too), v2 checkpoints and other unknown reader features raise
-``NotImplementedError``.  Malformed logs,
+too) and other unknown reader features raise ``NotImplementedError``.  Malformed logs,
 DV checksum/cardinality mismatches and truncated DV blobs raise
 positioned ``ValueError``.  Single-writer caveat: no real Delta writer
 ships in this container, so the DV byte layout cannot be
@@ -87,7 +92,12 @@ __all__ = [
 ]
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
-_CKPT_RE = re.compile(r"^(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet$")
+#: classic checkpoints: <v>.checkpoint.parquet / <v>.checkpoint.<i>.<n>.parquet;
+#: v2 checkpoints: <v>.checkpoint.<uuid>.{json,parquet}
+_CKPT_RE = re.compile(
+    r"^(\d{20})\.checkpoint(?:\.\d+\.\d+|\.[0-9a-fA-F-]{36})?\.(?:parquet|json)$"
+)
+_CKPT_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(json|parquet)$")
 
 
 def _log_dir(table_dir: str) -> str:
@@ -102,7 +112,12 @@ def _log_dir(table_dir: str) -> str:
 #: row_index anti-join; columnMapping resolves physical col-<uuid> names
 #: (``name`` mode) or parquet field ids (``id`` mode) back to logical names
 #: (see :func:`read_delta`).
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "deletionVectors",
+    "columnMapping",
+    "v2Checkpoint",
+}
 
 
 def _check_protocol(proto: dict) -> None:
@@ -193,10 +208,10 @@ def delta_snapshot(table_dir: str, version: int | None = None) -> dict:
 
 
 def _load_checkpoint(log: str, version: int, entries: list[str], state: dict) -> None:
-    """Load add/remove/metaData/protocol state from checkpoint parquet
-    part(s) at ``version``."""
-    import pyarrow.parquet as pq
-
+    """Load add/remove/metaData/protocol state from checkpoint part(s) at
+    ``version`` — classic single/multi-part parquet, or a V2 checkpoint
+    (UUID-named json or parquet) whose file actions may live inline or in
+    ``sidecar``-referenced parquet files under ``_delta_log/_sidecars/``."""
     parts = sorted(
         n
         for n in entries
@@ -205,15 +220,48 @@ def _load_checkpoint(log: str, version: int, entries: list[str], state: dict) ->
     if not parts:
         raise ValueError(f"checkpoint {version} referenced but missing")
     for part in parts:
-        t = pq.read_table(os.path.join(log, part))
-        cols = t.column_names
-        rows = t.to_pylist()
-        for row in rows:
-            for key in ("metaData", "protocol", "add", "remove"):
-                v = row.get(key) if key in cols else None
+        path = os.path.join(log, part)
+        if _CKPT_V2_RE.match(part) and part.endswith(".json"):
+            with open(path, "r", encoding="utf-8") as fh:
+                for i, line in enumerate(fh):
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        action = json.loads(line)
+                    except json.JSONDecodeError as ex:
+                        raise ValueError(f"{part} line {i + 1}: bad JSON: {ex}") from ex
+                    _apply_ckpt_action(log, state, action)
+        else:
+            for row in _parquet_rows(path):
+                _apply_ckpt_action(log, state, row)
+
+
+def _apply_ckpt_action(log: str, state: dict, action: dict) -> None:
+    """One checkpoint row/line: the four replay actions, plus the V2-only
+    ``checkpointMetadata`` (sanity marker, no state) and ``sidecar``
+    (pointer to a parquet of file actions under ``_sidecars/``)."""
+    for key in ("metaData", "protocol", "add", "remove"):
+        v = action.get(key)
+        if v is not None:
+            _apply_action(state, {key: _strip_nones(v)})
+    sc = action.get("sidecar")
+    if sc is not None:
+        sc = _strip_nones(sc)
+        sc_path = os.path.join(log, "_sidecars", sc["path"])
+        if not os.path.isfile(sc_path):
+            raise ValueError(f"checkpoint sidecar missing: {sc['path']}")
+        for row in _parquet_rows(sc_path):
+            for key in ("add", "remove"):
+                v = row.get(key)
                 if v is not None:
-                    # checkpoint structs mirror the JSON action bodies
                     _apply_action(state, {key: _strip_nones(v)})
+
+
+def _parquet_rows(path: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).to_pylist()
 
 
 def _strip_nones(v):
@@ -709,4 +757,92 @@ def write_delta_checkpoint(table_dir: str, version: int) -> str:
     pq.write_table(t, path)
     with open(os.path.join(log, "_last_checkpoint"), "w", encoding="utf-8") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
+    return path
+
+
+def write_delta_checkpoint_v2(
+    table_dir: str, version: int, sidecar_parts: int = 2
+) -> str:
+    """Compact the log at ``version`` into a V2 checkpoint (fixture
+    writer): a UUID-named json checkpoint holding ``checkpointMetadata``,
+    ``protocol``, ``metaData`` and ``sidecar`` pointers, with the add
+    actions sharded across ``sidecar_parts`` parquet files under
+    ``_delta_log/_sidecars/`` — the layout the ``v2Checkpoint`` reader
+    feature announces."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = delta_snapshot(table_dir, version)
+    log = os.path.join(table_dir, "_delta_log")
+    sc_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    kv = pa.map_(pa.string(), pa.string())
+    add_schema = pa.schema(
+        [
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", kv),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            )
+        ]
+    )
+    adds = [_strip_nones(a) for a in snap["files"].values()]
+    shards: list[list[dict]] = [[] for _ in range(max(1, sidecar_parts))]
+    for i, a in enumerate(adds):
+        shards[i % len(shards)].append(
+            {
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": list((a.get("partitionValues") or {}).items()),
+                    "size": a.get("size", 0),
+                    "modificationTime": a.get("modificationTime", 0),
+                    "dataChange": bool(a.get("dataChange", True)),
+                }
+            }
+        )
+    u = _uuidlib.uuid4()
+    lines = [
+        {"checkpointMetadata": {"version": version, "tags": {}}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}},
+    ]
+    if snap["schema"] is not None:
+        lines.append(
+            {
+                "metaData": {
+                    "id": "fixture-v2",
+                    "schemaString": snap["schema"],
+                    "partitionColumns": snap["partition_columns"],
+                    "configuration": snap["configuration"],
+                    "format": {"provider": "parquet", "options": {}},
+                }
+            }
+        )
+    for i, shard in enumerate(shards):
+        name = f"{_uuidlib.uuid4()}.parquet"
+        pq.write_table(pa.Table.from_pylist(shard, schema=add_schema),
+                       os.path.join(sc_dir, name))
+        lines.append(
+            {
+                "sidecar": {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(os.path.join(sc_dir, name)),
+                    "modificationTime": 0,
+                }
+            }
+        )
+    path = os.path.join(log, f"{version:020d}.checkpoint.{u}.json")
+    with open(path, "w", encoding="utf-8") as fh:
+        for line in lines:
+            fh.write(json.dumps(line, separators=(",", ":")) + "\n")
+    with open(os.path.join(log, "_last_checkpoint"), "w", encoding="utf-8") as fh:
+        json.dump({"version": version, "size": len(lines)}, fh)
     return path

@@ -3856,6 +3856,109 @@ def lake_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_delta_v2_checkpoint",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 5000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta V2 checkpoints (the ``v2Checkpoint`` reader feature, Delta
+    3.x's default for new tables): a UUID-named json checkpoint whose add
+    actions live in parquet SIDECAR files under ``_delta_log/_sidecars/``.
+    The fixture removes file A before checkpointing and then DELETES the
+    pre-checkpoint commits, so the only route to the oracle's key range
+    [1000,5000) is reading checkpointMetadata/metaData lines, following
+    both sidecar pointers, and replaying the tail commit — a reader that
+    ignores sidecars sees zero files, one that replays removed files
+    resurrects [0,1000)."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.delta import (
+        read_delta,
+        write_delta_checkpoint_v2,
+        write_delta_commit,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_delta_v2ck_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 5000)],
+    )
+    t = t.filter(pc.field("o_orderkey") < 5000)
+    schema = __import__("json").dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": c, "type": ty, "nullable": True, "metadata": {}}
+                for c, ty in [
+                    ("o_orderkey", "long"),
+                    ("o_orderstatus", "string"),
+                    ("o_totalprice", "double"),
+                ]
+            ],
+        }
+    )
+    meta = {
+        "id": "orders-v2ck",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema,
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+
+    def slice_file(name, lo, hi):
+        p = os.path.join(d, name)
+        part = t.filter((pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi))
+        pq.write_table(part, p)
+        return {"path": name, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}
+
+    a = slice_file("part-a.parquet", 0, 1000)
+    b = slice_file("part-b.parquet", 1000, 3000)
+    c = slice_file("part-c.parquet", 3000, 4000)
+    dd = slice_file("part-d.parquet", 4000, 5000)
+    write_delta_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}},
+            {"metaData": meta},
+            {"add": a},
+            {"add": b},
+        ],
+    )
+    write_delta_commit(
+        d, 1, [{"remove": {"path": "part-a.parquet", "dataChange": True}}, {"add": c}]
+    )
+    write_delta_checkpoint_v2(d, 1, sidecar_parts=2)
+    os.unlink(os.path.join(d, "_delta_log", f"{0:020d}.json"))
+    os.unlink(os.path.join(d, "_delta_log", f"{1:020d}.json"))
+    write_delta_commit(d, 2, [{"add": dd}])
+    df = read_delta(spark, d)  # live keys [1000, 5000)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_delta_column_mapping",
     """
     SELECT o_orderstatus AS status, cast(count(*) AS bigint) AS n,

@@ -180,7 +180,7 @@ def test_gates(tmp_path):
     )
     with pytest.raises(NotImplementedError, match="column mapping"):
         delta_snapshot(d1)
-    # reader version 3 with an unsupported feature (deletionVectors is fine now)
+    # reader version 3 with an unsupported feature
     d2 = str(tmp_path / "v3")
     os.makedirs(d2)
     write_delta_commit(
@@ -191,13 +191,13 @@ def test_gates(tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                    "readerFeatures": ["deletionVectors", "typeWidening"],
                 }
             },
             {"metaData": META},
         ],
     )
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         delta_snapshot(d2)
     # malformed JSON is positioned
     d3 = str(tmp_path / "bad")
@@ -473,3 +473,40 @@ def test_column_mapping_gates(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="physicalName"):
         read_delta(spark, d2)
+
+
+def test_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """V2 checkpoints (v2Checkpoint reader feature): UUID-named json
+    checkpoint with checkpointMetadata/protocol/metaData lines and add
+    actions sharded across parquet sidecars under _delta_log/_sidecars/.
+    Pre-checkpoint commits are DELETED so the state can only come from
+    the checkpoint + tail commits."""
+    from native_sql_engine_spark.operators.delta import write_delta_checkpoint_v2
+
+    d = str(tmp_path)
+    adds = [_mkfile(d, f"p{i}.parquet", i * 10, (i + 1) * 10) for i in range(5)]
+    write_delta_commit(
+        d,
+        0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}, {"metaData": META}]
+        + [{"add": a} for a in adds[:3]],
+    )
+    write_delta_commit(
+        d, 1, [{"remove": {"path": "p0.parquet", "dataChange": True}}, {"add": adds[3]}]
+    )
+    ck = write_delta_checkpoint_v2(d, 1, sidecar_parts=2)
+    assert ck.endswith(".json") and ".checkpoint." in ck
+    os.unlink(os.path.join(d, "_delta_log", f"{0:020d}.json"))
+    os.unlink(os.path.join(d, "_delta_log", f"{1:020d}.json"))
+    write_delta_commit(d, 2, [{"add": adds[4]}])
+    snap = delta_snapshot(d)
+    assert sorted(snap["files"]) == [f"p{i}.parquet" for i in range(1, 5)]
+    got = sorted(r.k for r in read_delta(spark, d).collect())
+    assert got == list(range(10, 50))
+    # a missing sidecar must hard-fail, not silently drop files
+    import glob
+
+    sc = glob.glob(os.path.join(d, "_delta_log", "_sidecars", "*.parquet"))[0]
+    os.unlink(sc)
+    with pytest.raises(ValueError, match="sidecar missing"):
+        delta_snapshot(d)
