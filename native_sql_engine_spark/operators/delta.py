@@ -85,6 +85,7 @@ __all__ = [
     "read_deletion_vector",
     "write_delta_commit",
     "write_delta_checkpoint",
+    "write_delta_checkpoint_v2",
     "write_deletion_vector",
     "inline_dv_descriptor",
     "z85_encode",
@@ -129,7 +130,7 @@ def _check_protocol(proto: dict) -> None:
     if rv > 1 and unsupported:
         raise NotImplementedError(
             f"Delta reader features {sorted(unsupported)} not supported "
-            "(v2 checkpoints / type widening ...)"
+            "(type widening / variant ...)"
         )
     if rv > 3:
         raise NotImplementedError(f"Delta minReaderVersion {rv} not supported")
