@@ -40,10 +40,16 @@ timeline + file-group model) deep enough to open a snapshot:
   partition-parallel ``mapInPandas`` over ``binaryFile`` (log files are
   the small delta tail of a slice, never the data volume).
 
+Log-only file groups (a delta-log chain with no base parquet yet — the
+MOR streaming-insert path) are first-class: their chains surface as a
+base-less slice and merge with the same newest-wins/soft-delete
+semantics, as long as at least one based group supplies the table schema.
+
 Honest gates: DELETE/CDC/HFILE/PARQUET log block types raise
 ``NotImplementedError`` (their payloads are Kryo/format-specific;
-soft-deletes cover the tested delete path), as do bootstrap indexes;
-malformed timelines and truncated log blocks raise positioned
+soft-deletes cover the tested delete path), as do bootstrap indexes and
+ENTIRELY log-only tables (no base file anywhere to take the schema
+from); malformed timelines and truncated log blocks raise positioned
 ``ValueError``.
 
 No Hudi writer ships in this container; fixtures come from
@@ -186,13 +192,15 @@ def hudi_snapshot(table_dir: str, as_of: str | None = None) -> dict:
     # slice whose base instant it was written against; logs of superseded
     # (older-base) or replaced slices drop out with their base
     logs: dict[str, list[str]] = {}
+    log_only: list[str] = []  # whole log chains of base-less file groups
     for key, entries in sorted(logfiles.items()):
         if key in replaced:
             continue
         if key not in best:
-            raise NotImplementedError(
-                "Hudi log-only file groups (no base file) not supported"
-            )
+            # log-only file group (no base yet — MOR insert path): the
+            # whole chain is the slice; records come purely from the logs
+            log_only.extend(p for _b, _v, p in sorted(entries))
+            continue
         base_instant, base_path = best[key]
         attached = sorted(
             (ver, p) for b, ver, p in entries if b == base_instant
@@ -204,6 +212,7 @@ def hudi_snapshot(table_dir: str, as_of: str | None = None) -> dict:
         "instant": target,
         "files": sorted(p for _, p in best.values()),
         "logs": logs,
+        "log_only": log_only,
         "instants": visible,
     }
 
@@ -397,9 +406,13 @@ def read_hudi(spark, table_dir: str, as_of: str | None = None):
     merge scales with the key cardinality, not the log count."""
     snap = hudi_snapshot(table_dir, as_of)
     if not snap["files"]:
-        raise ValueError(f"Hudi snapshot {snap['instant']} has no base files")
+        # log-only groups need the table schema from SOME base file
+        raise ValueError(
+            f"Hudi snapshot {snap['instant']} has no base files"
+            + (" (table is entirely log-only)" if snap["log_only"] else "")
+        )
     base = spark.read.option("basePath", table_dir).parquet(*snap["files"])
-    if not snap["logs"]:
+    if not snap["logs"] and not snap["log_only"]:
         return base
 
     from pyspark.sql import Window, functions as F
@@ -425,6 +438,10 @@ def read_hudi(spark, table_dir: str, as_of: str | None = None):
     # the log tail of every slice is read in parallel, never on the driver
     visible = set(snap["instants"])
     slices = [(base_path, paths) for base_path, paths in sorted(snap["logs"].items())]
+    if snap["log_only"]:
+        # base-less file group: one extra slice whose rows come purely
+        # from its log chain (columns follow the table's base schema)
+        slices.append(("", snap["log_only"]))
     out_cols = [f.name for f in log_schema.fields]
 
     def _decode(batches):

@@ -3359,6 +3359,98 @@ def lake_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_hudi_mor_log_only",
+    """
+    SELECT cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey < 1000
+       OR (o_orderkey >= 2000 AND o_orderkey < 2400 AND o_orderkey % 3 <> 0)
+    """,
+)
+def lake_hudi_mor_log_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MOR LOG-ONLY file groups — the streaming-insert path where a
+    file group has a delta-log chain but no base parquet yet (the last
+    hudi.py gate).  Fixture: fg1 is a normal based group (keys [0,1000));
+    fg2 never got a base — deltacommit 002 inserts [2000,2400) purely into
+    its log, deltacommit 003 soft-deletes the keys divisible by 3.  The
+    oracle's key set only matches if the log-only chain is surfaced AND
+    merged with the same newest-wins/soft-delete semantics as based
+    groups; dropping the group loses 400 keys, ignoring its second block
+    resurrects the deleted third."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.hudi import (
+        read_hudi,
+        write_hudi_fixture,
+        write_hudi_log_file,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_hudi_mor_lo_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 2400)],
+    )
+    pq.write_table(
+        t.filter(pc.field("o_orderkey") < 1000),
+        os.path.join(d, "fg1_0-0-0_001.parquet"),
+    )
+    schema = {
+        "type": "record",
+        "name": "orders",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "o_totalprice", "type": "double"},
+            {"name": "_hoodie_is_deleted", "type": "boolean"},
+        ],
+    }
+
+    def recs(lo, hi, deleted=None):
+        part = t.filter(
+            (pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi)
+        ).to_pylist()
+        return [
+            {
+                "o_orderkey": r["o_orderkey"],
+                "o_orderstatus": r["o_orderstatus"],
+                "o_totalprice": float(r["o_totalprice"]),
+                "_hoodie_is_deleted": bool(deleted(r["o_orderkey"])) if deleted else False,
+            }
+            for r in part
+            if deleted is None or deleted(r["o_orderkey"]) is not None
+        ]
+
+    write_hudi_log_file(
+        os.path.join(d, ".fg2_002.log.1_0-0-0"),
+        [{"type": "avro_data", "instant": "002", "schema": schema,
+          "records": recs(2000, 2400)}],
+    )
+    write_hudi_log_file(
+        os.path.join(d, ".fg2_002.log.2_0-0-0"),
+        [{"type": "avro_data", "instant": "003", "schema": schema,
+          "records": [r | {"_hoodie_is_deleted": True}
+                      for r in recs(2000, 2400) if r["o_orderkey"] % 3 == 0]}],
+    )
+    write_hudi_fixture(
+        d, [("001", "", "fg1")], deltacommits=["002", "003"],
+        record_key="o_orderkey",
+    )
+    df = read_hudi(spark, d)
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@q(
     "lake_iceberg_snapshot",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,

@@ -100,12 +100,13 @@ def test_gates(tmp_path):
     _table(d)
     # a log file against a SUPERSEDED base (fg1@001; latest base is 003) is
     # ignored with its base; one with no base at all is a log-only file
-    # group, which stays gated (rows would be missing without it)
+    # group whose chain is surfaced separately (test_mor_log_only_file_group)
     open(os.path.join(d, ".fg1_001.log.1_0-0-0"), "w").close()
     assert hudi_snapshot(d)["logs"] == {}
     open(os.path.join(d, ".fg9_001.log.1_0-0-0"), "w").close()
-    with pytest.raises(NotImplementedError, match="log-only"):
-        hudi_snapshot(d)
+    assert [os.path.basename(p) for p in hudi_snapshot(d)["log_only"]] == [
+        ".fg9_001.log.1_0-0-0"
+    ]
 
 
 # -- merge-on-read ----------------------------------------------------------------------
@@ -235,3 +236,32 @@ def test_mor_gate_block_types(tmp_path):
         read_hudi_log_blocks(bytes(raw))
     raw[off:off + 4] = _s.pack(">i", 2)  # CORRUPT block: skipped, not fatal
     assert read_hudi_log_blocks(bytes(raw)) == []
+
+
+def test_mor_log_only_file_group(spark, tmp_path):
+    """A file group with log files but no base yet (the MOR insert path):
+    its records come purely from the log chain, merged alongside the based
+    groups; the old gate is gone."""
+    d = str(tmp_path)
+    _mor_table(d)
+    # new file group fg2: never had a base file, only a log chain
+    write_hudi_log_file(
+        os.path.join(d, ".fg2_002.log.1_0-0-0"),
+        [{"type": "avro_data", "instant": "002", "schema": _SCHEMA,
+          "records": [_rec(100, "logonly"), _rec(101, "logonly")]}],
+    )
+    write_hudi_log_file(
+        os.path.join(d, ".fg2_002.log.2_0-0-0"),
+        [{"type": "avro_data", "instant": "003", "schema": _SCHEMA,
+          "records": [_rec(101, "newer"), _rec(100, "", True)]}],
+    )
+    write_hudi_fixture(
+        d, [("001", "", "fg1")], deltacommits=["002", "003"], record_key="k"
+    )
+    snap = hudi_snapshot(d)
+    assert len(snap["log_only"]) == 2
+    got = {r.k: r.v for r in read_hudi(spark, d).collect()}
+    assert got == {1: "base", 2: "v3", 3: "v2", 4: "base", 10: "v2", 101: "newer"}
+    # time travel to 002: fg2's first block visible, second not
+    got2 = {r.k: r.v for r in read_hudi(spark, d, as_of="002").collect()}
+    assert got2[100] == "logonly" and got2[101] == "logonly"
