@@ -46,12 +46,16 @@ Implements the read side of the public Iceberg table spec
   per live data file) broadcasts.  Re-added rows at a higher sequence
   survive — the upsert semantics a seq-blind reader gets wrong.
 
-Mixed-format snapshots are first-class: PARQUET and ORC data files each
-read through Spark's native vectorized source and union by name (a table
-migrated between formats keeps both kinds live).  Honest gates:
+Mixed-format snapshots are first-class: PARQUET and ORC data files read
+through Spark's native vectorized sources, AVRO data files through the
+repo's own OCF codec partition-parallel over ``binaryFile`` (no
+spark-avro module ships here), all unioned by name — a table migrated
+between formats keeps every kind live, and positional deletes apply to
+avro rows via explicit (path, pos) columns.  Honest gates:
 partition-scoped equality deletes (global application could
-over-delete), AVRO data files, and metadata without a reachable manifest
-list raise ``NotImplementedError`` / positioned ``ValueError``.
+over-delete), nested-typed AVRO data files, and metadata without a
+reachable manifest list raise ``NotImplementedError`` / positioned
+``ValueError``.
 
 No Iceberg writer ships in this container, so fixtures come from
 :func:`write_iceberg_fixture` (same spec shapes: metadata JSON +
@@ -300,9 +304,9 @@ def iceberg_snapshot(
                         f"{mpath}: delete file (content={content}) inside a "
                         "data manifest (spec requires a content=1 manifest)"
                     )
-                if fmt not in ("PARQUET", "ORC"):
+                if fmt not in ("PARQUET", "ORC", "AVRO"):
                     raise NotImplementedError(
-                        f"Iceberg data file format {fmt} not wired (PARQUET/ORC)"
+                        f"Iceberg data file format {fmt} not wired (PARQUET/ORC/AVRO)"
                     )
                 p = _local_path(table_dir, df["file_path"])
                 files.append((fmt, p))
@@ -364,6 +368,20 @@ def read_iceberg(
         parts.append(spark.read.orc(*by_fmt["ORC"]))
     if with_deletes:
         parts = [meta_cols(p) for p in parts]
+    if "AVRO" in by_fmt:
+        # no spark-avro module ships here: decode OCF data files with the
+        # repo's own Avro codec, partition-parallel over binaryFile (the
+        # same shape as the rawread battery paths); positional-delete
+        # bookkeeping rides explicit (__ice_fp, __ice_ri) columns since a
+        # mapInPandas stream has no _metadata
+        parts.append(
+            _avro_scan(
+                spark,
+                by_fmt["AVRO"],
+                parts[0].schema if parts else None,
+                with_deletes,
+            )
+        )
     df = parts[0]
     for other in parts[1:]:
         df = df.unionByName(other, allowMissingColumns=False)
@@ -411,6 +429,79 @@ def read_iceberg(
                 cond = cond & F.col(n).eqNullSafe(F.col(f"__eq_{n}"))
             df = df.join(dd, cond, "left_anti")
     return df.select(*cols)
+
+
+_AVRO_SPARK_TYPES = {
+    "long": "bigint",
+    "int": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "bytes": "binary",
+}
+
+
+def _avro_to_spark_schema(aschema: dict):
+    from pyspark.sql import types as T
+
+    fields = []
+    for f in aschema.get("fields", []):
+        t = f["type"]
+        if isinstance(t, list):  # ["null", X]
+            t = next((x for x in t if x != "null"), "null")
+        ddl = _AVRO_SPARK_TYPES.get(t)
+        if ddl is None:
+            raise NotImplementedError(
+                f"Iceberg AVRO data files with nested/{t!r} fields not wired"
+            )
+        fields.append(T.StructField(f["name"], T._parse_datatype_string(ddl), True))
+    return T.StructType(fields)
+
+
+def _avro_scan(spark, paths: list[str], schema_hint, with_meta: bool):
+    """Scan Iceberg AVRO data files through the repo's own OCF codec,
+    partition-parallel over ``binaryFile``.  ``schema_hint`` (from a
+    sibling parquet/ORC part) wins; otherwise the schema comes from the
+    first file's Avro writer schema — a bounded driver-side header read."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    from .avro import read_avro
+
+    if schema_hint is not None:
+        data_fields = [
+            f for f in schema_hint.fields if f.name not in ("__ice_fp", "__ice_ri")
+        ]
+    else:
+        with open(paths[0], "rb") as fh:
+            aschema, _ = read_avro(fh.read())
+        data_fields = list(_avro_to_spark_schema(aschema).fields)
+    cols = [f.name for f in data_fields]
+    out_fields = list(data_fields)
+    if with_meta:
+        out_fields += [
+            T.StructField("__ice_fp", T.StringType()),
+            T.StructField("__ice_ri", T.LongType()),
+        ]
+    out_schema = T.StructType(out_fields)
+
+    def decode(it):
+        import pandas as pd
+
+        for pdf in it:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                _, rows = read_avro(bytes(content))
+                d = {c: [r.get(c) for r in rows] for c in cols}
+                if with_meta:
+                    p = _re.sub("^file:/+", "/", str(path))
+                    d["__ice_fp"] = [p] * len(rows)
+                    d["__ice_ri"] = list(range(len(rows)))
+                yield pd.DataFrame(d)
+
+    files = spark.read.format("binaryFile").load(paths)
+    return files.select("path", "content").mapInPandas(decode, out_schema)
 
 
 # -- fixture write side (spec shapes; no Iceberg writer ships here) -------------------
@@ -601,7 +692,13 @@ def write_iceberg_fixture(
                     "data_file": {
                         "content": e["content"],
                         "file_path": e["path"],
-                        "file_format": "ORC" if e["path"].endswith(".orc") else "PARQUET",
+                        "file_format": (
+                            "ORC"
+                            if e["path"].endswith(".orc")
+                            else "AVRO"
+                            if e["path"].endswith(".avro")
+                            else "PARQUET"
+                        ),
                         "equality_ids": e["equality_ids"],
                         **(
                             {

@@ -3649,6 +3649,85 @@ def lake_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_iceberg_avro_data",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 3000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_iceberg_avro_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg AVRO data files — the third spec data format and the last
+    format gate (no spark-avro module ships here, so the rows decode
+    through the repo's own OCF codec, partition-parallel over binaryFile).
+    The snapshot mixes a parquet file (keys [0,2000)) with an Avro data
+    file (keys [2000,3000), deflate blocks) and unions by name; the oracle
+    covers the FULL [0,3000) range, so dropping the avro rows or decoding
+    any field wrong cannot match."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.avro import write_avro
+    from native_sql_engine_spark.operators.iceberg import (
+        read_iceberg,
+        write_iceberg_fixture,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_ice_avro_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 3000)],
+    )
+    t = t.filter(pc.field("o_orderkey") < 3000)
+    os.makedirs(os.path.join(d, "data"))
+    p = os.path.join(d, "data", "part-a.parquet")
+    pq.write_table(t.filter(pc.field("o_orderkey") < 2000), p)
+    schema = {
+        "type": "record",
+        "name": "orders",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "o_totalprice", "type": "double"},
+        ],
+    }
+    hi = t.filter(pc.field("o_orderkey") >= 2000).to_pylist()
+    av = os.path.join(d, "data", "part-b.avro")
+    with open(av, "wb") as fh:
+        fh.write(
+            write_avro(
+                [
+                    {
+                        "o_orderkey": r["o_orderkey"],
+                        "o_orderstatus": r["o_orderstatus"],
+                        "o_totalprice": float(r["o_totalprice"]),
+                    }
+                    for r in hi
+                ],
+                schema,
+                codec="deflate",
+            )
+        )
+    write_iceberg_fixture(d, {1: [(1, p), (1, av)]}, current=1)
+    df = read_iceberg(spark, d)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_iceberg_eq_delete",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,

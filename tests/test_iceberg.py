@@ -289,3 +289,39 @@ def test_equality_delete_gates(tmp_path):
     )
     with pytest.raises(NotImplementedError, match="partition-scoped equality"):
         iceberg_snapshot(d)
+
+
+def test_avro_data_files(spark, tmp_path):
+    """AVRO data files (no spark-avro module ships here): decoded by the
+    repo's own OCF codec over binaryFile — mixed parquet+avro snapshots
+    union by name, positional deletes apply to avro rows by (path, pos),
+    and an avro-only snapshot derives its schema from the writer schema."""
+    from native_sql_engine_spark.operators.avro import write_avro
+    from native_sql_engine_spark.operators.iceberg import write_position_delete_file
+
+    d = str(tmp_path)
+    a = _mk(d, "a.parquet", 0, 100)
+    av = os.path.join(d, "data", "b.avro")
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    with open(av, "wb") as fh:
+        fh.write(write_avro([{"k": v} for v in range(100, 200)], schema))
+    pd1 = write_position_delete_file(
+        os.path.join(d, "data", "del.parquet"), [(av, 0), (av, 1), (a, 5)]
+    )
+    write_iceberg_fixture(
+        d, {1: [(1, a), (1, av)], 2: [(0, a), (0, av), (1, pd1, 1)]}, current=2
+    )
+    got = sorted(r.k for r in read_iceberg(spark, d).collect())
+    assert got == sorted(set(range(200)) - {100, 101, 5})
+    # avro-only snapshot: schema from the writer schema
+    d2 = str(tmp_path / "avro_only")
+    os.makedirs(os.path.join(d2, "data"))
+    av2 = os.path.join(d2, "data", "only.avro")
+    with open(av2, "wb") as fh:
+        fh.write(write_avro([{"k": v} for v in range(50)], schema))
+    write_iceberg_fixture(d2, {1: [(1, av2)]}, current=1)
+    assert sorted(r.k for r in read_iceberg(spark, d2).collect()) == list(range(50))
