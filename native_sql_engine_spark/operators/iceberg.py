@@ -279,7 +279,12 @@ def iceberg_snapshot(
                         raise NotImplementedError(
                             f"Iceberg equality delete files in {fmt} not wired"
                         )
-                    if df.get("partition"):
+                    part = df.get("partition") or {}
+                    if isinstance(part, dict) and any(
+                        v is not None for v in part.values()
+                    ):
+                        # an all-None tuple is a GLOBAL delete (spec: unpartitioned
+                        # path); only a concrete partition value scopes it
                         raise NotImplementedError(
                             "partition-scoped equality deletes not supported "
                             "(applying them globally could over-delete)"

@@ -325,3 +325,51 @@ def test_avro_data_files(spark, tmp_path):
         fh.write(write_avro([{"k": v} for v in range(50)], schema))
     write_iceberg_fixture(d2, {1: [(1, av2)]}, current=1)
     assert sorted(r.k for r in read_iceberg(spark, d2).collect()) == list(range(50))
+
+
+def test_equality_delete_global_on_partitioned_table(spark, tmp_path):
+    """An equality delete with an all-None partition tuple is GLOBAL even
+    on a partitioned table (the fixture writer emits the tuple for every
+    entry); only a concrete partition value triggers the scoped gate."""
+    from native_sql_engine_spark.operators.iceberg import (
+        write_equality_delete_file,
+        write_iceberg_fixture,
+    )
+
+    d = str(tmp_path)
+    a = _mk(d, "a.parquet", 0, 50)
+    eq = write_equality_delete_file(
+        os.path.join(d, "data", "e.parquet"), {"k": list(range(10, 20))}
+    )
+    write_iceberg_fixture(
+        d,
+        {
+            2: [
+                {"status": 0, "path": a, "partition": {"bucket": 1}, "sequence": 1},
+                {"status": 1, "path": eq, "content": 2, "equality_ids": [1],
+                 "sequence": 2},  # no partition -> all-None tuple -> global
+            ]
+        },
+        current=2,
+        partition_spec=[("bucket", "int")],
+    )
+    # partition_spec path writes schemas from the spec; field 1 = bucket.
+    # For this test the equality column is k -> give it id 2 via a manual
+    # schema tweak? No: spec fields are (bucket int); add k through the
+    # metadata file directly.
+    import json
+
+    mpath = os.path.join(d, "metadata")
+    mfile = sorted(n for n in os.listdir(mpath) if n.endswith(".metadata.json"))[-1]
+    with open(os.path.join(mpath, mfile)) as fh:
+        meta = json.load(fh)
+    meta["schemas"][0]["fields"].append(
+        {"id": 1, "name": "k", "required": False, "type": "long"}
+    )
+    # two fields now share id 1 (bucket came first); rewrite bucket to id 9
+    meta["schemas"][0]["fields"][0]["id"] = 9
+    meta["partition-specs"][0]["fields"][0]["source-id"] = 9
+    with open(os.path.join(mpath, mfile), "w") as fh:
+        json.dump(meta, fh)
+    got = sorted(r.k for r in read_iceberg(spark, d).collect())
+    assert got == sorted(set(range(50)) - set(range(10, 20)))
