@@ -417,19 +417,31 @@ def read_iceberg(
         seq_rows = [(fp, seq) for fp, seq in snap["file_sequence_numbers"].items()]
         seq_df = spark.createDataFrame(seq_rows, "__ice_fp string, __ice_seq long")
         df = df.join(F.broadcast(seq_df), "__ice_fp", "left")
+        # group delete files by their equality-column set: a streaming
+        # writer produces one delete file per commit, so a long-lived table
+        # has THOUSANDS of them — one anti-join per column set (delete rows
+        # unioned, each with its own sequence) keeps the plan O(column
+        # sets), not O(delete files)
+        by_cols: dict[tuple, list[tuple[str, int]]] = {}
         for path, dseq, ids in snap["equality_delete_files"]:
-            names = [by_id.get(i) for i in ids]
+            names = tuple(by_id.get(i) for i in ids)
             if any(n is None for n in names):
                 raise ValueError(
                     f"equality delete {path}: ids {ids} not all resolvable "
                     "through the table schema"
                 )
-            dd = spark.read.parquet(path).select(
-                *[F.col(n).alias(f"__eq_{n}") for n in names]
-            )
+            by_cols.setdefault(names, []).append((path, int(dseq)))
+        for names, files_seq in by_cols.items():
+            dd = None
+            for path, dseq in files_seq:
+                one = spark.read.parquet(path).select(
+                    *[F.col(n).alias(f"__eq_{n}") for n in names],
+                    F.lit(dseq).alias("__eq_seq"),
+                )
+                dd = one if dd is None else dd.unionByName(one)
             # spec: the delete applies to rows whose data sequence number is
             # STRICTLY LOWER; equality matching is null-safe (null == null)
-            cond = F.col("__ice_seq") < F.lit(int(dseq))
+            cond = F.col("__ice_seq") < F.col("__eq_seq")
             for n in names:
                 cond = cond & F.col(n).eqNullSafe(F.col(f"__eq_{n}"))
             df = df.join(dd, cond, "left_anti")
