@@ -74,8 +74,17 @@ def _shuffle_write_bytes(spark) -> int:
 
 
 def _peak_heap_mb(spark) -> int:
-    rt = spark._jvm.java.lang.Runtime.getRuntime()
-    return int((rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
+    """True high-water mark: sum of per-pool peak usage over heap pools
+    (Runtime.totalMemory-freeMemory is an instantaneous read and would
+    under-report a spike that was already collected)."""
+    mf = spark._jvm.java.lang.management.ManagementFactory
+    total = 0
+    it = mf.getMemoryPoolMXBeans().iterator()
+    while it.hasNext():
+        pool = it.next()
+        if pool.getType().toString() == "Heap memory":
+            total += pool.getPeakUsage().getUsed()
+    return int(total / (1024 * 1024))
 
 
 @contextmanager
