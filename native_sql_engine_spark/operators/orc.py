@@ -771,8 +771,108 @@ def read_orc_column(buf: bytes, column: str):
     return read_orc_table(buf, [column])[column]
 
 
+def _decode_col_stats(cs: dict, kind: int):
+    """(min, max) from one ColumnStatistics message, or None when the
+    writer recorded nothing usable for the column's kind."""
+    if kind in _INT_KINDS:  # IntegerStatistics: sint64 -> zigzag on the wire
+        iv = _one(cs, 2)
+        if iv is None:
+            return None
+        m = pb_decode(iv)
+        lo, hi = _one(m, 1), _one(m, 2)
+        if lo is None or hi is None:
+            return None
+        unz = lambda u: (u >> 1) ^ -(u & 1)  # noqa: E731
+        return unz(lo), unz(hi)
+    if kind in (5, 6):  # DoubleStatistics: wire-type-1 doubles
+        dv = _one(cs, 3)
+        if dv is None:
+            return None
+        m = pb_decode(dv)
+        lo, hi = _one(m, 1), _one(m, 2)
+        if lo is None or hi is None:
+            return None
+        return struct.unpack("<d", lo)[0], struct.unpack("<d", hi)[0]
+    if kind in _STR_KINDS:  # StringStatistics
+        sv = _one(cs, 4)
+        if sv is None:
+            return None
+        m = pb_decode(sv)
+        lo, hi = _one(m, 1), _one(m, 2)
+        if lo is None or hi is None:
+            return None
+        return lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
+    return None
+
+
+def orc_stripe_stats(buf: bytes) -> list[dict]:
+    """Per-stripe column statistics from the file Metadata section:
+    ``[{col_name: (min, max)}, ...]`` in stripe order (int/double/string
+    columns; others report nothing and therefore never prune).  Empty
+    when the writer recorded no Metadata."""
+    if len(buf) < 16 or buf[:3] != _MAGIC:
+        raise ValueError("not an ORC payload (missing ORC magic)")
+    ps_len = buf[-1]
+    ps = pb_decode(buf[len(buf) - 1 - ps_len : len(buf) - 1])
+    codec = _one(ps, 2, 0)
+    flen = _one(ps, 1, 0)
+    mlen = _one(ps, 5, 0)
+    if not mlen:
+        return []
+    mstart = len(buf) - 1 - ps_len - flen - mlen
+    meta = pb_decode(_decompress_stream(buf[mstart : mstart + mlen], codec))
+    _, _, types = _tail(buf)
+    root = types[0] if types else {}
+    names = [n.decode("utf-8", "replace") for n in root.get(3, [])]
+    subtypes = _repeated_uints(root, 2)
+    out = []
+    for ss in meta.get(1, []):  # repeated StripeStatistics
+        cols = [pb_decode(c) for c in pb_decode(ss).get(1, [])]
+        stats = {}
+        for name, tid in zip(names, subtypes):
+            if tid < len(cols):
+                mm = _decode_col_stats(cols[tid], _one(types[tid], 1, 0))
+                if mm is not None:
+                    stats[name] = mm
+        out.append(stats)
+    return out
+
+
+def read_orc_table_pruned(
+    buf: bytes, columns: list[str], ranges: dict[str, tuple]
+) -> tuple[dict[str, list], int, int]:
+    """Stripe-statistics pruning (the ORC sibling of parquet PageIndex
+    page pruning): whole stripes whose Metadata min/max provably cannot
+    intersect ``ranges`` ({col: (lo, hi)} inclusive) are never touched —
+    no stream in a skipped stripe is read or decompressed.  Returns
+    (columns_dict, stripes_read, stripes_total).  Conservative: a stripe
+    with missing stats for a filter column is read; callers re-apply the
+    exact filter afterwards (same contract as production ORC readers)."""
+    stats = orc_stripe_stats(buf)
+
+    def keep(i: int) -> bool:
+        if i >= len(stats):
+            return True
+        for col, (lo, hi) in ranges.items():
+            mm = stats[i].get(col)
+            if mm is not None and (hi < mm[0] or lo > mm[1]):
+                return False
+        return True
+
+    total = max(len(stats), 1)
+    kept = [i for i in range(total) if keep(i)]
+    out = _read_orc_stripes(buf, columns, set(kept))
+    return out, len(kept), total
+
+
 def read_orc_table(buf: bytes, columns: list[str]) -> dict[str, list]:
     """Read several top-level columns; returns {name: values}."""
+    return _read_orc_stripes(buf, columns, None)
+
+
+def _read_orc_stripes(
+    buf: bytes, columns: list[str], keep: set | None
+) -> dict[str, list]:
     footer, codec, types = _tail(buf)
     root = types[0] if types else {}
     if _one(root, 1, 0) != 12:
@@ -786,7 +886,9 @@ def read_orc_table(buf: bytes, columns: list[str]) -> dict[str, list]:
         col_ids[want] = subtypes[names.index(want)]
 
     out: dict[str, list] = {c: [] for c in columns}
-    for s in footer.get(3, []):
+    for stripe_idx, s in enumerate(footer.get(3, [])):
+        if keep is not None and stripe_idx not in keep:
+            continue
         st = pb_decode(s)
         offset, ilen, dlen, sflen, nrows = (
             _one(st, 1, 0),

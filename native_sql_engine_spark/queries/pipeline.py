@@ -4480,6 +4480,79 @@ def source_orc_rawread_rlev1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_orc_stripe_pruning",
+    """
+    SELECT cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           cast(min(o_orderkey) AS bigint) AS k_min,
+           cast(max(o_orderkey) AS bigint) AS k_max,
+           TRUE AS pruned
+    FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+    """,
+)
+def source_orc_stripe_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC stripe-statistics pruning — the ORC sibling of
+    source_parquet_page_pruning: the file Metadata section's per-stripe
+    min/max (written by pyarrow's real ORC writer) lets a range scan skip
+    whole stripes without decompressing a single stream.  The fixture
+    sorts orders by key across many small stripes; the [2000,3000) scan
+    must read a strict subset, and the ``stripes_read < stripes_total``
+    claim is emitted as a result column the oracle pins TRUE — so the
+    skipping itself is oracle-checked every round, not just asserted in
+    tests.  Exact filtering re-applies after the stripe skip (the same
+    contract every production ORC reader uses)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.orc as po
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.orc import read_orc_table_pruned
+
+    import hashlib
+
+    import pyarrow as pa
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"]
+    ).sort_by("o_orderkey")
+    keys = t.column("o_orderkey").to_pylist()
+    # liborc enforces a stripe-size floor in bytes, so a skinny int column
+    # never splits; a deterministic padding column provides realistic bulk
+    # and the UNCOMPRESSED codec keeps stripe flushes byte-driven
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "pad": pa.array(
+                [hashlib.md5(str(k).encode()).hexdigest() * 3 for k in keys]
+            ),
+        }
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="src_orc_sp_"), "orders_sorted.orc")
+    po.write_table(t, path, compression="uncompressed", stripe_size=64 * 1024)
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                cols, read, total = read_orc_table_pruned(
+                    bytes(content), ["o_orderkey"], {"o_orderkey": (2000, 2999)}
+                )
+                keys = [k for k in cols["o_orderkey"] if 2000 <= k < 3000]
+                yield pd.DataFrame({"o_orderkey": keys, "pruned": [read < total] * len(keys)})
+
+    files = spark.read.format("binaryFile").load(path)
+    raw = files.select("content").mapInPandas(batches, "o_orderkey long, pruned boolean")
+    return raw.agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.min("o_orderkey").cast("bigint").alias("k_min"),
+        F.max("o_orderkey").cast("bigint").alias("k_max"),
+        F.bool_and("pruned").alias("pruned"),
+    )
+
+
+@q(
     "source_parquet_page_pruning",
     """
     SELECT cast(count(*) AS bigint) AS n,

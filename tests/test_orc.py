@@ -376,3 +376,47 @@ def test_rlev1_encodings(spark, tmp_path):
     p.write_bytes(buf)
     got = {r.k: (r.r, r.s) for r in spark.read.orc(str(p)).collect()}
     assert len(got) == 5000 and got[17] == (cols["r"][17], cols["s"][17])
+
+
+def test_stripe_statistics_pruning(tmp_path):
+    """Stripe-statistics pruning (the ORC sibling of parquet PageIndex):
+    stripes whose Metadata min/max can't intersect the range are never
+    decompressed; conservative on missing stats; int, string and double
+    bounds; pyarrow's own writer produces the Metadata under test."""
+    import io
+
+    from native_sql_engine_spark.operators.orc import (
+        orc_stripe_stats,
+        read_orc_table_pruned,
+    )
+
+    n = 200000
+    t = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "s": pa.array([f"g{i // 25000}" for i in range(n)]),
+            "v": pa.array([i * 0.5 for i in range(n)]),
+        }
+    )
+    b = io.BytesIO()
+    po.write_table(t, b, compression="zlib", stripe_size=64 * 1024)
+    buf = b.getvalue()
+    stats = orc_stripe_stats(buf)
+    assert len(stats) > 2, "fixture must be multi-stripe"
+    assert stats[0]["k"][0] == 0 and stats[-1]["k"][1] == n - 1
+
+    cols, read, total = read_orc_table_pruned(buf, ["k", "v"], {"k": (50000, 50100)})
+    assert read < total
+    assert [k for k in cols["k"] if 50000 <= k <= 50100] == list(range(50000, 50101))
+    # exact filter over kept stripes matches the unpruned read
+    assert [v for k, v in zip(cols["k"], cols["v"]) if k == 50050] == [25025.0]
+
+    _, r_str, t_str = read_orc_table_pruned(buf, ["s"], {"s": ("g0", "g0")})
+    assert r_str < t_str
+    _, r_dbl, t_dbl = read_orc_table_pruned(buf, ["v"], {"v": (10.0, 20.0)})
+    assert r_dbl < t_dbl
+    cols0, r0, _ = read_orc_table_pruned(buf, ["k"], {"k": (10**12, 10**12)})
+    assert r0 == 0 and cols0["k"] == []
+    # unknown column in ranges: conservative, everything read
+    _, r_all, t_all = read_orc_table_pruned(buf, ["k"], {"nope": (0, 1)})
+    assert r_all == t_all
