@@ -42,6 +42,14 @@ table WITHOUT the delta-spark runtime:
   irrelevant, the protocol's id-mode contract).  ``minReaderVersion`` 2
   ("column mapping capable") therefore opens normally now.
 
+- **Change Data Feed** (``delta.enableChangeDataFeed`` /
+  ``table_changes()``): :func:`read_delta_cdf` replays a version range —
+  ``cdc`` actions' parquet (authoritative, suppressing that commit's
+  rewrite add/removes), else insert/delete derivation from dataChange
+  file actions; output carries ``_change_type`` / ``_commit_version`` /
+  ``_commit_timestamp``.  A vacuumed removed file hard-fails instead of
+  silently dropping deletes.
+
 - **V2 checkpoints** (the ``v2Checkpoint`` reader feature, Delta 3.x's
   default): UUID-named json/parquet checkpoints whose file actions live
   inline or in parquet SIDECAR files under ``_delta_log/_sidecars/``;
@@ -847,3 +855,122 @@ def write_delta_checkpoint_v2(
     with open(os.path.join(log, "_last_checkpoint"), "w", encoding="utf-8") as fh:
         json.dump({"version": version, "size": len(lines)}, fh)
     return path
+
+
+# -- change data feed (PROTOCOL.md — Change Data Files) --------------------------------
+
+
+def read_delta_cdf(
+    spark,
+    table_dir: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+):
+    """Change Data Feed between two commit versions (inclusive) — the
+    read side of ``delta.enableChangeDataFeed`` / ``table_changes()``.
+
+    Per commit, in protocol order of preference:
+
+    - **cdc actions** are authoritative: their parquet files (under
+      ``_change_data/``) already carry ``_change_type`` rows
+      (``insert`` / ``delete`` / ``update_preimage`` /
+      ``update_postimage``) and, when present, SUPPRESS derivation from
+      that commit's add/remove actions (an update commit also rewrites
+      files; deriving from those too would double-count);
+    - otherwise changes derive from the file actions: ``add`` with
+      ``dataChange=true`` contributes its rows as ``insert``, ``remove``
+      with ``dataChange=true`` as ``delete`` (this requires the removed
+      file to still exist — i.e. not vacuumed — and hard-fails
+      otherwise rather than silently dropping deletes).
+
+    Output = table columns + ``_change_type``, ``_commit_version``,
+    ``_commit_timestamp`` (epoch millis from commitInfo, 0 if absent).
+    Gated: CDF over deletion-vector or column-mapping commits (their
+    change semantics need per-row DV diffs / physical-name resolution)."""
+    from pyspark.sql import functions as F
+
+    log = _log_dir(table_dir)
+    commits = sorted(
+        (int(m.group(1)), n)
+        for n in os.listdir(log)
+        if (m := _COMMIT_RE.match(n))
+    )
+    if ending_version is None:
+        ending_version = commits[-1][0] if commits else 0
+    parts = []
+    for v, name in commits:
+        if v < starting_version or v > ending_version:
+            continue
+        cdc_paths: list[str] = []
+        adds: list[dict] = []
+        removes: list[str] = []
+        ts = 0
+        with open(os.path.join(log, name), "r", encoding="utf-8") as fh:
+            for i, line in enumerate(fh):
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    action = json.loads(line)
+                except json.JSONDecodeError as ex:
+                    raise ValueError(f"{name} line {i + 1}: bad JSON: {ex}") from ex
+                if "cdc" in action:
+                    cdc_paths.append(action["cdc"]["path"])
+                elif "add" in action:
+                    a = action["add"]
+                    if a.get("deletionVector"):
+                        raise NotImplementedError(
+                            "CDF over deletion-vector commits not supported"
+                        )
+                    if a.get("dataChange", True):
+                        adds.append(a)
+                elif "remove" in action:
+                    r = action["remove"]
+                    if r.get("dataChange", True):
+                        removes.append(r["path"])
+                elif "metaData" in action:
+                    mode = (action["metaData"].get("configuration") or {}).get(
+                        "delta.columnMapping.mode"
+                    )
+                    if mode in ("name", "id"):
+                        raise NotImplementedError(
+                            "CDF over column-mapping tables not supported"
+                        )
+                elif "commitInfo" in action:
+                    ts = int(action["commitInfo"].get("timestamp", 0))
+
+        def stamp(df, ctype=None):
+            if ctype is not None:
+                df = df.withColumn("_change_type", F.lit(ctype))
+            return df.withColumn("_commit_version", F.lit(v).cast("long")).withColumn(
+                "_commit_timestamp", F.lit(ts).cast("long")
+            )
+
+        if cdc_paths:
+            cdf = spark.read.parquet(*[os.path.join(table_dir, p) for p in cdc_paths])
+            parts.append(stamp(cdf))
+            continue
+        if adds:
+            parts.append(
+                stamp(
+                    spark.read.parquet(
+                        *[os.path.join(table_dir, a["path"]) for a in adds]
+                    ),
+                    "insert",
+                )
+            )
+        for p in removes:
+            full = os.path.join(table_dir, p)
+            if not os.path.exists(full):
+                raise ValueError(
+                    f"CDF needs removed file {p!r} (commit {v}), but it was vacuumed"
+                )
+            parts.append(stamp(spark.read.parquet(full), "delete"))
+    if not parts:
+        raise ValueError(
+            f"no changes between versions {starting_version} and {ending_version}"
+        )
+    out = parts[0]
+    for other in parts[1:]:
+        out = out.unionByName(other, allowMissingColumns=False)
+    return out

@@ -4027,6 +4027,128 @@ def lake_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_delta_cdf",
+    """
+    WITH changes AS (
+      SELECT 'insert' AS ct, o_orderkey AS k, o_totalprice AS tp
+      FROM orders WHERE o_orderkey < 2000
+      UNION ALL
+      SELECT 'update_preimage', o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200
+      UNION ALL
+      SELECT 'update_postimage', o_orderkey, o_totalprice + 5000.0
+      FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200
+      UNION ALL
+      SELECT 'delete', o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 2000
+    )
+    SELECT ct AS _change_type, cast(count(*) AS bigint) AS n,
+           cast(sum(k) AS bigint) AS key_sum, round(sum(tp), 2) AS total
+    FROM changes GROUP BY ct ORDER BY ct
+    """,
+)
+def lake_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Change Data Feed (``table_changes()``): cdc actions are
+    authoritative — the update commit's cdc parquet carries pre/post
+    images AND the commit's rewrite add/remove, which must be suppressed
+    (deriving from both double-counts every updated row); commits without
+    cdc derive insert/delete from dataChange file actions.  The oracle
+    reconstructs the exact change stream from the ORIGINAL orders —
+    double-counted updates break n, a leaked compaction row breaks
+    key_sum, a missed delete breaks everything."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.delta import (
+        read_delta_cdf,
+        write_delta_commit,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_delta_cdf_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 2000)],
+    )
+    t = t.filter(pc.field("o_orderkey") < 2000)
+
+    def slice_file(name, lo, hi):
+        p = os.path.join(d, name)
+        part = t.filter((pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi))
+        pq.write_table(part, p)
+        return {"path": name, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}
+
+    a = slice_file("part-a.parquet", 0, 1500)
+    b = slice_file("part-b.parquet", 1500, 2000)
+    write_delta_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {"metaData": {"id": "cdf", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": "{}", "partitionColumns": [],
+                          "configuration": {"delta.enableChangeDataFeed": "true"}}},
+            {"add": a},
+            {"add": b},
+            {"commitInfo": {"timestamp": 1000}},
+        ],
+    )
+    upd = t.filter(
+        (pc.field("o_orderkey") >= 100) & (pc.field("o_orderkey") < 200)
+    ).to_pylist()
+    os.makedirs(os.path.join(d, "_change_data"))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(
+                    [r["o_orderkey"] for r in upd] * 2, pa.int64()
+                ),
+                "o_orderstatus": pa.array([r["o_orderstatus"] for r in upd] * 2),
+                "o_totalprice": pa.array(
+                    [float(r["o_totalprice"]) for r in upd]
+                    + [float(r["o_totalprice"]) + 5000.0 for r in upd]
+                ),
+                "_change_type": pa.array(
+                    ["update_preimage"] * len(upd) + ["update_postimage"] * len(upd)
+                ),
+            }
+        ),
+        os.path.join(d, "_change_data", "cdc-1.parquet"),
+    )
+    a2 = slice_file("part-a2.parquet", 0, 1500)  # the update's rewrite
+    write_delta_commit(
+        d,
+        1,
+        [
+            {"cdc": {"path": "_change_data/cdc-1.parquet", "partitionValues": {},
+                     "size": 1, "dataChange": False}},
+            {"remove": {"path": "part-a.parquet", "dataChange": True}},
+            {"add": a2},
+            {"commitInfo": {"timestamp": 2000}},
+        ],
+    )
+    write_delta_commit(
+        d, 2, [{"remove": {"path": "part-b.parquet", "dataChange": True}},
+               {"commitInfo": {"timestamp": 3000}}]
+    )
+    cdf = read_delta_cdf(spark, d, 0, 2)
+    return (
+        cdf.groupBy("_change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("_change_type")
+    )
+
+
+@q(
     "lake_delta_v2_checkpoint",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,

@@ -510,3 +510,88 @@ def test_v2_checkpoint_with_sidecars(spark, tmp_path):
     os.unlink(sc)
     with pytest.raises(ValueError, match="sidecar missing"):
         delta_snapshot(d)
+
+
+def test_change_data_feed(spark, tmp_path):
+    """CDF (delta.enableChangeDataFeed): cdc actions are authoritative
+    and suppress add/remove derivation in their commit; commits without
+    cdc derive insert from dataChange adds and delete from dataChange
+    removes; compaction commits (dataChange=false) emit NO changes;
+    version bounds are inclusive; a vacuumed removed file hard-fails."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from native_sql_engine_spark.operators.delta import read_delta_cdf
+
+    d = str(tmp_path)
+    a = _mkfile(d, "A.parquet", 0, 50)
+    b = _mkfile(d, "B.parquet", 50, 80)
+    write_delta_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {"metaData": dict(META, configuration={"delta.enableChangeDataFeed": "true"})},
+            {"add": a},
+            {"add": b},
+            {"commitInfo": {"timestamp": 1000}},
+        ],
+    )
+    # v1: an UPDATE commit — cdc file carries pre/post images; the rewritten
+    # add/remove in the same commit must NOT double-count
+    os.makedirs(os.path.join(d, "_change_data"))
+    pq_.write_table(
+        pa_.table(
+            {
+                "k": pa_.array([10, 10], pa_.int64()),
+                "v": pa_.array([5.0, 99.0]),
+                "_change_type": pa_.array(["update_preimage", "update_postimage"]),
+            }
+        ),
+        os.path.join(d, "_change_data", "cdc-0.parquet"),
+    )
+    a2 = _mkfile(d, "A2.parquet", 0, 50)
+    write_delta_commit(
+        d,
+        1,
+        [
+            {"cdc": {"path": "_change_data/cdc-0.parquet", "partitionValues": {},
+                     "size": 1, "dataChange": False}},
+            {"remove": {"path": "A.parquet", "dataChange": True}},
+            {"add": a2},
+            {"commitInfo": {"timestamp": 2000}},
+        ],
+    )
+    # v2: plain delete of B (derived)
+    write_delta_commit(
+        d, 2, [{"remove": {"path": "B.parquet", "dataChange": True}},
+               {"commitInfo": {"timestamp": 3000}}]
+    )
+    # v3: compaction — rewrites A2 with dataChange=false, NO changes emitted
+    a3 = _mkfile(d, "A3.parquet", 0, 50)
+    a3["dataChange"] = False
+    write_delta_commit(
+        d, 3, [{"remove": {"path": "A2.parquet", "dataChange": False}}, {"add": a3}]
+    )
+
+    cdf = read_delta_cdf(spark, d, 0, 3)
+    rows = cdf.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r._change_type, []).append(r)
+    assert len(by_type["insert"]) == 80  # v0 adds
+    assert {r._commit_version for r in by_type["insert"]} == {0}
+    assert [r.v for r in by_type["update_preimage"]] == [5.0]
+    assert [r.v for r in by_type["update_postimage"]] == [99.0]
+    assert {r._commit_timestamp for r in by_type["update_postimage"]} == {2000}
+    assert len(by_type["delete"]) == 30 and {r._commit_version for r in by_type["delete"]} == {2}
+    assert "insert" not in {r._change_type for r in rows if r._commit_version == 3}
+
+    # version bounds
+    only_v2 = read_delta_cdf(spark, d, 2, 2)
+    assert {r._change_type for r in only_v2.collect()} == {"delete"}
+
+    # vacuumed removed file must hard-fail, not silently drop deletes
+    os.unlink(os.path.join(d, "B.parquet"))
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_delta_cdf(spark, d, 2, 2)
