@@ -3649,6 +3649,71 @@ def lake_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_iceberg_incremental",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg incremental APPEND scan (the start/end-snapshot-id
+    consumption API): only rows whose manifest entries are ADDED
+    (status=1, matching snapshot_id) within (from, to] — snapshot 1's
+    file [0,1000) carries over as EXISTING into later manifests and must
+    NOT appear; snapshots 2 and 3 append [1000,2000) and [2000,3000).
+    The oracle is exactly the appended range: leaking the carried-over
+    file inflates every aggregate, missing an in-range append deflates
+    them."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.iceberg import (
+        read_iceberg_incremental,
+        write_iceberg_fixture,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_ice_incr_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 3000)],
+    )
+    t = t.filter(pc.field("o_orderkey") < 3000)
+
+    def slice_file(name, lo, hi):
+        p = os.path.join(d, "data", name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        part = t.filter((pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi))
+        pq.write_table(part, p)
+        return p
+
+    a = slice_file("part-a.parquet", 0, 1000)
+    b = slice_file("part-b.parquet", 1000, 2000)
+    c = slice_file("part-c.parquet", 2000, 3000)
+    write_iceberg_fixture(
+        d,
+        {1: [(1, a)], 2: [(0, a), (1, b)], 3: [(0, a), (0, b), (1, c)]},
+        current=3,
+    )
+    df = read_iceberg_incremental(spark, d, 1, 3)  # appended keys [1000,3000)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_iceberg_avro_data",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,

@@ -373,3 +373,43 @@ def test_equality_delete_global_on_partitioned_table(spark, tmp_path):
         json.dump(meta, fh)
     got = sorted(r.k for r in read_iceberg(spark, d).collect())
     assert got == sorted(set(range(50)) - set(range(10, 20)))
+
+
+def test_incremental_append_scan(spark, tmp_path):
+    """Incremental append consumption between snapshots: only rows whose
+    entries are ADDED in (from, to] appear — EXISTING carry-overs and
+    files added before the range stay out; row-level deletes in range
+    gate."""
+    from native_sql_engine_spark.operators.iceberg import (
+        read_iceberg_incremental,
+        write_position_delete_file,
+    )
+
+    d = str(tmp_path)
+    a = _mk(d, "a.parquet", 0, 100)
+    b = _mk(d, "b.parquet", 100, 200)
+    c = _mk(d, "c.parquet", 200, 300)
+    write_iceberg_fixture(
+        d,
+        {
+            1: [(1, a)],
+            2: [(0, a), (1, b)],
+            3: [(0, a), (0, b), (1, c)],
+        },
+        current=3,
+    )
+    got = sorted(r.k for r in read_iceberg_incremental(spark, d, 1, 3).collect())
+    assert got == list(range(100, 300))  # b + c, NOT the carried-over a
+    got2 = sorted(r.k for r in read_iceberg_incremental(spark, d, 2, 3).collect())
+    assert got2 == list(range(200, 300))
+    with pytest.raises(ValueError, match="no appends"):
+        read_iceberg_incremental(spark, d, 3, 3)
+    with pytest.raises(ValueError, match="not in"):
+        read_iceberg_incremental(spark, d, 1, 99)
+    # a positional delete inside the range gates the append-only read
+    d2 = str(tmp_path / "del")
+    a2 = _mk(d2, "a.parquet", 0, 50)
+    pd1 = write_position_delete_file(os.path.join(d2, "data", "del.parquet"), [(a2, 0)])
+    write_iceberg_fixture(d2, {1: [(1, a2)], 2: [(0, a2), (1, pd1, 1)]}, current=2)
+    with pytest.raises(NotImplementedError, match="row-level"):
+        read_iceberg_incremental(spark, d2, 1, 2)
