@@ -3359,6 +3359,92 @@ def lake_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_hudi_incremental",
+    """
+    WITH latest AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+             CASE WHEN o_orderkey < 1000 THEN o_totalprice + 7000.0
+                  ELSE o_totalprice END AS tp
+      FROM orders WHERE o_orderkey < 2500
+    )
+    SELECT s AS o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(k) AS bigint) AS key_sum, round(sum(tp), 2) AS total
+    FROM latest GROUP BY s ORDER BY s
+    """,
+)
+def lake_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi incremental COW query (``query.type=incremental``): the
+    LATEST version of every record written by commits in (begin, end].
+    Commit 001 (keys [0,1500)) is the pre-range base; commit 002 inserts
+    [1500,2500); commit 003 rewrites file group fg1 bumping [0,1000) by
+    7000 and re-writing [1000,1500) unchanged.  Reading (001, 003] must
+    return 002's inserts plus 003's rewrite — with each rewritten key at
+    its FINAL version only.  The oracle computes exactly that from the
+    ORIGINAL orders: double-counting a rewritten key breaks n, taking
+    001's stale version breaks total."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.hudi import (
+        read_hudi_incremental,
+        write_hudi_fixture,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_hudi_incr_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 2500)],
+    )
+    t = t.filter(pc.field("o_orderkey") < 2500)
+
+    def write_group(fid, instant, lo, hi, bump=0.0, bump_below=None):
+        part = t.filter(
+            (pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi)
+        ).to_pylist()
+        import pyarrow as pa
+
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([r["o_orderkey"] for r in part], pa.int64()),
+                    "o_orderstatus": pa.array([r["o_orderstatus"] for r in part]),
+                    "o_totalprice": pa.array(
+                        [
+                            float(r["o_totalprice"])
+                            + (bump if bump_below is None or r["o_orderkey"] < bump_below else 0.0)
+                            for r in part
+                        ]
+                    ),
+                }
+            ),
+            os.path.join(d, f"{fid}_0-0-0_{instant}.parquet"),
+        )
+
+    write_group("fg1", "001", 0, 1500)
+    write_group("fg2", "002", 1500, 2500)
+    write_group("fg1", "003", 0, 1500, bump=7000.0, bump_below=1000)
+    write_hudi_fixture(
+        d,
+        [("001", "", "fg1"), ("002", "", "fg2"), ("003", "", "fg1")],
+        record_key="o_orderkey",
+    )
+    df = read_hudi_incremental(spark, d, "001", "003")
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_hudi_mor_log_only",
     """
     SELECT cast(count(*) AS bigint) AS n,

@@ -265,3 +265,34 @@ def test_mor_log_only_file_group(spark, tmp_path):
     # time travel to 002: fg2's first block visible, second not
     got2 = {r.k: r.v for r in read_hudi(spark, d, as_of="002").collect()}
     assert got2[100] == "logonly" and got2[101] == "logonly"
+
+
+def test_incremental_cow(spark, tmp_path):
+    """Incremental COW query: latest version of every record written by
+    commits in (begin, end]; a key rewritten twice in range collapses to
+    its final version; pre-range commits stay out; MOR deltacommits in
+    range gate."""
+    from native_sql_engine_spark.operators.hudi import read_hudi_incremental
+
+    d = str(tmp_path)
+    _mk_kv(d, "fg1", "001", [(k, "v1") for k in range(10)])
+    _mk_kv(d, "fg2", "002", [(k, "v2") for k in range(10, 20)])
+    _mk_kv(d, "fg1", "003", [(k, "v3") for k in range(10)])  # rewrites fg1
+    write_hudi_fixture(
+        d,
+        [("001", "", "fg1"), ("002", "", "fg2"), ("003", "", "fg1")],
+        record_key="k",
+    )
+    got = {r.k: r.v for r in read_hudi_incremental(spark, d, "001").collect()}
+    # (001, 003]: fg2@002 inserts + fg1@003 rewrite; fg1@001 rows appear
+    # only through their 003 version
+    assert got == {**{k: "v2" for k in range(10, 20)}, **{k: "v3" for k in range(10)}}
+    got2 = {r.k: r.v for r in read_hudi_incremental(spark, d, "002", "003").collect()}
+    assert got2 == {k: "v3" for k in range(10)}
+    with pytest.raises(ValueError, match="no commits"):
+        read_hudi_incremental(spark, d, "003")
+    d2 = str(tmp_path / "mor")
+    os.makedirs(d2)
+    _mor_table(d2)
+    with pytest.raises(NotImplementedError, match="deltacommit"):
+        read_hudi_incremental(spark, d2, "001")
