@@ -56,9 +56,11 @@ table WITHOUT the delta-spark runtime:
   ``checkpointMetadata`` lines are recognized, a missing sidecar
   hard-fails (silently dropping one would un-delete or lose files).
 
-Honest gates: column mapping over NESTED columns or partitioned
-column-mapping tables (inner fields / hive directory names are physical
-too) and other unknown reader features raise ``NotImplementedError``.  Malformed logs,
+Honest gates: column mapping over NESTED columns, and 'id'-mode mapping
+over PARTITIONED tables (hive directory names carry no parquet field
+ids — 'name' mode handles them via the same alias select as data
+columns), and other unknown reader features raise
+``NotImplementedError``.  Malformed logs,
 DV checksum/cardinality mismatches and truncated DV blobs raise
 positioned ``ValueError``.  Single-writer caveat: no real Delta writer
 ships in this container, so the DV byte layout cannot be
@@ -535,10 +537,13 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     rename = None  # [(physical_or_logical_source, logical)] applied last
     if mode in ("name", "id"):
         fields = _mapping_fields(snap["schema"])
-        if snap["partition_columns"]:
+        if snap["partition_columns"] and mode == "id":
+            # hive directory names are physical strings — parquet field ids
+            # cannot resolve them; 'name' mode handles them via the same
+            # physical->logical alias select as data columns
             raise NotImplementedError(
-                "Delta column mapping with partition columns not supported "
-                "(hive directory names are physical)"
+                "Delta column mapping 'id' mode with partition columns not "
+                "supported (directory names carry no field ids)"
             )
         if mode == "id":
             # Spark-first: hand Spark a read schema whose fields carry

@@ -595,3 +595,69 @@ def test_change_data_feed(spark, tmp_path):
     os.unlink(os.path.join(d, "B.parquet"))
     with pytest.raises(ValueError, match="vacuumed"):
         read_delta_cdf(spark, d, 2, 2)
+
+
+def test_column_mapping_name_mode_partitioned(spark, tmp_path):
+    """'name' mode over a PARTITIONED table: hive directories carry the
+    physical partition-column name; the same physical->logical alias
+    select that maps data columns maps the directory-derived column, and
+    Spark's partition pruning still works on the physical scan."""
+    d = str(tmp_path)
+    for grp, lo in (("x", 0), ("y", 40)):
+        full = os.path.join(d, f"col-part9={grp}", "p.parquet")
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(
+            pa.table({"col-k7": pa.array(range(lo, lo + 40), pa.int64())}), full
+        )
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-k7",
+                    },
+                },
+                {
+                    "name": "grp",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-part9",
+                    },
+                },
+            ],
+        }
+    )
+    meta = dict(
+        META,
+        schemaString=schema,
+        partitionColumns=["grp"],
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    write_delta_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+            {"add": {"path": "col-part9=x/p.parquet",
+                     "partitionValues": {"col-part9": "x"}, "dataChange": True}},
+            {"add": {"path": "col-part9=y/p.parquet",
+                     "partitionValues": {"col-part9": "y"}, "dataChange": True}},
+        ],
+    )
+    df = read_delta(spark, d)
+    assert set(df.columns) == {"k", "grp"}
+    assert df.filter("grp = 'y'").count() == 40
+    assert sorted(r.k for r in df.filter("grp = 'x'").collect()) == list(range(40))
+    # id mode + partitions stays gated
+    meta_id = dict(meta, configuration={"delta.columnMapping.mode": "id"})
+    write_delta_commit(d, 1, [{"metaData": meta_id}])
+    with pytest.raises(NotImplementedError, match="'id' mode with partition"):
+        read_delta(spark, d)
