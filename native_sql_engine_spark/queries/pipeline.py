@@ -4755,12 +4755,14 @@ def source_orc_rawread_rlev1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "source_orc_stripe_pruning",
     """
+    WITH b AS (SELECT cast(max(o_orderkey) AS bigint) // 4 AS lo,
+                      cast(max(o_orderkey) AS bigint) // 2 AS hi FROM orders)
     SELECT cast(count(*) AS bigint) AS n,
            cast(sum(o_orderkey) AS bigint) AS key_sum,
            cast(min(o_orderkey) AS bigint) AS k_min,
            cast(max(o_orderkey) AS bigint) AS k_max,
            TRUE AS pruned
-    FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+    FROM orders, b WHERE o_orderkey >= b.lo AND o_orderkey < b.hi
     """,
 )
 def source_orc_stripe_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4768,8 +4770,9 @@ def source_orc_stripe_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     source_parquet_page_pruning: the file Metadata section's per-stripe
     min/max (written by pyarrow's real ORC writer) lets a range scan skip
     whole stripes without decompressing a single stream.  The fixture
-    sorts orders by key across many small stripes; the [2000,3000) scan
-    must read a strict subset, and the ``stripes_read < stripes_total``
+    sorts orders by key across many small stripes; a quarter-to-half
+    key-range scan (bounds derived from max(o_orderkey) so the entry is
+    SF-independent) must read a strict subset, and the ``stripes_read < stripes_total``
     claim is emitted as a result column the oracle pins TRUE — so the
     skipping itself is oracle-checked every round, not just asserted in
     tests.  Exact filtering re-applies after the stripe skip (the same
@@ -4805,14 +4808,16 @@ def source_orc_stripe_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.mkdtemp(prefix="src_orc_sp_"), "orders_sorted.orc")
     po.write_table(t, path, compression="uncompressed", stripe_size=64 * 1024)
 
+    lo, hi = max(keys) // 4, max(keys) // 2
+
     def batches(it):
         for pdf in it:
             for content in pdf["content"]:
                 cols, read, total = read_orc_table_pruned(
-                    bytes(content), ["o_orderkey"], {"o_orderkey": (2000, 2999)}
+                    bytes(content), ["o_orderkey"], {"o_orderkey": (lo, hi - 1)}
                 )
-                keys = [k for k in cols["o_orderkey"] if 2000 <= k < 3000]
-                yield pd.DataFrame({"o_orderkey": keys, "pruned": [read < total] * len(keys)})
+                got = [k for k in cols["o_orderkey"] if lo <= k < hi]
+                yield pd.DataFrame({"o_orderkey": got, "pruned": [read < total] * len(got)})
 
     files = spark.read.format("binaryFile").load(path)
     raw = files.select("content").mapInPandas(batches, "o_orderkey long, pruned boolean")

@@ -11,6 +11,10 @@ new testdata), at up to 50x the sf0.1 row counts:
   2. ``connected_components``    — 6M / 12M edges (forces the distributed
                                    path-halving loop; SMALL_GRAPH_EDGES=5M)
   3. ``knn_join_lsh``            — 2k / 20k / 100k embeddings (1x/10x/50x)
+  4. ``read_iceberg`` merge-on-read — 1M / 4M-row tables, 8 data files,
+     8 positional delete files + 4 equality delete files each (the
+     round-9 row-level machinery: (path,pos) anti-join + null-safe
+     equality anti-join with sequence residual over a broadcast seq map)
 
 Asserted per the round-8 verdict's order #5:
 
@@ -43,6 +47,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 import urllib.request
@@ -178,6 +183,54 @@ def gen_embeddings(spark, n: int, dim: int = 32) -> DataFrame:
     )
 
 
+def gen_iceberg_mor(spark, n: int) -> str:
+    """Build an Iceberg MOR table of ``n`` rows on disk: 8 data files,
+    8 positional delete files (1% of each file's rows) and 4 GLOBAL
+    sequence-tracked equality delete files, each deleting a key stripe.
+    Returns the table dir; the read under test is the full row-level
+    merge-on-read scan (anti-joins for both delete kinds)."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.iceberg import (
+        write_equality_delete_file,
+        write_iceberg_fixture,
+        write_position_delete_file,
+    )
+
+    d = tempfile.mkdtemp(prefix=f"ice_mor_{n}_")
+    per = n // 8
+    entries = []
+    for i in range(8):
+        p = os.path.join(d, "data", f"part-{i}.parquet")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        ks = np.arange(i * per, (i + 1) * per, dtype="int64")
+        pq.write_table(
+            pa.table({"k": ks, "v": (ks * 7) % 1000}), p
+        )
+        entries.append({"status": 1, "path": p, "sequence": 1})
+        pos = write_position_delete_file(
+            os.path.join(d, "data", f"posdel-{i}.parquet"),
+            [(p, int(x)) for x in range(0, per, 100)],  # 1% of rows
+        )
+        entries.append({"status": 1, "path": pos, "content": 1, "sequence": 2})
+    for j in range(4):
+        stripe = np.arange(j * per // 2, j * per // 2 + per // 8, dtype="int64")
+        eq = write_equality_delete_file(
+            os.path.join(d, "data", f"eqdel-{j}.parquet"), {"k": pa.array(stripe)}
+        )
+        entries.append(
+            {"status": 1, "path": eq, "content": 2, "equality_ids": [1], "sequence": 3}
+        )
+    write_iceberg_fixture(
+        d, {3: entries}, current=3, schema_fields=[(1, "k", "long")]
+    )
+    return d
+
+
 # ----------------------------------------------------------------- probes
 def run_path(spark, name, scales, build_df, run, collects: list):
     out = []
@@ -248,6 +301,16 @@ def main() -> int:
     if only in (None, "knn"):
         results["knn_join_lsh"] = run_path(
             spark, "knn_join_lsh", emb_scales, gen_embeddings, knn, collects)
+
+    ice_scales = [1_000_000] if quick else [1_000_000, 4_000_000]
+    if only in (None, "iceberg"):
+        results["iceberg_mor_read"] = run_path(
+            spark, "iceberg_mor_read", ice_scales, gen_iceberg_mor,
+            lambda table_dir: __import__(
+                "native_sql_engine_spark.operators.iceberg", fromlist=["read_iceberg"]
+            ).read_iceberg(spark, table_dir).count(),
+            collects,
+        )
 
     heap_max, pool_peak_sum = _heap_mb(spark)
     checks = {
