@@ -979,3 +979,49 @@ def read_delta_cdf(
     for other in parts[1:]:
         out = out.unionByName(other, allowMissingColumns=False)
     return out
+
+
+def delta_version_at_timestamp(table_dir: str, ts_millis: int) -> int:
+    """Resolve ``timestampAsOf`` semantics: the LATEST commit whose
+    timestamp is <= the requested instant (delta-spark's rule).  Commit
+    timestamps come from each commit's ``commitInfo.timestamp``, falling
+    back to the commit file's mtime when absent (the same fallback
+    delta-spark applies to old logs).  Requesting a time before the first
+    commit raises — there is no table state to read."""
+    log = _log_dir(table_dir)
+    best = None
+    for name in sorted(os.listdir(log)):
+        m = _COMMIT_RE.match(name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        path = os.path.join(log, name)
+        cts = None
+        with open(path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    action = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "commitInfo" in action and "timestamp" in action["commitInfo"]:
+                    cts = int(action["commitInfo"]["timestamp"])
+                    break
+        if cts is None:
+            cts = int(os.path.getmtime(path) * 1000)
+        if cts <= ts_millis:
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise ValueError(
+            f"no Delta commit at or before timestamp {ts_millis} "
+            "(requested time precedes the table)"
+        )
+    return best
+
+
+def read_delta_at_timestamp(spark, table_dir: str, ts_millis: int):
+    """``timestampAsOf`` read: resolve the version, then the normal
+    snapshot scan (checkpoints, DVs, column mapping all apply)."""
+    return read_delta(spark, table_dir, version=delta_version_at_timestamp(table_dir, ts_millis))

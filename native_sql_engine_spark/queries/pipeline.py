@@ -4178,6 +4178,86 @@ def lake_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_delta_time_travel_ts",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 1200
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_delta_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``timestampAsOf`` time travel: the latest commit with timestamp <=
+    the requested instant.  Commit 0 (ts 10000) adds keys [0,1200);
+    commit 1 (ts 20000) removes half and adds [1200,2000).  Reading at
+    ts 15000 — strictly between the commits — must resolve to commit 0's
+    exact state: rounding up leaks commit 1's removal AND its add, so
+    either direction of error breaks the oracle's [0,1200) range."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.delta import (
+        read_delta_at_timestamp,
+        write_delta_commit,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_delta_ts_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 2000)],
+    )
+    t = t.filter(pc.field("o_orderkey") < 2000)
+
+    def slice_file(name, lo, hi):
+        p = os.path.join(d, name)
+        part = t.filter((pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi))
+        pq.write_table(part, p)
+        return {"path": name, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}
+
+    a = slice_file("part-a.parquet", 0, 600)
+    b = slice_file("part-b.parquet", 600, 1200)
+    c = slice_file("part-c.parquet", 1200, 2000)
+    write_delta_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "ts", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": "{}", "partitionColumns": [],
+                          "configuration": {}}},
+            {"add": a},
+            {"add": b},
+            {"commitInfo": {"timestamp": 10000}},
+        ],
+    )
+    write_delta_commit(
+        d,
+        1,
+        [
+            {"remove": {"path": "part-a.parquet", "dataChange": True}},
+            {"add": c},
+            {"commitInfo": {"timestamp": 20000}},
+        ],
+    )
+    df = read_delta_at_timestamp(spark, d, 15000)  # commit 0: keys [0,1200)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_delta_cdf",
     """
     WITH changes AS (

@@ -661,3 +661,38 @@ def test_column_mapping_name_mode_partitioned(spark, tmp_path):
     write_delta_commit(d, 1, [{"metaData": meta_id}])
     with pytest.raises(NotImplementedError, match="'id' mode with partition"):
         read_delta(spark, d)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """timestampAsOf: latest commit with timestamp <= requested; between
+    commits resolves to the earlier one; before the first commit raises;
+    mtime fallback covers commits without commitInfo."""
+    from native_sql_engine_spark.operators.delta import (
+        delta_version_at_timestamp,
+        read_delta_at_timestamp,
+    )
+
+    d = str(tmp_path)
+    a = _mkfile(d, "A.parquet", 0, 50)
+    b = _mkfile(d, "B.parquet", 50, 80)
+    write_delta_commit(
+        d,
+        0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+         {"metaData": META}, {"add": a}, {"commitInfo": {"timestamp": 10_000}}],
+    )
+    write_delta_commit(
+        d, 1, [{"add": b}, {"commitInfo": {"timestamp": 20_000}}]
+    )
+    assert delta_version_at_timestamp(d, 10_000) == 0
+    assert delta_version_at_timestamp(d, 19_999) == 0
+    assert delta_version_at_timestamp(d, 20_000) == 1
+    assert delta_version_at_timestamp(d, 10**15) == 1
+    with pytest.raises(ValueError, match="precedes"):
+        delta_version_at_timestamp(d, 9_999)
+    assert sorted(r.k for r in read_delta_at_timestamp(spark, d, 15_000).collect()) == list(range(50))
+    assert sorted(r.k for r in read_delta_at_timestamp(spark, d, 25_000).collect()) == list(range(80))
+    # mtime fallback: commit 2 has no commitInfo — far-future request sees it
+    c = _mkfile(d, "C.parquet", 80, 90)
+    write_delta_commit(d, 2, [{"add": c}])
+    assert delta_version_at_timestamp(d, 10**15) == 2
