@@ -547,6 +547,16 @@ def read_hudi_incremental(spark, table_dir: str, begin: str, end: str | None = N
         raise NotImplementedError(
             "incremental read over MOR deltacommits not supported"
         )
+    if any(k == "replacecommit" and _instant_key(begin) < _instant_key(i) <= _instant_key(end)
+           for i, k in completed):
+        # clustering / insert_overwrite rewrites files without the
+        # write-stats shape this scan consumes; silently skipping them
+        # would omit their rows, so gate honestly like deltacommits
+        raise NotImplementedError(
+            "incremental read over replacecommits not supported "
+            "(clustering/insert_overwrite rewrites are not in "
+            "partitionToWriteStats form)"
+        )
     per_file: list[tuple[str, str]] = []  # (instant, path)
     for instant, kind in completed:
         if kind != "commit":

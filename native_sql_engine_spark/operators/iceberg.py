@@ -226,8 +226,12 @@ def iceberg_snapshot(
             specs[0] if specs else {},
         )
         for f in spec.get("fields", []):
+            # manifest_file.partitions is positionally aligned with ALL
+            # spec fields, so non-identity fields must still occupy their
+            # slot — typ=None marks them unprunable (no bound decoder).
             if f.get("transform") != "identity":
-                continue  # non-identity fields are never pruned on here
+                spec_fields.append((f.get("name"), None))
+                continue
             src = by_id.get(f.get("source-id"), {})
             spec_fields.append((f.get("name"), src.get("type", "")))
 
@@ -292,10 +296,14 @@ def iceberg_snapshot(
                     ids = df.get("equality_ids") or []
                     if not ids:
                         raise ValueError(f"{mpath}: equality delete without equality_ids")
+                    # sequence_number == 0 is legitimate (v1-upgraded
+                    # files); only a genuinely-missing value inherits
+                    # the snapshot's sequence number.
+                    dseq = e.get("sequence_number")
                     eq_deletes.append(
                         (
                             _local_path(table_dir, df["file_path"]),
-                            e.get("sequence_number") or snap_seq,
+                            snap_seq if dseq is None else dseq,
                             list(ids),
                         )
                     )
@@ -315,7 +323,8 @@ def iceberg_snapshot(
                     )
                 p = _local_path(table_dir, df["file_path"])
                 files.append((fmt, p))
-                file_seqs[p] = e.get("sequence_number") or snap_seq
+                fseq = e.get("sequence_number")
+                file_seqs[p] = snap_seq if fseq is None else fseq
     return {
         "snapshot_id": want,
         "files": [p for _, p in files],
@@ -652,7 +661,16 @@ def write_iceberg_fixture(
     through the from-scratch nested Avro codec."""
     from .avro import write_avro
 
-    entry_schema = _manifest_entry_schema(partition_spec)
+    # partition_spec entries are (name, avro_type) or (name, avro_type,
+    # transform) — default identity; non-identity transforms (e.g.
+    # "bucket[4]") exercise the reader's positional summary alignment
+    if partition_spec:
+        partition_spec = [
+            (p[0], p[1], p[2] if len(p) > 2 else "identity") for p in partition_spec
+        ]
+    entry_schema = _manifest_entry_schema(
+        [(n, t) for n, t, _tr in partition_spec] if partition_spec else None
+    )
     md = os.path.join(table_dir, "metadata")
     os.makedirs(md, exist_ok=True)
     snap_meta = []
@@ -721,7 +739,7 @@ def write_iceberg_fixture(
                             {
                                 "partition": {
                                     n: (e["partition"] or {}).get(n)
-                                    for n, _ in partition_spec
+                                    for n, _t, _tr in partition_spec
                                 }
                             }
                             if partition_spec
@@ -739,7 +757,7 @@ def write_iceberg_fixture(
             summaries = None
             if partition_spec and manifest_content == 0:
                 summaries = []
-                for name, typ in partition_spec:
+                for name, typ, _tr in partition_spec:
                     vals = [
                         e["partition"][name]
                         for e in sub
@@ -814,7 +832,7 @@ def write_iceberg_fixture(
                 "schema-id": 0,
                 "fields": [
                     {"id": i + 1, "name": n, "required": False, "type": t}
-                    for i, (n, t) in enumerate(partition_spec)
+                    for i, (n, t, _tr) in enumerate(partition_spec)
                 ],
             }
         ]
@@ -825,11 +843,11 @@ def write_iceberg_fixture(
                 "fields": [
                     {
                         "name": n,
-                        "transform": "identity",
+                        "transform": tr,
                         "source-id": i + 1,
                         "field-id": 1000 + i,
                     }
-                    for i, (n, _t) in enumerate(partition_spec)
+                    for i, (n, _t, tr) in enumerate(partition_spec)
                 ],
             }
         ]

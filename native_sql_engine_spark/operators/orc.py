@@ -859,7 +859,12 @@ def read_orc_table_pruned(
                 return False
         return True
 
-    total = max(len(stats), 1)
+    # Stripe count comes from the footer's StripeInformation list, NOT
+    # from the Metadata section: a file with no (or truncated)
+    # StripeStatistics still has all its stripes, and those beyond the
+    # stats list must be read conservatively rather than dropped.
+    footer, _, _ = _tail(buf)
+    total = max(len(footer.get(3, [])), 1)
     kept = [i for i in range(total) if keep(i)]
     out = _read_orc_stripes(buf, columns, set(kept))
     return out, len(kept), total

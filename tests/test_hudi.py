@@ -296,3 +296,25 @@ def test_incremental_cow(spark, tmp_path):
     _mor_table(d2)
     with pytest.raises(NotImplementedError, match="deltacommit"):
         read_hudi_incremental(spark, d2, "001")
+
+
+def test_incremental_replacecommit_gates(spark, tmp_path):
+    """A replacecommit (clustering / insert_overwrite) inside the
+    incremental range gates honestly — its rewrites are not in
+    partitionToWriteStats form, so silently skipping it would omit rows;
+    out-of-range replacecommits don't interfere."""
+    from native_sql_engine_spark.operators.hudi import read_hudi_incremental
+
+    d = str(tmp_path)
+    _mk_kv(d, "fg1", "001", [(k, "v1") for k in range(5)])
+    _mk_kv(d, "fg2", "002", [(k, "v2") for k in range(5, 10)])
+    write_hudi_fixture(
+        d,
+        [("001", "", "fg1"), ("002", "", "fg2")],
+        replaced={"003": {"": ["fg1"]}},
+        record_key="k",
+    )
+    with pytest.raises(NotImplementedError, match="replacecommit"):
+        read_hudi_incremental(spark, d, "001")  # end defaults to 003
+    got = {r.k: r.v for r in read_hudi_incremental(spark, d, "001", "002").collect()}
+    assert got == {k: "v2" for k in range(5, 10)}

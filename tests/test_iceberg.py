@@ -413,3 +413,68 @@ def test_incremental_append_scan(spark, tmp_path):
     write_iceberg_fixture(d2, {1: [(1, a2)], 2: [(0, a2), (1, pd1, 1)]}, current=2)
     with pytest.raises(NotImplementedError, match="row-level"):
         read_iceberg_incremental(spark, d2, 1, 2)
+
+
+def test_manifest_summary_alignment_with_nonidentity_fields(spark, tmp_path):
+    """manifest_file.partitions is positionally aligned with ALL spec
+    fields; a spec like [bucket(shard), identity(status)] must read the
+    identity field's bounds from slot 1, not slot 0.  The misaligned
+    decode (bucket's int bounds read as a string) would wrongly prune the
+    matching manifest — silent missing rows."""
+    d = str(tmp_path)
+    hot = _mk(d, "hot.parquet", 0, 100)
+    cold = _mk(d, "cold.parquet", 100, 200)
+    entries = [
+        (1, hot, 0, {"shard": 3, "status": "hot"}, 0),
+        (1, cold, 0, {"shard": 3, "status": "cold"}, 1),
+    ]
+    write_iceberg_fixture(
+        d,
+        {1: entries},
+        1,
+        partition_spec=[("shard", "int", "bucket[4]"), ("status", "string")],
+    )
+    snap = iceberg_snapshot(d, partition_filter={"status": "hot"})
+    assert [os.path.basename(f) for f in snap["files"]] == ["hot.parquet"]
+    assert snap["manifests_skipped"] == 1  # the cold manifest, via slot 1
+    got = sorted(
+        r.k
+        for r in read_iceberg(spark, d, partition_filter={"status": "hot"}).collect()
+    )
+    assert got == list(range(100))
+    # filtering on the bucket-transformed field itself never prunes
+    # (conservative: no decoder for non-identity transforms)
+    snap2 = iceberg_snapshot(d, partition_filter={"shard": 99})
+    assert snap2["manifests_skipped"] == 0
+
+
+def test_sequence_number_zero_is_not_missing(spark, tmp_path):
+    """An explicit sequence_number of 0 (v1-upgraded data files) must NOT
+    inherit the snapshot's sequence number: an eq-delete at seq 1 kills a
+    seq-0 row, but `or`-coalescing would promote the data file to the
+    snapshot seq and under-delete."""
+    from native_sql_engine_spark.operators.iceberg import (
+        write_equality_delete_file,
+    )
+
+    d = str(tmp_path)
+    a = _mk(d, "a.parquet", 0, 50)  # v1-upgraded: explicit seq 0
+    eq = write_equality_delete_file(
+        os.path.join(d, "data", "eq.parquet"), {"k": list(range(10, 20))}
+    )
+    write_iceberg_fixture(
+        d,
+        {
+            5: [
+                {"status": 0, "path": a, "sequence": 0},
+                {"status": 1, "path": eq, "content": 2, "equality_ids": [1],
+                 "sequence": 1},
+            ]
+        },
+        current=5,
+        schema_fields=[(1, "k", "long")],
+    )
+    snap = iceberg_snapshot(d)
+    assert snap["file_sequence_numbers"][a] == 0
+    got = sorted(r.k for r in read_iceberg(spark, d).collect())
+    assert got == sorted(set(range(50)) - set(range(10, 20)))

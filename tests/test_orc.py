@@ -420,3 +420,47 @@ def test_stripe_statistics_pruning(tmp_path):
     # unknown column in ranges: conservative, everything read
     _, r_all, t_all = read_orc_table_pruned(buf, ["k"], {"nope": (0, 1)})
     assert r_all == t_all
+
+
+def test_pruning_without_metadata_reads_all_stripes(tmp_path):
+    """A multi-stripe file with NO Metadata section (metadataLength=0 in
+    the postscript — legal; stats are optional) must read every stripe:
+    the stripe count comes from the footer's StripeInformation list, not
+    the stats list, so missing stats mean conservative keep, never drop."""
+    import io
+
+    from native_sql_engine_spark.operators.orc import (
+        orc_stripe_stats,
+        pb_decode,
+        pb_encode,
+        read_orc_table_pruned,
+    )
+
+    n = 200000
+    t = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "s": pa.array([f"g{i // 25000}" for i in range(n)]),
+            "v": pa.array([i * 0.5 for i in range(n)]),
+        }
+    )
+    b = io.BytesIO()
+    po.write_table(t, b, compression="zlib", stripe_size=64 * 1024)
+    buf = b.getvalue()
+    # rewrite the postscript with metadataLength=0 (the Metadata bytes
+    # become dead padding before the footer; all stripe offsets are
+    # absolute and unaffected)
+    ps_len = buf[-1]
+    ps = pb_decode(buf[-1 - ps_len : -1])
+    fields = []
+    for fno in sorted(ps):
+        for v in ps[fno]:
+            fields.append((fno, 0 if fno == 5 else v))
+    new_ps = pb_encode(fields)
+    buf2 = buf[: -1 - ps_len] + new_ps + bytes([len(new_ps)])
+
+    assert orc_stripe_stats(buf2) == []
+    cols, read, total = read_orc_table_pruned(buf2, ["k"], {"k": (0, 10)})
+    assert total > 1, "fixture must be multi-stripe"
+    assert read == total  # no stats -> conservative: every stripe read
+    assert cols["k"] == list(range(n))  # no rows lost
