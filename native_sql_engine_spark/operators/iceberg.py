@@ -237,8 +237,10 @@ def iceberg_snapshot(
 
     files: list[tuple[str, str]] = []
     file_seqs: dict[str, int] = {}
+    file_parts: dict[str, dict | None] = {}
     pos_deletes: list[str] = []
-    eq_deletes: list[tuple[str, int, list[int]]] = []  # (path, seq, equality_ids)
+    # (path, seq, equality_ids, partition_scope_or_None)
+    eq_deletes: list[tuple[str, int, list[int], dict | None]] = []
     manifests_skipped = files_pruned = 0
     snap_seq = snap.get("sequence-number", 0)
     for entry in mlist:
@@ -284,15 +286,16 @@ def iceberg_snapshot(
                             f"Iceberg equality delete files in {fmt} not wired"
                         )
                     part = df.get("partition") or {}
-                    if isinstance(part, dict) and any(
-                        v is not None for v in part.values()
-                    ):
-                        # an all-None tuple is a GLOBAL delete (spec: unpartitioned
-                        # path); only a concrete partition value scopes it
-                        raise NotImplementedError(
-                            "partition-scoped equality deletes not supported "
-                            "(applying them globally could over-delete)"
-                        )
+                    # an all-None tuple is a GLOBAL delete (spec:
+                    # unpartitioned path); a concrete value scopes the
+                    # delete to data files of that partition tuple —
+                    # the Flink streaming-upsert shape
+                    scope = (
+                        dict(part)
+                        if isinstance(part, dict)
+                        and any(v is not None for v in part.values())
+                        else None
+                    )
                     ids = df.get("equality_ids") or []
                     if not ids:
                         raise ValueError(f"{mpath}: equality delete without equality_ids")
@@ -305,6 +308,7 @@ def iceberg_snapshot(
                             _local_path(table_dir, df["file_path"]),
                             snap_seq if dseq is None else dseq,
                             list(ids),
+                            scope,
                         )
                     )
                 else:
@@ -325,6 +329,8 @@ def iceberg_snapshot(
                 files.append((fmt, p))
                 fseq = e.get("sequence_number")
                 file_seqs[p] = snap_seq if fseq is None else fseq
+                fpart = df.get("partition")
+                file_parts[p] = dict(fpart) if isinstance(fpart, dict) else None
     return {
         "snapshot_id": want,
         "files": [p for _, p in files],
@@ -332,6 +338,7 @@ def iceberg_snapshot(
         "position_delete_files": pos_deletes,
         "equality_delete_files": eq_deletes,
         "file_sequence_numbers": file_seqs,
+        "file_partitions": file_parts,
         "schema": meta.get("schemas") or meta.get("schema"),
         "sequence_number": snap.get("sequence-number", 0),
         "manifests_skipped": manifests_skipped,
@@ -421,26 +428,37 @@ def read_iceberg(
             for s in schemas
             for f in (s.get("fields") or [])
         }
-        # each data row carries its file's data sequence number; the map is
-        # tiny (one row per live file) so Catalyst broadcasts it
-        seq_rows = [(fp, seq) for fp, seq in snap["file_sequence_numbers"].items()]
-        seq_df = spark.createDataFrame(seq_rows, "__ice_fp string, __ice_seq long")
+        # each data row carries its file's data sequence number and a
+        # canonical partition-tuple key; the map is tiny (one row per
+        # live file) so Catalyst broadcasts it
+        def _pkey(part: dict | None) -> str | None:
+            if not isinstance(part, dict):
+                return None
+            return json.dumps(part, sort_keys=True, default=str)
+
+        seq_rows = [
+            (fp, seq, _pkey(snap["file_partitions"].get(fp)))
+            for fp, seq in snap["file_sequence_numbers"].items()
+        ]
+        seq_df = spark.createDataFrame(
+            seq_rows, "__ice_fp string, __ice_seq long, __ice_part string"
+        )
         df = df.join(F.broadcast(seq_df), "__ice_fp", "left")
-        # group delete files by their equality-column set: a streaming
-        # writer produces one delete file per commit, so a long-lived table
-        # has THOUSANDS of them — one anti-join per column set (delete rows
-        # unioned, each with its own sequence) keeps the plan O(column
-        # sets), not O(delete files)
+        # group delete files by (equality-column set, partition scope): a
+        # streaming writer produces one delete file per commit, so a
+        # long-lived table has THOUSANDS of them — one anti-join per group
+        # (delete rows unioned, each with its own sequence) keeps the plan
+        # O(groups), not O(delete files)
         by_cols: dict[tuple, list[tuple[str, int]]] = {}
-        for path, dseq, ids in snap["equality_delete_files"]:
+        for path, dseq, ids, scope in snap["equality_delete_files"]:
             names = tuple(by_id.get(i) for i in ids)
             if any(n is None for n in names):
                 raise ValueError(
                     f"equality delete {path}: ids {ids} not all resolvable "
                     "through the table schema"
                 )
-            by_cols.setdefault(names, []).append((path, int(dseq)))
-        for names, files_seq in by_cols.items():
+            by_cols.setdefault((names, _pkey(scope)), []).append((path, int(dseq)))
+        for (names, pkey), files_seq in by_cols.items():
             dd = None
             for path, dseq in files_seq:
                 one = spark.read.parquet(path).select(
@@ -449,8 +467,13 @@ def read_iceberg(
                 )
                 dd = one if dd is None else dd.unionByName(one)
             # spec: the delete applies to rows whose data sequence number is
-            # STRICTLY LOWER; equality matching is null-safe (null == null)
+            # STRICTLY LOWER; equality matching is null-safe (null == null).
+            # A partition-scoped delete (Flink streaming upsert) applies
+            # only to data files of the SAME partition tuple — a same-key
+            # row in another partition must survive.
             cond = F.col("__ice_seq") < F.col("__eq_seq")
+            if pkey is not None:
+                cond = cond & (F.col("__ice_part") == F.lit(pkey))
             for n in names:
                 cond = cond & F.col(n).eqNullSafe(F.col(f"__eq_{n}"))
             df = df.join(dd, cond, "left_anti")
@@ -814,7 +837,7 @@ def write_iceberg_fixture(
         "snapshots": snap_meta,
         "schemas": [],
     }
-    if schema_fields and not partition_spec:
+    if schema_fields:
         meta["current-schema-id"] = 0
         meta["schemas"] = [
             {
@@ -827,15 +850,20 @@ def write_iceberg_fixture(
         ]
     if partition_spec:
         meta["current-schema-id"] = 0
-        meta["schemas"] = [
-            {
-                "schema-id": 0,
-                "fields": [
-                    {"id": i + 1, "name": n, "required": False, "type": t}
-                    for i, (n, t, _tr) in enumerate(partition_spec)
-                ],
-            }
-        ]
+        if not schema_fields:
+            meta["schemas"] = [
+                {
+                    "schema-id": 0,
+                    "fields": [
+                        {"id": i + 1, "name": n, "required": False, "type": t}
+                        for i, (n, t, _tr) in enumerate(partition_spec)
+                    ],
+                }
+            ]
+        # source-id: by name through an explicit schema, else positional
+        src_by_name = {
+            f["name"]: f["id"] for f in meta["schemas"][0]["fields"]
+        }
         meta["default-spec-id"] = 0
         meta["partition-specs"] = [
             {
@@ -844,7 +872,7 @@ def write_iceberg_fixture(
                     {
                         "name": n,
                         "transform": tr,
-                        "source-id": i + 1,
+                        "source-id": src_by_name.get(n, i + 1),
                         "field-id": 1000 + i,
                     }
                     for i, (n, _t, tr) in enumerate(partition_spec)

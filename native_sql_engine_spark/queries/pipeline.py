@@ -3962,6 +3962,94 @@ def lake_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_iceberg_eq_delete_partitioned",
+    """
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey < 2000
+      AND NOT (o_orderstatus = 'O'
+               AND o_orderkey >= 500 AND o_orderkey < 1200)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_iceberg_eq_delete_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION-SCOPED equality deletes — the shape Flink
+    streaming-upsert writers emit as a matter of course: the delete
+    file's manifest entry carries a concrete partition tuple, and the
+    delete applies ONLY to data files of that partition.  The fixture
+    partitions orders[key<2000] by o_orderstatus (one data file per
+    status, seq 1) and scopes an equality delete on o_orderkey in
+    [500,1200) (seq 2) to the 'O' partition alone.  Keys in the deleted
+    range with OTHER statuses share delete keys but live in other
+    partitions — they MUST survive, so a reader that applies the delete
+    globally over-deletes and cannot match the oracle, while a reader
+    that drops scoped deletes resurrects the 'O' rows.  Application is
+    the same null-safe-equality + sequence-residual anti-join as global
+    eq-deletes plus a broadcast per-file partition-tuple key; one
+    anti-join per (column-set, scope) group keeps the plan O(groups) no
+    matter how many per-commit delete files a streaming writer piles up.
+    Reference parity: merge-on-read delete semantics beyond the
+    reference's scan surface (arrow-data-source has no row-level
+    deletes)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.iceberg import (
+        read_iceberg,
+        write_equality_delete_file,
+        write_iceberg_fixture,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_ice_eqpart_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 2000)],
+    )
+    t = t.filter(pc.field("o_orderkey") < 2000)
+    os.makedirs(os.path.join(d, "data"))
+    entries = []
+    for status in sorted(set(t.column("o_orderstatus").to_pylist())):
+        p = os.path.join(d, "data", f"part-{status}.parquet")
+        pq.write_table(t.filter(pc.field("o_orderstatus") == status), p)
+        entries.append(
+            {"status": 0, "path": p,
+             "partition": {"o_orderstatus": status}, "sequence": 1}
+        )
+    eq = write_equality_delete_file(
+        os.path.join(d, "data", "eq-del.parquet"),
+        {"o_orderkey": pa.array(range(500, 1200), pa.int64())},
+    )
+    entries.append(
+        {"status": 1, "path": eq, "content": 2, "equality_ids": [1],
+         "partition": {"o_orderstatus": "O"}, "sequence": 2}
+    )
+    write_iceberg_fixture(
+        d,
+        {2: entries},
+        current=2,
+        partition_spec=[("o_orderstatus", "string")],
+        schema_fields=[(1, "o_orderkey", "long"), (2, "o_orderstatus", "string")],
+    )
+    df = read_iceberg(spark, d)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_iceberg_partition_pruning",
     """
     SELECT cast(count(*) AS bigint) AS n,

@@ -251,7 +251,7 @@ def test_equality_deletes_sequence_semantics(spark, tmp_path):
         schema_fields=[(1, "k", "long")],
     )
     snap = iceberg_snapshot(d)
-    assert [p for p, _s, _i in snap["equality_delete_files"]] == [eq]
+    assert [p for p, _s, _i, _pt in snap["equality_delete_files"]] == [eq]
     assert snap["equality_delete_files"][0][1] == 2
     got = sorted(r.k for r in read_iceberg(spark, d).collect())
     # A keeps 0..39 and 70..99 (40..69 deleted at seq 2 > 1); B's 40..59
@@ -259,36 +259,65 @@ def test_equality_deletes_sequence_semantics(spark, tmp_path):
     assert got == sorted(list(range(0, 40)) + list(range(70, 100)) + list(range(40, 60)))
 
 
-def test_equality_delete_gates(tmp_path):
-    """Partition-scoped equality deletes stay gated (global application
-    could over-delete)."""
+def test_equality_delete_partition_scoped(spark, tmp_path):
+    """Partition-scoped equality deletes (the Flink streaming-upsert
+    shape): a delete whose entry carries a concrete partition tuple
+    applies ONLY to data files of that partition — a same-key row in
+    another partition MUST survive; sequence semantics still hold within
+    the scoped partition."""
     from native_sql_engine_spark.operators.iceberg import (
         write_equality_delete_file,
         write_iceberg_fixture,
     )
 
     d = str(tmp_path)
-    a = _mk(d, "a.parquet", 0, 10)
-    eq = write_equality_delete_file(os.path.join(d, "data", "e.parquet"), {"k": [1]})
+    a = _mk(d, "p1.parquet", 0, 50)  # keys 0..49 in bucket 1
+    b = _mk(d, "p2.parquet", 0, 50)  # SAME keys 0..49 in bucket 2
+    eq = write_equality_delete_file(
+        os.path.join(d, "data", "e.parquet"), {"k": list(range(10, 20))}
+    )
     write_iceberg_fixture(
         d,
         {
-            1: [
-                {"status": 1, "path": a, "partition": {"bucket": 1}},
-                {
-                    "status": 1,
-                    "path": eq,
-                    "content": 2,
-                    "equality_ids": [1],
-                    "partition": {"bucket": 1},
-                },
+            2: [
+                {"status": 0, "path": a, "partition": {"bucket": 1}, "sequence": 1},
+                {"status": 0, "path": b, "partition": {"bucket": 2}, "sequence": 1},
+                {"status": 1, "path": eq, "content": 2, "equality_ids": [1],
+                 "partition": {"bucket": 1}, "sequence": 2},
             ]
         },
-        current=1,
+        current=2,
         partition_spec=[("bucket", "int")],
+        schema_fields=[(1, "k", "long"), (9, "bucket", "int")],
     )
-    with pytest.raises(NotImplementedError, match="partition-scoped equality"):
-        iceberg_snapshot(d)
+    snap = iceberg_snapshot(d)
+    assert snap["equality_delete_files"][0][3] == {"bucket": 1}
+    got = sorted(r.k for r in read_iceberg(spark, d).collect())
+    # bucket 1 loses 10..19; bucket 2 keeps ALL 50 keys
+    assert got == sorted(
+        list(set(range(50)) - set(range(10, 20))) + list(range(50))
+    )
+    # a scoped delete at a sequence NOT above the data's does nothing:
+    # rebuild with data seq 3 in the scoped partition
+    d2 = str(tmp_path / "seq")
+    a2 = _mk(d2, "p1.parquet", 0, 30)
+    eq2 = write_equality_delete_file(
+        os.path.join(d2, "data", "e.parquet"), {"k": [5]}
+    )
+    write_iceberg_fixture(
+        d2,
+        {
+            2: [
+                {"status": 0, "path": a2, "partition": {"bucket": 1}, "sequence": 3},
+                {"status": 1, "path": eq2, "content": 2, "equality_ids": [1],
+                 "partition": {"bucket": 1}, "sequence": 2},
+            ]
+        },
+        current=2,
+        partition_spec=[("bucket", "int")],
+        schema_fields=[(1, "k", "long"), (9, "bucket", "int")],
+    )
+    assert sorted(r.k for r in read_iceberg(spark, d2).collect()) == list(range(30))
 
 
 def test_avro_data_files(spark, tmp_path):
