@@ -890,8 +890,20 @@ def read_delta_cdf(
 
     Output = table columns + ``_change_type``, ``_commit_version``,
     ``_commit_timestamp`` (epoch millis from commitInfo, 0 if absent).
-    Gated: CDF over deletion-vector or column-mapping commits (their
-    change semantics need per-row DV diffs / physical-name resolution)."""
+
+    **Deletion-vector commits** derive exact per-row changes: a DV update
+    (``remove`` + ``add`` of the same path with a grown DV — the
+    default-on delete path of modern writers) emits as ``delete`` the
+    rows at positions(DV_new) − positions(DV_old) and as ``insert`` any
+    restored positions(DV_old) − positions(DV_new); a brand-new file
+    carrying a DV inserts only its live rows; a removed file that had a
+    DV emits deletes only for rows not already DV-deleted (re-emitting
+    those would double-count).  Each file's DV state BEFORE each commit
+    comes from a driver-side replay of the listed json commits (seeded
+    from the checkpointed snapshot when the log is truncated) — metadata
+    work of the same class delta-spark's CDF does; position sets expand
+    executor-side and broadcast when small.  Gated: CDF over
+    column-mapping commits (physical-name resolution)."""
     from pyspark.sql import functions as F
 
     log = _log_dir(table_dir)
@@ -902,13 +914,25 @@ def read_delta_cdf(
     )
     if ending_version is None:
         ending_version = commits[-1][0] if commits else 0
+    # per-file DV state BEFORE the commit being derived; replay starts at
+    # the earliest listed json commit, seeding from the checkpoint when
+    # the log head was cleaned up
+    first_listed = commits[0][0] if commits else 0
+    dv_state: dict[str, dict | None] = {}
+    if first_listed > 0:
+        dv_state = {
+            p: a.get("deletionVector")
+            for p, a in delta_snapshot(table_dir, first_listed - 1)["files"].items()
+        }
+    mapping_mode = None
     parts = []
     for v, name in commits:
-        if v < starting_version or v > ending_version:
-            continue
+        if v > ending_version:
+            break
+        in_range = v >= starting_version
         cdc_paths: list[str] = []
-        adds: list[dict] = []
-        removes: list[str] = []
+        all_adds: list[dict] = []
+        all_removes: list[dict] = []
         ts = 0
         with open(os.path.join(log, name), "r", encoding="utf-8") as fh:
             for i, line in enumerate(fh):
@@ -922,27 +946,31 @@ def read_delta_cdf(
                 if "cdc" in action:
                     cdc_paths.append(action["cdc"]["path"])
                 elif "add" in action:
-                    a = action["add"]
-                    if a.get("deletionVector"):
-                        raise NotImplementedError(
-                            "CDF over deletion-vector commits not supported"
-                        )
-                    if a.get("dataChange", True):
-                        adds.append(a)
+                    all_adds.append(action["add"])
                 elif "remove" in action:
-                    r = action["remove"]
-                    if r.get("dataChange", True):
-                        removes.append(r["path"])
+                    all_removes.append(action["remove"])
                 elif "metaData" in action:
-                    mode = (action["metaData"].get("configuration") or {}).get(
-                        "delta.columnMapping.mode"
-                    )
-                    if mode in ("name", "id"):
-                        raise NotImplementedError(
-                            "CDF over column-mapping tables not supported"
-                        )
+                    mapping_mode = (
+                        action["metaData"].get("configuration") or {}
+                    ).get("delta.columnMapping.mode")
                 elif "commitInfo" in action:
                     ts = int(action["commitInfo"].get("timestamp", 0))
+
+        def _apply_state():
+            for r in all_removes:
+                dv_state.pop(r["path"], None)
+            for a in all_adds:
+                dv_state[a["path"]] = a.get("deletionVector")
+
+        if not in_range:
+            _apply_state()
+            continue
+        if mapping_mode in ("name", "id"):
+            raise NotImplementedError(
+                "CDF over column-mapping tables not supported"
+            )
+        adds = [a for a in all_adds if a.get("dataChange", True)]
+        removes = [r for r in all_removes if r.get("dataChange", True)]
 
         def stamp(df, ctype=None):
             if ctype is not None:
@@ -951,26 +979,111 @@ def read_delta_cdf(
                 "_commit_timestamp", F.lit(ts).cast("long")
             )
 
+        def rows_of(paths):
+            d = spark.read.parquet(*[os.path.join(table_dir, p) for p in paths])
+            return d.withColumn(
+                "__dv_path",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            ).withColumn("__dv_ri", F.col("_metadata.row_index"))
+
+        def pos_df(dv_map):
+            m = {
+                os.path.abspath(os.path.join(table_dir, p)): dv
+                for p, dv in dv_map.items()
+                if dv
+            }
+            if not m:
+                return None
+            d = _dv_deleted_positions_df(spark, table_dir, m)
+            card = sum(int(dv.get("cardinality", 0)) for dv in m.values())
+            return F.broadcast(d) if 0 <= card <= _DV_BROADCAST_POSITIONS else d
+
+        def drop_meta(d):
+            return d.drop("__dv_path", "__dv_ri")
+
         if cdc_paths:
             cdf = spark.read.parquet(*[os.path.join(table_dir, p) for p in cdc_paths])
             parts.append(stamp(cdf))
+            _apply_state()
             continue
-        if adds:
+        for r in removes:
+            if not os.path.exists(os.path.join(table_dir, r["path"])):
+                raise ValueError(
+                    f"CDF needs removed file {r['path']!r} (commit {v}), "
+                    "but it was vacuumed"
+                )
+        add_by = {a["path"]: a for a in adds}
+        rem_by = {r["path"]: r for r in removes}
+        both = sorted(set(add_by) & set(rem_by))
+        add_only = [add_by[p] for p in sorted(add_by) if p not in rem_by]
+        rem_only = [p for p in sorted(rem_by) if p not in add_by]
+
+        if both:
+            # DV transition: same path removed+re-added with a new DV
+            pre = pos_df({p: dv_state.get(p) for p in both})
+            post = pos_df({p: add_by[p].get("deletionVector") for p in both})
+            rows = rows_of(both)
+            key = ["__dv_path", "__dv_ri"]
+            if post is not None:
+                newly = post if pre is None else post.join(pre, key, "left_anti")
+                parts.append(
+                    stamp(drop_meta(rows.join(newly, key, "left_semi")), "delete")
+                )
+            if pre is not None:
+                restored = pre if post is None else pre.join(post, key, "left_anti")
+                parts.append(
+                    stamp(drop_meta(rows.join(restored, key, "left_semi")), "insert")
+                )
+        dv_adds = {
+            a["path"]: a["deletionVector"] for a in add_only if a.get("deletionVector")
+        }
+        plain_adds = [a["path"] for a in add_only if not a.get("deletionVector")]
+        if plain_adds:
             parts.append(
                 stamp(
                     spark.read.parquet(
-                        *[os.path.join(table_dir, a["path"]) for a in adds]
+                        *[os.path.join(table_dir, p) for p in plain_adds]
                     ),
                     "insert",
                 )
             )
-        for p in removes:
-            full = os.path.join(table_dir, p)
-            if not os.path.exists(full):
-                raise ValueError(
-                    f"CDF needs removed file {p!r} (commit {v}), but it was vacuumed"
+        if dv_adds:
+            # new file born with a DV: only its live rows are inserts
+            parts.append(
+                stamp(
+                    drop_meta(
+                        rows_of(list(dv_adds)).join(
+                            pos_df(dv_adds), ["__dv_path", "__dv_ri"], "left_anti"
+                        )
+                    ),
+                    "insert",
                 )
-            parts.append(stamp(spark.read.parquet(full), "delete"))
+            )
+        dv_rems = {p: dv_state.get(p) for p in rem_only if dv_state.get(p)}
+        plain_rems = [p for p in rem_only if not dv_state.get(p)]
+        if plain_rems:
+            parts.append(
+                stamp(
+                    spark.read.parquet(
+                        *[os.path.join(table_dir, p) for p in plain_rems]
+                    ),
+                    "delete",
+                )
+            )
+        if dv_rems:
+            # removed file that had a DV: rows already DV-deleted before
+            # this commit must NOT re-emit as deletes
+            parts.append(
+                stamp(
+                    drop_meta(
+                        rows_of(list(dv_rems)).join(
+                            pos_df(dv_rems), ["__dv_path", "__dv_ri"], "left_anti"
+                        )
+                    ),
+                    "delete",
+                )
+            )
+        _apply_state()
     if not parts:
         raise ValueError(
             f"no changes between versions {starting_version} and {ending_version}"

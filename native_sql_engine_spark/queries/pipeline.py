@@ -4468,6 +4468,115 @@ def lake_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_delta_cdf_dv",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    changes AS (
+      SELECT 1 AS v, 'delete' AS ct, o_orderkey, o_totalprice FROM r
+       WHERE pos BETWEEN 0 AND 99
+      UNION ALL
+      SELECT 2, 'delete', o_orderkey, o_totalprice FROM r
+       WHERE pos BETWEEN 300 AND 399
+      UNION ALL
+      SELECT 3, 'insert', o_orderkey, o_totalprice FROM r
+       WHERE pos BETWEEN 50 AND 99
+      UNION ALL
+      SELECT 4, 'delete', o_orderkey, o_totalprice FROM r
+       WHERE NOT (pos BETWEEN 0 AND 49 OR pos BETWEEN 300 AND 399)
+    )
+    SELECT cast(v AS bigint) AS _commit_version, ct AS _change_type,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM changes GROUP BY v, ct ORDER BY v, ct
+    """,
+)
+def lake_delta_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CDF over DELETION-VECTOR commits — the default-on writer
+    co-occurrence (DVs + CDF) real lakes hit immediately.  One data file
+    (orders keys <2000, sorted so row position == key rank) goes through
+    a DV lifecycle: v1 deletes positions 0-99, v2 GROWS the DV by
+    300-399 (per-row diff: only the new positions emit — re-emitting
+    0-99 would double-count, the resurrection-impossible property),
+    v3 SHRINKS it by restoring 50-99 (emitted as inserts), v4 removes
+    the file (only still-live rows emit as deletes).  The oracle ranks
+    the original orders by key and pins every per-commit change set
+    exactly; the scan starts at v1, so the reader must seed pre-commit
+    DV state from the log replay, not from the scan range.  Positions
+    expand executor-side (mapInPandas over descriptor rows) and
+    broadcast; the diff is a pair of anti/semi joins per commit."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.delta import (
+        read_delta_cdf,
+        write_delta_commit,
+        write_deletion_vector,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_delta_cdf_dv_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 2000)],
+    )
+    t = t.filter(pc.field("o_orderkey") < 2000).sort_by("o_orderkey")
+    pq.write_table(t, os.path.join(d, "part-a.parquet"))
+    a = {"path": "part-a.parquet", "partitionValues": {}, "size": 1,
+         "modificationTime": 0, "dataChange": True}
+    write_delta_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"]}},
+            {"metaData": {"id": "cdfdv", "format": {"provider": "parquet",
+                          "options": {}}, "schemaString": "{}",
+                          "partitionColumns": {},
+                          "configuration": {"delta.enableChangeDataFeed": "true",
+                                            "delta.enableDeletionVectors": "true"}}},
+            {"add": a},
+            {"commitInfo": {"timestamp": 1000}},
+        ],
+    )
+    dvs = [
+        list(range(0, 100)),                         # v1
+        list(range(0, 100)) + list(range(300, 400)),  # v2 grows
+        list(range(0, 50)) + list(range(300, 400)),   # v3 restores 50-99
+    ]
+    for v, pos in enumerate(dvs, start=1):
+        dv = write_deletion_vector(d, pos)
+        write_delta_commit(
+            d, v,
+            [{"remove": {"path": "part-a.parquet", "dataChange": True}},
+             {"add": {**a, "deletionVector": dv}},
+             {"commitInfo": {"timestamp": 1000 * (v + 1)}}],
+        )
+    write_delta_commit(
+        d, 4,
+        [{"remove": {"path": "part-a.parquet", "dataChange": True}},
+         {"commitInfo": {"timestamp": 5000}}],
+    )
+    cdf = read_delta_cdf(spark, d, 1, 4)
+    return (
+        cdf.groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("_commit_version", "_change_type")
+    )
+
+
+@q(
     "lake_delta_v2_checkpoint",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,

@@ -696,3 +696,88 @@ def test_timestamp_time_travel(spark, tmp_path):
     c = _mkfile(d, "C.parquet", 80, 90)
     write_delta_commit(d, 2, [{"add": c}])
     assert delta_version_at_timestamp(d, 10**15) == 2
+
+
+def test_cdf_over_dv_commits(spark, tmp_path):
+    """CDF over deletion-vector commits: a DV-growing remove+re-add of
+    the same path emits exactly positions(DV_new)−positions(DV_old) as
+    deletes (NOT the whole file, NOT previously-deleted rows again); a
+    shrinking DV emits restored rows as inserts; a new file born with a
+    DV inserts only its live rows; removing a DV'd file emits deletes
+    only for its still-live rows."""
+    from native_sql_engine_spark.operators.delta import (
+        read_delta_cdf,
+        write_deletion_vector,
+    )
+
+    d = str(tmp_path)
+    a = _mkfile(d, "A.parquet", 0, 20)  # k = 0..19, row_index == k
+    write_delta_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"]}},
+            {"metaData": META},
+            {"add": a},
+            {"commitInfo": {"timestamp": 1000}},
+        ],
+    )
+    # v1: delete rows 3,7 via a DV (remove + re-add same path)
+    dv1 = write_deletion_vector(d, [3, 7])
+    write_delta_commit(
+        d, 1,
+        [{"remove": {"path": "A.parquet", "dataChange": True}},
+         {"add": {**a, "deletionVector": dv1}},
+         {"commitInfo": {"timestamp": 2000}}],
+    )
+    # v2: DV grows to {3,7,11,12}; only 11,12 are NEW deletes
+    dv2 = write_deletion_vector(d, [3, 7, 11, 12])
+    write_delta_commit(
+        d, 2,
+        [{"remove": {"path": "A.parquet", "dataChange": True,
+                     "deletionVector": dv1}},
+         {"add": {**a, "deletionVector": dv2}},
+         {"commitInfo": {"timestamp": 3000}}],
+    )
+    # v3: new file B born WITH a DV (row 0 dead on arrival) -> inserts 21..24
+    b = _mkfile(d, "B.parquet", 20, 25)
+    dv_b = write_deletion_vector(d, [0])
+    write_delta_commit(
+        d, 3,
+        [{"add": {**b, "deletionVector": dv_b}},
+         {"commitInfo": {"timestamp": 4000}}],
+    )
+    # v4: restore row 3 (DV shrinks to {7,11,12}) -> insert k=3
+    dv4 = write_deletion_vector(d, [7, 11, 12])
+    write_delta_commit(
+        d, 4,
+        [{"remove": {"path": "A.parquet", "dataChange": True}},
+         {"add": {**a, "deletionVector": dv4}},
+         {"commitInfo": {"timestamp": 5000}}],
+    )
+    # v5: drop file A entirely -> deletes ONLY its live rows (not 7,11,12)
+    write_delta_commit(
+        d, 5,
+        [{"remove": {"path": "A.parquet", "dataChange": True}},
+         {"commitInfo": {"timestamp": 6000}}],
+    )
+
+    def chg(lo, hi):
+        rows = read_delta_cdf(spark, d, lo, hi).collect()
+        out = {}
+        for r in rows:
+            out.setdefault((r._commit_version, r._change_type), set()).add(r.k)
+        return out
+
+    c = chg(1, 5)
+    assert c[(1, "delete")] == {3, 7}
+    assert c[(2, "delete")] == {11, 12}  # resurrection-impossible: no 3,7
+    assert c[(3, "insert")] == {21, 22, 23, 24}  # DV'd row 20 never inserts
+    assert c[(4, "insert")] == {3}
+    assert c[(5, "delete")] == set(range(20)) - {7, 11, 12}
+    assert set(c) == {(1, "delete"), (2, "delete"), (3, "insert"),
+                      (4, "insert"), (5, "delete")}
+    # range starting mid-stream still sees correct pre-commit DV state
+    c2 = chg(2, 2)
+    assert c2 == {(2, "delete"): {11, 12}}
