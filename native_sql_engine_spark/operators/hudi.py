@@ -531,45 +531,37 @@ def read_hudi_incremental(spark, table_dir: str, begin: str, end: str | None = N
     newest-instant-wins ``row_number`` window per record key collapses a
     key rewritten by several in-range commits to its final version (the
     same merge shape as the MOR read, so it scales with key cardinality).
-    Requires ``hoodie.table.recordkey.fields``.  MOR deltacommits are
-    gated — their incremental semantics ride log blocks, which the
-    snapshot MOR path decodes but whose in-range extraction is a
-    different cut."""
+    Requires ``hoodie.table.recordkey.fields``.
+
+    **MOR deltacommits in range** take the merge-on-read path: the
+    result is the snapshot-at-``end`` merged view restricted to record
+    keys written by in-range instants — keys come from the in-range
+    commits' base files plus the log blocks whose INSTANT_TIME header
+    falls in range (decoded executor-side, rollback command blocks
+    suppressing their targets), and the value of each key is whatever
+    the base+log merge resolves at ``end``.  A key soft-deleted in range
+    disappears (it has no row in the merged view), matching the
+    non-CDC incremental contract."""
     from pyspark.sql import Window, functions as F
 
     hoodie, completed = _timeline(table_dir)
     if end is None:
         # default to the latest completed instant of ANY kind, so an
-        # in-range deltacommit gates instead of being silently excluded
+        # in-range deltacommit merges instead of being silently excluded
         end = completed[-1][0]
-    if any(k == "deltacommit" and _instant_key(begin) < _instant_key(i) <= _instant_key(end)
-           for i, k in completed):
-        raise NotImplementedError(
-            "incremental read over MOR deltacommits not supported"
-        )
-    if any(k == "replacecommit" and _instant_key(begin) < _instant_key(i) <= _instant_key(end)
-           for i, k in completed):
+
+    def in_rng(i: str) -> bool:
+        return _instant_key(begin) < _instant_key(i) <= _instant_key(end)
+
+    if any(k == "replacecommit" and in_rng(i) for i, k in completed):
         # clustering / insert_overwrite rewrites files without the
         # write-stats shape this scan consumes; silently skipping them
-        # would omit their rows, so gate honestly like deltacommits
+        # would omit their rows, so gate honestly
         raise NotImplementedError(
             "incremental read over replacecommits not supported "
             "(clustering/insert_overwrite rewrites are not in "
             "partitionToWriteStats form)"
         )
-    per_file: list[tuple[str, str]] = []  # (instant, path)
-    for instant, kind in completed:
-        if kind != "commit":
-            continue
-        if not (_instant_key(begin) < _instant_key(instant) <= _instant_key(end)):
-            continue
-        with open(os.path.join(hoodie, f"{instant}.commit")) as fh:
-            meta = json.load(fh)
-        for stats in (meta.get("partitionToWriteStats") or {}).values():
-            for st in stats:
-                per_file.append((instant, os.path.join(table_dir, st["path"])))
-    if not per_file:
-        raise ValueError(f"no commits between instants {begin!r} and {end!r}")
     props = _table_properties(table_dir)
     key_fields = [
         k for k in props.get("hoodie.table.recordkey.fields", "").split(",") if k
@@ -579,6 +571,60 @@ def read_hudi_incremental(spark, table_dir: str, begin: str, end: str | None = N
             "incremental merge needs hoodie.table.recordkey.fields in "
             ".hoodie/hoodie.properties"
         )
+    per_file: list[tuple[str, str]] = []  # (instant, path)
+    for instant, kind in completed:
+        if kind != "commit" or not in_rng(instant):
+            continue
+        with open(os.path.join(hoodie, f"{instant}.commit")) as fh:
+            meta = json.load(fh)
+        for stats in (meta.get("partitionToWriteStats") or {}).values():
+            for st in stats:
+                per_file.append((instant, os.path.join(table_dir, st["path"])))
+
+    in_range_deltas = {i for i, k in completed if k == "deltacommit" and in_rng(i)}
+    if in_range_deltas:
+        # MOR path: snapshot-at-end values, restricted to in-range keys
+        snap = hudi_snapshot(table_dir, end)
+        merged = read_hudi(spark, table_dir, as_of=end)
+        key_parts = []
+        if per_file:
+            key_parts.append(
+                spark.read.parquet(*[p for _, p in per_file]).select(*key_fields)
+            )
+        slices = [(b, p) for b, p in sorted(snap["logs"].items())]
+        if snap["log_only"]:
+            slices.append(("", snap["log_only"]))
+        if slices:
+            key_schema = merged.select(*key_fields).schema
+
+            def _decode_keys(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    for _, row in pdf.iterrows():
+                        tuples = _decode_slice_logs(
+                            list(row["logs"]), key_fields, in_range_deltas
+                        )
+                        yield pd.DataFrame(
+                            [t[: len(key_fields)] for t in tuples],
+                            columns=key_fields,
+                        )
+
+            slices_df = spark.createDataFrame(
+                slices, "base string, logs array<string>"
+            ).repartition(len(slices))
+            key_parts.append(slices_df.mapInPandas(_decode_keys, schema=key_schema))
+        if not key_parts:
+            raise ValueError(
+                f"no commits between instants {begin!r} and {end!r}"
+            )
+        keys = key_parts[0]
+        for other in key_parts[1:]:
+            keys = keys.unionByName(other)
+        return merged.join(keys.distinct(), key_fields, "left_semi")
+
+    if not per_file:
+        raise ValueError(f"no commits between instants {begin!r} and {end!r}")
     parts = None
     for instant, path in per_file:
         one = spark.read.parquet(path).withColumn(

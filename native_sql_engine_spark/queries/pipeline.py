@@ -3445,6 +3445,114 @@ def lake_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_hudi_incremental_mor",
+    """
+    WITH inc AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+             CASE WHEN o_orderkey >= 200 AND o_orderkey < 300
+                    THEN o_totalprice + 5000.0
+                  WHEN o_orderkey >= 300 AND o_orderkey < 500
+                    THEN o_totalprice + 9000.0
+                  ELSE o_totalprice END AS tp
+      FROM orders
+      WHERE (o_orderkey >= 200 AND o_orderkey < 500)
+         OR (o_orderkey >= 1000 AND o_orderkey < 1200)
+    )
+    SELECT s AS o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(k) AS bigint) AS key_sum, round(sum(tp), 2) AS total
+    FROM inc GROUP BY s ORDER BY s
+    """,
+)
+def lake_hudi_incremental_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi incremental query over MOR DELTACOMMITS — incremental pull
+    is Hudi's marquee feature and this is its merge-on-read cut: the
+    result is the snapshot-at-end merged view restricted to record keys
+    written by in-range log blocks (keys decode executor-side from the
+    #HUDI# block chain; values resolve through the same newest-wins
+    window as the MOR snapshot).  Base fg1@001 holds keys [0,1000);
+    deltacommit 002 bumps [200,400) by 5000 and inserts [1000,1200);
+    deltacommit 003 bumps [300,500) by 9000 (overriding 002 on the
+    overlap) and soft-deletes [0,100).  Incremental (001,003] must
+    return [200,500) at FINAL values plus the inserts — NOT the
+    untouched [100,200)/[500,1000) (a snapshot-shaped reader leaks
+    them, breaking n), NOT 002's stale value on [300,400) (breaking
+    total), and NOT the soft-deleted [0,100) (resurrection breaks
+    key_sum).  Oracle reconstructs exactly that from the original
+    orders."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.hudi import (
+        read_hudi_incremental,
+        write_hudi_fixture,
+        write_hudi_log_file,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_hudi_incr_mor_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 1200)],
+    )
+    pq.write_table(
+        t.filter(pc.field("o_orderkey") < 1000),
+        os.path.join(d, "fg1_0-0-0_001.parquet"),
+    )
+    schema = {
+        "type": "record",
+        "name": "orders",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "o_totalprice", "type": "double"},
+            {"name": "_hoodie_is_deleted", "type": "boolean"},
+        ],
+    }
+
+    def recs(lo, hi, bump=0.0, deleted=False):
+        part = t.filter(
+            (pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi)
+        ).to_pylist()
+        return [
+            {
+                "o_orderkey": r["o_orderkey"],
+                "o_orderstatus": r["o_orderstatus"],
+                "o_totalprice": float(r["o_totalprice"]) + bump,
+                "_hoodie_is_deleted": deleted,
+            }
+            for r in part
+        ]
+
+    write_hudi_log_file(
+        os.path.join(d, ".fg1_001.log.1_0-0-0"),
+        [{"type": "avro_data", "instant": "002", "schema": schema,
+          "records": recs(200, 400, bump=5000.0) + recs(1000, 1200)}],
+    )
+    write_hudi_log_file(
+        os.path.join(d, ".fg1_001.log.2_0-0-0"),
+        [{"type": "avro_data", "instant": "003", "schema": schema,
+          "records": recs(300, 500, bump=9000.0) + recs(0, 100, deleted=True)}],
+    )
+    write_hudi_fixture(
+        d, [("001", "", "fg1")], deltacommits=["002", "003"],
+        record_key="o_orderkey",
+    )
+    df = read_hudi_incremental(spark, d, "001", "003")
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_hudi_mor_log_only",
     """
     SELECT cast(count(*) AS bigint) AS n,

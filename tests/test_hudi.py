@@ -294,8 +294,47 @@ def test_incremental_cow(spark, tmp_path):
     d2 = str(tmp_path / "mor")
     os.makedirs(d2)
     _mor_table(d2)
-    with pytest.raises(NotImplementedError, match="deltacommit"):
-        read_hudi_incremental(spark, d2, "001")
+    got3 = {r.k: r.v for r in read_hudi_incremental(spark, d2, "001").collect()}
+    # MOR path: keys written by deltacommits 002/003, values at end=003;
+    # k0 soft-deleted in range disappears, k1/k4 untouched stay out
+    assert got3 == {2: "v3", 3: "v2", 10: "v2"}
+
+
+def test_incremental_mor(spark, tmp_path):
+    """Incremental over MOR deltacommits: snapshot-at-end values
+    restricted to keys written in (begin, end] — log-block keys decode
+    executor-side, the end instant bounds block visibility, in-range
+    base commits contribute their file keys, and rolled-back blocks
+    never surface keys."""
+    from native_sql_engine_spark.operators.hudi import read_hudi_incremental
+
+    d = str(tmp_path)
+    _mor_table(d)
+    # (001, 002]: keys {2,3,10} at their 002 values (003 not visible)
+    got = {r.k: r.v for r in read_hudi_incremental(spark, d, "001", "002").collect()}
+    assert got == {2: "v2", 3: "v2", 10: "v2"}
+    # (002, 003]: keys {0,2}; k0 soft-deleted -> only k2 at v3
+    got = {r.k: r.v for r in read_hudi_incremental(spark, d, "002", "003").collect()}
+    assert got == {2: "v3"}
+    # range covering the base commit too: commit 001's file keys join in
+    got = {r.k: r.v for r in read_hudi_incremental(spark, d, "000", "003").collect()}
+    assert got == {1: "base", 2: "v3", 3: "v2", 4: "base", 10: "v2"}
+    # a rolled-back in-range block must not surface its keys
+    write_hudi_log_file(
+        os.path.join(d, ".fg1_001.log.3_0-0-0"),
+        [{"type": "avro_data", "instant": "004", "schema": _SCHEMA,
+          "records": [_rec(7, "BAD")]}],
+    )
+    write_hudi_log_file(
+        os.path.join(d, ".fg1_001.log.4_0-0-0"),
+        [{"type": "command", "instant": "005", "target_instant": "004"}],
+    )
+    write_hudi_fixture(
+        d, [("001", "", "fg1")], deltacommits=["002", "003", "004", "005"],
+        record_key="k",
+    )
+    got = {r.k: r.v for r in read_hudi_incremental(spark, d, "003", "005").collect()}
+    assert got == {}  # 004 rolled back; nothing else written in range
 
 
 def test_incremental_replacecommit_gates(spark, tmp_path):
