@@ -463,54 +463,83 @@ def _dv_deleted_positions_df(spark, table_dir: str, dv_files: dict):
     return desc.mapInPandas(expand, "__dv_path string, __dv_ri long")
 
 
-#: Delta primitive type names -> Spark SQL DDL strings (column-mapping
-#: schema reconstruction; complex nested types stay gated there).
-_DELTA_PRIMITIVES = {
-    "string": "string",
-    "long": "bigint",
-    "integer": "int",
-    "short": "smallint",
-    "byte": "tinyint",
-    "float": "float",
-    "double": "double",
-    "boolean": "boolean",
-    "binary": "binary",
-    "date": "date",
-    "timestamp": "timestamp",
-    "timestamp_ntz": "timestamp_ntz",
-}
+def _cm_meta(f: dict) -> tuple[str, int]:
+    """A mapped field's (physicalName, id) — mandatory under column
+    mapping for every field, nested ones included (PROTOCOL.md Column
+    Mapping: writers annotate the whole schema)."""
+    md = f.get("metadata") or {}
+    phys = md.get("delta.columnMapping.physicalName")
+    fid = md.get("delta.columnMapping.id")
+    if phys is None or fid is None:
+        raise ValueError(
+            f"column mapping enabled but field {f.get('name')!r} lacks "
+            "physicalName/id metadata"
+        )
+    return phys, int(fid)
 
 
-def _mapping_fields(schema_str: str) -> list[tuple[str, str, int, str]]:
-    """Parse a column-mapping table's schemaString into
-    ``(logical, physical, field_id, spark_ddl_type)`` rows.
+def _cm_rebuild(col, t):
+    """Project a physically-named value onto its LOGICAL shape,
+    recursively: struct fields re-alias physical->logical at every
+    level, arrays/maps of structs rebuild through ``transform`` /
+    ``transform_values`` (JVM lambda expressions, no Python UDF), and
+    primitives pass through.  A NULL struct stays NULL (a bare
+    ``struct(...)`` would resurrect it as a struct of nulls)."""
+    from pyspark.sql import functions as F
 
-    Scope is honest: top-level primitive (and decimal) columns map;
-    struct columns gate — their INNER fields carry physical names too and
-    a positional cast could silently mis-map renamed nested data."""
-    schema = json.loads(schema_str or "{}")
-    out = []
-    for f in schema.get("fields", []):
-        t = f.get("type")
-        if isinstance(t, dict):
+    if not isinstance(t, dict):
+        return col
+    kind = t.get("type")
+    if kind == "struct":
+        inner = []
+        for f in t.get("fields", []):
+            phys, _fid = _cm_meta(f)
+            inner.append(_cm_rebuild(col.getField(phys), f["type"]).alias(f["name"]))
+        return F.when(col.isNotNull(), F.struct(*inner))
+    if kind == "array":
+        et = t.get("elementType")
+        if not isinstance(et, dict):
+            return col
+        return F.transform(col, lambda x: _cm_rebuild(x, et))
+    if kind == "map":
+        if isinstance(t.get("keyType"), dict):
             raise NotImplementedError(
-                f"Delta column mapping over nested column {f.get('name')!r} "
-                "not supported (inner fields carry physical names too)"
+                "Delta column mapping over nested map KEYS not supported"
             )
-        ddl = _DELTA_PRIMITIVES.get(t)
-        if ddl is None and not str(t).startswith("decimal"):
-            raise NotImplementedError(
-                f"Delta column mapping over type {t!r} not supported"
-            )
-        md = f.get("metadata") or {}
-        phys = md.get("delta.columnMapping.physicalName")
-        fid = md.get("delta.columnMapping.id")
-        if phys is None or fid is None:
-            raise ValueError(
-                f"column mapping enabled but field {f.get('name')!r} lacks "
-                "physicalName/id metadata"
-            )
-        out.append((f["name"], phys, int(fid), ddl or str(t)))
+        vt = t.get("valueType")
+        if not isinstance(vt, dict):
+            return col
+        return F.transform_values(col, lambda _k, v: _cm_rebuild(v, vt))
+    raise NotImplementedError(
+        f"Delta column mapping over type {kind!r} not supported"
+    )
+
+
+#: id-mode footer sampling cap: physical layouts are constant per table
+#: (writers never re-id columns), so a handful of footers pins the
+#: fieldId->name map without a driver-side scan of every file.
+_FOOTER_SAMPLE_CAP = 16
+
+
+def _footer_field_ids(paths: list[str]) -> dict[int, str]:
+    """Top-level parquet fieldId -> column-name map, read from up to
+    ``_FOOTER_SAMPLE_CAP`` file footers via pyarrow.  Files disagreeing
+    on a field id gate (per-file resolution would need per-file scans)."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, str] = {}
+    for p in paths[:_FOOTER_SAMPLE_CAP]:
+        for fld in pq.read_schema(p):
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is None:
+                continue
+            i = int(fid)
+            if i in out and out[i] != fld.name:
+                raise NotImplementedError(
+                    f"Delta id-mode files disagree on field id {i}: "
+                    f"{out[i]!r} vs {fld.name!r} (per-file resolution not wired)"
+                )
+            out[i] = fld.name
     return out
 
 
@@ -534,40 +563,32 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     paths = [os.path.join(table_dir, p) for p in snap["files"]]
 
     mode = (snap["configuration"] or {}).get("delta.columnMapping.mode")
-    rename = None  # [(physical_or_logical_source, logical)] applied last
+    rename = None  # logical projection exprs applied after scan + DV join
     if mode in ("name", "id"):
-        fields = _mapping_fields(snap["schema"])
-        if snap["partition_columns"] and mode == "id":
-            # hive directory names are physical strings — parquet field ids
-            # cannot resolve them; 'name' mode handles them via the same
-            # physical->logical alias select as data columns
-            raise NotImplementedError(
-                "Delta column mapping 'id' mode with partition columns not "
-                "supported (directory names carry no field ids)"
-            )
+        schema = json.loads(snap["schema"] or "{}")
+        src_of: dict[str, str] = {}  # logical -> physical source column
+        fid_of: dict[str, int] = {}
+        for f in schema.get("fields", []):
+            phys, fid = _cm_meta(f)
+            src_of[f["name"]] = phys
+            fid_of[f["name"]] = fid
         if mode == "id":
-            # Spark-first: hand Spark a read schema whose fields carry
-            # parquet.field.id metadata and let ITS vectorized reader
-            # resolve columns by parquet field id — physical names become
-            # irrelevant, exactly the protocol's id-mode contract.
-            from pyspark.sql import types as T
-
-            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-            st = T.StructType(
-                [
-                    T.StructField(
-                        logical,
-                        T._parse_datatype_string(ddl),
-                        True,
-                        {"parquet.field.id": fid},
-                    )
-                    for logical, _phys, fid, ddl in fields
-                ]
-            )
-            df = spark.read.schema(st).option("basePath", table_dir).parquet(*paths)
-        else:
-            df = spark.read.option("basePath", table_dir).parquet(*paths)
-            rename = [(phys, logical) for logical, phys, _fid, _ddl in fields]
+            # id mode: the FILES' parquet field ids are authoritative for
+            # data columns — resolve physical names from footers (no
+            # session-wide conf mutation; the old fieldId.read.enabled
+            # approach leaked into every later parquet read).  Partition
+            # columns stay on metadata physicalName: hive directory names
+            # are strings, field ids cannot resolve a directory.
+            fid_names = _footer_field_ids(paths)
+            parts_set = set(snap["partition_columns"] or [])
+            for name, fid in fid_of.items():
+                if name not in parts_set and fid in fid_names:
+                    src_of[name] = fid_names[fid]
+        df = spark.read.option("basePath", table_dir).parquet(*paths)
+        rename = [
+            _cm_rebuild(F.col(f"`{src_of[f['name']]}`"), f["type"]).alias(f["name"])
+            for f in schema.get("fields", [])
+        ]
     else:
         df = spark.read.option("basePath", table_dir).parquet(*paths)
 
@@ -579,7 +600,7 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     def _renamed(d):
         if rename is None:
             return d
-        return d.select([F.col(src).alias(logical) for src, logical in rename])
+        return d.select(*rename)
 
     if not dv_files:
         return _renamed(df)

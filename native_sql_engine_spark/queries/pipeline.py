@@ -4902,6 +4902,137 @@ def lake_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_delta_column_mapping_nested_partitioned",
+    """
+    SELECT o_orderstatus AS status, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_delta_column_mapping_nested_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta column mapping's last two mainstream reader gates, closed:
+    'id' mode on a PARTITIONED table (hive directories carry the
+    partition column's physical name — field ids cannot name a
+    directory, so it aliases back through the metadata physicalName
+    while data columns resolve by parquet field id from the file
+    FOOTERS) and NESTED mapped columns (the struct's inner fields carry
+    physical names too and re-alias at every level via getField, a JVM
+    expression).  The fixture partitions orders[key<2000] by status
+    under ``col-pstat=<v>`` dirs; data columns are a field-id'd
+    ``col-key`` plus a struct ``col-det{col-p}`` holding the price, and
+    the METADATA physicalName for both data columns is deliberately
+    stale — only footer-id resolution can find them, so a name-based
+    read throws and a position-based one mis-sums.  No session conf is
+    touched (the old fieldId.read.enabled approach leaked).  Oracle:
+    the original orders under logical names."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.delta import (
+        read_delta,
+        write_delta_commit,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_delta_cm_np_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 2000)],
+    )
+    t = t.filter(pc.field("o_orderkey") < 2000)
+    det_t = pa.struct([("col-p", pa.float64())])
+    adds = []
+    for status in sorted(set(t.column("o_orderstatus").to_pylist())):
+        part = t.filter(pc.field("o_orderstatus") == status)
+        rel = os.path.join(f"col-pstat={status}", "p.parquet")
+        os.makedirs(os.path.join(d, f"col-pstat={status}"), exist_ok=True)
+        schema = pa.schema(
+            [
+                pa.field("col-key", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"1"}),
+                pa.field("col-det", det_t,
+                         metadata={b"PARQUET:field_id": b"2"}),
+            ]
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "col-key": part.column("o_orderkey"),
+                    "col-det": pa.array(
+                        [{"col-p": float(v)} for v in
+                         part.column("o_totalprice").to_pylist()],
+                        det_t,
+                    ),
+                },
+                schema=schema,
+            ),
+            os.path.join(d, rel),
+        )
+        adds.append({"path": rel, "partitionValues": {"col-pstat": status},
+                     "dataChange": True})
+    schema_str = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "o_orderkey", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-STALE1"}},
+                {"name": "detail",
+                 "type": {"type": "struct", "fields": [
+                     {"name": "price", "type": "double", "nullable": True,
+                      "metadata": {"delta.columnMapping.id": 3,
+                                   "delta.columnMapping.physicalName": "col-p"}},
+                 ]},
+                 "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-STALE2"}},
+                {"name": "o_orderstatus", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 4,
+                              "delta.columnMapping.physicalName": "col-pstat"}},
+            ],
+        }
+    )
+    meta = {
+        "id": "cm-np",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_str,
+        "partitionColumns": ["o_orderstatus"],
+        "configuration": {"delta.columnMapping.mode": "id"},
+        "createdTime": 0,
+    }
+    write_delta_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            {"metaData": meta},
+            *[{"add": a} for a in adds],
+        ],
+    )
+    df = read_delta(spark, d)
+    return (
+        df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum(F.col("detail.price")), 2).alias("total"),
+        )
+        .orderBy("status")
+    )
+
+
+@q(
     "source_orc_rawread",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,

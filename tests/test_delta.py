@@ -424,8 +424,9 @@ def test_column_mapping_id_mode(spark, tmp_path):
 
 
 def test_column_mapping_gates(spark, tmp_path):
-    """Nested mapped columns and mapped partition columns stay honestly
-    gated; a mapping table whose schema lacks the metadata is malformed."""
+    """Maps with STRUCT KEYS stay honestly gated (transform_keys
+    rebuilds exist but no mainstream writer emits them); a mapping table
+    whose schema lacks the metadata is malformed."""
     d = str(tmp_path)
     _mkfile(d, "p.parquet", 0, 10)
     nested = json.dumps(
@@ -433,8 +434,13 @@ def test_column_mapping_gates(spark, tmp_path):
             "type": "struct",
             "fields": [
                 {
-                    "name": "st",
-                    "type": {"type": "struct", "fields": []},
+                    "name": "m",
+                    "type": {
+                        "type": "map",
+                        "keyType": {"type": "struct", "fields": []},
+                        "valueType": "long",
+                        "valueContainsNull": True,
+                    },
                     "nullable": True,
                     "metadata": {
                         "delta.columnMapping.id": 1,
@@ -456,7 +462,7 @@ def test_column_mapping_gates(spark, tmp_path):
             {"add": {"path": "p.parquet", "dataChange": True}},
         ],
     )
-    with pytest.raises(NotImplementedError, match="nested"):
+    with pytest.raises(NotImplementedError, match="map KEYS"):
         read_delta(spark, d)
     d2 = str(tmp_path / "missingmeta")
     os.makedirs(d2)
@@ -657,10 +663,147 @@ def test_column_mapping_name_mode_partitioned(spark, tmp_path):
     assert df.filter("grp = 'y'").count() == 40
     assert sorted(r.k for r in df.filter("grp = 'x'").collect()) == list(range(40))
     # id mode + partitions stays gated
+    # id mode + partitions: directory names still resolve through the
+    # metadata physicalName (field ids cannot name a directory); data
+    # columns without footer ids fall back to physicalName too
     meta_id = dict(meta, configuration={"delta.columnMapping.mode": "id"})
     write_delta_commit(d, 1, [{"metaData": meta_id}])
-    with pytest.raises(NotImplementedError, match="'id' mode with partition"):
-        read_delta(spark, d)
+    df2 = read_delta(spark, d)
+    assert set(df2.columns) == {"k", "grp"}
+    assert df2.filter("grp = 'y'").count() == 40
+    assert sorted(r.k for r in df2.filter("grp = 'x'").collect()) == list(range(40))
+
+
+def test_column_mapping_id_mode_partitioned_footer_ids(spark, tmp_path):
+    """'id' mode + partition columns + files whose PHYSICAL names differ
+    from the metadata physicalName: parquet field ids in the footers are
+    authoritative for data columns (a name-based read finds nothing),
+    while the partition directory resolves through physicalName.  Also
+    pins that the read leaves no session conf behind."""
+    d = str(tmp_path)
+    for grp, lo in (("x", 0), ("y", 40)):
+        full = os.path.join(d, f"col-part9={grp}", "p.parquet")
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {"renamed-later": pa.array(range(lo, lo + 40), pa.int64())},
+                schema=pa.schema(
+                    [pa.field("renamed-later", pa.int64(),
+                              metadata={b"PARQUET:field_id": b"1"})]
+                ),
+            ),
+            full,
+        )
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-STALE"}},
+                {"name": "grp", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-part9"}},
+            ],
+        }
+    )
+    meta = dict(
+        META,
+        schemaString=schema,
+        partitionColumns=["grp"],
+        configuration={"delta.columnMapping.mode": "id"},
+    )
+    write_delta_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            {"metaData": meta},
+            {"add": {"path": "col-part9=x/p.parquet",
+                     "partitionValues": {"col-part9": "x"}, "dataChange": True}},
+            {"add": {"path": "col-part9=y/p.parquet",
+                     "partitionValues": {"col-part9": "y"}, "dataChange": True}},
+        ],
+    )
+    before = spark.conf.get("spark.sql.parquet.fieldId.read.enabled", None)
+    df = read_delta(spark, d)
+    assert set(df.columns) == {"k", "grp"}
+    assert sorted(r.k for r in df.filter("grp = 'y'").collect()) == list(range(40, 80))
+    assert spark.conf.get("spark.sql.parquet.fieldId.read.enabled", None) == before
+
+
+def test_column_mapping_nested(spark, tmp_path):
+    """Nested mapped columns: struct fields, array<struct> elements and
+    map struct values all carry physical names and re-alias to logical
+    names at every level; a NULL struct stays NULL."""
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "col-k": pa.array([1, 2, 3], pa.int64()),
+                "col-st": pa.array(
+                    [{"col-a": 10, "col-b": "x"}, None, {"col-a": 30, "col-b": "z"}],
+                    pa.struct([("col-a", pa.int64()), ("col-b", pa.string())]),
+                ),
+                "col-arr": pa.array(
+                    [[{"col-a": 1, "col-b": "p"}], [], [{"col-a": 3, "col-b": "q"}]],
+                    pa.list_(pa.struct([("col-a", pa.int64()), ("col-b", pa.string())])),
+                ),
+            }
+        ),
+        os.path.join(d, "p.parquet"),
+    )
+    inner = lambda: [  # noqa: E731
+        {"name": "a", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 10,
+                      "delta.columnMapping.physicalName": "col-a"}},
+        {"name": "b", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 11,
+                      "delta.columnMapping.physicalName": "col-b"}},
+    ]
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-k"}},
+                {"name": "st",
+                 "type": {"type": "struct", "fields": inner()},
+                 "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-st"}},
+                {"name": "arr",
+                 "type": {"type": "array", "containsNull": True,
+                          "elementType": {"type": "struct", "fields": inner()}},
+                 "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 3,
+                              "delta.columnMapping.physicalName": "col-arr"}},
+            ],
+        }
+    )
+    meta = dict(
+        META, schemaString=schema,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    write_delta_commit(
+        d,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+            {"add": {"path": "p.parquet", "dataChange": True}},
+        ],
+    )
+    df = read_delta(spark, d)
+    assert df.columns == ["k", "st", "arr"]
+    rows = {r.k: r for r in df.collect()}
+    assert rows[1].st.a == 10 and rows[1].st.b == "x"
+    assert rows[2].st is None  # NULL struct not resurrected
+    assert rows[3].arr[0].a == 3 and rows[3].arr[0].b == "q"
+    assert rows[2].arr == []
 
 
 def test_timestamp_time_travel(spark, tmp_path):
