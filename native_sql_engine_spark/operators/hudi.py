@@ -45,9 +45,12 @@ MOR streaming-insert path) are first-class: their chains surface as a
 base-less slice and merge with the same newest-wins/soft-delete
 semantics, as long as at least one based group supplies the table schema.
 
-Honest gates: DELETE/CDC/HFILE/PARQUET log block types raise
-``NotImplementedError`` (their payloads are Kryo/format-specific;
-soft-deletes cover the tested delete path), as do bootstrap indexes and
+DELETE blocks (hard deletes) decode their Avro v3 payload
+(HoodieDeleteRecordList, Hudi 0.14+) into tombstone rows that merge
+like soft deletes; v2 Kryo payloads (Hudi 0.9-0.13) gate with version
+evidence.  Honest gates: CDC/HFILE/PARQUET log block types raise
+``NotImplementedError`` (format-specific payloads), as do bootstrap
+indexes and
 ENTIRELY log-only tables (no base file anywhere to take the schema
 from); malformed timelines and truncated log blocks raise positioned
 ``ValueError``.
@@ -94,6 +97,39 @@ _BLOCK_COMMAND, _BLOCK_DELETE, _BLOCK_CORRUPT, _BLOCK_AVRO_DATA = 0, 1, 2, 3
 #: HeaderMetadataType ordinals
 _HDR_INSTANT_TIME, _HDR_TARGET_INSTANT, _HDR_SCHEMA = 0, 1, 2
 _AVRO_BLOCK_CONTENT_VERSION = 3
+
+#: DELETE block content: format v3 (Hudi 0.14+, HoodieDeleteBlock
+#: .serializeRecordsToDelete) is a binary-Avro HoodieDeleteRecordList
+#: datum (hudi-common/src/main/avro/HoodieDeleteRecordList.avsc) behind
+#: ``int version / int length``; v2 and earlier Kryo-serialize
+#: HoodieDeleteRecord[] via SerializationUtils and stay gated.
+_DELETE_RECORD_LIST_SCHEMA = {
+    "type": "record",
+    "name": "HoodieDeleteRecordList",
+    "fields": [
+        {
+            "name": "deleteRecordList",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "HoodieDeleteRecord",
+                    "fields": [
+                        {"name": "recordKey", "type": ["null", "string"],
+                         "default": None},
+                        {"name": "partitionPath", "type": ["null", "string"],
+                         "default": None},
+                        {"name": "orderingVal",
+                         "type": ["null", "boolean", "int", "long", "float",
+                                  "double", "bytes", "string"],
+                         "default": None},
+                    ],
+                },
+            },
+        }
+    ],
+}
+_DELETE_BLOCK_CONTENT_VERSION = 3
 
 
 def _instant_key(instant: str) -> str:
@@ -251,6 +287,27 @@ def write_hudi_log_file(path: str, blocks: list[dict]) -> None:
                 _HDR_TARGET_INSTANT: blk["target_instant"],
             }
             content = b""
+        elif blk["type"] == "delete":
+            btype = _BLOCK_DELETE
+            headers = {_HDR_INSTANT_TIME: blk["instant"]}
+            datum = encode_datum(
+                {
+                    "deleteRecordList": [
+                        {
+                            "recordKey": str(k),
+                            "partitionPath": blk.get("partition", ""),
+                            "orderingVal": None,
+                        }
+                        for k in blk["keys"]
+                    ]
+                },
+                _DELETE_RECORD_LIST_SCHEMA,
+            )
+            content = (
+                struct.pack(">i", _DELETE_BLOCK_CONTENT_VERSION)
+                + struct.pack(">i", len(datum))
+                + datum
+            )
         else:
             raise ValueError(f"unknown fixture block type {blk['type']!r}")
         hdr = io.BytesIO()
@@ -356,23 +413,48 @@ def read_hudi_log_blocks(buf: bytes) -> list[dict]:
                 off += rlen
             blk["schema"] = schema
             blk["records"] = records
+        elif btype == _BLOCK_DELETE:
+            _need(content, 0, 8, "delete block header")
+            (dver,) = struct.unpack_from(">i", content, 0)
+            if dver <= 2:
+                raise NotImplementedError(
+                    f"Hudi DELETE block content version {dver}: Hudi 0.9-0.13 "
+                    "Kryo-serializes HoodieDeleteRecord[] (SerializationUtils"
+                    ".serialize) — only the Avro HoodieDeleteRecordList "
+                    "format (v3, Hudi 0.14+) is supported"
+                )
+            (dlen,) = struct.unpack_from(">i", content, 4)
+            _need(content, 8, dlen, "delete record list")
+            val, _ = decode_datum(
+                content[8 : 8 + dlen], _DELETE_RECORD_LIST_SCHEMA
+            )
+            blk["records"] = list(val.get("deleteRecordList") or [])
         elif btype != _BLOCK_COMMAND:
             raise NotImplementedError(
                 f"Hudi log block type ordinal {btype} not supported "
-                "(DELETE/HFILE/PARQUET/CDC payloads are format-specific)"
+                "(HFILE/PARQUET/CDC payloads are format-specific)"
             )
         blocks.append(blk)
         seq += 1
     return blocks
 
 
-def _decode_slice_logs(log_paths: list[str], base_cols: list[str], visible: set):
+def _decode_slice_logs(
+    log_paths: list[str],
+    base_cols: list[str],
+    visible: set,
+    key_field: str | None = None,
+    key_conv=None,
+):
     """Decode one file slice's ordered log chain into
     ``(row_values..., is_deleted, ord_instant, ord_seq)`` tuples (runs on
     executors).  Rollback command blocks suppress data blocks targeting the
     rolled-back instant — the chain is read whole so a rollback appended in
     log v2 hides a block written in v1; blocks whose instant is not in
-    ``visible`` (completed ≤ target) stay invisible."""
+    ``visible`` (completed ≤ target) stay invisible.  DELETE blocks
+    (hard deletes, Avro v3 payload) emit a tombstone row per recordKey —
+    the key parses back through ``key_conv`` into the single
+    ``key_field`` column (composite keys gate)."""
     blocks: list[dict] = []
     for path in log_paths:
         with open(path, "rb") as fh:
@@ -380,9 +462,25 @@ def _decode_slice_logs(log_paths: list[str], base_cols: list[str], visible: set)
     rolled = {b["target_instant"] for b in blocks if b["type"] == _BLOCK_COMMAND}
     out = []
     for gseq, blk in enumerate(blocks):
-        if blk["type"] != _BLOCK_AVRO_DATA:
+        if blk["type"] not in (_BLOCK_AVRO_DATA, _BLOCK_DELETE):
             continue
         if blk["instant"] not in visible or blk["instant"] in rolled:
+            continue
+        if blk["type"] == _BLOCK_DELETE:
+            if key_field is None or key_field not in base_cols or key_conv is None:
+                raise NotImplementedError(
+                    "Hudi DELETE blocks need a single record-key field of a "
+                    "convertible type (recordKey strings parse into it; "
+                    "composite keys not wired)"
+                )
+            ki = base_cols.index(key_field)
+            for rec in blk["records"]:
+                rk = rec.get("recordKey")
+                row = [None] * len(base_cols)
+                row[ki] = key_conv(rk) if rk is not None else None
+                out.append(
+                    tuple(row) + (True, _instant_key(blk["instant"]), gseq)
+                )
             continue
         for rec in blk["records"]:
             row = tuple(rec.get(c) for c in base_cols)
@@ -395,6 +493,29 @@ def _decode_slice_logs(log_paths: list[str], base_cols: list[str], visible: set)
                 )
             )
     return out
+
+
+#: record-key string -> column value parsers for DELETE-block tombstones
+_KEY_CONVS = {
+    "bigint": int,
+    "int": int,
+    "smallint": int,
+    "tinyint": int,
+    "double": float,
+    "float": float,
+    "string": str,
+}
+
+
+def _key_conv_for(schema, key_fields: list[str]):
+    """(key_field, converter) for DELETE-block decoding, or (None, None)
+    when keys are composite / of an unconvertible type — the gate fires
+    only if a DELETE block actually appears."""
+    if len(key_fields) != 1:
+        return None, None
+    kf = key_fields[0]
+    dtype = {f.name: f.dataType.simpleString() for f in schema.fields}.get(kf)
+    return kf, _KEY_CONVS.get(dtype)
 
 
 def read_hudi(spark, table_dir: str, as_of: str | None = None):
@@ -444,12 +565,16 @@ def read_hudi(spark, table_dir: str, as_of: str | None = None):
         slices.append(("", snap["log_only"]))
     out_cols = [f.name for f in log_schema.fields]
 
+    kf, kconv = _key_conv_for(base.schema, key_fields)
+
     def _decode(batches):
         import pandas as pd
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                tuples = _decode_slice_logs(list(row["logs"]), base_cols, visible)
+                tuples = _decode_slice_logs(
+                    list(row["logs"]), base_cols, visible, kf, kconv
+                )
                 yield pd.DataFrame(tuples, columns=out_cols)
 
     slices_df = spark.createDataFrame(
@@ -596,6 +721,7 @@ def read_hudi_incremental(spark, table_dir: str, begin: str, end: str | None = N
             slices.append(("", snap["log_only"]))
         if slices:
             key_schema = merged.select(*key_fields).schema
+            kf, kconv = _key_conv_for(key_schema, key_fields)
 
             def _decode_keys(batches):
                 import pandas as pd
@@ -603,7 +729,8 @@ def read_hudi_incremental(spark, table_dir: str, begin: str, end: str | None = N
                 for pdf in batches:
                     for _, row in pdf.iterrows():
                         tuples = _decode_slice_logs(
-                            list(row["logs"]), key_fields, in_range_deltas
+                            list(row["logs"]), key_fields, in_range_deltas,
+                            kf, kconv,
                         )
                         yield pd.DataFrame(
                             [t[: len(key_fields)] for t in tuples],

@@ -231,11 +231,66 @@ def test_mor_gate_block_types(tmp_path):
     raw = bytearray(open(p, "rb").read())
     # type ordinal lives 4 bytes after the 4-byte version, after magic+size
     off = 6 + 8 + 4
-    raw[off:off + 4] = _s.pack(">i", 1)  # DELETE block
+    raw[off:off + 4] = _s.pack(">i", 4)  # HFILE block
     with pytest.raises(NotImplementedError, match="block type"):
         read_hudi_log_blocks(bytes(raw))
     raw[off:off + 4] = _s.pack(">i", 2)  # CORRUPT block: skipped, not fatal
     assert read_hudi_log_blocks(bytes(raw)) == []
+
+
+def test_delete_block_roundtrip_and_kryo_gate(tmp_path):
+    """DELETE blocks: the Avro v3 HoodieDeleteRecordList payload decodes
+    to recordKey tombstones; a v2 (Kryo, Hudi 0.9-0.13) payload gates
+    with version evidence."""
+    import struct as _s
+
+    p = str(tmp_path / "log")
+    write_hudi_log_file(
+        p, [{"type": "delete", "instant": "002", "keys": [3, 7]}]
+    )
+    blocks = read_hudi_log_blocks(open(p, "rb").read())
+    assert [b["type"] for b in blocks] == [1]
+    assert [r["recordKey"] for r in blocks[0]["records"]] == ["3", "7"]
+    # rewrite the content version int to 2 -> Kryo era -> gate
+    raw = bytearray(open(p, "rb").read())
+    hdr_len = 4  # one header entry: INSTANT_TIME '002'
+    off = 6 + 8 + 8 + 4 + (8 + 3) + 8  # magic+size+ver/type+nhdr+hdr+clen
+    assert _s.unpack_from(">i", raw, off)[0] == 3
+    raw[off:off + 4] = _s.pack(">i", 2)
+    with pytest.raises(NotImplementedError, match="Kryo"):
+        read_hudi_log_blocks(bytes(raw))
+
+
+def test_mor_delete_block_merge(spark, tmp_path):
+    """A DELETE block hard-deletes its record keys in the MOR merge —
+    newest-wins ordering still applies, so a LATER re-insert of a
+    deleted key survives."""
+    d = str(tmp_path)
+    _mor_table(d)
+    write_hudi_log_file(
+        os.path.join(d, ".fg1_001.log.3_0-0-0"),
+        [{"type": "delete", "instant": "004", "keys": [1, 3]}],
+    )
+    write_hudi_log_file(
+        os.path.join(d, ".fg1_001.log.4_0-0-0"),
+        [{"type": "avro_data", "instant": "005", "schema": _SCHEMA,
+          "records": [_rec(3, "back")]}],
+    )
+    write_hudi_fixture(
+        d, [("001", "", "fg1")], deltacommits=["002", "003", "004", "005"],
+        record_key="k",
+    )
+    got = {r.k: r.v for r in read_hudi(spark, d).collect()}
+    # base: {1:base,2:v3,3:v2,4:base,10:v2}; 004 deletes k1,k3; 005 re-adds k3
+    assert got == {2: "v3", 3: "back", 4: "base", 10: "v2"}
+    # time travel before the delete: both keys alive
+    got2 = {r.k: r.v for r in read_hudi(spark, d, as_of="003").collect()}
+    assert got2[1] == "base" and got2[3] == "v2"
+    # incremental over the delete range: k1 vanishes, k3 at 'back'
+    from native_sql_engine_spark.operators.hudi import read_hudi_incremental
+
+    got3 = {r.k: r.v for r in read_hudi_incremental(spark, d, "003", "005").collect()}
+    assert got3 == {3: "back"}
 
 
 def test_mor_log_only_file_group(spark, tmp_path):
