@@ -408,6 +408,24 @@ def read_iceberg(
         df = df.unionByName(other, allowMissingColumns=False)
     if not with_deletes:
         return df
+    return _apply_row_deletes(spark, df, snap)
+
+
+def _pkey(part: dict | None) -> str | None:
+    """Canonical partition-tuple key for scoped-delete matching."""
+    if not isinstance(part, dict):
+        return None
+    return json.dumps(part, sort_keys=True, default=str)
+
+
+def _apply_row_deletes(spark, df, snap: dict):
+    """Remove rows deleted by positional and equality delete files from
+    ``df`` (which must carry ``__ice_fp``/``__ice_ri`` metadata columns).
+    ``snap`` supplies ``position_delete_files``,
+    ``equality_delete_files`` (path, seq, ids, scope),
+    ``file_sequence_numbers``, ``file_partitions`` and ``schema`` —
+    shared by the snapshot and incremental reads."""
+    from pyspark.sql import functions as F
 
     cols = [c for c in df.columns if c not in ("__ice_fp", "__ice_ri")]
     if snap["position_delete_files"]:
@@ -431,11 +449,6 @@ def read_iceberg(
         # each data row carries its file's data sequence number and a
         # canonical partition-tuple key; the map is tiny (one row per
         # live file) so Catalyst broadcasts it
-        def _pkey(part: dict | None) -> str | None:
-            if not isinstance(part, dict):
-                return None
-            return json.dumps(part, sort_keys=True, default=str)
-
         seq_rows = [
             (fp, seq, _pkey(snap["file_partitions"].get(fp)))
             for fp, seq in snap["file_sequence_numbers"].items()
@@ -894,10 +907,17 @@ def read_iceberg_incremental(
     Manifest entries make this exact without diffing file LISTS: an entry
     with ``status=1`` (ADDED) and a matching ``snapshot_id`` records
     exactly which snapshot appended the file, so the incremental set is
-    the union of ADDED entries of the in-range snapshots.  Snapshots with
-    row-level deletes in range are gated — an appended-then-deleted row
-    needs merge-on-read semantics an append-only consumer must not
-    silently receive."""
+    the union of ADDED entries of the in-range snapshots.  **Row-level
+    deletes added in range apply on top** (the streaming-consumer case):
+    positional deletes drop their (file, pos) rows from the in-range
+    adds; equality deletes drop matching rows whose data sequence is
+    strictly lower than the delete's, with partition scoping — so an
+    appended-then-deleted row is never emitted, while deletes targeting
+    PRE-range data simply find nothing in the scan.  Application is the
+    same broadcast anti-join machinery as the snapshot read
+    (:func:`_apply_row_deletes`)."""
+    from pyspark.sql import functions as F
+
     from .avro import read_avro
 
     with open(_latest_metadata(table_dir), "r", encoding="utf-8") as fh:
@@ -910,7 +930,12 @@ def read_iceberg_incremental(
         sid for sid in snaps if from_snapshot < sid <= to_snapshot
     ]  # snapshot ids are fixture-ordered; real tables would order by sequence-number
     files: list[str] = []
+    file_seqs: dict[str, int] = {}
+    file_parts: dict[str, dict | None] = {}
+    pos_deletes: list[str] = []
+    eq_deletes: list[tuple[str, int, list[int], dict | None]] = []
     for sid in sorted(in_range):
+        snap_seq = snaps[sid].get("sequence-number", 0)
         mlist = _local_path(table_dir, snaps[sid]["manifest-list"])
         with open(mlist, "rb") as fh:
             _, entries_list = read_avro(fh.read())
@@ -919,24 +944,67 @@ def read_iceberg_incremental(
             with open(mpath, "rb") as fh:
                 _, entries = read_avro(fh.read())
             for e in entries:
+                if e.get("status") != 1 or e.get("snapshot_id") != sid:
+                    continue
                 df = e.get("data_file") or {}
                 content = df.get("content", 1 if m.get("content", 0) == 1 else 0)
-                if e.get("status") == 1 and content != 0:
-                    raise NotImplementedError(
-                        "incremental read across snapshots with row-level "
-                        "deletes not supported (append-only consumers must "
-                        "not silently receive deleted rows)"
-                    )
-                if e.get("status") == 1 and e.get("snapshot_id") == sid:
-                    fmt = df.get("file_format")
-                    fmt = (fmt.decode() if isinstance(fmt, bytes) else fmt or "PARQUET").upper()
+                fmt = df.get("file_format")
+                fmt = (fmt.decode() if isinstance(fmt, bytes) else fmt or "PARQUET").upper()
+                seq = e.get("sequence_number")
+                seq = snap_seq if seq is None else seq
+                p = _local_path(table_dir, df["file_path"])
+                if content == 0:
                     if fmt != "PARQUET":
                         raise NotImplementedError(
                             f"incremental read of {fmt} data files not wired"
                         )
-                    files.append(_local_path(table_dir, df["file_path"]))
+                    files.append(p)
+                    file_seqs[p] = seq
+                    fpart = df.get("partition")
+                    file_parts[p] = dict(fpart) if isinstance(fpart, dict) else None
+                elif content == 1:
+                    if fmt != "PARQUET":
+                        raise NotImplementedError(
+                            f"Iceberg positional delete files in {fmt} not wired"
+                        )
+                    pos_deletes.append(p)
+                elif content == 2:
+                    if fmt != "PARQUET":
+                        raise NotImplementedError(
+                            f"Iceberg equality delete files in {fmt} not wired"
+                        )
+                    ids = df.get("equality_ids") or []
+                    if not ids:
+                        raise ValueError(
+                            f"{mpath}: equality delete without equality_ids"
+                        )
+                    part = df.get("partition") or {}
+                    scope = (
+                        dict(part)
+                        if isinstance(part, dict)
+                        and any(v is not None for v in part.values())
+                        else None
+                    )
+                    eq_deletes.append((p, seq, list(ids), scope))
     if not files:
         raise ValueError(
             f"no appends between snapshots {from_snapshot} and {to_snapshot}"
         )
-    return spark.read.parquet(*files)
+    df = spark.read.parquet(*files)
+    if not pos_deletes and not eq_deletes:
+        return df
+    scan = df.withColumn(
+        "__ice_fp",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+    ).withColumn("__ice_ri", F.col("_metadata.row_index"))
+    return _apply_row_deletes(
+        spark,
+        scan,
+        {
+            "position_delete_files": pos_deletes,
+            "equality_delete_files": eq_deletes,
+            "file_sequence_numbers": file_seqs,
+            "file_partitions": file_parts,
+            "schema": meta.get("schemas") or meta.get("schema"),
+        },
+    )

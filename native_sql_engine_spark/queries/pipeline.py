@@ -4002,6 +4002,119 @@ def lake_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lake_iceberg_incremental_deletes",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    ),
+    inc AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM b
+      WHERE pos >= 50 AND NOT (o_orderkey >= 1200 AND o_orderkey < 1500)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey >= 1300 AND o_orderkey < 1400
+    )
+    SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM inc GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_iceberg_incremental_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg incremental scan WITH row-level deletes in range — the
+    streaming-consumer variant of the append scan: rows appended in
+    (from, to] minus in-range positional and equality deletes.  File b
+    (keys [1000,2000), seq 2, key-sorted so row position == rank) is
+    appended in range; a positional delete kills its first 50 positions
+    and an equality delete (seq 3) kills keys [1200,1500); file c
+    re-adds [1300,1400) at seq 4 — those rows SURVIVE the eq delete
+    (sequence strictly-lower rule), while pre-range file a is never
+    scanned so deletes targeting it find nothing.  A gate-era reader
+    (refusing deletes) or a sequence-blind one cannot produce the
+    oracle's rank-and-range reconstruction."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from native_sql_engine_spark.operators.iceberg import (
+        read_iceberg_incremental,
+        write_equality_delete_file,
+        write_iceberg_fixture,
+        write_position_delete_file,
+    )
+
+    d = tempfile.mkdtemp(prefix="lake_ice_incdel_")
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        filters=[("o_orderkey", "<", 2000)],
+    )
+    t = t.filter(pc.field("o_orderkey") < 2000).sort_by("o_orderkey")
+    os.makedirs(os.path.join(d, "data"))
+
+    def slice_file(name, lo, hi):
+        p = os.path.join(d, "data", name)
+        pq.write_table(
+            t.filter(
+                (pc.field("o_orderkey") >= lo) & (pc.field("o_orderkey") < hi)
+            ),
+            p,
+        )
+        return p
+
+    a = slice_file("a.parquet", 0, 1000)
+    b = slice_file("b.parquet", 1000, 2000)
+    c = slice_file("c.parquet", 1300, 1400)
+    pd1 = write_position_delete_file(
+        os.path.join(d, "data", "del.parquet"),
+        [(b, i) for i in range(50)] + [(a, 0)],
+    )
+    eq = write_equality_delete_file(
+        os.path.join(d, "data", "eq.parquet"),
+        {"o_orderkey": pa.array(range(1200, 1500), pa.int64())},
+    )
+    write_iceberg_fixture(
+        d,
+        {
+            1: [(1, a)],
+            2: [(0, a), (1, b)],
+            3: [
+                {"status": 0, "path": a, "sequence": 1},
+                {"status": 0, "path": b, "sequence": 2},
+                {"status": 1, "path": pd1, "content": 1, "sequence": 3},
+                {"status": 1, "path": eq, "content": 2, "equality_ids": [1],
+                 "sequence": 3},
+            ],
+            4: [
+                {"status": 0, "path": a, "sequence": 1},
+                {"status": 0, "path": b, "sequence": 2},
+                {"status": 0, "path": pd1, "content": 1, "sequence": 3},
+                {"status": 0, "path": eq, "content": 2, "equality_ids": [1],
+                 "sequence": 3},
+                {"status": 1, "path": c, "sequence": 4},
+            ],
+        },
+        current=4,
+        schema_fields=[(1, "o_orderkey", "long")],
+    )
+    df = read_iceberg_incremental(spark, d, 1, 4)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
     "lake_iceberg_avro_data",
     """
     SELECT o_orderstatus, cast(count(*) AS bigint) AS n,

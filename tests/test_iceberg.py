@@ -435,13 +435,72 @@ def test_incremental_append_scan(spark, tmp_path):
         read_iceberg_incremental(spark, d, 3, 3)
     with pytest.raises(ValueError, match="not in"):
         read_iceberg_incremental(spark, d, 1, 99)
-    # a positional delete inside the range gates the append-only read
+    # a positional delete on PRE-range data with no in-range appends:
+    # nothing to emit for an append consumer
     d2 = str(tmp_path / "del")
     a2 = _mk(d2, "a.parquet", 0, 50)
     pd1 = write_position_delete_file(os.path.join(d2, "data", "del.parquet"), [(a2, 0)])
     write_iceberg_fixture(d2, {1: [(1, a2)], 2: [(0, a2), (1, pd1, 1)]}, current=2)
-    with pytest.raises(NotImplementedError, match="row-level"):
+    with pytest.raises(ValueError, match="no appends"):
         read_iceberg_incremental(spark, d2, 1, 2)
+
+
+def test_incremental_with_deletes_in_range(spark, tmp_path):
+    """Delete-aware incremental (the streaming-consumer case): rows
+    appended in range minus in-range positional AND equality deletes —
+    an appended-then-deleted row never surfaces; eq-delete sequence
+    semantics hold inside the range (a later re-add survives)."""
+    from native_sql_engine_spark.operators.iceberg import (
+        read_iceberg_incremental,
+        write_equality_delete_file,
+        write_position_delete_file,
+    )
+
+    d = str(tmp_path)
+    a = _mk(d, "a.parquet", 0, 100)    # pre-range
+    b = _mk(d, "b.parquet", 100, 200)  # added @2
+    c = _mk(d, "c.parquet", 120, 140)  # re-added @4 (after the eq delete)
+    pd1 = write_position_delete_file(
+        os.path.join(d, "data", "del.parquet"), [(b, 0), (b, 1), (a, 5)]
+    )
+    eq = write_equality_delete_file(
+        os.path.join(d, "data", "eq.parquet"), {"k": list(range(120, 150))}
+    )
+    write_iceberg_fixture(
+        d,
+        {
+            1: [(1, a)],
+            2: [(0, a), (1, b)],
+            3: [
+                {"status": 0, "path": a, "sequence": 1},
+                {"status": 0, "path": b, "sequence": 2},
+                {"status": 1, "path": pd1, "content": 1, "sequence": 3},
+                {"status": 1, "path": eq, "content": 2, "equality_ids": [1],
+                 "sequence": 3},
+            ],
+            4: [
+                {"status": 0, "path": a, "sequence": 1},
+                {"status": 0, "path": b, "sequence": 2},
+                {"status": 0, "path": pd1, "content": 1, "sequence": 3},
+                {"status": 0, "path": eq, "content": 2, "equality_ids": [1],
+                 "sequence": 3},
+                {"status": 1, "path": c, "sequence": 4},
+            ],
+        },
+        current=4,
+        schema_fields=[(1, "k", "long")],
+    )
+    got = sorted(r.k for r in read_iceberg_incremental(spark, d, 1, 4).collect())
+    # b's rows minus pos-deleted positions {100,101} minus eq-deleted
+    # [120,150); c's [120,140) re-added at seq 4 > 3 SURVIVES; a's pos
+    # delete (pre-range file) finds nothing
+    want = sorted(
+        [k for k in range(102, 200) if not (120 <= k < 150)] + list(range(120, 140))
+    )
+    assert got == want
+    # sub-range ending before the deletes sees b whole
+    got2 = sorted(r.k for r in read_iceberg_incremental(spark, d, 1, 2).collect())
+    assert got2 == list(range(100, 200))
 
 
 def test_manifest_summary_alignment_with_nonidentity_fields(spark, tmp_path):
