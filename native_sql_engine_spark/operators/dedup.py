@@ -555,8 +555,15 @@ def simhash_pairs(
     equi-joins, not a cross join.  Verification via bit_count(xor).
     Short documents have thin bit-vote margins, so the hamming budget is
     wider than the classic 3.
+
+    The signature table is persisted: it feeds BOTH sides of the band
+    self-join, and without materialization Spark duplicates the whole
+    subtree (tokenize → explode → 64 bit-vote aggregates) once per side —
+    the signature pass ran twice per query (2 scans, 2 explode+agg
+    shuffles).  One (id, long) row per document, so the cached footprint
+    is ~16 bytes/doc — negligible at any corpus size.
     """
-    base = simhash_table(df, id_col, text_col)
+    base = simhash_table(df, id_col, text_col).persist()
     band_structs = ",".join(
         f"struct({i} AS band, (shiftrightunsigned(_sim, {8 * i}) & 255) AS bh)"
         for i in range(8)

@@ -322,10 +322,18 @@ def lttb_downsample(
         F.col(v_col).cast("bigint").alias("v"),
     )
     w = W.partitionBy("_s").orderBy("t")
+    # persisted: the numbered point set feeds FOUR consumers (interior →
+    # centroid agg + bucket-array agg, firsts, lasts); without
+    # materialization Spark duplicates the whole upstream subtree — input
+    # pre-aggregation, series shuffle, two window passes — once per
+    # consumer (measured: 28 Exchanges in the battery entry's plan).  The
+    # cached set is the downsampler input (one row per retained point
+    # AFTER any upstream pre-agg), not the raw events.
     num = (
         p.withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count("*").over(W.partitionBy("_s")))
         .filter(F.col("n") >= max(k, 12))
+        .persist()
     )
     interior = num.filter((F.col("rn") > 1) & (F.col("rn") < F.col("n"))).withColumn(
         "b", F.expr(f"((rn - 2) * {nb}) div (n - 2)")

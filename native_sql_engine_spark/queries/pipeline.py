@@ -380,12 +380,17 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").alias("t"),
     ).filter(F.size("t") >= 8)
+    # persisted: the hashed-window table feeds THREE consumers (shared-set
+    # aggregate, per-doc window counts, semi-join probe); without
+    # materialization the tokenize + window-explode + hash pass — the
+    # expensive per-row work — runs once per consumer.  Cached rows are
+    # two longs per window (16 B), 3 orders of magnitude under the text.
     grams = toks.select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8)))")
         ).alias("gram"),
-    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    ).select("doc_id", F.xxhash64("gram").alias("gh")).persist()
     shared = (
         grams.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -947,9 +952,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     own recall against the exact shingle-Jaccard (≥ 0.8) pair set and emits
     that set's size plus a recall ≥ 0.85 verdict — the oracle recomputes the
     exact pair count and asserts the verdict as literal true (measured
-    recall: 0.96/1.00/0.94 at sf0.001/0.01/0.1)."""
+    recall: 0.96/1.00/0.94 at sf0.001/0.01/0.1).
+
+    ``truth`` is persisted: it feeds two consumers (the recall semi-join
+    AND the n_truth count) and without materialization the whole exact
+    prefix-filter pipeline — df-frequency shuffle, rank window, candidate
+    join, Jaccard verify — is duplicated per consumer (was 73 Exchanges in
+    one plan; the truth pair set itself is tiny, two longs per true pair)."""
     docs = load_table(spark, sf_dir, "documents")
-    truth = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, sort=False)
+    truth = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, sort=False).persist()
     sim = D.simhash_pairs(docs, "doc_id", "text", max_hamming=7)
     hits = truth.join(sim, ["a_id", "b_id"], "left_semi")
     t = truth.agg(F.count("*").alias("n_truth"))
@@ -1193,9 +1204,12 @@ def sim_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("left_id"), "embedding"
     )
     right = emb.select(F.col("vec_id").alias("right_id"), "embedding")
+    # persisted: exact feeds two consumers (stats aggregate + recall
+    # semi-join); unmaterialized, the whole exact k-NN join would run
+    # twice.  A (long, long) pair list — 60 rows at k=3 per left row.
     exact = S.knn_join_exact(left, right, 3, "left_id", "right_id").select(
         "left_id", "right_id"
-    )
+    ).persist()
     approx = S.knn_join_lsh(
         left, right, 3, "left_id", "right_id", n_planes=4, n_tables=12
     ).select("left_id", "right_id")
@@ -1242,12 +1256,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.45 demo threshold; operator defaults (8×8) target the ≥0.95 design
     point."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: truth feeds THREE consumers (count, recall semi-join,
+    # subset anti-join) and lsh feeds two; without materialization the
+    # exact block-matmul and the LSH bucket pipeline are recomputed per
+    # consumer.  Both cached sets are (long, long) pair lists.
     truth = D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45).select(
         "a_id", "b_id"
-    )
+    ).persist()
     lsh = D.embedding_neardup_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.45, n_planes=4, n_tables=12
-    ).select("a_id", "b_id")
+    ).select("a_id", "b_id").persist()
     t = truth.agg(F.count("*").alias("n_truth"))
     hit = truth.join(lsh, ["a_id", "b_id"], "left_semi").agg(
         F.count("*").alias("n_hit")
