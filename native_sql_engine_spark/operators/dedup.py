@@ -452,12 +452,15 @@ def minhash_lsh_pairs(
     # via the Column API costs hundreds of py4j round trips (~3 s of pure
     # driver-side overhead per call); one parsed SQL string per aggregate is
     # the identical plan for ~1/10th the construction cost.
+    # persisted: the signature table feeds BOTH sides of the band-bucket
+    # self-join below; unmaterialized, the explode + 64 min-aggregates
+    # pipeline runs once per side.  64 longs per document.
     sig = ex.groupBy("_id").agg(
         *[
             F.expr(f"min(pmod(_h * {a}L + {b}L, {_MERSENNE}L)) AS _m{i}")
             for i, (a, b) in enumerate(perms)
         ]
-    )
+    ).persist()
     band_structs = ",".join(
         "struct({i} AS band, xxhash64(concat_ws(',', {cols})) AS bh)".format(
             i=i, cols=",".join(f"_m{i * rows + j}" for j in range(rows))

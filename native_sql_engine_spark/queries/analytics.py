@@ -1980,12 +1980,12 @@ def analytics_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only large shuffle and it map-side combines; the freq join is a
     dim-sized shuffle join on partkey."""
     li = load_table(spark, sf_dir, "lineitem")
-    # persisted: the basket table feeds FOUR consumers (order count, both
-    # sides of the within-basket self-join, item frequencies); without
-    # materialization each consumer repeats the scan + distinct shuffle
-    # (measured: 26 Exchanges in the plan).  Two longs per basket line —
-    # tiny relative to the lineitem it replaces.
-    b = li.select("l_orderkey", "l_partkey").distinct().persist()
+    # NOT persisted although four consumers share it: a matched-probe A/B
+    # (r10) measured the persist 0.9s SLOWER — the distinct is a cheap
+    # codegen'd pass over a 2-column scan, and caching it costs a
+    # materialization barrier plus InMemoryRelation stats that demote the
+    # frequency joins from broadcast to shuffle.
+    b = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = b.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n"))
     x, y = b.alias("x"), b.alias("y")
     pairs = (

@@ -1204,12 +1204,9 @@ def sim_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("left_id"), "embedding"
     )
     right = emb.select(F.col("vec_id").alias("right_id"), "embedding")
-    # persisted: exact feeds two consumers (stats aggregate + recall
-    # semi-join); unmaterialized, the whole exact k-NN join would run
-    # twice.  A (long, long) pair list — 60 rows at k=3 per left row.
     exact = S.knn_join_exact(left, right, 3, "left_id", "right_id").select(
         "left_id", "right_id"
-    ).persist()
+    )
     approx = S.knn_join_lsh(
         left, right, 3, "left_id", "right_id", n_planes=4, n_tables=12
     ).select("left_id", "right_id")
@@ -1256,16 +1253,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.45 demo threshold; operator defaults (8×8) target the ≥0.95 design
     point."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # persisted: truth feeds THREE consumers (count, recall semi-join,
-    # subset anti-join) and lsh feeds two; without materialization the
-    # exact block-matmul and the LSH bucket pipeline are recomputed per
-    # consumer.  Both cached sets are (long, long) pair lists.
+    # NOT persisted although truth/lsh have 3/2 consumers: a matched-probe
+    # A/B (r10) measured persisting them 1.5s SLOWER — the mapInPandas
+    # kernels recompute cheaply at this shape, while the cache barrier and
+    # InMemoryRelation stats demote the recall semi/anti joins from
+    # broadcast to shuffle.
     truth = D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45).select(
         "a_id", "b_id"
-    ).persist()
+    )
     lsh = D.embedding_neardup_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.45, n_planes=4, n_tables=12
-    ).select("a_id", "b_id").persist()
+    ).select("a_id", "b_id")
     t = truth.agg(F.count("*").alias("n_truth"))
     hit = truth.join(lsh, ["a_id", "b_id"], "left_semi").agg(
         F.count("*").alias("n_hit")
