@@ -107,6 +107,32 @@ _SIGNATURE_NODES = (
 )
 
 
+def _strip_cached_bodies(plan: str) -> str:
+    """Drop the nested cached-plan text under every ``InMemoryRelation``.
+
+    The relation's body is a *re-print* of the plan that populates the
+    cache, and its rendering is session-state-dependent: before the cache
+    is materialized it shows ``AdaptiveSparkPlan isFinalPlan=false`` (one
+    copy of the subtree), after materialization it shows BOTH the "Final
+    Plan" and "Initial Plan" sections — so a signature that counts it
+    changes depending on whether any earlier query in the session happened
+    to materialize the same cache entry.  Depth = leading spaces + ':'
+    tree bars; a line deeper than its ``InMemoryRelation`` belongs to the
+    cached body."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        depth = len(line) - len(line.lstrip(" :"))
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        out.append(line)
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+    return "\n".join(out)
+
+
 def plan_signature(df: DataFrame) -> dict[str, int]:
     """Canonical strategy-level signature of the physical plan: counts of
     the join/aggregate/exchange operators that determine cost at scale.
@@ -116,8 +142,12 @@ def plan_signature(df: DataFrame) -> dict[str, int]:
     benchmark query's signature turns an accidental plan regression (a
     broadcast silently degrading to a sort-merge join, a second Exchange
     appearing) into a test failure instead of a production incident.
+
+    Cached-subtree bodies are excluded (``_strip_cached_bodies``): they are
+    a redundant re-print whose rendering flips with session cache state,
+    and the subtree's own shape is reviewed where it is built.
     """
-    plan = executed_plan(df)
+    plan = _strip_cached_bodies(executed_plan(df))
     sig: dict[str, int] = {}
     for node in _SIGNATURE_NODES:
         n = len(re.findall(rf"\b{node}\b", plan))

@@ -45,6 +45,12 @@ def test_benchmark_plan_signatures_stable(spark, sf_small):
     drift: dict[str, tuple[dict, dict]] = {}
     current: dict[str, dict] = {}
     for name, fn in sorted(queries.items()):
+        # canonical cache state: a persisted subtree materialized by an
+        # earlier test (or an earlier entry in this loop) changes both the
+        # InMemoryRelation rendering AND the outer plan (known cache stats
+        # flip shuffle joins to broadcasts), making signatures depend on
+        # session history.  Fresh cache per entry = the fresh-session shape.
+        spark.catalog.clearCache()
         sig = P.plan_signature(fn(spark, sf_small))
         current[name] = sig
         if sig != golden.get(name):
