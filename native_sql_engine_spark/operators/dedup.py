@@ -324,10 +324,14 @@ def ngram_jaccard_pairs(
     ranked = ex.join(dfreq, "_s").withColumn(
         "_rn", F.row_number().over(W.partitionBy("_id").orderBy("_df", "_s"))
     )
-    # prefix length = sz - ceil(t*sz) + 1, computed in exact integer math
+    # prefix length = sz - ceil(t*sz) + 1, computed in exact integer math.
+    # Persisted: the prefix index feeds BOTH sides of the candidate
+    # self-join; unmaterialized, the df-frequency shuffle + rank window
+    # pipeline above runs once per side.  One (id, sz, shingle) row per
+    # PREFIX shingle — a fraction of the posting list.
     prefix = ranked.filter(
         F.col("_rn") <= F.col("_sz") - ((F.lit(t4) * F.col("_sz") + 9999) / 10000).cast("long") + 1
-    )
+    ).select("_id", "_sz", "_s").persist()
     a = prefix.select(F.col("_id").alias("a_id"), F.col("_sz").alias("a_sz"), "_s")
     b = prefix.select(F.col("_id").alias("b_id"), F.col("_sz").alias("b_sz"), "_s")
     cand = (

@@ -839,41 +839,60 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass column profiler (the ANALYZE TABLE / data-catalog stats
-    collector a 100 TB lakehouse runs before planning): per-column non-null /
-    null / exact-distinct counts and min-max, computed in a SINGLE scan with
-    multi-distinct Expand, then pivoted to long form with stack().  The
-    oracle pays five scans for the same answer — the one-pass shape is the
-    point at scale."""
+    """Column profiler (the ANALYZE TABLE / data-catalog stats collector a
+    100 TB lakehouse runs before planning): per-column non-null / null /
+    exact-distinct counts and min-max, one dedup-then-profile aggregate per
+    column, unioned.  Columnar pruning makes the per-column scans
+    I/O-equivalent to a single five-column pass, and every aggregation
+    stays a two-phase codegen'd HashAggregate — the multi-countDistinct
+    Expand form this replaces forced min/max(string) buffers into every
+    stage, turning the 6×-expanded scan into Sort + SortAggregate chains."""
     o = load_table(spark, sf_dir, "orders")
     num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
     str_cols = ["o_orderstatus", "o_orderpriority"]
-    aggs = [F.count("*").alias("_n")]
-    for c in num_cols + str_cols:
-        aggs += [
-            F.count(c).alias(f"{c}_nn"),
-            F.countDistinct(c).alias(f"{c}_nd"),
-            F.min(c).alias(f"{c}_mn"),
-            F.max(c).alias(f"{c}_mx"),
+
+    def col_profile(c: str, numeric: bool):
+        # dedup-first: groupBy(value) is a two-phase codegen'd HashAggregate
+        # (string GROUP KEYS are hash-friendly; it is string AGG BUFFERS that
+        # are not), and the follow-up stats run over the tiny distinct set —
+        # so the string min/max SortAggregate sees |distinct| rows with no
+        # grouping keys (no sort inserted).  The multi-countDistinct Expand
+        # form this replaces put min/max(string) buffers into every stage:
+        # the whole 6×-expanded scan went through Sort + SortAggregate
+        # chains.  I/O is unchanged: columnar pruning means five one-column
+        # scans read the same bytes as one five-column scan.
+        d = o.groupBy(F.col(c)).agg(F.count("*").alias("_cnt"))
+        stats = [
+            F.sum(F.when(F.col(c).isNotNull(), F.col("_cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_nonnull"),
+            F.sum(F.when(F.col(c).isNull(), F.col("_cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_null"),
+            F.count(F.col(c)).alias("n_distinct"),
         ]
-    one = o.agg(*aggs)
-    parts = []
-    for c in num_cols:
-        parts.append(
-            f"'{c}', {c}_nn, _n - {c}_nn, {c}_nd, "
-            f"round(cast({c}_mn AS double), 2), round(cast({c}_mx AS double), 2), "
-            f"cast(NULL AS string), cast(NULL AS string)"
-        )
+        if numeric:
+            stats += [
+                F.round(F.min(F.col(c)).cast("double"), 2).alias("min_num"),
+                F.round(F.max(F.col(c)).cast("double"), 2).alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            ]
+        else:
+            stats += [
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.min(F.col(c)).alias("min_str"),
+                F.max(F.col(c)).alias("max_str"),
+            ]
+        return d.agg(*stats).select(F.lit(c).alias("col"), "*")
+
+    out = col_profile(num_cols[0], True)
+    for c in num_cols[1:]:
+        out = out.unionAll(col_profile(c, True))
     for c in str_cols:
-        parts.append(
-            f"'{c}', {c}_nn, _n - {c}_nn, {c}_nd, "
-            f"cast(NULL AS double), cast(NULL AS double), {c}_mn, {c}_mx"
-        )
-    stacked = one.selectExpr(
-        f"stack({len(parts)}, {', '.join(parts)}) AS "
-        "(col, n_nonnull, n_null, n_distinct, min_num, max_num, min_str, max_str)"
-    )
-    return stacked.orderBy("col")
+        out = out.unionAll(col_profile(c, False))
+    return out.orderBy("col")
 
 
 @q(

@@ -6478,11 +6478,17 @@ def sim_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n"))
+    # persisted: the pruned posting list feeds THREE consumers (the norm
+    # aggregate and both sides of the inverted-index self-join); without
+    # materialization the tokenize → TF → document-frequency join pipeline
+    # runs once per consumer (62 Exchanges in the battery entry's plan).
+    # One (doc, token, tf) row per kept posting — a sliver of the corpus.
     kept = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") * 20 <= F.col("n"))
         .select("doc_id", "token", "tf")
+        .persist()
     )
     nrm = kept.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")

@@ -115,7 +115,22 @@ def write_bucketed(
     key with the same bucket count join with ZERO shuffle — each task reads
     bucket i of both sides (plan shows SortMergeJoin with no Exchange,
     asserted in tests/test_sources.py).  ``sort_cols`` additionally
-    pre-sorts within buckets so the merge join skips its sort."""
+    pre-sorts within buckets so the merge join skips its sort.
+
+    The input is hash-repartitioned on the bucket columns into a multiple
+    of ``n_buckets`` before the write (write.distribution-mode=hash in
+    Iceberg terms): repartition and bucket-file assignment share Spark's
+    Murmur3 HashPartitioning, so with k·n_buckets partitions every write
+    task holds exactly one bucket's rows — one sorted file per task, k
+    files per bucket, parallelism k·n_buckets.  Without it, each SCAN task
+    sorts and writes all ``n_buckets`` files (a handful of input splits =
+    a near-serial sort of the whole table)."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    k = max(1, nparts // n_buckets)
+    df = df.repartition(k * n_buckets, *[F.col(c) for c in bucket_cols])
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
