@@ -48,15 +48,26 @@ def pagerank(
     # from a map-side-combined aggregate joined back on src (NOT a window
     # count: WindowExec would buffer a hub node's entire neighbor list in
     # one task, while the join streams — skew-safe at power-law hubs).
-    # localCheckpoint (not cache) materializes it on the executors AND
-    # truncates lineage, so per-iteration plans stay flat at any iteration
-    # count — the standard iterative-algorithm discipline on Spark.
-    dedup = edges.select("src", "dst").distinct()
+    # The explicit repartition(src) FIRST is what makes the edge state
+    # reusable: HashPartitioning(src) satisfies the distribution required by
+    # the (src, dst) dedup, the outdeg aggregate, the deg join AND every
+    # iteration's rank join, so the raw edge list crosses the network exactly
+    # once and each power step shuffles only the rank frontier.  persist()
+    # (not localCheckpoint) is what carries that partitioning across
+    # iterations: an InMemoryTableScan reports the cached plan's
+    # HashPartitioning (AQE may not change a cached plan's output
+    # partitioning by default), while a localCheckpoint scan under AQE
+    # reports UnknownPartitioning and every iteration re-exchanges the full
+    # edge table (measured on the before-plan: one Exchange per iteration
+    # over Scan ExistingRDD).  Partition count tracks the session's
+    # shuffle-partition setting, not a local constant.
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    dedup = edges.select("src", "dst").repartition(n_part, "src").dropDuplicates(["src", "dst"])
     deg = out_degrees(dedup)
     contrib = (
         dedup.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
-        .localCheckpoint()
+        .persist()
     )
     if symmetric:
         # nodes only seed the count and the uniform frontier; no need to

@@ -89,8 +89,15 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas grouped-map: quantity-weighted mean price per flag."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """applyInPandas grouped-map: quantity-weighted mean price per flag.
+
+    Explicit select of the 3 needed columns before the opaque grouped-map:
+    Spark cannot see which columns the Python function touches, so without
+    it all 16 lineitem columns are scanned, shuffled AND Arrow-shipped to
+    the workers (guide §4.1 / §2.3)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
     out = weighted_avg_apply(li, "l_returnflag", "l_extendedprice", "l_quantity")
     return out.select(
         "l_returnflag", F.round("weighted_avg", 2).alias("weighted_avg")
@@ -114,7 +121,10 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts per event type."""
     ev = load_table(spark, sf_dir, "events")
     mu, sd = ev.agg(F.avg("value"), F.stddev_samp("value")).first()
-    scored = zscore_map(ev, "value", float(mu), float(sd))
+    # select the 2 consumed columns before the opaque mapInPandas — Spark
+    # cannot prune through it, so the full events row would otherwise be
+    # scanned and Arrow-shipped both ways (guide §4.1)
+    scored = zscore_map(ev.select("event_type", "value"), "value", float(mu), float(sd))
     return (
         scored.groupBy("event_type")
         .agg(
