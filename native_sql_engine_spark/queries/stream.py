@@ -32,14 +32,20 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
-def _drain(stream_df: DataFrame, base: str, mode: str) -> DataFrame:
+def _drain(stream_df: DataFrame, base: str, mode: str, parts: int = 8) -> DataFrame:
     # the driver events table is a single-file micro-batch; 8 state
     # partitions keep state-store maintenance proportional to it (the
     # session's 32 would pay 4× the per-partition per-batch overhead, while
     # fewer serializes the Python-stateful operators — measured: TWS runs
-    # 3.4s at 8 partitions, 4.8s at 4, 6.0s at 2)
+    # 3.4s at 8 partitions, 4.8s at 4, 6.0s at 2).  Stream-stream JOINS
+    # override to 4: they keep FOUR state stores per partition (left/right ×
+    # keyToNumValues/keyWithIndexToValue), so per-partition per-batch commit
+    # overhead weighs 4× an aggregation's — measured min-of-2 at sf0.1:
+    # ss_join 4.04s @8 / 2.53s @4 / 2.31s @2, outer_join 2.98 / 2.15 / 2.13,
+    # while tumbling (1 store) is flat (0.94 @8 / 0.97 @4 / 1.10 @2).
+    # Production firehoses size this to volume (run_to_memory docstring).
     return SW.run_to_memory(
-        stream_df, f"{base}_{next(_SINK_SEQ)}", output_mode=mode, state_partitions=8
+        stream_df, f"{base}_{next(_SINK_SEQ)}", output_mode=mode, state_partitions=parts
     )
 
 
@@ -139,7 +145,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     user) with two-sided watermarks; the drained append-mode result
     hash-matches the batch self-join in DuckDB (replay equivalence)."""
     ev = SW.read_events_stream(spark, sf_dir)
-    out = _drain(SW.click_purchase_join(ev), "q_stream_ssjoin", "append")
+    out = _drain(SW.click_purchase_join(ev), "q_stream_ssjoin", "append", parts=4)
     return out.orderBy("click_id", "purchase_id")
 
 
@@ -311,7 +317,7 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark semantics themselves are under test."""
     ev = SW.read_events_stream(spark, sf_dir)
     out = _drain(
-        SW.click_purchase_outer_join(ev), "q_stream_outer_join", "append"
+        SW.click_purchase_outer_join(ev), "q_stream_outer_join", "append", parts=4
     )
     return out.orderBy("click_id", "purchase_id")
 
