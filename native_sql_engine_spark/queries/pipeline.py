@@ -954,18 +954,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pair count and asserts the verdict as literal true (measured
     recall: 0.96/1.00/0.94 at sf0.001/0.01/0.1).
 
-    ``truth`` is persisted: it feeds two consumers (the recall semi-join
-    AND the n_truth count) and without materialization the whole exact
-    prefix-filter pipeline — df-frequency shuffle, rank window, candidate
-    join, Jaccard verify — is duplicated per consumer (was 73 Exchanges in
-    one plan; the truth pair set itself is tiny, two longs per true pair)."""
+    The recall check is ONE left join + one aggregate: a semi-join branch
+    plus a count branch would run the exact prefix-filter pipeline —
+    df-frequency shuffle, rank window, candidate join, Jaccard verify —
+    once per consumer (was 73 Exchanges in one plan; persisting the truth
+    set fixed the recompute but paid a cache barrier; the single-consumer
+    join needs neither).  Both pair sets are deduped, so the left join
+    preserves truth rows 1:1."""
     docs = load_table(spark, sf_dir, "documents")
-    truth = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, sort=False).persist()
+    truth = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8, sort=False)
     sim = D.simhash_pairs(docs, "doc_id", "text", max_hamming=7)
-    hits = truth.join(sim, ["a_id", "b_id"], "left_semi")
-    t = truth.agg(F.count("*").alias("n_truth"))
-    h = hits.agg(F.count("*").alias("n_hit"))
-    return t.crossJoin(h).select(
+    both = truth.join(sim.withColumn("_s", F.lit(1)), ["a_id", "b_id"], "left")
+    return both.agg(
+        F.count("*").alias("n_truth"),
+        F.count("_s").alias("n_hit"),
+    ).select(
         "n_truth",
         (F.col("n_hit") >= 0.85 * F.col("n_truth")).alias("recall_ge_085"),
     )
@@ -1210,13 +1213,17 @@ def sim_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = S.knn_join_lsh(
         left, right, 3, "left_id", "right_id", n_planes=4, n_tables=12
     ).select("left_id", "right_id")
-    hits = exact.join(approx, ["left_id", "right_id"], "left_semi")
-    stats = exact.agg(
+    # one left join + one aggregate instead of a semi-join branch AND a
+    # stats branch: the exact k-NN kernel previously ran twice (both pair
+    # sets are deduped, so the join preserves exact rows 1:1)
+    both = exact.join(
+        approx.withColumn("_a", F.lit(1)), ["left_id", "right_id"], "left"
+    )
+    return both.agg(
         F.countDistinct("left_id").alias("n_left"),
         F.count("*").alias("n_exact_pairs"),
-    )
-    h = hits.agg(F.count("*").alias("n_hit"))
-    return stats.crossJoin(h).select(
+        F.count("_a").alias("n_hit"),
+    ).select(
         "n_left",
         "n_exact_pairs",
         (F.col("n_hit") >= 0.9 * F.col("n_exact_pairs")).alias("recall_ge_09"),
@@ -1264,21 +1271,24 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = D.embedding_neardup_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.45, n_planes=4, n_tables=12
     ).select("a_id", "b_id")
-    t = truth.agg(F.count("*").alias("n_truth"))
-    hit = truth.join(lsh, ["a_id", "b_id"], "left_semi").agg(
-        F.count("*").alias("n_hit")
+    # ONE full-outer join computes all three verdict counts: the
+    # semi-join (hits), anti-join (strays) and truth count previously ran
+    # the truth kernel 3x and the LSH kernel 2x (persisting them measured
+    # slower — cache barrier + InMemoryRelation stats demote the joins
+    # from broadcast); here each kernel runs exactly once.
+    both = truth.withColumn("_t", F.lit(1)).join(
+        lsh.withColumn("_l", F.lit(1)), ["a_id", "b_id"], "full_outer"
     )
-    stray = lsh.join(truth, ["a_id", "b_id"], "left_anti").agg(
-        F.count("*").alias("n_stray")
-    )
-    return (
-        t.crossJoin(hit)
-        .crossJoin(stray)
-        .select(
-            "n_truth",
-            (F.col("n_hit") >= 0.8 * F.col("n_truth")).alias("recall_ge_08"),
-            (F.col("n_stray") == 0).alias("subset_of_truth"),
-        )
+    return both.agg(
+        F.count("_t").alias("n_truth"),
+        F.count(F.when(F.col("_t").isNotNull() & F.col("_l").isNotNull(), 1)).alias(
+            "n_hit"
+        ),
+        F.count(F.when(F.col("_t").isNull(), 1)).alias("n_stray"),
+    ).select(
+        "n_truth",
+        (F.col("n_hit") >= 0.8 * F.col("n_truth")).alias("recall_ge_08"),
+        (F.col("n_stray") == 0).alias("subset_of_truth"),
     )
 
 

@@ -593,28 +593,47 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow wrapper in this Spark build plans all discovered files
     with the restart-time watermark, which never filters within one run —
     hence the two-phase file delivery here.)"""
-    import glob
     import os
     import shutil
     import tempfile
 
-    from pyspark.sql import types as T
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if isinstance(batch.schema["ts"].dataType, T.LongType):
-        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Fixture prep entirely in pyarrow on the driver: the corpus is ONE
+    # small parquet file and the split is a scan + two writes of it — as
+    # three Spark jobs this was ~60% of the entry's wall time (measured
+    # 1.6–2.4s of ~3.5s); pyarrow does it in <0.2s.  Arithmetic is kept
+    # bit-identical to the previous Spark form: ts → µs by floor-div,
+    # per-row seconds by floor-div, cut = (min+max) // 2 — floor-div is
+    # monotone so min/max commute with it.  (The streamed QUERY below is
+    # untouched: it still computes from parquet through the engine.)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+    ts = tbl["ts"]
+    if pa.types.is_integer(ts.type):  # TIMESTAMP(NANOS) read as int64 ns
+        ts_us = pc.divide(ts, 1000)  # integer floor-div, matches `ts DIV 1000`
     else:
-        batch = batch.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    lo, hi = batch.agg(
-        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
-    ).first()
+        ts_us = pc.cast(ts, pa.int64())  # timestamp[us] payload
+    secs = pc.divide(ts_us, 1_000_000)  # per-row unix_timestamp (floor)
+    lo = pc.min(secs).as_py()
+    hi = pc.max(secs).as_py()
     cut = (lo + hi) // 2
+    fixed = pa.table(
+        {
+            "ts": pc.cast(ts_us, pa.timestamp("us")),
+            "event_type": tbl["event_type"],
+        }
+    )
+    on_time = fixed.filter(pc.greater_equal(secs, cut))
+    late = fixed.filter(pc.less(secs, cut))
     base = tempfile.mkdtemp(prefix="late_drop_")
     os.makedirs(f"{base}/in")
-    sel = batch.select("ts", "event_type")
-    sel.filter(F.unix_timestamp("ts") >= cut).coalesce(1).write.parquet(f"{base}/t0")
-    sel.filter(F.unix_timestamp("ts") < cut).coalesce(1).write.parquet(f"{base}/t1")
-    shutil.copy(glob.glob(f"{base}/t0/*.parquet")[0], f"{base}/in/a_ontime.parquet")
+    pq.write_table(on_time, f"{base}/t0.parquet")
+    pq.write_table(late, f"{base}/t1.parquet")
+    shutil.copy(f"{base}/t0.parquet", f"{base}/in/a_ontime.parquet")
     stream = (
         spark.readStream.schema("ts timestamp, event_type string")
         .parquet(f"{base}/in")
@@ -635,11 +654,11 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .trigger(processingTime="200 milliseconds")
+            .trigger(processingTime="50 milliseconds")
             .start()
         )
         q.processAllAvailable()  # batch 0: on-time half -> watermark = its max
-        shutil.copy(glob.glob(f"{base}/t1/*.parquet")[0], f"{base}/in/b_late.parquet")
+        shutil.copy(f"{base}/t1.parquet", f"{base}/in/b_late.parquet")
         q.processAllAvailable()  # late half arrives entirely below the watermark
         q.stop()
         q.awaitTermination()
