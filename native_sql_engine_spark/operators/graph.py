@@ -108,7 +108,10 @@ def pagerank(
 
 
 def shortest_paths(
-    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    edges_materialized: bool = False,
 ) -> DataFrame:
     """BFS hop distance from a source node set over a directed edge list.
 
@@ -121,8 +124,19 @@ def shortest_paths(
 
     ``sources`` must have a single ``node`` column.  Returns (node, dist)
     for every node within ``max_hops``; unreached nodes are absent.
+
+    ``edges_materialized=True`` declares that the caller already
+    deduplicated AND materialized (checkpoint/persist) the edge list, so
+    the internal distinct+checkpoint is skipped — callers whose ``sources``
+    derive from the same expensive edge pipeline should materialize it
+    once themselves and derive both inputs from that, otherwise the edge
+    build runs twice (once into the edge checkpoint, once into the
+    frontier checkpoint).
     """
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    if not edges_materialized:
+        edges = edges.select("src", "dst").distinct().localCheckpoint()
+    else:
+        edges = edges.select("src", "dst")
     frontier = sources.select("node").distinct().withColumn("dist", F.lit(0)).localCheckpoint()
     visited = frontier
     for hop in range(1, max_hops + 1):

@@ -1052,12 +1052,19 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
     )
     other = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst"))
+    # materialize the co-purchase edge build ONCE and derive both the edge
+    # list and the source set from it: sources previously hung off the
+    # unmaterialized pipeline, so the self-join + distinct ran a second
+    # time into the frontier checkpoint (guide §2.4 — don't recompute what
+    # a consumer already materialized)
     edges = (
         li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.dst))
         .select(F.col("l_partkey").alias("src"), "dst")
+        .distinct()
+        .localCheckpoint()
     )
     sources = edges.select(F.col("src").alias("node")).filter(F.col("node") <= 10)
-    d = shortest_paths(edges, sources, max_hops=3)
+    d = shortest_paths(edges, sources, max_hops=3, edges_materialized=True)
     return (
         d.groupBy("dist")
         .agg(
