@@ -715,16 +715,25 @@ def join_bloom_bitset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nhit") == len(_BF_AB))
         .select("k")
     )
-    truek = cand.join(F.broadcast(build), "k", "left_semi")
+    # flag true keys with ONE broadcast join and persist the (tiny,
+    # ≤candidate-count rows) flagged set: the candidate pipeline — which
+    # includes the full probe-side distinct shuffle — previously recomputed
+    # once per consumer (truek semi-join, n_candidates count, n_true_keys
+    # count: 22 Exchanges); now it runs once.  Downstream joins broadcast
+    # truek explicitly, so InMemoryRelation stats cannot demote them.
+    cand_flag = cand.join(
+        F.broadcast(build.withColumn("_b", F.lit(1))), "k", "left"
+    ).persist()
+    truek = cand_flag.filter(F.col("_b").isNotNull()).select("k")
     res = li.join(F.broadcast(truek), li.l_orderkey == truek.k, "left_semi").agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum(F.col("l_quantity").cast("decimal(38,9)")), 2)
         .cast("double")
         .alias("sum_qty"),
     )
-    counts = (
-        cand.agg(F.count("*").alias("n_candidates"))
-        .crossJoin(truek.agg(F.count("*").alias("n_true_keys")))
+    counts = cand_flag.agg(
+        F.count("*").alias("n_candidates"),
+        F.count("_b").alias("n_true_keys"),
     )
     return counts.crossJoin(res).select(
         "n_candidates",
