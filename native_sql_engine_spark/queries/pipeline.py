@@ -1111,16 +1111,22 @@ _ANN_RECALL_ORACLE = """
 
 def _ann_recall_row(exact: DataFrame, approx: DataFrame, min_overlap: int) -> DataFrame:
     """One-row verdict: exact top-1 id + overlap(exact top-10, approx top-10)
-    ≥ min_overlap.  Both inputs are 10-row (vec_id, cos) results."""
+    ≥ min_overlap.  Both inputs are 10-row (vec_id, cos) results.
+
+    One left join + one aggregate: a separate top-1 branch and overlap
+    branch would run the brute-force exact scan once each.  The top-1
+    (max cos, ties to the smaller vec_id) falls out of max(struct(cos,
+    -vec_id)) over the same joined rows."""
     ex = exact.select("vec_id", "cos")
-    top1 = ex.orderBy(F.col("cos").desc(), "vec_id").limit(1).select(
-        F.col("vec_id").alias("exact_top1")
+    j = ex.join(
+        approx.select("vec_id").withColumn("_a", F.lit(1)), "vec_id", "left"
     )
-    overlap = ex.join(approx.select("vec_id"), "vec_id", "left_semi").agg(
-        F.count("*").alias("n_overlap")
-    )
-    return top1.crossJoin(overlap).select(
-        "exact_top1", (F.col("n_overlap") >= min_overlap).alias("recall10_ok")
+    return j.agg(
+        F.max(F.struct(F.col("cos"), (-F.col("vec_id")).alias("negid"))).alias("s"),
+        F.count("_a").alias("n_overlap"),
+    ).select(
+        (-F.col("s.negid")).alias("exact_top1"),
+        (F.col("n_overlap") >= min_overlap).alias("recall10_ok"),
     )
 
 
