@@ -248,6 +248,31 @@ def test_graph_and_datasource_facade_methods(eng):
     assert out.first()["n"] == 1
 
 
+def test_shortest_paths_edges_materialized_equivalent(eng):
+    """r10 optimization flag: a caller-materialized (deduped + checkpointed)
+    edge list with edges_materialized=True must produce exactly the hops of
+    the default path — including when the source set derives from the
+    materialized edges (the graph_bfs_hops shape)."""
+    from native_sql_engine_spark.operators.graph import shortest_paths
+    from pyspark.sql import functions as F
+
+    edges = eng.spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (2, 3), (1, 2)], ["src", "dst"]
+    )
+    src = eng.spark.createDataFrame([(1,)], ["node"])
+    default = {
+        (r["node"], r["dist"])
+        for r in shortest_paths(edges, src, max_hops=3).collect()
+    }
+    mat = edges.select("src", "dst").distinct().localCheckpoint()
+    src2 = mat.select(F.col("src").alias("node")).filter(F.col("node") == 1)
+    fast = {
+        (r["node"], r["dist"])
+        for r in shortest_paths(mat, src2, max_hops=3, edges_materialized=True).collect()
+    }
+    assert fast == default == {(1, 0), (2, 1), (3, 1), (4, 2), (5, 3)}
+
+
 def test_round3b_facade_methods(eng):
     """Round-3 session-3 facade surface: containment, components, aHash,
     VAD, bucketed writes."""
