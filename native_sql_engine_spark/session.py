@@ -27,15 +27,6 @@ from pyspark.sql import SparkSession
 ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Respect the advisory partition size when coalescing instead of
-    # maximizing parallelism (guide §2.2: fewer, larger reduce partitions).
-    # Post-shuffle reads coalesce to the 64 MB advisory target at any
-    # scale: at 100 TB that still yields thousands-wide parallelism, while
-    # KB-scale stages stop paying ~32 task launches each.  Measured on a
-    # 16-query representative set at sf0.1: sum 15.66 → 12.93 s (−17%),
-    # including the numpy-kernel entries (dedup_simhash 3.43 → 2.35 s);
-    # only join_sort_merge (deliberate SMJ demo) saw +0.13 s.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
