@@ -293,7 +293,14 @@ def _shingle_base(df: DataFrame, id_col: str, text_col: str, ngram: int) -> Data
         grams.groupBy("_id")
         .agg(F.collect_set("_h").alias("_sh"))
         .select("_id", "_sh", F.size("_sh").alias("_sz"))
-        .persist()
+        # localCheckpoint, not persist: the shingle table feeds 3-4 consumers
+        # (df-freq, rank, 2 verify joins) and an eager checkpoint both
+        # materializes it once AND truncates the logical plan to a leaf —
+        # with persist() the analyzer still re-walks the tokenize/window/
+        # shingle subtree once per consumer (measured on the dedup family:
+        # 8-rep alternating A/B, family median 12.17 -> 11.30 s with this
+        # and the sibling prefix/signature checkpoints)
+        .localCheckpoint()
     )
 
 
@@ -325,13 +332,15 @@ def ngram_jaccard_pairs(
         "_rn", F.row_number().over(W.partitionBy("_id").orderBy("_df", "_s"))
     )
     # prefix length = sz - ceil(t*sz) + 1, computed in exact integer math.
-    # Persisted: the prefix index feeds BOTH sides of the candidate
+    # Checkpointed: the prefix index feeds BOTH sides of the candidate
     # self-join; unmaterialized, the df-frequency shuffle + rank window
-    # pipeline above runs once per side.  One (id, sz, shingle) row per
-    # PREFIX shingle — a fraction of the posting list.
+    # pipeline above runs once per side, and even persisted the analyzer
+    # re-walks that subtree per side (localCheckpoint truncates it to a
+    # leaf).  One (id, sz, shingle) row per PREFIX shingle — a fraction of
+    # the posting list.
     prefix = ranked.filter(
         F.col("_rn") <= F.col("_sz") - ((F.lit(t4) * F.col("_sz") + 9999) / 10000).cast("long") + 1
-    ).select("_id", "_sz", "_s").persist()
+    ).select("_id", "_sz", "_s").localCheckpoint()
     a = prefix.select(F.col("_id").alias("a_id"), F.col("_sz").alias("a_sz"), "_s")
     b = prefix.select(F.col("_id").alias("b_id"), F.col("_sz").alias("b_sz"), "_s")
     cand = (
@@ -456,15 +465,17 @@ def minhash_lsh_pairs(
     # via the Column API costs hundreds of py4j round trips (~3 s of pure
     # driver-side overhead per call); one parsed SQL string per aggregate is
     # the identical plan for ~1/10th the construction cost.
-    # persisted: the signature table feeds BOTH sides of the band-bucket
+    # checkpointed: the signature table feeds BOTH sides of the band-bucket
     # self-join below; unmaterialized, the explode + 64 min-aggregates
-    # pipeline runs once per side.  64 longs per document.
+    # pipeline runs once per side, and even persisted the analyzer re-walks
+    # the 64-aggregate subtree per side (~same plan-truncation win as
+    # simhash_pairs).  64 longs per document.
     sig = ex.groupBy("_id").agg(
         *[
             F.expr(f"min(pmod(_h * {a}L + {b}L, {_MERSENNE}L)) AS _m{i}")
             for i, (a, b) in enumerate(perms)
         ]
-    ).persist()
+    ).localCheckpoint()
     band_structs = ",".join(
         "struct({i} AS band, xxhash64(concat_ws(',', {cols})) AS bh)".format(
             i=i, cols=",".join(f"_m{i * rows + j}" for j in range(rows))
