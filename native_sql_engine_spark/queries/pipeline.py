@@ -380,17 +380,20 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").alias("t"),
     ).filter(F.size("t") >= 8)
-    # persisted: the hashed-window table feeds THREE consumers (shared-set
+    # checkpointed: the hashed-window table feeds THREE consumers (shared-set
     # aggregate, per-doc window counts, semi-join probe); without
     # materialization the tokenize + window-explode + hash pass — the
-    # expensive per-row work — runs once per consumer.  Cached rows are
-    # two longs per window (16 B), 3 orders of magnitude under the text.
+    # expensive per-row work — runs once per consumer, and even persisted
+    # the analyzer re-walks that subtree per consumer (localCheckpoint
+    # truncates it to a leaf; 8-rep alternating A/B median 2.49 → 2.01 s,
+    # 6/8 reps faster).  Materialized rows are two longs per window (16 B),
+    # 3 orders of magnitude under the text.
     grams = toks.select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8)))")
         ).alias("gram"),
-    ).select("doc_id", F.xxhash64("gram").alias("gh")).persist()
+    ).select("doc_id", F.xxhash64("gram").alias("gh")).localCheckpoint()
     shared = (
         grams.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("nd"))
