@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from .text import shingles, tokens
 
 # Mersenne prime + deterministic affine constants for MinHash permutations.
@@ -190,11 +191,10 @@ def connected_components(
             return spark.createDataFrame(pdf)
         finally:
             edges.unpersist()
-    labels = (
+    labels = materialize(
         edges.select(F.col("_src").alias("_n"))
         .distinct()
         .select("_n", F.col("_n").alias("_c"))
-        .localCheckpoint()
     )
     try:
         prev_sum = None
@@ -211,10 +211,9 @@ def connected_components(
             # path halving: c ← label(c); labels form a pointer forest toward
             # the component min, so one extra self-join doubles progress/round
             ptr = labels.select(F.col("_n").alias("_pc"), F.col("_c").alias("_cc"))
-            new_labels = (
+            new_labels = materialize(  # plan → leaf; see docstring
                 half.join(ptr, half["_c"] == ptr["_pc"], "left")
                 .select("_n", F.least("_c", "_cc").alias("_c"))
-                .localCheckpoint()  # plan → leaf; see docstring
             )
             cur_sum = new_labels.agg(F.sum("_c")).collect()[0][0]
             labels = new_labels
@@ -289,18 +288,18 @@ def _shingle_base(df: DataFrame, id_col: str, text_col: str, ngram: int) -> Data
             ).alias("_h"),
         )
     )
-    return (
+    return materialize(
         grams.groupBy("_id")
         .agg(F.collect_set("_h").alias("_sh"))
         .select("_id", "_sh", F.size("_sh").alias("_sz"))
-        # localCheckpoint, not persist: the shingle table feeds 3-4 consumers
-        # (df-freq, rank, 2 verify joins) and an eager checkpoint both
-        # materializes it once AND truncates the logical plan to a leaf —
+        # materialize (checkpoint), not persist: the shingle table feeds 3-4
+        # consumers (df-freq, rank, 2 verify joins) and an eager checkpoint
+        # both materializes it once AND truncates the logical plan to a leaf —
         # with persist() the analyzer still re-walks the tokenize/window/
         # shingle subtree once per consumer (measured on the dedup family:
         # 8-rep alternating A/B, family median 12.17 -> 11.30 s with this
-        # and the sibling prefix/signature checkpoints)
-        .localCheckpoint()
+        # and the sibling prefix/signature checkpoints).  Failure semantics
+        # by mode: see materialize.py.
     )
 
 
@@ -338,9 +337,11 @@ def ngram_jaccard_pairs(
     # re-walks that subtree per side (localCheckpoint truncates it to a
     # leaf).  One (id, sz, shingle) row per PREFIX shingle — a fraction of
     # the posting list.
-    prefix = ranked.filter(
-        F.col("_rn") <= F.col("_sz") - ((F.lit(t4) * F.col("_sz") + 9999) / 10000).cast("long") + 1
-    ).select("_id", "_sz", "_s").localCheckpoint()
+    prefix = materialize(
+        ranked.filter(
+            F.col("_rn") <= F.col("_sz") - ((F.lit(t4) * F.col("_sz") + 9999) / 10000).cast("long") + 1
+        ).select("_id", "_sz", "_s")
+    )
     a = prefix.select(F.col("_id").alias("a_id"), F.col("_sz").alias("a_sz"), "_s")
     b = prefix.select(F.col("_id").alias("b_id"), F.col("_sz").alias("b_sz"), "_s")
     cand = (
@@ -470,12 +471,14 @@ def minhash_lsh_pairs(
     # pipeline runs once per side, and even persisted the analyzer re-walks
     # the 64-aggregate subtree per side (~same plan-truncation win as
     # simhash_pairs).  64 longs per document.
-    sig = ex.groupBy("_id").agg(
-        *[
-            F.expr(f"min(pmod(_h * {a}L + {b}L, {_MERSENNE}L)) AS _m{i}")
-            for i, (a, b) in enumerate(perms)
-        ]
-    ).localCheckpoint()
+    sig = materialize(
+        ex.groupBy("_id").agg(
+            *[
+                F.expr(f"min(pmod(_h * {a}L + {b}L, {_MERSENNE}L)) AS _m{i}")
+                for i, (a, b) in enumerate(perms)
+            ]
+        )
+    )
     band_structs = ",".join(
         "struct({i} AS band, xxhash64(concat_ws(',', {cols})) AS bh)".format(
             i=i, cols=",".join(f"_m{i * rows + j}" for j in range(rows))
@@ -589,7 +592,7 @@ def simhash_pairs(
     document, so the materialized footprint is ~16 bytes/doc — negligible
     at any corpus size.
     """
-    base = simhash_table(df, id_col, text_col).localCheckpoint()
+    base = materialize(simhash_table(df, id_col, text_col))
     band_structs = ",".join(
         f"struct({i} AS band, (shiftrightunsigned(_sim, {8 * i}) & 255) AS bh)"
         for i in range(8)

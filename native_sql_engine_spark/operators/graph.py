@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 
 def out_degrees(edges: DataFrame) -> DataFrame:
     """Out-degree per source node of a directed edge list (src, dst)."""
@@ -75,11 +77,10 @@ def pagerank(
         nodes = contrib.select(F.col("src").alias("node")).distinct()
         n = contrib.agg(F.countDistinct("src")).first()[0]
     else:
-        nodes = (
+        nodes = materialize(
             contrib.select(F.col("src").alias("node"))
             .union(contrib.select(F.col("dst").alias("node")))
             .distinct()
-            .localCheckpoint()
         )
         n = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -134,10 +135,10 @@ def shortest_paths(
     frontier checkpoint).
     """
     if not edges_materialized:
-        edges = edges.select("src", "dst").distinct().localCheckpoint()
+        edges = materialize(edges.select("src", "dst").distinct())
     else:
         edges = edges.select("src", "dst")
-    frontier = sources.select("node").distinct().withColumn("dist", F.lit(0)).localCheckpoint()
+    frontier = materialize(sources.select("node").distinct().withColumn("dist", F.lit(0)))
     visited = frontier
     for hop in range(1, max_hops + 1):
         reached = (
@@ -145,10 +146,8 @@ def shortest_paths(
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        frontier = (
-            reached.join(visited, "node", "left_anti")
-            .withColumn("dist", F.lit(hop))
-            .localCheckpoint()
+        frontier = materialize(
+            reached.join(visited, "node", "left_anti").withColumn("dist", F.lit(hop))
         )
         visited = visited.union(frontier)
     return visited
@@ -172,7 +171,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     deg = e.groupBy("src").agg(F.count("*").alias("d")).select(
         F.col("src").alias("node"), "d"
     )
-    oriented = (
+    oriented = materialize(
         e.join(deg.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src")
         .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
         .filter(
@@ -180,7 +179,6 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
         )
         .select("src", "dst")
-        .localCheckpoint()
     )
     o2 = oriented.select(F.col("src").alias("mid"), F.col("dst").alias("far"))
     wedges = oriented.join(o2, oriented.dst == o2.mid).select(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..materialize import materialize
 from ..operators.cdc import merge_upsert
 from ..operators.temporal import asof_join
 
@@ -1057,11 +1058,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unmaterialized pipeline, so the self-join + distinct ran a second
     # time into the frontier checkpoint (guide §2.4 — don't recompute what
     # a consumer already materialized)
-    edges = (
+    edges = materialize(
         li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey != other.dst))
         .select(F.col("l_partkey").alias("src"), "dst")
         .distinct()
-        .localCheckpoint()
     )
     sources = edges.select(F.col("src").alias("node")).filter(F.col("node") <= 10)
     d = shortest_paths(edges, sources, max_hops=3, edges_materialized=True)

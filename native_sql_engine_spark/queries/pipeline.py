@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..materialize import materialize
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -388,12 +389,14 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncates it to a leaf; 8-rep alternating A/B median 2.49 → 2.01 s,
     # 6/8 reps faster).  Materialized rows are two longs per window (16 B),
     # 3 orders of magnitude under the text.
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8)))")
-        ).alias("gram"),
-    ).select("doc_id", F.xxhash64("gram").alias("gh")).localCheckpoint()
+    grams = materialize(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8)))")
+            ).alias("gram"),
+        ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    )
     shared = (
         grams.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1891,10 +1894,10 @@ def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("payload"))
         .alias("payload"),
     )
-    # localCheckpoint: the result fans out to TWO consumers (ok projection
+    # materialize: the result fans out to TWO consumers (ok projection
     # + stats join) — materialize once so the Python decode kernel runs a
     # single pass, not once per consumer (reused-DF re-execution trap)
-    dec = M.decode_image_quarantine(poisoned, "payload", "doc_id").localCheckpoint()
+    dec = materialize(M.decode_image_quarantine(poisoned, "payload", "doc_id"))
     stats = M.image_stats(dec.where(F.col("error").isNull()))
     return (
         dec.select(F.col("media_id").alias("doc_id"), F.col("error").isNull().alias("ok"))
