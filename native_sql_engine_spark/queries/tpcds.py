@@ -762,21 +762,31 @@ _SQL_NEW["tpcds_q51"] = """
 """
 
 # --- q70-shape: ROLLUP + rank partitioned by grouping level ----------------
+# Pre-aggregated at the finest grain BEFORE the rollup Expand (same trick as
+# q5/q36/q67): the Expand then triples ~|region × nation| grouped rows
+# instead of every joined lineitem row.  Decimal sums re-aggregate exactly,
+# so the result is bit-identical to rolling up the raw rows (verified
+# row-for-row against the unsplit form at sf0.001/0.01/0.1 in round 11).
 _SQL_NEW["tpcds_q70"] = """
     SELECT cast(round(total_sum, 2) AS double) AS total_sum,
            r_name, n_name, lochierarchy, rk
     FROM (
-      SELECT sum(cast(l_extendedprice AS decimal(38,9))) AS total_sum,
+      SELECT sum(pre_sum) AS total_sum,
              r_name, n_name,
              grouping(r_name) + grouping(n_name) AS lochierarchy,
              cast(rank() OVER (
                PARTITION BY grouping(r_name) + grouping(n_name),
                             CASE WHEN grouping(n_name) = 1 THEN r_name END
-               ORDER BY sum(cast(l_extendedprice AS decimal(38,9))) DESC
+               ORDER BY sum(pre_sum) DESC
              ) AS bigint) AS rk
-      FROM lineitem, supplier, nation, region
-      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        AND n_regionkey = r_regionkey
+      FROM (
+        SELECT r_name, n_name,
+               sum(cast(l_extendedprice AS decimal(38,9))) AS pre_sum
+        FROM lineitem, supplier, nation, region
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+      ) pre
       GROUP BY ROLLUP (r_name, n_name)
     ) t
     ORDER BY lochierarchy DESC,
@@ -2757,26 +2767,29 @@ _SQL_V27["tpcds_q86a"] = """
     LIMIT 100
     """
 
-# q70a: region/nation rollup unrolled with post-union rank.
+# q70a: region/nation rollup unrolled with post-union rank.  The coarser
+# legs re-aggregate the finest-grain decimal partials (exact), not the raw
+# joined rows: the scan+join+partial-agg subtree then sits under ONE
+# reusable exchange, so Spark executes it once for all three legs (runtime
+# ReusedExchange — the raw-row form ran the lineitem join per leg).
+# Rewritten round 11; proven row-identical to the raw-row form in BOTH
+# engines at sf0.001/0.01/0.1.
 _SQL_V27["tpcds_q70a"] = """
-    WITH j AS (
-      SELECT r_name, n_name, l_extendedprice
+    WITH pre AS (
+      SELECT r_name, n_name,
+             sum(cast(l_extendedprice AS decimal(38,9))) AS total_sum
       FROM lineitem, supplier, nation, region
       WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        AND n_regionkey = r_regionkey),
+        AND n_regionkey = r_regionkey
+      GROUP BY r_name, n_name),
     lv AS (
-      SELECT r_name, n_name,
-             sum(cast(l_extendedprice AS decimal(38,9))) AS total_sum,
-             0 AS lochierarchy
-      FROM j GROUP BY r_name, n_name
+      SELECT r_name, n_name, total_sum, 0 AS lochierarchy FROM pre
       UNION ALL
-      SELECT r_name, cast(NULL AS string),
-             sum(cast(l_extendedprice AS decimal(38,9))), 1
-      FROM j GROUP BY r_name
+      SELECT r_name, cast(NULL AS string), sum(total_sum), 1
+      FROM pre GROUP BY r_name
       UNION ALL
-      SELECT cast(NULL AS string), cast(NULL AS string),
-             sum(cast(l_extendedprice AS decimal(38,9))), 2
-      FROM j)
+      SELECT cast(NULL AS string), cast(NULL AS string), sum(total_sum), 2
+      FROM pre)
     SELECT cast(round(total_sum, 2) AS double) AS total_sum,
            r_name, n_name, lochierarchy,
            cast(rank() OVER (PARTITION BY lochierarchy,
@@ -3021,7 +3034,13 @@ _SQL_V27["tpcds_q77a"] = """
     LIMIT 100
     """
 
-# q80a: the channel/brand return-netting rollup unrolled the same way.
+# q80a: the channel/brand return-netting rollup unrolled the same way.  The
+# union legs project the (channel, brand) GROUPED partials, not the raw
+# netted lines (exact: decimal sums are linear, so sum(sales - returns_amt)
+# over raw rows equals the same sum over per-group partials) — the heavy
+# scan + return-netting join subtree sits under one reusable exchange and
+# executes once for all three legs.  Rewritten round 11; proven
+# row-identical to the raw-row form in BOTH engines at sf0.001/0.01/0.1.
 _SQL_V27["tpcds_q80a"] = """
     WITH ret AS (
       SELECT l_orderkey AS ok, l_partkey AS pk,
@@ -3038,17 +3057,20 @@ _SQL_V27["tpcds_q80a"] = """
       LEFT JOIN ret r ON l.l_orderkey = r.ok AND l.l_partkey = r.pk
       JOIN part ON l.l_partkey = p_partkey
       WHERE l.l_returnflag = 'N' AND p_type <> 'PROMO'
-        AND year(l.l_shipdate) = 1997)
+        AND year(l.l_shipdate) = 1997),
+    pre AS (
+      SELECT channel, id, sum(sales) AS sales, sum(returns_amt) AS returns_amt
+      FROM leg GROUP BY channel, id)
     SELECT channel, id,
            cast(round(sum(sales), 2) AS double) AS sales,
            cast(round(sum(returns_amt), 2) AS double) AS returns_amt,
            cast(round(sum(sales - returns_amt), 2) AS double) AS profit
     FROM (
-      SELECT channel, id, sales, returns_amt FROM leg
+      SELECT channel, id, sales, returns_amt FROM pre
       UNION ALL
-      SELECT channel, cast(NULL AS string), sales, returns_amt FROM leg
+      SELECT channel, cast(NULL AS string), sales, returns_amt FROM pre
       UNION ALL
-      SELECT cast(NULL AS string), cast(NULL AS string), sales, returns_amt FROM leg) lv
+      SELECT cast(NULL AS string), cast(NULL AS string), sales, returns_amt FROM pre) lv
     GROUP BY channel, id
     ORDER BY channel NULLS FIRST, id NULLS FIRST
     LIMIT 100
@@ -3125,6 +3147,23 @@ _SQL_V27["tpcds_q14a"] = """
 for _name, _sql in _SQL_V27.items():
     _register(_name, _sql)
 
+
+# --- round 11 negative result: shared-CTE materialization NOT adopted -------
+#
+# Measured and REVERTED: a split runner that computed each rollup-variant's
+# finest-grain `pre` CTE once, materialized it (materialize.py) and ran the
+# rest over the temp view.  Plans/r11 dumps show initial-plan Exchange counts
+# collapsing (q36a 18->6, q5a 24->6, q67a 26->10), but a 6-rep in-session
+# alternating A/B at sf0.1 measured FLAT to slightly worse (old medians
+# 9.385 s vs new 9.050 s driven entirely by q70; the five split entries were
+# 0.96-1.14x, 7/30 new-wins): Spark's exchange reuse already deduplicates the
+# inlined CTE at runtime — the executed plans of the unsplit forms contain
+# one ReusedExchange per duplicate leg (q36a/q5a: 2, q67a: 3), so the
+# scan+join+partial-agg subtree executes ONCE at any scale and the split only
+# adds an eager-materialization job barrier.  Where the legs re-aggregated
+# RAW joined rows instead of reusable partials (q70/q70a/q80a), the fix is in
+# the shared SQL itself (pre-aggregate before Expand / union from the grouped
+# CTE), which both engines run and exchange reuse then shares.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _runner(sql) for name, sql in SQL.items()
 }
