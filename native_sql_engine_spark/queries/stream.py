@@ -367,7 +367,14 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"q_stream_pysource_{next(_SINK_SEQ)}"
     saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 2 state partitions, not the stream default 8: this aggregate has
+    # exactly |event_type| = 5 groups at ANY scale factor (the domain is
+    # fixed), and the complete-mode state store pays per-partition commit
+    # overhead on every one of the ~4 replay micro-batches — measured
+    # in-session sweep at sf0.1: 8 parts {5.65,4.90}s, 4 {4.68,4.07},
+    # 2 {4.19,3.87} on matched reps.  Partition count tracks the GROUP
+    # cardinality here, not the core count.
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         query = (
             agg.writeStream.format("memory")

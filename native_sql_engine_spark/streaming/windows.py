@@ -437,9 +437,11 @@ class _RunningUserAgg(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         import pandas as pd
 
-        n, total, mx = 0, 0.0, float("-inf")
-        if self._state.exists():
-            n, total, mx = self._state.get()
+        # one get() instead of exists()+get(): every state access is a
+        # round trip to the per-partition state server, paid per key per
+        # micro-batch, and get() already returns None when absent
+        prev = self._state.get()
+        n, total, mx = prev if prev is not None else (0, 0.0, float("-inf"))
         for pdf in rows:
             vals = pdf["value"]
             n += int(len(vals))
@@ -489,24 +491,24 @@ class _TypedStatesAgg(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         import pandas as pd
 
+        # read the existing per-type counts ONCE via the map iterator (one
+        # server round trip) instead of containsKey+getValue per event type
+        # per batch — every state access is an RPC to the per-partition
+        # state server, paid per key per micro-batch, and the iterator was
+        # already needed for the final counts below.  The local dict mirrors
+        # every updateValue, so the emitted row equals re-reading the map.
+        counts = {k[0]: int(v[0]) for k, v in self._counts.iterator()}
         for pdf in rows:
             self._subs.appendValue((len(pdf), float(pdf["value"].sum())))
             for et, n in pdf["event_type"].value_counts().items():
-                base = (
-                    int(self._counts.getValue((et,))[0])
-                    if self._counts.containsKey((et,))
-                    else 0
-                )
-                self._counts.updateValue((et,), (base + int(n),))
+                counts[et] = counts.get(et, 0) + int(n)
+                self._counts.updateValue((et,), (counts[et],))
         n_events, total = 0, 0.0
         for row in self._subs.get():
             n_events += int(row[0])
             total += float(row[1])
-        n_types, n_purch = 0, 0
-        for k, v in self._counts.iterator():
-            n_types += 1
-            if k[0] == "purchase":
-                n_purch = int(v[0])
+        n_types = len(counts)
+        n_purch = counts.get("purchase", 0)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
