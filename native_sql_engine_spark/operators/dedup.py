@@ -257,49 +257,50 @@ def _hashed_shingles(text_col: Column, ngram: int) -> Column:
 def _shingle_base(df: DataFrame, id_col: str, text_col: str, ngram: int) -> DataFrame:
     """(_id, _sh array<long>, _sz) — distinct hashed word-n-gram shingles.
 
-    Codegen'd layout: posexplode tokens → window ``lead``s reassemble each
-    n-gram → xxhash64 → collect_set.  Same shingle strings (and hashes) as
-    the column-expression form, but no interpreted array lambdas; the only
-    shuffle is by doc id (window + groupBy share the partitioning).
-    Persisted: callers fan out to several consumers.
+    Per-ROW layout (round 11): tokenize, slice each n-gram out of the token
+    array and hash it, all inside one projection — no posexplode, no window
+    sort, no collect_set aggregate.  The earlier explode → window-lead →
+    collect_set form paid a per-partition sort over |tokens| rows plus an
+    aggregation back to |docs| rows for what is a purely row-local
+    computation; the higher-order ``transform`` here is interpreted per
+    element, but it is ONE xxhash64+concat per shingle (unlike the 64-fold
+    signature lambdas the module docstring warns about) — alternating A/B at
+    sf0.1: 0.59 → 0.36 s per materialized build, shingle sets identical.
+    Docs with fewer than ``ngram`` tokens are dropped, exactly like the
+    window form (its lead-null filter removed them).
 
-    The repartition happens on whole *documents*, before the explode: the
-    shuffle moves |docs| rows instead of |tokens| rows, tokenization runs on
-    every core even when the input is a single parquet file, and the window
-    + groupBy reuse that one exchange (plan has exactly one Exchange)."""
+    The repartition on whole documents is kept: it moves |docs| rows once so
+    tokenization runs on every core even off a single-file scan.
+
+    Materialized (checkpoint), not persisted: the shingle table feeds 3-4
+    consumers (df-freq, rank, 2 verify joins) and an eager checkpoint both
+    materializes it once AND truncates the logical plan to a leaf — with
+    persist() the analyzer still re-walks the tokenize/shingle subtree once
+    per consumer (round-10 8-rep A/B, family median 12.17 → 11.30 s).
+    Failure semantics by mode: see materialize.py."""
+    return materialize(_shingle_plan(df, id_col, text_col, ngram))
+
+
+def _shingle_plan(df: DataFrame, id_col: str, text_col: str, ngram: int) -> DataFrame:
+    """The un-materialized shingle-table plan (see ``_shingle_base``) —
+    exposed separately so plan-stability tests can golden the subtree that
+    the checkpoint otherwise hides behind a leaf."""
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    tok = (
+    return (
         df.repartition(nparts, F.col(id_col))
         .select(
             F.col(id_col).alias("_id"),
-            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("_p", "_t"),
+            F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t <> '')").alias("_t"),
         )
-        .filter(F.col("_t") != "")
-    )
-    w = W.partitionBy("_id").orderBy("_p")
-    leads = [F.lead("_t", i).over(w).alias(f"_t{i}") for i in range(1, ngram)]
-    grams = (
-        tok.select("_id", F.col("_t").alias("_t0"), *leads)
-        .filter(F.col(f"_t{ngram - 1}").isNotNull())
+        .filter(F.size("_t") >= ngram)
         .select(
             "_id",
-            F.xxhash64(
-                F.concat_ws(" ", *[F.col(f"_t{i}") for i in range(ngram)])
-            ).alias("_h"),
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(_t) - {ngram - 1}),"
+                f" i -> xxhash64(concat_ws(' ', slice(_t, i, {ngram})))))"
+            ).alias("_sh"),
         )
-    )
-    return materialize(
-        grams.groupBy("_id")
-        .agg(F.collect_set("_h").alias("_sh"))
         .select("_id", "_sh", F.size("_sh").alias("_sz"))
-        # materialize (checkpoint), not persist: the shingle table feeds 3-4
-        # consumers (df-freq, rank, 2 verify joins) and an eager checkpoint
-        # both materializes it once AND truncates the logical plan to a leaf —
-        # with persist() the analyzer still re-walks the tokenize/window/
-        # shingle subtree once per consumer (measured on the dedup family:
-        # 8-rep alternating A/B, family median 12.17 -> 11.30 s with this
-        # and the sibling prefix/signature checkpoints).  Failure semantics
-        # by mode: see materialize.py.
     )
 
 
@@ -530,40 +531,66 @@ def simhash64(tokens_col: Column) -> Column:
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) for every row — explode tokens, 64 codegen'd bit-vote
-    sums with map-side combine, then reassemble the signature.  Token-less
-    docs keep signature 0 (left join back).
+    """(id, simhash) for every row — JVM hashes the tokens (xxhash64, so the
+    signature stays bit-identical to the SQL form), then one vectorized
+    ``mapInArrow`` pass computes all 64 bit votes per document in numpy.
 
-    Documents are repartitioned by id before the explode: the shuffle moves
-    |docs| rows rather than |tokens| rows, tokenization parallelizes across
-    cores even off a single-file scan, and the vote groupBy reuses the same
-    exchange."""
+    The earlier layout exploded tokens and ran 64 codegen'd ±1-vote sum
+    aggregates; even with map-side combine that is 64 aggregation-buffer
+    updates per token row.  Here each Arrow batch carries (id, array<long>
+    token hashes); the votes are one (tokens × 64) bit-matrix reduction per
+    batch (guide §4.2 — hand whole batches to vectorized native code), and
+    the explode + aggregate stage disappears from the plan.  Alternating A/B
+    at sf0.1: 0.96/0.72 → 0.70/0.52 s (two interleaved rounds), signatures
+    bit-identical for all docs.  Vote arithmetic is exact integers end to
+    end: votes = 2·(bit count) − tokens, bit set iff votes > 0, signature
+    reassembled as the same signed-64 OR (numpy uint64 shift wraps to the
+    JVM's two's-complement shiftleft at bit 63).  Token-less docs keep
+    signature 0 (empty bit matrix ⇒ all votes ≤ 0).
+
+    Documents are repartitioned by id first: the shuffle moves |docs| rows
+    rather than |tokens| rows and tokenization parallelizes across cores
+    even off a single-file scan."""
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    docs = df.repartition(nparts, F.col(id_col))
-    ids = docs.select(F.col(id_col).alias("_id"))
-    # explode-then-filter stays codegen'd (a higher-order filter lambda
-    # would be interpreted per element)
-    ex = (
-        docs.select(F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), r"\s+")).alias("_t"))
-        .filter(F.col("_t") != "")
-        .select("_id", F.xxhash64("_t").alias("_h"))
+    hashed = df.repartition(nparts, F.col(id_col)).select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"transform(filter(split({text_col}, '\\\\s+'), t -> t <> ''),"
+            " t -> xxhash64(t))"
+        ).alias("_hs"),
     )
-    # F.expr strings for the 64 bit-vote aggregates and the 64-term OR
-    # reassembly — same plan as the Column-API form, ~1/10th the py4j
-    # construction overhead (see minhash_lsh_pairs).
-    votes = ex.groupBy("_id").agg(
-        *[
-            F.expr(f"sum(IF((shiftright(_h, {b}) & 1) = 1, 1, -1)) AS _v{b}")
-            for b in range(64)
-        ]
-    )
-    sim = " | ".join(
-        f"IF(_v{b} > 0, shiftleft(CAST(1 AS BIGINT), {b}), CAST(0 AS BIGINT))"
-        for b in range(64)
-    )
-    return ids.join(votes.selectExpr("_id", f"({sim}) AS _sim"), "_id", "left").select(
-        "_id", F.coalesce("_sim", F.lit(0).cast("long")).alias("_sim")
-    )
+
+    def _votes(it):
+        import numpy as np
+        import pyarrow as pa
+
+        shifts = np.arange(64, dtype=np.uint64)
+        for batch in it:
+            ids = batch.column("_id").to_numpy(zero_copy_only=False)
+            hs = batch.column("_hs")
+            flat = hs.combine_chunks() if isinstance(hs, pa.ChunkedArray) else hs
+            offsets = flat.offsets.to_numpy(zero_copy_only=False)
+            values = flat.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            n_docs = len(ids)
+            starts = offsets[:-1].astype(np.int64)
+            lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+            counts = np.zeros((n_docs, 64), dtype=np.int64)
+            if len(values):
+                bits = ((values[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                nz = lens > 0
+                if nz.any():
+                    # reduceat over the starts of non-empty docs: each segment
+                    # runs to the next non-empty start, which is exactly that
+                    # doc's token range (empty docs contribute no rows)
+                    counts[nz] = np.add.reduceat(bits, starts[nz], axis=0)
+            votes = 2 * counts - lens[:, None]
+            sig = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(sig.astype(np.int64))],
+                names=["_id", "_sim"],
+            )
+
+    return hashed.mapInArrow(_votes, "_id long, _sim long")
 
 
 def simhash_pairs(

@@ -24,6 +24,18 @@ def out_degrees(edges: DataFrame) -> DataFrame:
     return edges.groupBy("src").agg(F.count("*").alias("outdeg"))
 
 
+def _pagerank_edge_state(edges: DataFrame) -> DataFrame:
+    """PageRank's reusable edge state (src, dst, w), hash-partitioned by src
+    — the un-persisted plan, exposed so plan-stability tests can golden the
+    subtree that the cache otherwise hides inside an InMemoryRelation."""
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    dedup = edges.select("src", "dst").repartition(n_part, "src").dropDuplicates(["src", "dst"])
+    deg = out_degrees(dedup)
+    return dedup.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
@@ -63,14 +75,7 @@ def pagerank(
     # edge table (measured on the before-plan: one Exchange per iteration
     # over Scan ExistingRDD).  Partition count tracks the session's
     # shuffle-partition setting, not a local constant.
-    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    dedup = edges.select("src", "dst").repartition(n_part, "src").dropDuplicates(["src", "dst"])
-    deg = out_degrees(dedup)
-    contrib = (
-        dedup.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
-        .persist()
-    )
+    contrib = _pagerank_edge_state(edges).persist()
     if symmetric:
         # nodes only seed the count and the uniform frontier; no need to
         # materialize them — one distinct over the checkpointed edge state

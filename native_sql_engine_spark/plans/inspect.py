@@ -104,6 +104,13 @@ _SIGNATURE_NODES = (
     "Exchange",
     "TakeOrderedAndProject",
     "GlobalLimit",
+    # Python-boundary nodes: a BatchEvalPython sneaking into a goldened plan
+    # (row-at-a-time pickled UDF) or an Arrow kernel silently degrading is a
+    # strategy regression, same class as a broadcast degrading to sort-merge
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
 )
 
 

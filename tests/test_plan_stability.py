@@ -62,3 +62,61 @@ def test_benchmark_plan_signatures_stable(spark, sf_small):
     assert not drift, "plan drift (golden → current):\n" + "\n".join(
         f"  {n}: {g} -> {s}" for n, (g, s) in sorted(drift.items())
     )
+
+
+_SUBTREE_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "plan_golden", "subtree_signatures.json"
+)
+
+
+def _subtree_builders(spark, sf_small):
+    """Multiply-consumed intermediates that entries materialize (checkpoint/
+    persist): their producing plan is hidden behind a leaf/InMemoryRelation
+    in every consumer's signature, so it gets its own golden here, taken
+    PRE-materialization where it is built."""
+    from pyspark.sql import functions as F
+
+    from native_sql_engine_spark.catalog import load_table
+    from native_sql_engine_spark.operators.dedup import _shingle_plan, simhash_table
+    from native_sql_engine_spark.operators.graph import _pagerank_edge_state
+
+    docs = load_table(spark, sf_small, "documents")
+    li = (
+        load_table(spark, sf_small, "lineitem")
+        .filter(F.col("l_shipdate") < "1998-01-01")
+        .select("l_orderkey", "l_partkey")
+    )
+    other = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst"))
+    edges = li.join(
+        other, (li.l_orderkey == other.o2) & (li.l_partkey != other.dst)
+    ).select(F.col("l_partkey").alias("src"), "dst")
+    return {
+        "pagerank_edge_state": lambda: _pagerank_edge_state(edges),
+        "dedup_shingle_plan": lambda: _shingle_plan(docs, "doc_id", "text", 3),
+        "dedup_simhash_table": lambda: simhash_table(docs, "doc_id", "text"),
+    }
+
+
+def test_materialized_subtree_signatures_stable(spark, sf_small):
+    with open(_SUBTREE_GOLDEN) as f:
+        golden = json.load(f)
+    builders = _subtree_builders(spark, sf_small)
+    if not _BLESS:
+        assert set(golden) == set(builders), (
+            "subtree set changed — re-bless with SPARK_GRAFT_BLESS_PLANS=1"
+        )
+    current: dict[str, dict] = {}
+    drift: dict[str, tuple[dict, dict]] = {}
+    for name, build in sorted(builders.items()):
+        spark.catalog.clearCache()
+        sig = P.plan_signature(build())
+        current[name] = sig
+        if sig != golden.get(name):
+            drift[name] = (golden.get(name), sig)
+    if _BLESS:
+        with open(_SUBTREE_GOLDEN, "w") as f:
+            json.dump(current, f, indent=1, sort_keys=True)
+        pytest.skip(f"re-blessed {len(current)} subtree signatures ({len(drift)} changed)")
+    assert not drift, "materialized-subtree plan drift (golden → current):\n" + "\n".join(
+        f"  {n}: {g} -> {s}" for n, (g, s) in sorted(drift.items())
+    )
