@@ -6505,6 +6505,14 @@ def sim_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization the tokenize → TF → document-frequency join pipeline
     # runs once per consumer (62 Exchanges in the battery entry's plan).
     # One (doc, token, tf) row per kept posting — a sliver of the corpus.
+    # Round-11 negative result: hash-repartitioning this persisted set by
+    # token before the persist (the pagerank edge-state trick, so the
+    # token self-join could reuse the cached partitioning) measured FLAT in
+    # alternating A/Bs both at bench scale (join broadcasts: med 1.29 old vs
+    # 1.32 s new) and with broadcasts disabled to simulate the at-scale SMJ
+    # regime (warm med 1.45 vs 1.43 s, executed-plan Exchange count
+    # identical at 9) — the planner re-exchanges the cached set either way.
+    # Reverted; kept as a note so it isn't retried.
     kept = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))

@@ -419,7 +419,12 @@ def udf_cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     function call + frame construction, the per-GROUP overhead that
     dominates this operator; shipping 10× the groups to discard them
     inside the UDF was measured 25× slower).  The oracle is the
-    equivalent LEFT JOIN + GROUP BY."""
+    equivalent LEFT JOIN + GROUP BY.
+
+    Round-11 conf sweep (all flat, in-session medians): shuffle
+    partitions {32: 2.25, 8: 2.17, 4: 2.17 s} × Arrow batch {10k, 1k:
+    2.27 s} — neither lever moves it; the per-group Python call and the
+    two-sided Arrow channel ARE the demonstrated surface."""
     import pandas as pd
 
     c = (
