@@ -109,6 +109,39 @@ def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
     raise ValueError(f"unknown materialize mode {mode!r}")
 
 
+def release(df: DataFrame) -> int:
+    """Free the blocks backing ONE DataFrame returned by :func:`materialize`,
+    without touching anything else in the session.  Returns the number of
+    RDD-level block sets released.
+
+    Iterative operators (connected components, pagerank, BFS) materialize a
+    new table every round and drop the previous one; waiting for the driver
+    GC + ContextCleaner to notice the dropped reference lets superseded
+    rounds' blocks pile up in the unified region faster than the async
+    cleaner drains them (measured: connected_components at 12M edges under a
+    6 GB heap OOMs in an iteration join's hash build while holding ~15
+    rounds of dead label blocks).  Loops call this on the superseded round
+    as soon as the next round is materialized.
+
+    Same hazard as :func:`release_materialized`: a local-checkpointed plan
+    has no lineage, so collecting the released DataFrame again raises
+    instead of recomputing.  ``persist``-mode DataFrames keep lineage and
+    merely recompute.
+    """
+    n = 0
+    # local/reliable checkpoint: the analyzed plan is a LogicalRDD leaf
+    # holding the persisted RDD (reliable checkpoints unpersist as a no-op —
+    # their blocks are files under the checkpoint dir)
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves().iterator()
+    while leaves.hasNext():
+        leaf = leaves.next()
+        if leaf.getClass().getSimpleName() == "LogicalRDD":
+            leaf.rdd().unpersist(False)
+            n += 1
+    df.unpersist()  # persist-mode blocks live in the SQL cache manager
+    return n
+
+
 def release_materialized(spark: SparkSession) -> int:
     """Free EVERY RDD-level persistent block in the session — local
     checkpoints included (they bypass ``spark.catalog.clearCache``, which

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..materialize import materialize
+from ..materialize import materialize, release
 from .text import shingles, tokens
 
 # Mersenne prime + deterministic affine constants for MinHash permutations.
@@ -216,6 +216,12 @@ def connected_components(
                 .select("_n", F.least("_c", "_cc").alias("_c"))
             )
             cur_sum = new_labels.agg(F.sum("_c")).collect()[0][0]
+            # the superseded round's blocks are dead the moment new_labels is
+            # materialized; release them NOW instead of waiting for the async
+            # ContextCleaner (under a tight heap ~15 rounds of dead label
+            # blocks pin the storage region and the neighbor join's hash
+            # build OOMs — observed at 12M edges / 6 GB in the scale probe)
+            release(labels)
             labels = new_labels
             if cur_sum == prev_sum:
                 break

@@ -6250,19 +6250,37 @@ def source_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     row group → page).  The oracle computes the same join over the raw
     table, proving pruning is lossless.
     """
+    import os
     import re
     import tempfile
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
     from ..plans.inspect import executed_plan
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_shipdate", "l_extendedprice"
-    )
+    # Fixture prep entirely in pyarrow on the driver (guide §4 boundary):
+    # the partitioned layout is test SCAFFOLDING — the mechanism under test
+    # is the runtime-pruned READ below.  The previous Spark partitionBy
+    # write job (32 tasks fanning 600k rows into 7 year dirs + committer
+    # protocol) was ~60% of the entry; pyarrow lays out the identical
+    # hive-partitioned dataset in <0.15 s.  `pc.year` on the naive µs
+    # timestamps equals Spark's year() under the pinned UTC session TZ.
     base = tempfile.mkdtemp(prefix="src_dpp_")
-    (
-        li.withColumn("ship_year", F.year("l_shipdate"))
-        .write.partitionBy("ship_year")
-        .parquet(f"{base}/fact")
+    tbl = pads.dataset(os.path.join(sf_dir, "lineitem.parquet")).to_table(
+        columns=["l_shipdate", "l_extendedprice"]
+    )
+    tbl = tbl.append_column(
+        "ship_year", pc.cast(pc.year(tbl["l_shipdate"]), pa.int32())
+    )
+    pads.write_dataset(
+        tbl,
+        f"{base}/fact",
+        format="parquet",
+        partitioning=pads.partitioning(
+            pa.schema([("ship_year", pa.int32())]), flavor="hive"
+        ),
     )
     fact = spark.read.parquet(f"{base}/fact")
     dim = (
@@ -7057,13 +7075,33 @@ def source_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Data
     directory is swapped.  The oracle states the final table contents
     declaratively.  At 100 TB this is a metadata swap of one directory,
     never a table rewrite."""
+    import os
     import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
 
     o = load_table(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("y"), "o_orderkey", "o_orderstatus"
     )
     base = tempfile.mkdtemp(prefix="src_dpo_")
-    o.write.partitionBy("y").parquet(f"{base}/t")
+    # the INITIAL full partitioned layout is fixture scaffolding (guide §4
+    # boundary) — pyarrow writes the identical hive layout driver-side; the
+    # mechanism under test, the dynamic-partition OVERWRITE below, stays a
+    # Spark write.  pc.year == Spark year() under the pinned UTC session TZ.
+    tbl = pads.dataset(os.path.join(sf_dir, "orders.parquet")).to_table(
+        columns=["o_orderdate", "o_orderkey", "o_orderstatus"]
+    )
+    tbl = tbl.append_column(
+        "y", pc.cast(pc.year(tbl["o_orderdate"]), pa.int32())
+    ).drop_columns(["o_orderdate"])
+    pads.write_dataset(
+        tbl,
+        f"{base}/t",
+        format="parquet",
+        partitioning=pads.partitioning(pa.schema([("y", pa.int32())]), flavor="hive"),
+    )
     saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -15,6 +15,20 @@ new testdata), at up to 50x the sf0.1 row counts:
      8 positional delete files + 4 equality delete files each (the
      round-9 row-level machinery: (path,pos) anti-join + null-safe
      equality anti-join with sequence residual over a broadcast seq map)
+  5. ``simhash_pairs``           — 5k / 50k / 250k documents: the round-11
+     MapInArrow vote kernel AND the checkpoint-truncated (materialize.py)
+     signature/shingle path, far above battery SF
+  6. ``shj_smj_guard``           — the round-10 shuffled-hash-join
+     enablement and its OOM guard: SHJ when the build side provably fits,
+     spill-safe SMJ kept when it cannot be proven, SMJ again under stock
+     confs (three plan-shape assertions on 16M-row joins)
+  7. ``bucketed_write_alignment`` — the round-10 repartition-before-
+     bucketed-write: at 2M rows x 16 buckets every write task must hold
+     exactly one bucket (k files per bucket on disk, k = parts/buckets)
+  8. ``core_scaling``            — the CPU-bound signature kernel at 400k
+     docs on local[32] vs local[8] (fresh sessions): wall-clock ratio must
+     be >= 2x, the scale-out evidence the sf0.1 battery cannot show
+     (every battery entry is floor-bound; PERF_r10 scaling ratios ~= 1)
 
 Asserted per the round-8 verdict's order #5:
 
@@ -232,9 +246,144 @@ def gen_iceberg_mor(spark, n: int) -> str:
 
 
 # ----------------------------------------------------------------- probes
+def probe_shj_smj_guard(spark) -> bool:
+    """Round-10 enabled shuffled-hash join under a provable build-side
+    bound (session.py: preferSortMergeJoin=false + 64 MB AQE local-map
+    threshold).  Three plan-shape assertions on real 16M-row joins with
+    incompressible payloads (constant strings compress to nothing in the
+    shuffle and AQE then runtime-broadcasts, hiding the decision):
+
+      1. probe 16M x build 4M (build provably ~3x smaller, partitions fit
+         under the bound) -> ShuffledHashJoin: no sort of either side;
+      2. probe 16M x build 16M (no provably-smaller side, so no per-
+         partition fit proof) -> the planner KEEPS the spill-safe
+         SortMergeJoin -- the OOM guard at scale;
+      3. shape 1 re-planned with stock confs (preferSortMergeJoin=true,
+         AQE threshold 0) -> SortMergeJoin: the round-10 conf pair is
+         load-bearing, not coincidence.
+    """
+    import re
+
+    def side(n: int, salt: int) -> DataFrame:
+        return spark.range(n).selectExpr(
+            "id AS k",
+            f"concat_ws('', transform(sequence(0, 3),"
+            f" j -> hex(xxhash64(id, j, {salt})))) AS pay_{salt}",
+        )
+
+    def final_join_nodes(df) -> str:
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan ==")[0]
+        return " ".join(re.findall(r"\b\w*Join\w*\b", plan))
+
+    asym = final_join_nodes(side(16_000_000, 1).join(side(4_000_000, 2), "k"))
+    ok_shj = "ShuffledHashJoin" in asym
+    sym = final_join_nodes(side(16_000_000, 1).join(side(16_000_000, 2), "k"))
+    ok_smj = "SortMergeJoin" in sym and "ShuffledHashJoin" not in sym
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.join.preferSortMergeJoin",
+                  "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold")
+    }
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "0")
+    try:
+        stock = final_join_nodes(side(16_000_000, 1).join(side(4_000_000, 2), "k"))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    ok_conf = "SortMergeJoin" in stock and "ShuffledHashJoin" not in stock
+    print(f"  shj_smj_guard: SHJ-when-provable={ok_shj} "
+          f"SMJ-when-unprovable={ok_smj} stock-confs-SMJ={ok_conf}",
+          file=sys.stderr)
+    return ok_shj and ok_smj and ok_conf
+
+
+def probe_bucketed_write(spark) -> bool:
+    """Round-10 repartition-before-bucketed-write (sources/io.py): with
+    k·n_buckets write partitions sharing Murmur3 HashPartitioning with the
+    bucket assignment, every write task holds exactly ONE bucket — so the
+    table directory must contain exactly k files per bucket (k = parts /
+    buckets), not n_buckets files per scan task."""
+    import glob as _glob
+
+    from native_sql_engine_spark.sources.io import write_bucketed
+
+    n, buckets = 2_000_000, 16
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    k = max(1, nparts // buckets)
+    df = spark.range(n).selectExpr("id AS k", "id % 1000 AS v")
+    spark.sql("DROP TABLE IF EXISTS scale_probe_bucketed")
+    write_bucketed(df, "scale_probe_bucketed", ["k"], buckets, sort_cols=["k"])
+    loc = spark.sql("DESCRIBE EXTENDED scale_probe_bucketed").filter(
+        "col_name = 'Location'").first()[1].replace("file:", "")
+    files = [f for f in _glob.glob(os.path.join(loc, "*")) if "_SUCCESS" not in f]
+    per_bucket: dict[str, int] = {}
+    for f in files:
+        b = os.path.basename(f).split("_")[-1].split(".")[0].split("-")[0]
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    ok = len(files) == k * buckets
+    print(f"  bucketed_write: {len(files)} files for {buckets} buckets (k={k}) "
+          f"-> {'aligned' if ok else 'MISALIGNED'}", file=sys.stderr)
+    spark.sql("DROP TABLE IF EXISTS scale_probe_bucketed")
+    return ok
+
+
+def probe_core_scaling() -> dict:
+    """CPU-bound kernel (the simhash signature build: interpreted xxhash64
+    tokenization + the MapInArrow vote matrix) at 400k docs on local[32]
+    vs local[8], fresh session each.  The sf0.1 battery cannot show
+    scale-out (per-query stage-launch floor dominates: PERF_r10 8v32
+    ratios ~= 1); at this volume the kernel must speed up >= 2x with 4x
+    the cores for the 100 TB scale-out story to hold."""
+    from native_sql_engine_spark.operators.dedup import simhash_table
+
+    timings = {}
+    for cores in (32, 8):
+        os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+        s = get_spark(f"scale_probe_cores_{cores}",
+                      **{"spark.driver.memory": f"{DRIVER_MEM_GB}g",
+                         "spark.sql.shuffle.partitions": "64"})
+        # let the previous JVM's executor/GC threads actually wind down —
+        # measured: the first leg right after the main session's stop() ran
+        # 2.4x slow and flipped the ratio assertion on a run that passes in
+        # isolation (shared-VM noise; min-of-3 below bounds the rest)
+        time.sleep(5)
+        docs = gen_documents(s, 400_000)
+        sig = lambda: simhash_table(docs, "doc_id", "text").write.format(
+            "noop").mode("overwrite").save()
+        sig()  # warm (analysis + codegen + python workers)
+        best = min(_timed(sig) for _ in range(3))
+        timings[cores] = round(best, 2)
+        s.stop()
+    os.environ.pop("SPARK_GRAFT_CPUS", None)
+    ratio = round(timings[8] / timings[32], 2)
+    print(f"  core_scaling: 32c {timings[32]}s vs 8c {timings[8]}s -> {ratio}x",
+          file=sys.stderr)
+    return {"rows": 400_000, "sec_32c": timings[32], "sec_8c": timings[8],
+            "ratio": ratio}
+
+
+def _timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return time.monotonic() - t0
+
+
 def run_path(spark, name, scales, build_df, run, collects: list):
+    from native_sql_engine_spark.materialize import release_materialized
+
     out = []
     for rows in scales:
+        # inter-run hygiene: earlier paths' materialized blocks (checkpointed
+        # signature/shingle/label tables are MEMORY_AND_DISK) otherwise squeeze
+        # the unified region under the 6g cap — release deterministically
+        # instead of waiting for driver GC + ContextCleaner
+        spark.catalog.clearCache()
+        release_materialized(spark)
+        spark.sparkContext._jvm.System.gc()
         before = _shuffle_write_bytes(spark)
         t0 = time.monotonic()
         with collect_guard(spark, collects):
@@ -312,6 +461,21 @@ def main() -> int:
             collects,
         )
 
+    if only in (None, "simhash"):
+        from native_sql_engine_spark.operators.dedup import simhash_pairs
+
+        results["simhash_pairs"] = run_path(
+            spark, "simhash_pairs", doc_scales, gen_documents,
+            lambda df: simhash_pairs(df, "doc_id", "text", max_hamming=7).count(),
+            collects,
+        )
+
+    extra_checks: dict[str, bool] = {}
+    if only in (None, "shj"):
+        extra_checks["shj_below_smj_above_threshold"] = probe_shj_smj_guard(spark)
+    if only in (None, "bucketed"):
+        extra_checks["bucketed_write_aligned"] = probe_bucketed_write(spark)
+
     heap_max, pool_peak_sum = _heap_mb(spark)
     checks = {
         # the cap is ENFORCED by -Xmx: the check is that the cap was
@@ -320,15 +484,21 @@ def main() -> int:
         "completed_under_mem_cap": heap_max <= DRIVER_MEM_GB * 1024 * 1.05,
         "shuffle_linear": all(check_linear(v) for v in results.values()),
         "zero_big_driver_collects": all(c <= 1 for c in collects),
+        **extra_checks,
     }
+    core_scaling = None
+    spark.stop()
+    if only in (None, "cores") and not quick:
+        # needs fresh sessions with different masters — after the main stop
+        core_scaling = probe_core_scaling()
+        checks["cpu_kernel_scales_with_cores"] = core_scaling["ratio"] >= 2.0
     print(json.dumps({
         "probe": "scale_probe", "driver_mem_cap_gb": DRIVER_MEM_GB,
         "jvm_heap_max_mb": heap_max, "pool_peak_sum_mb": pool_peak_sum,
-        "slack": SLACK, "paths": results,
+        "slack": SLACK, "paths": results, "core_scaling": core_scaling,
         "driver_collect_row_counts": collects, "checks": checks,
         "ok": all(checks.values()),
     }))
-    spark.stop()
     return 0 if all(checks.values()) else 1
 
 

@@ -19,6 +19,7 @@ from native_sql_engine_spark.materialize import (
     CKPT_DIR_CONF,
     MODE_CONF,
     materialize,
+    release,
     release_materialized,
 )
 
@@ -94,3 +95,27 @@ def test_release_materialized_frees_local_checkpoint_blocks(spark):
     assert release_materialized(spark) >= 1
     # all RDD-level persistent blocks are gone (SQL cache untouched by design)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_release_frees_only_the_given_dataframe(spark):
+    # the iterative-loop contract (connected components): release the
+    # superseded round without touching the live one
+    release_materialized(spark)  # clean slate
+    kept = materialize(_small_df(spark), mode="local")
+    superseded = materialize(_small_df(spark), mode="local")
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() == 2
+    assert release(superseded) == 1
+    assert jsc.getPersistentRDDs().size() == 1
+    # the survivor is still collectable
+    assert sorted(r.k for r in kept.collect()) == list(range(7))
+    release(kept)
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_release_persist_mode_keeps_lineage_and_recomputes(spark, clean_mode):
+    spark.conf.set(MODE_CONF, "persist")
+    out = materialize(_small_df(spark))
+    out.collect()
+    release(out)  # drops cache blocks only; lineage intact
+    assert sorted(r.k for r in out.collect()) == list(range(7))
